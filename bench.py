@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side result transfer), which is how a cluster job would be
+measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from voter_file_etl_spark import registry
+from voter_file_etl_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative mix: scan-agg, large join, window, rollup, set op,
+# exact + fuzzy + minhash + simhash dedup, ANN, text analysis, stream
+# window — the shapes that dominate a 100 TB pipeline.
+HEADLINE = [
+    "a4_groupby_count",
+    "j4_large_join",
+    "j1_inner_join",
+    "w3_agg_over_frame",
+    "a7_rollup",
+    "a6_multi_distinct",
+    "d1_drop_duplicates",
+    "x1_dedup_exact",
+    "x2_dedup_minhash",
+    "x3_dedup_simhash",
+    "x5_embedding_dedup",
+    "x6_ann_topk",
+    "t5_tokenize_explode",
+    "x9_quality_score",
+    "x11_fingerprint",
+    "st1_tumbling_window",
+    "f1_geohash",
+    "o4_top_k",
+]
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Warm the JVM/session with a trivial action so the first measured
+    # query doesn't pay session startup.
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = registry.QUERIES[key]
+        start = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[key] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Vector math as Column expressions (no UDFs in the hot path).
+
+Determinism-by-design: embeddings are quantized to integers
+(floor(x * 1e6)) before any reduction, so dot products and norms are
+*exact integer sums* — order-independent across shuffles and
+bit-identical between Spark and the DuckDB oracle. The final cosine
+is exact-int / (sqrt * sqrt), all IEEE-deterministic ops.
+
+The quantized cosine differs from float cosine by < 1e-5 for unit-
+scale embeddings — irrelevant for dedup/ANN ranking, and it buys
+reproducibility that float reductions cannot give on a cluster.
+
+At 100 TB these expressions run inside whole-stage codegen; for very
+wide vectors a pandas_udf over Arrow batches is the fallback (see
+operators/multimodal.py for the Arrow-batched pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+QUANT = 1_000_000.0
+
+
+def quantize(emb: str | Column) -> Column:
+    """array<float> -> array<bigint>, exact and engine-portable."""
+    name = emb if isinstance(emb, str) else None
+    expr = name or "emb"
+    return F.expr(
+        f"transform({expr}, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    )
+
+
+def quantize_sql_duckdb(emb_expr: str) -> str:
+    return (
+        f"list_transform(CAST({emb_expr} AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {QUANT}) AS BIGINT))"
+    )
+
+
+def sq_norm(qv: str) -> Column:
+    """Exact integer squared norm of a quantized vector column."""
+    return F.expr(f"aggregate({qv}, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)")
+
+
+def sq_norm_sql_duckdb(qv: str) -> str:
+    return f"CAST(list_sum(list_transform({qv}, x -> x * x)) AS BIGINT)"
+
+
+def dot(qa: str, qb: str) -> Column:
+    """Exact integer dot product of two quantized vector columns."""
+    return F.expr(
+        f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def dot_sql_duckdb(qa: str, qb: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({qa}) + 1), "
+        f"i -> {qa}[i] * {qb}[i])) AS BIGINT)"
+    )
+
+
+def cosine(dot_col: Column, na: Column, nb: Column) -> Column:
+    """dot / (|a| * |b|) from exact integer parts — deterministic."""
+    return dot_col.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def cosine_sql(dot_e: str, na: str, nb: str) -> str:
+    return (
+        f"CAST({dot_e} AS DOUBLE) / "
+        f"(sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+    )

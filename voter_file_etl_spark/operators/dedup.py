@@ -1,0 +1,373 @@
+"""Deduplication operators (SURVEY.md §2.4 + north-star suite).
+
+D1/D2 port the reference's PK dedup (createMany skipDuplicates,
+load.ts:356-360) and the fuzzy entity-dedup its name/address indexes
+imply. X1-X4 are the LLM-pipeline dedup family: exact content hash,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup is a hash groupBy on the content hash — one shuffle on
+  an already-uniform key.
+- MinHash+LSH never compares all pairs: signatures are per-row map
+  work, the band self-join only collides candidates (the shuffle key
+  is (band, signature)), and Jaccard verification touches candidate
+  pairs only. This is the standard near-dup pipeline shape that scales
+  linearly in corpus size for fixed collision rate.
+- SimHash blocks by a cheap partition key before pairwise hamming.
+- All hashing is md5 (identical in Spark and DuckDB), so the oracle
+  checks the *same* signatures, not a reimplementation.
+
+The MinHash corpus plants deterministic near-duplicates (a suffixed
+copy of every 20th doc) so the pipeline's recall is actually
+exercised — the synthetic corpus has no natural near-dups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+# ---------------------------------------------------------------------------
+# D1 — PK dedup (drop exact duplicate keys introduced by re-loads).
+# ---------------------------------------------------------------------------
+@register(
+    "d1_drop_duplicates",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_linenumber
+    FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 10 = 0)
+    """,
+)
+def d1_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    redelivered = li.filter(F.col("l_orderkey") % 10 == 0)
+    return li.unionByName(redelivered).dropDuplicates(["l_orderkey", "l_linenumber"])
+
+
+# ---------------------------------------------------------------------------
+# D2 — fuzzy entity dedup: block on a cheap key, levenshtein within
+# the block (soundex/levenshtein name+address blocking of SURVEY §2.4;
+# DuckDB lacks soundex, so the oracle-checked distance is levenshtein —
+# soundex blocking is exercised in unit tests instead).
+# ---------------------------------------------------------------------------
+@register(
+    "d2_fuzzy_dedup",
+    oracle="""
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS name_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def d2_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id1"),
+        F.col("c_name").alias("name1"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id2"),
+        F.col("c_name").alias("name2"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    dist = F.levenshtein("name1", "name2")
+    return (
+        a.join(b, "nk")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(dist <= 1)
+        .select("id1", "id2", dist.cast("int").alias("name_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact content dedup by hash-groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "x1_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM (SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id % 10 = 0)
+    GROUP BY md5(text)
+    """,
+)
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    return corpus.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — MinHash + LSH near-dup detection.
+#   shingle (word 3-grams) -> 8 md5-minhashes -> 4 bands of 2 ->
+#   band-collision candidates -> exact Jaccard verify.
+# ---------------------------------------------------------------------------
+_N_SEEDS = 8
+_BAND_SIZE = 2
+_N_BANDS = _N_SEEDS // _BAND_SIZE
+_MINHASH_JACCARD_MIN = 0.5
+
+
+def _minhash_oracle() -> str:
+    mh_cols = ",\n        ".join(
+        f"list_min(list_transform(shingles, x -> md5('{s}|' || x))) AS m{s}"
+        for s in range(_N_SEEDS)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS sig FROM mh"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz end marker') AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(arr) - 1),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+      FROM (SELECT doc_id, str_split(text, ' ') AS arr FROM corpus)
+    ), mh AS (
+      SELECT doc_id, shingles,
+        {mh_cols}
+      FROM sh
+    ), bands AS (
+      {band_selects}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.id1, c.id2,
+      CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        / (len(s1.shingles) + len(s2.shingles)
+           - len(list_intersect(s1.shingles, s2.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh s1 ON c.id1 = s1.doc_id
+    JOIN sh s2 ON c.id2 = s2.doc_id
+    WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        / (len(s1.shingles) + len(s2.shingles)
+           - len(list_intersect(s1.shingles, s2.shingles))) >= {_MINHASH_JACCARD_MIN}
+    """
+
+
+@register("x2_dedup_minhash", oracle=_minhash_oracle())
+def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz end marker")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+
+    # Tokenize once (not per shingle), then persist: the shingle arrays
+    # feed three consumers (minhash signatures + both sides of the
+    # Jaccard verify join), and recomputing the md5/shingle work per
+    # branch triples the map cost. MEMORY_AND_DISK so a 100 TB corpus
+    # spills instead of OOMing; size is O(corpus tokens), not O(pairs).
+    shingled = (
+        corpus.withColumn("arr", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(arr) >= 3 THEN "
+                "array_distinct(transform(sequence(0, size(arr) - 3), "
+                "i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            ).alias("shingles"),
+        )
+        .persist()
+    )
+    mh = shingled.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.expr(f"array_min(transform(shingles, x -> md5(concat('{s}|', x))))").alias(
+                f"m{s}"
+            )
+            for s in range(_N_SEEDS)
+        ],
+    )
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")))
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id1"), F.col("band").alias("band"), F.col("sig").alias("sig")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id2"), F.col("band").alias("band"), F.col("sig").alias("sig")
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    s1 = shingled.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    s2 = shingled.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union_sz = F.size("sh1") + F.size("sh2") - inter
+    jac = inter.cast("double") / union_sz
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _MINHASH_JACCARD_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X3 — SimHash fingerprint + blocked hamming pairs. The 32 hash bits
+# are the high bit of each md5 hex nibble — identical in both engines
+# without any hex->int conversion.
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS = 32
+_HAMMING_MAX = 8
+_HI = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _simhash_oracle() -> str:
+    hi = ", ".join(f"'{c}'" for c in _HI)
+    s_cols = ",\n        ".join(
+        f"sum(CASE WHEN substr(hx, {j + 1}, 1) IN ({hi}) THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, source, w
+      FROM (SELECT doc_id, source, unnest(str_split(text, ' ')) AS w FROM documents)
+    ), h AS (
+      SELECT doc_id, source, md5(w) AS hx FROM toks
+    ), s AS (
+      SELECT doc_id, source,
+        {s_cols}
+      FROM h GROUP BY doc_id, source
+    ), f AS (
+      SELECT doc_id, source, CAST({combine} AS BIGINT) AS simhash FROM s
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+    """
+
+
+@register("x3_dedup_simhash", oracle=_simhash_oracle())
+def x3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .withColumn("hx", F.md5("w"))
+    )
+    s = toks.groupBy("doc_id", "source").agg(
+        *[
+            F.sum(
+                F.when(F.substring("hx", j + 1, 1).isin(*_HI), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    fp = s.select("doc_id", "source", simhash.cast("bigint").alias("simhash"))
+
+    a = fp.select(
+        F.col("doc_id").alias("id1"), "source", F.col("simhash").alias("h1")
+    )
+    b = fp.select(
+        F.col("doc_id").alias("id2"), "source", F.col("simhash").alias("h2")
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        a.join(b, "source")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(hamming <= _HAMMING_MAX)
+        .select("id1", "id2", hamming.cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — character-3-gram Jaccard over blocked pairs (same lang + size
+# bucket). The block keeps the pair count linear-ish; the distinct-
+# gram arrays make intersect/union exact set sizes.
+# ---------------------------------------------------------------------------
+_NGRAM_JACCARD_MIN = 0.5
+
+
+@register(
+    "x4_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+             list_distinct(list_transform(range(1, length(text) - 1),
+                 i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+               AS jaccard3
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+          >= {_NGRAM_JACCARD_MIN}
+    """,
+)
+def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 2),"
+            " i -> substring(text, i, 3)))"
+        ).alias("grams"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("id1"), "lang", "size_bucket", F.col("grams").alias("g1")
+    )
+    b = g.select(
+        F.col("doc_id").alias("id2"), "lang", "size_bucket", F.col("grams").alias("g2")
+    )
+    inter = F.size(F.array_intersect("g1", "g2"))
+    jac = inter.cast("double") / (F.size("g1") + F.size("g2") - inter)
+    return (
+        a.join(b, ["lang", "size_bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", jac.alias("jaccard3"))
+        .filter(F.col("jaccard3") >= _NGRAM_JACCARD_MIN)
+    )

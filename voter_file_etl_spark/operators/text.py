@@ -1,0 +1,229 @@
+"""Text-analysis operators over the documents table (north-star suite).
+
+Language-ID (stopword n-gram heuristic), quality scoring, token
+counting, tokenize+explode word counts, and document fingerprinting
+(full-hash + rolling min-hash). All pure Column expressions: at
+100 TB these run inside whole-stage codegen with no Python in the row
+path, and every aggregate is partial+final.
+
+Cross-engine determinism: ratios are int/int double divisions (bit-
+identical IEEE); hashes are md5 hex (identical in Spark and DuckDB);
+counts are BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+STOPWORDS_EN = ("the", "a", "and", "of", "is")
+STOPWORDS_ES = ("el", "la", "de", "y", "es")
+STOPWORDS_FR = ("le", "la", "et", "de", "est")
+
+
+def _in_list(var: str, words: tuple[str, ...]) -> str:
+    return " OR ".join(f"{var} = '{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# T5 — tokenize + explode word count (the UDTF shape of SURVEY §2.12).
+# ---------------------------------------------------------------------------
+@register(
+    "t5_tokenize_explode",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    """,
+)
+def t5_tokenize_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8 — language ID by stopword hits (n-gram heuristic). Ties resolve
+# in a fixed language order, so the guess is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "x8_lang_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN {_in_list('w', STOPWORDS_EN)} THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+        CAST(sum(CASE WHEN {_in_list('w', STOPWORDS_ES)} THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+        CAST(sum(CASE WHEN {_in_list('w', STOPWORDS_FR)} THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, en_hits, es_hits, fr_hits,
+      CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+           WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+           WHEN fr_hits > 0 THEN 'fr'
+           ELSE 'und' END AS lang_guess
+    FROM scores
+    """,
+)
+def x8_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        return F.sum(F.when(F.col("w").isin(*words), 1).otherwise(0)).cast("long")
+
+    scores = toks.groupBy("doc_id").agg(
+        hits(STOPWORDS_EN).alias("en_hits"),
+        hits(STOPWORDS_ES).alias("es_hits"),
+        hits(STOPWORDS_FR).alias("fr_hits"),
+    )
+    return scores.select(
+        "doc_id",
+        "en_hits",
+        "es_hits",
+        "fr_hits",
+        F.when(
+            (F.col("en_hits") >= F.col("es_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") > 0),
+            "en",
+        )
+        .when((F.col("es_hits") >= F.col("fr_hits")) & (F.col("es_hits") > 0), "es")
+        .when(F.col("fr_hits") > 0, "fr")
+        .otherwise("und")
+        .alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X9 — quality scoring: length, word count, avg word length, stopword
+# ratio, and a gate. Ratios are int/int -> bit-identical doubles.
+# ---------------------------------------------------------------------------
+@register(
+    "x9_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(str_split(text, ' '),
+                                  w -> {_in_list('w', STOPWORDS_EN)})) AS BIGINT)
+                 AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_words,
+           CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+           CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio,
+           (n_words >= 10 AND n_words <= 1000
+            AND CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words >= 2.0
+            AND CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words <= 12.0)
+               AS quality_ok
+    FROM base
+    """,
+)
+def x9_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_pred = " OR ".join(f"w = '{w}'" for w in STOPWORDS_EN)
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.expr(f"filter(split(text, ' '), w -> {stop_pred})"))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    awl = (F.col("n_chars_m") - (F.col("n_words") - 1)).cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_chars_m",
+        "n_words",
+        awl.alias("avg_word_len"),
+        (F.col("stop_hits").cast("double") / F.col("n_words")).alias("stop_ratio"),
+        (
+            (F.col("n_words") >= 10)
+            & (F.col("n_words") <= 1000)
+            & (awl >= 2.0)
+            & (awl <= 12.0)
+        ).alias("quality_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X10 — token counting: whitespace words, punctuation count, and the
+# BPE-ish chars/4 estimate.
+# ---------------------------------------------------------------------------
+@register(
+    "x10_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+                                w -> w <> '')) AS BIGINT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_bpe_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+                AS BIGINT) AS n_punct
+    FROM documents
+    """,
+)
+def x10_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(text, '[^a-z0-9]+'), w -> w != '')"))
+        .cast("long")
+        .alias("n_words"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.ceil(F.length("text").cast("double") / 4).cast("long").alias("est_bpe_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[^a-z0-9 ]", "")))
+        .cast("long")
+        .alias("n_punct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X11 — document fingerprinting: md5 of the normalized text plus a
+# winnowing-style rolling fingerprint (min md5 over strided 16-char
+# windows). Both are pure expressions; the rolling min makes the
+# fingerprint robust to local edits.
+# ---------------------------------------------------------------------------
+@register(
+    "x11_fingerprint",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(norm) AS fp,
+           list_min(list_transform(
+               generate_series(1, greatest(length(norm) - 15, 1), 4),
+               i -> md5(substr(norm, i, 16)))) AS win_fp
+    FROM n
+    """,
+)
+def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")).alias("norm"),
+    )
+    return normed.select(
+        "doc_id",
+        F.md5("norm").alias("fp"),
+        F.expr(
+            "array_min(transform(sequence(1, greatest(length(norm) - 15, 1), 4),"
+            " i -> md5(substring(norm, i, 16))))"
+        ).alias("win_fp"),
+    )

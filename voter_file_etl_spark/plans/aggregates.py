@@ -1,0 +1,197 @@
+"""Aggregations (SURVEY.md §2.5).
+
+The reference's aggregate surface is count-reconciliation
+(load.ts:235-254); the loaded tables' index workload implies
+group-by-count on demographics, household aggregation by FamilyID,
+and turnout rollups (prisma/Voter.prisma:589-602 — see SURVEY.md
+§2.5). All are partial+final hash aggregates in Spark (map-side
+combine before the exchange), which is exactly the shape that holds
+at 100 TB: the shuffle carries one row per (group, partition), not
+per input row.
+
+Engine-boundary float policy: sums run in DECIMAL (exact, so shuffle
+order can't perturb the result) and cast to DOUBLE only at the end;
+averages divide two exact values in double space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+
+def _dec(col: str, prec: str = "18,2"):
+    return F.col(col).cast(f"decimal({prec})")
+
+
+# ---------------------------------------------------------------------------
+# A2 — count reconciliation. Reference: load.ts:240-254 (DB count vs
+# manifest line count, tolerance 1000). Port: scan count vs distinct
+# key count, tolerance check in-plan. On a cluster this is two
+# map-side-combined counts and a 1-row crossJoin — no data movement.
+# ---------------------------------------------------------------------------
+@register(
+    "a2_reconcile",
+    oracle="""
+    SELECT a.cnt_rows, b.cnt_keys,
+           (a.cnt_rows - b.cnt_keys) <= 1000 AS within_tolerance
+    FROM (SELECT count(*) AS cnt_rows FROM lineitem) a,
+         (SELECT count(*) AS cnt_keys
+          FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) b
+    """,
+)
+def a2_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    rows = li.agg(F.count(F.lit(1)).alias("cnt_rows"))
+    keys = (
+        li.select("l_orderkey", "l_linenumber")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("cnt_keys"))
+    )
+    return rows.crossJoin(keys).select(
+        "cnt_rows",
+        "cnt_keys",
+        ((F.col("cnt_rows") - F.col("cnt_keys")) <= 1000).alias("within_tolerance"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — group-by-count with layered measures (TPC-H Q1 shape; the
+# party/age/gender group-by-count implied by Voter.prisma:589-592).
+# ---------------------------------------------------------------------------
+@register(
+    "a4_groupby_count",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS count_order,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))
+               AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))
+                    * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(6,4)))
+               AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+               AS avg_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a4_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    # Widths chosen so every product stays inside Spark's 38-digit cap
+    # (p = p1 + p2 + 1): (12,2)*(6,4)*(6,4) -> (26,10), exact on both
+    # engines — no precision-loss rounding anywhere.
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount").cast("decimal(8,4)")).cast("decimal(6,4)")
+    tax = (F.lit(1) + F.col("l_tax").cast("decimal(8,4)")).cast("decimal(6,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            # Rescale to 6 decimals before the double cast: keeps the
+            # decimal numerator < 2^53 so both engines' decimal->double
+            # conversion is exact-then-correctly-rounded.
+            F.sum(ep * disc).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            F.sum(ep * disc * tax)
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("sum_charge"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — household aggregation. Reference: Mailing_Families_FamilyID
+# grouping (prisma/Voter.prisma:54-55,597); HHCount is the
+# precomputed version our engine derives. orders.o_custkey plays the
+# FamilyID role on the star schema.
+# ---------------------------------------------------------------------------
+@register(
+    "a5_household_agg",
+    oracle="""
+    SELECT o_custkey AS family_id,
+           count(*) AS hh_count,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(min(o_orderdate) AS DATE) AS first_order
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 2
+    """,
+)
+def a5_household_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("family_id"))
+        .agg(
+            F.count(F.lit(1)).alias("hh_count"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.min("o_orderdate").cast("date").alias("first_order"),
+        )
+        .filter(F.col("hh_count") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 — multiple exact distinct counts per group. Spark expands this
+# to an expand+two-phase aggregate; at 100 TB prefer
+# approx_count_distinct (HLL) — provided in operators, not oracle-
+# checked (sketch results are engine-specific).
+# ---------------------------------------------------------------------------
+@register(
+    "a6_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a6_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — hierarchy rollup (region > nation, standing in for the
+# state > county > district hierarchy of prisma/Voter.prisma:103-126).
+# ---------------------------------------------------------------------------
+@register(
+    "a7_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+    )

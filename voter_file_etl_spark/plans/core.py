@@ -1,0 +1,337 @@
+"""Scans, sources/sinks, projections, filters (SURVEY.md §2.1-§2.2).
+
+Re-expresses the reference loader's scan/parse/project/filter surface
+(load.ts:152-165, utils.ts:10-29, load.ts:93-108 in /root/reference)
+as declarative Spark plans over the driver's star schema. Each query
+has a DuckDB oracle; engine-boundary floats go through DECIMAL.
+
+Scale notes (100 TB posture):
+- Projections/filters are plain select/filter so Catalyst pushes them
+  into the parquet scan (PushedFilters / ReadSchema).
+- The anti-join (already-loaded manifest check, load.ts:98-108) is a
+  broadcast left-anti at scale: the manifest is tiny next to the file
+  fact table.
+- The row_number() resume-offset port is single-key windowed only for
+  semantic parity; at scale resume is file-granular (the manifest),
+  never a global row sort.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+
+def _tmp_dir(name: str) -> str:
+    """Stable per-user scratch dir for write-roundtrip queries."""
+    d = os.path.join(tempfile.gettempdir(), "voter_file_etl_spark", name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# S1 — ordered file scan: list files, parse numeric prefix, sort.
+# Reference: utils.ts:10-29 (getLocalFiles sorts by parseInt of the
+# `--`-split prefix). Modeled over the documents.source registry.
+# ---------------------------------------------------------------------------
+@register(
+    "s1_file_scan",
+    oracle="""
+    SELECT CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INTEGER) AS seq,
+           concat(regexp_extract(source, 'src([0-9]+)', 1), '--', upper(source),
+                  '--20250101.tab') AS filename
+    FROM (SELECT DISTINCT source FROM documents)
+    ORDER BY seq
+    """,
+)
+def s1_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    seq = F.regexp_extract(F.col("source"), "src([0-9]+)", 1)
+    return (
+        docs.select("source")
+        .distinct()
+        .select(
+            seq.cast("int").alias("seq"),
+            F.concat(seq, F.lit("--"), F.upper("source"), F.lit("--20250101.tab")).alias(
+                "filename"
+            ),
+        )
+        .orderBy("seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 — delimited text read: header, tab separator, FAILFAST strictness.
+# Reference: load.ts:152-165 (csv-parser, separator \t, strict). The
+# query writes a TSV projection and reads it back with an explicit
+# schema — no inferSchema, mirroring the reference's declared-schema
+# parse — then aggregates (decimal-exact) for the oracle compare.
+# ---------------------------------------------------------------------------
+@register(
+    "s2_csv_read",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def s2_csv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp_dir("s2_csv")
+    (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", True)
+        .csv(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("sep", "\t")
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(out)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6 — line count for the load manifest. Reference: utils.ts:53-68
+# (`wc -l` via child process) — here a distributed scan count.
+# ---------------------------------------------------------------------------
+@register("s6_count", oracle="SELECT count(*) AS n_lines FROM lineitem")
+def s6_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+# ---------------------------------------------------------------------------
+# S7 — batched sink + read-back. Reference: load.ts:347-376 buffers
+# 1000-row batches into createMany(skipDuplicates). Spark-native: a
+# partitioned parquet write (per-partition writers are the batching),
+# read back and reconciled.
+# ---------------------------------------------------------------------------
+@register(
+    "s7_write_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def s7_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _tmp_dir("s7_parquet")
+    t(spark, sf_dir, "orders").write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 — manifest bookkeeping. Reference: download.ts:86-92 inserts a
+# (Filename, State, Lines, Loaded) row per file; load.ts:287-294 flips
+# Loaded after publish. Modeled as the derived manifest of the
+# documents corpus grouped by source "file".
+# ---------------------------------------------------------------------------
+@register(
+    "s8_manifest",
+    oracle="""
+    SELECT concat(upper(source), '.tab') AS filename,
+           upper(source) AS state,
+           count(*) AS lines,
+           count(*) >= 20 AS loaded
+    FROM documents
+    GROUP BY source
+    """,
+)
+def s8_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("lines"))
+        .select(
+            F.concat(F.upper("source"), F.lit(".tab")).alias("filename"),
+            F.upper("source").alias("state"),
+            "lines",
+            (F.col("lines") >= 20).alias("loaded"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 — schema projection (column pruning at parse). Reference:
+# load.ts:159-165 mapHeaders drops non-schema columns. In Spark the
+# select IS the pruning — .explain shows ReadSchema with only these.
+# ---------------------------------------------------------------------------
+@register(
+    "p1_project",
+    oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+)
+def p1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# P2 — null normalization: empty string -> NULL. Reference:
+# load.ts:31-34 drops ''/null/undefined fields before insert.
+# ---------------------------------------------------------------------------
+@register(
+    "p2_nullif",
+    oracle="""
+    SELECT doc_id,
+           nullif(CASE WHEN lang = 'en' THEN '' ELSE lang END, '') AS lang_norm,
+           coalesce(nullif(CASE WHEN lang = 'en' THEN '' ELSE lang END, ''),
+                    'unknown') AS lang_filled
+    FROM documents
+    """,
+)
+def p2_nullif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    raw = F.when(F.col("lang") == "en", F.lit("")).otherwise(F.col("lang"))
+    norm = F.nullif(raw, F.lit(""))
+    return docs.select(
+        "doc_id",
+        norm.alias("lang_norm"),
+        F.coalesce(norm, F.lit("unknown")).alias("lang_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 + F4 — type casting: int, date, string, and the reference's
+# MM/dd/yyyy date round-trip (load.ts:36-42; Voter.prisma:68 comment).
+# floor() before the int cast: Spark truncates double->int, DuckDB
+# rounds — floor makes both exact and identical.
+# ---------------------------------------------------------------------------
+@register(
+    "p3_cast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_quantity) AS INTEGER) AS qty_int,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(strptime(strftime(l_shipdate, '%m/%d/%Y'), '%m/%d/%Y') AS DATE)
+               AS reg_date
+    FROM lineitem
+    """,
+)
+def p3_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    mmddyyyy = F.date_format("l_shipdate", "MM/dd/yyyy")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.to_date(mmddyyyy, "MM/dd/yyyy").alias("reg_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — substring-containment predicate. Reference: load.ts:94-96
+# (skip files whose name contains DEMOGRAPHIC).
+# ---------------------------------------------------------------------------
+@register(
+    "p4_filter_contains",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE text LIKE '%vector%' AND text NOT LIKE '%hash%'
+    """,
+)
+def p4_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").contains("vector") & ~F.col("text").contains("hash")
+    ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# P5 — prefix/suffix predicates. Reference: utils.ts:14-16 (.tab
+# suffix), download.ts:33-35 (.zip), load-s3.ts:93-98 (key prefix).
+# ---------------------------------------------------------------------------
+@register(
+    "p5_filter_prefix",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE 'large%' AND p_name LIKE '%bolt'
+    """,
+)
+def p5_filter_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_name").startswith("large") & F.col("p_name").endswith("bolt")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+# ---------------------------------------------------------------------------
+# P6 — already-loaded anti-filter. Reference: load.ts:98-108 skips a
+# file when a manifest row with Loaded=true exists. At scale: tiny
+# manifest broadcast against the file fact side, left-anti join.
+# ---------------------------------------------------------------------------
+@register(
+    "p6_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def p6_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    urgent = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return customer.join(urgent, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# P7 — resume offset window. Reference: load.ts:61-64,172-180 skips
+# the first `resume` rows then loads a bounded slice. Port: ordered
+# row_number over a unique key, half-open slice.
+# ---------------------------------------------------------------------------
+@register(
+    "p7_offset_window",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, rn
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 row_number() OVER (ORDER BY o_orderkey) AS rn
+          FROM orders)
+    WHERE rn > 100 AND rn <= 200
+    """,
+)
+def p7_offset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    w = W.orderBy("o_orderkey")
+    return (
+        orders.select("o_orderkey", "o_orderstatus")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+    )

@@ -1,0 +1,176 @@
+"""Joins (SURVEY.md §2.6).
+
+The reference has no join executor — its only correlation is two
+point queries against the manifest (load.ts:98-108). The engine
+supplies the full join surface the loaded tables imply: broadcast
+inner for dims, left outer for optional enrichment, semi/anti for
+existence checks, sort-merge for fact-fact, and a geohash-prefix
+equi-join for proximity (the F1 derived column's consumer).
+
+Scale notes:
+- Dims (nation/region/customer-sized) get an explicit broadcast()
+  hint; fact-fact joins shuffle on the join key and rely on AQE for
+  skew splitting.
+- The prefix join turns a range/theta proximity predicate into an
+  equi-join on a truncated geohash — the standard spatial-bucketing
+  trick that keeps the join shuffle-partitionable at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.functions.geohash import geohash_col, geohash_sql
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# J1 — equi inner join, broadcast dim side.
+# ---------------------------------------------------------------------------
+@register(
+    "j1_inner_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j1_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — left outer join (optional enrichment; the skipped DEMOGRAPHIC
+# second entity of load.ts:94-96).
+# ---------------------------------------------------------------------------
+@register(
+    "j2_left_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def j2_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — left-semi (EXISTS). The manifest loaded-check (load.ts:98-108)
+# in its positive form.
+# ---------------------------------------------------------------------------
+@register(
+    "j3_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    big_orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return customer.join(big_orders, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — large-large equi join (sort-merge / shuffled hash; AQE decides).
+# lineitem ⋈ orders is the cross-state re-registration join shape
+# (Voters_MovedFrom_State, prisma/Voter.prisma:75).
+# ---------------------------------------------------------------------------
+@register(
+    "j4_large_join",
+    oracle="""
+    SELECT o.o_orderpriority, l.l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority, l.l_returnflag
+    """,
+)
+def j4_large_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — geohash-prefix proximity join. Customers and suppliers get
+# deterministic pseudo-coordinates (integer-derived, so both engines
+# compute identical doubles), a precision-8 geohash (F1), and join on
+# the 4-char prefix — proximity as a plain equi-join.
+# ---------------------------------------------------------------------------
+_CUST_LAT = "(-90.0 + (c_custkey % 180) + 0.25)"
+_CUST_LON = "(-180.0 + ((c_custkey * 7) % 360) + 0.25)"
+_SUPP_LAT = "(-90.0 + ((s_suppkey * 3) % 180) + 0.25)"
+_SUPP_LON = "(-180.0 + ((s_suppkey * 11) % 360) + 0.25)"
+
+
+@register(
+    "j5_prefix_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             substr({geohash_sql(_CUST_LAT, _CUST_LON, 8, "duckdb")}, 1, 4) AS gh4
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             substr({geohash_sql(_SUPP_LAT, _SUPP_LON, 8, "duckdb")}, 1, 4) AS gh4
+      FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey, c.gh4
+    FROM c JOIN s ON c.gh4 = s.gh4
+    """,
+)
+def j5_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.substring(
+            geohash_col(F.expr(_CUST_LAT), F.expr(_CUST_LON), 8), 1, 4
+        ).alias("gh4"),
+    )
+    supplier = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.substring(
+            geohash_col(F.expr(_SUPP_LAT), F.expr(_SUPP_LON), 8), 1, 4
+        ).alias("gh4"),
+    )
+    return customer.join(F.broadcast(supplier), "gh4").select(
+        "c_custkey", "s_suppkey", "gh4"
+    )

@@ -1,0 +1,255 @@
+"""Derived-column / scalar functions (SURVEY.md §2.3, §2.10).
+
+Ports the reference's scalar surface — geohash (load-s3.ts:186-193),
+city-suffix cleanup (load-s3.ts:194-196), filename parsing
+(load.ts:93, utils.ts:18-23) — plus the string/date/math/conditional
+function families its implied queries need. Everything is a built-in
+Column expression (whole-stage codegen; no Python in the row path).
+
+Cross-engine float policy: raw IEEE ops (+,-,*,/, sqrt, abs, floor,
+ceil, mod) are bit-identical across engines; libm-backed ln is
+rounded to 6 decimals; round() itself is avoided at .5-sensitive
+scales because Spark (decimal-string HALF_UP) and DuckDB (binary)
+disagree on doubles that print as x.x5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.functions.geohash import geohash_col, geohash_sql
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+# ---------------------------------------------------------------------------
+# F1 — geohash derived column (precision 8, like load-s3.ts:186-193).
+# Pseudo-coordinates are integer-derived so both engines compute
+# identical doubles; the encoding itself is the closed-form
+# bit-interleave from functions/geohash.py on both sides.
+# ---------------------------------------------------------------------------
+_LAT = "(-90.0 + (c_custkey % 180) + 0.25)"
+_LON = "(-180.0 + ((c_custkey * 7) % 360) + 0.25)"
+
+
+@register(
+    "f1_geohash",
+    oracle=f"""
+    SELECT c_custkey,
+           {_LAT} AS lat,
+           {_LON} AS lon,
+           {geohash_sql(_LAT, _LON, 8, "duckdb")} AS geohash
+    FROM customer
+    """,
+)
+def f1_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    lat = F.expr(_LAT)
+    lon = F.expr(_LON)
+    return customer.select(
+        "c_custkey",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        geohash_col(lat, lon, 8).alias("geohash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F5 — string cleanup: strip the literal " (EST.)" suffix
+# (load-s3.ts:194-196) and extension rewrite (download.ts:73-74).
+# ---------------------------------------------------------------------------
+@register(
+    "f2_str_replace",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(concat(upper(source), ' (EST.)'), ' \(EST\.\)$', '')
+               AS city_clean,
+           replace(source, 'src', 'file_') AS renamed,
+           regexp_replace(concat(source, '.zip'), '\.zip$', '.tab') AS tab_name
+    FROM documents
+    """,
+)
+def f2_str_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.upper("source"), F.lit(" (EST.)")), r" \(EST\.\)$", ""
+        ).alias("city_clean"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("file_")).alias("renamed"),
+        F.regexp_replace(
+            F.concat(F.col("source"), F.lit(".zip")), r"\.zip$", ".tab"
+        ).alias("tab_name"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — filename parsing: `{seq}--{STATE}--{date}.tab` split
+# (load.ts:93; utils.ts:18-23; download.ts:79).
+# ---------------------------------------------------------------------------
+@register(
+    "f3_split_extract",
+    oracle="""
+    SELECT o_orderkey,
+           split_part(concat(CAST(o_orderkey AS VARCHAR), '--', o_orderstatus,
+                             '--20250101.tab'), '--', 2) AS state,
+           CAST(split_part(concat(CAST(o_orderkey AS VARCHAR), '--', o_orderstatus,
+                                  '--20250101.tab'), '--', 1) AS INTEGER) AS seq
+    FROM orders
+    """,
+)
+def f3_split_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    fname = F.concat(
+        F.col("o_orderkey").cast("string"),
+        F.lit("--"),
+        F.col("o_orderstatus"),
+        F.lit("--20250101.tab"),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.split_part(fname, F.lit("--"), F.lit(2)).alias("state"),
+        F.split_part(fname, F.lit("--"), F.lit(1)).cast("int").alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 — string function family.
+# ---------------------------------------------------------------------------
+@register(
+    "t1_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           lower(c_mktsegment) AS lseg,
+           trim(concat(' ', c_name, ' ')) AS trimmed,
+           substr(c_name, 1, 8) AS prefix8,
+           length(c_name) AS name_len,
+           concat(c_name, '/', c_mktsegment) AS joined,
+           lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded,
+           reverse(c_mktsegment) AS rev
+    FROM customer
+    """,
+)
+def t1_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias("joined"),
+        F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — date function family (age = current year - year of birth,
+# Voter.prisma:58 comment; MM/dd/yyyy parsing lives in p3_cast).
+# ---------------------------------------------------------------------------
+@register(
+    "t2_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(2026 - year(o_orderdate) AS INTEGER) AS age_years
+    FROM orders
+    """,
+)
+def t2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(d, 30).alias("plus30"),
+        (F.lit(2026) - F.year("o_orderdate")).alias("age_years"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3 — math function family (lat/long arithmetic of the enrichment
+# path). Only IEEE-deterministic ops cross the engine boundary raw;
+# ln is rounded to 6 decimals.
+# ---------------------------------------------------------------------------
+@register(
+    "t3_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           abs(l_discount - 0.05) AS disc_dev,
+           sqrt(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+           round(ln(l_extendedprice), 6) AS price_ln
+    FROM lineitem
+    """,
+)
+def t3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4 — conditional family: the null-normalization pattern
+# (load.ts:31-34) generalized to when/otherwise, coalesce, nullif.
+# ---------------------------------------------------------------------------
+@register(
+    "t4_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%') AS urgent,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+               AS finished_price
+    FROM orders
+    """,
+)
+def t4_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_filled"
+        ),
+        (
+            F.col("o_orderpriority").startswith("1")
+            | F.col("o_orderpriority").startswith("2")
+        ).alias("urgent"),
+        F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("finished_price"),
+    )

@@ -1,0 +1,197 @@
+"""Window functions, sorts, limits, top-k (SURVEY.md §2.7-§2.8).
+
+Implied by the reference workload: household ranking (eldest voter
+per Mailing_Families_FamilyID), resume offsets as row_number, and
+"largest households" style top-k. All windows partition by a key —
+the 100 TB-safe shape (a global unpartitioned window appears only in
+the offset ports, where it is semantic parity for a driver-side file
+slice, never a data-scale operation; at scale resume is file-granular).
+
+Ordering columns always end with a unique key so rank/lag results are
+deterministic and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _by_cust():
+    return W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# W1 — row_number: first order per customer (eldest-voter-per-family).
+# ---------------------------------------------------------------------------
+@register(
+    "w1_row_number",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS first_date
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def w1_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("rn", F.row_number().over(_by_cust()))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("first_date")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — rank / dense_rank: top account balances per nation.
+# ---------------------------------------------------------------------------
+@register(
+    "w2_rank_dense_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey, rnk, drnk
+    FROM (SELECT c_nationkey, c_custkey,
+                 rank() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+                 dense_rank() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey) AS drnk
+          FROM customer)
+    WHERE rnk <= 5
+    """,
+)
+def w2_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        customer.select(
+            "c_nationkey",
+            "c_custkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — aggregate over a running frame (running turnout of SURVEY §2.7).
+# DECIMAL running sum: the frame order is deterministic, so the exact
+# arithmetic makes both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@register(
+    "w3_agg_over_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def w3_agg_over_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    frame = _by_cust().rowsBetween(W.unboundedPreceding, W.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(frame).cast("double").alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — lag/lead: order-to-order deltas (election-to-election change
+# across the per-year columns prisma/Voter.prisma:84-100).
+# ---------------------------------------------------------------------------
+@register(
+    "w4_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_key,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS next_key,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                - lag(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) AS price_delta
+    FROM orders
+    """,
+)
+def w4_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    price = _dec("o_totalprice")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(_by_cust()).alias("prev_key"),
+        F.lead("o_orderkey").over(_by_cust()).alias("next_key"),
+        (price - F.lag(price).over(_by_cust())).cast("double").alias("price_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1 — multi-column order-by (file ordering by numeric prefix,
+# utils.ts:18-23 / LastModified desc, load-s3.ts:87-91).
+# ---------------------------------------------------------------------------
+@register(
+    "o1_order_by",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_day
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def o1_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("order_day")
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
+# ---------------------------------------------------------------------------
+# O3 — limit/offset slice (the --start/--end file window,
+# load.ts:79-87). Deterministic because the sort key is unique.
+# ---------------------------------------------------------------------------
+@register(
+    "o3_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 20 OFFSET 50
+    """,
+)
+def o3_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").offset(50).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# O4 — top-k: Spark plans TakeOrderedAndProject (no global sort — each
+# partition keeps k rows, the driver merges k·p). Ties broken by the
+# unique key so the k-set is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "o4_top_k",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def o4_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

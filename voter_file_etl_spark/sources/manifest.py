@@ -1,0 +1,84 @@
+"""Load-manifest bookkeeping (VoterFile table).
+
+Reference: download.ts:86-92 inserts (Filename, State, Lines,
+Loaded=false) after download; load.ts:98-108 skips files whose
+manifest row has Loaded=true; load.ts:287-294 flips Loaded after the
+atomic publish.
+
+Spark-first: the manifest is a tiny parquet table; the "already
+loaded" check is a broadcast left-anti join (never a per-file point
+query), and updates are read-modify-overwrite of the tiny table —
+cheap because the manifest is O(files), not O(rows).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.schema import manifest_struct
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    if os.path.isdir(path) and any(
+        n.endswith(".parquet") for n in os.listdir(path)
+    ):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], manifest_struct())
+
+
+def record_files(
+    spark: SparkSession, path: str, files: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Append manifest rows for (filename, state, line_count) triples,
+    keeping the newest row per Filename (upsert-by-overwrite)."""
+    now = datetime.now(tz=timezone.utc).replace(tzinfo=None)
+    new = spark.createDataFrame(
+        [(f, s, n, False, now) for f, s, n in files], manifest_struct()
+    )
+    merged = (
+        read_manifest(spark, path)
+        .unionByName(new)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("Filename").orderBy(F.desc("updatedAt"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    _overwrite_small(merged, path)
+    return read_manifest(spark, path)
+
+
+def mark_loaded(spark: SparkSession, path: str, filename: str) -> None:
+    """Loaded=true after publish (load.ts:287-294)."""
+    updated = read_manifest(spark, path).withColumn(
+        "Loaded",
+        F.when(F.col("Filename") == filename, F.lit(True)).otherwise(F.col("Loaded")),
+    )
+    _overwrite_small(updated, path)
+
+
+def pending_files(files_df: DataFrame, manifest: DataFrame) -> DataFrame:
+    """Files with no Loaded=true manifest row — broadcast left-anti
+    (load.ts:98-108 as a relational op)."""
+    loaded = manifest.filter(F.col("Loaded")).select(
+        F.col("Filename").alias("filename")
+    )
+    return files_df.join(F.broadcast(loaded), "filename", "left_anti")
+
+
+def _overwrite_small(df: DataFrame, path: str) -> None:
+    # Manifest is tiny: materialize driver-side, then overwrite in one
+    # shot so we never read and write the same files in one job.
+    spark = df.sparkSession
+    rows = df.collect()
+    spark.createDataFrame(rows, df.schema).coalesce(1).write.mode("overwrite").parquet(
+        path
+    )

@@ -1,0 +1,87 @@
+"""Schema-projected TSV reader — the reference's parse path, Spark-first.
+
+Reference behavior being ported (SURVEY.md §2.1-§2.3):
+- tab-separated with a header row, streamed (load.ts:152-165);
+- headers trimmed, columns not in the declared model dropped
+  (load.ts:159-165 mapHeaders) — here: read everything as string,
+  then select the declared columns; Catalyst prunes the rest before
+  any downstream op;
+- strict cell-count parse (load.ts:164) -> FAILFAST; the S3 path is
+  permissive (load-s3.ts:218-228) -> PERMISSIVE;
+- empty string -> NULL (load.ts:31-34) -> nullValue "";
+- typed casts from the declared schema (load.ts:36-42): int via cast,
+  dates via to_date with the MM/dd/yyyy input format
+  (Voter.prisma:68).
+
+Scale: the TSV scan parallelizes by file split; projection and the
+file-level predicates (DEMOGRAPHIC skip, extension filters) are
+declarative so they prune before the cast work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from voter_file_etl_spark.schema import DATE_FORMAT, VOTER_FIELDS
+
+
+def read_tsv(
+    spark: SparkSession,
+    path: str,
+    fields: dict[str, T.DataType] | None = None,
+    strict: bool = True,
+    with_filename: bool = False,
+) -> DataFrame:
+    """Read TSV file(s) at ``path``, project to the declared schema,
+    normalize empty strings to NULL, and cast types.
+
+    Unknown input columns are dropped (mapHeaders semantics); declared
+    columns missing from the input come back as NULL (the input may be
+    narrower than the model, as with the district columns added in
+    migration 20240618150602).
+    """
+    fields = fields or VOTER_FIELDS
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("nullValue", "")
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .csv(path)
+    )
+    # Trim header whitespace (load.ts:162) by renaming.
+    trimmed = raw.toDF(*[c.strip() for c in raw.columns])
+    present = set(trimmed.columns)
+
+    cols: list[F.Column] = []
+    for name, dtype in fields.items():
+        if name not in present:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+        elif isinstance(dtype, T.DateType):
+            cols.append(F.to_date(F.col(name), DATE_FORMAT).alias(name))
+        elif isinstance(dtype, T.StringType):
+            cols.append(F.col(name).alias(name))
+        else:
+            # try_cast: malformed numerics become NULL instead of
+            # failing the load under Spark 4's default ANSI mode —
+            # matching the reference's permissive Number(value) cast
+            # (load.ts:36-42).
+            cols.append(F.col(name).try_cast(dtype).alias(name))
+    out = trimmed.select(*cols)
+    if with_filename:
+        out = out.withColumn(
+            "_source_file",
+            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        )
+    return out
+
+
+def parse_state_from_filename(col: F.Column) -> F.Column:
+    """`{seq}--{STATE}--{date}.tab` -> STATE (load.ts:93)."""
+    return F.split_part(col, F.lit("--"), F.lit(2))
+
+
+def parse_seq_from_filename(col: F.Column) -> F.Column:
+    """`{seq}--{STATE}--{date}.tab` -> numeric seq (utils.ts:18-23)."""
+    return F.split_part(col, F.lit("--"), F.lit(1)).cast("int")

@@ -1,0 +1,133 @@
+"""End-to-end §3.1 pipeline replay on reference-convention fixtures
+(FIXTURES.md §A1): TSV -> project/cast/null-normalize -> enrich ->
+PK-dedup -> reconcile -> atomic publish -> manifest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.operators import etl
+from voter_file_etl_spark.sources import manifest as mf
+from voter_file_etl_spark.sources.tsv import read_tsv
+
+HEADER = "\t".join(
+    [
+        "LALVOTERID",
+        "Voters_FirstName",
+        "Voters_LastName",
+        "Voters_Age",
+        "Parties_Description",
+        "Voters_CalculatedRegDate",
+        "Residence_Addresses_City",
+        "Residence_Addresses_Latitude",
+        "Residence_Addresses_Longitude",
+        "Residence_Addresses_HouseNumber",
+        "Mailing_Families_FamilyID",
+        "UNKNOWN_EXTRA_COL",  # must be dropped (load.ts:161-164)
+    ]
+)
+
+
+def _row(i, st, city="Springfield", lat="40.1", lon="-88.2", house="12"):
+    return "\t".join(
+        [
+            f"LAL{st}{i:07d}",
+            "Jane",
+            "Doe",
+            str(20 + i % 60),
+            "Non-Partisan",
+            f"03/1{i % 9}/2015",
+            city,
+            lat,
+            lon,
+            house,
+            f"M{i % 5}",
+            f"junk{i}",
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("voter_fixtures")
+    files_dir = base / "files"
+    files_dir.mkdir()
+    rows = [_row(i, "CA") for i in range(100)]
+    rows += [_row(5, "CA"), _row(6, "CA")]  # duplicate PKs
+    rows.append(_row(200, "CA", city="Fresno (EST.)", lat="", lon=""))
+    rows.append(_row(201, "CA", house="notanumber"))  # malformed int
+    (files_dir / "01--CA--20250101.tab").write_text(
+        HEADER + "\n" + "\n".join(rows) + "\n"
+    )
+    (files_dir / "02--WY--20250101.tab").write_text(
+        HEADER + "\n" + "\n".join(_row(i, "WY") for i in range(10)) + "\n"
+    )
+    (files_dir / "03--CA--DEMOGRAPHIC.tab").write_text(
+        HEADER + "\n" + _row(999, "CA") + "\n"
+    )
+    return str(files_dir), str(base / "wh"), str(base / "manifest")
+
+
+def test_read_tsv_quirks(spark, fixture_dirs):
+    files_dir, _, _ = fixture_dirs
+    df = read_tsv(spark, os.path.join(files_dir, "01--CA--20250101.tab"))
+    assert "UNKNOWN_EXTRA_COL" not in df.columns
+    assert dict(df.dtypes)["Voters_Age"] == "string"  # TEXT quirk preserved
+    assert dict(df.dtypes)["Voters_CalculatedRegDate"] == "date"
+    assert dict(df.dtypes)["Residence_Addresses_HouseNumber"] == "int"
+    sample = df.filter(F.col("LALVOTERID") == "LALCA0000001").collect()[0]
+    assert str(sample["Voters_CalculatedRegDate"]) == "2015-03-11"  # MM/dd/yyyy
+    blank = df.filter(F.col("LALVOTERID") == "LALCA0000200").collect()[0]
+    assert blank["Residence_Addresses_Latitude"] is None  # "" -> NULL
+    bad = df.filter(F.col("LALVOTERID") == "LALCA0000201").collect()[0]
+    assert bad["Residence_Addresses_HouseNumber"] is None  # try_cast
+    # declared-but-absent columns come back NULL
+    assert df.select("General_2022").distinct().collect()[0][0] is None
+
+
+def test_full_load_publish_and_idempotence(spark, fixture_dirs):
+    files_dir, wh, mfp = fixture_dirs
+    mf.record_files(
+        spark,
+        mfp,
+        [("01--CA--20250101.tab", "CA", 105), ("02--WY--20250101.tab", "WY", 11)],
+    )
+    results = etl.run_load(spark, files_dir, wh, mfp)
+    assert [r.state for r in results] == ["CA", "WY"]  # seq order, DEMOGRAPHIC skipped
+    assert all(r.reconciled for r in results)
+
+    voters = etl.read_voters(spark, wh)
+    assert voters.filter("state='CA'").count() == 102  # 104 rows - 2 dup PKs
+    assert voters.filter("state='WY'").count() == 10
+
+    fresno = voters.filter("LALVOTERID='LALCA0000200'").collect()[0]
+    assert fresno["Residence_Addresses_City"] == "Fresno"  # " (EST.)" stripped
+    assert fresno["Residence_Addresses_GeoHash"] is None  # blank coords
+
+    geo = voters.filter("LALVOTERID='LALCA0000001'").collect()[0]
+    assert geo["Residence_Addresses_GeoHash"] == "dp1k0gyx"
+
+    # Re-run: everything marked Loaded -> anti-join leaves nothing.
+    assert etl.run_load(spark, files_dir, wh, mfp) == []
+
+    # Manifest state
+    m = mf.read_manifest(spark, mfp)
+    assert m.filter("Loaded").count() == 2
+
+
+def test_reconciliation_failure_blocks_manifest(spark, tmp_path):
+    files_dir = tmp_path / "files"
+    files_dir.mkdir()
+    (files_dir / "01--TX--20250101.tab").write_text(
+        HEADER + "\n" + "\n".join(_row(i, "TX") for i in range(5)) + "\n"
+    )
+    mfp = str(tmp_path / "manifest")
+    wh = str(tmp_path / "wh")
+    # Claim far more lines than the file has -> reconciliation fails.
+    mf.record_files(spark, mfp, [("01--TX--20250101.tab", "TX", 50_000)])
+    res = etl.run_load(spark, str(files_dir), wh, mfp)
+    assert len(res) == 1 and not res[0].reconciled
+    assert mf.read_manifest(spark, mfp).filter("Loaded").count() == 0

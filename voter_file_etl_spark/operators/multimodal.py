@@ -1,0 +1,156 @@
+"""Multimodal columns: binary media + typed metadata + Arrow-batched
+feature extraction (north-star suite).
+
+Pattern: media is an opaque `binary` column with a typed metadata
+struct beside it; decode / feature-extract / resize / frame-sample
+run as `mapInPandas` over Arrow batches — one Python round-trip per
+*batch*, never per row. The actual image/audio codecs are NOT in
+this container, so the decode step is STUBBED (clearly marked below):
+`decode_image`/`decode_audio` raise NotImplementedError unless
+PIL/soundfile are importable, while `extract_features` uses a
+deterministic hash-based featurizer so the full Spark plumbing —
+schema, batching, partitioning — is real and oracle-checked.
+
+Scale: mapInPandas preserves partitioning (no shuffle); batch size is
+controlled by spark.sql.execution.arrow.maxRecordsPerBatch. Feature
+extraction is embarrassingly parallel map work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+try:  # pragma: no cover - codec not in the image
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+_FEAT_BITS = 16
+_HI = set("89abcdef")
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Model the documents table as a multimodal corpus: the text
+    payload becomes an opaque binary `media` column with typed
+    metadata — the schema a real image/audio corpus would use."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.lit("text/plain").alias("media_type"),
+        F.struct(
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            F.lit("utf-8").alias("encoding"),
+        ).alias("media_meta"),
+    )
+
+
+def decode_image(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """STUB — image decode requires PIL, which is not in this
+    container. The mapInPandas signature and output schema are the
+    real contract; swap the body for PIL decode in production."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "decode_image: PIL not available in this environment; "
+            "the mapInPandas plumbing is exercised via extract_features"
+        )
+    raise NotImplementedError("wire PIL decode here")
+
+
+def _feature_from_bytes(payload: bytes) -> int:
+    """Deterministic 16-bit feature: high bit of each md5 nibble —
+    reproducible in ANSI SQL, so the Arrow path is oracle-checkable."""
+    hx = hashlib.md5(payload).hexdigest()
+    feat = 0
+    for j in range(_FEAT_BITS):
+        if hx[j] in _HI:
+            feat |= 1 << j
+    return feat
+
+
+def extract_features(media_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column —
+    the real multimodal hot path (decode would sit in this loop)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["media"].map(len).astype("int64"),
+                    "feature": pdf["media"].map(_feature_from_bytes).astype("int64"),
+                }
+            )
+
+    return media_df.mapInPandas(run, "doc_id long, n_bytes long, feature long")
+
+
+def frame_sample(media_df: DataFrame, stride: int = 64, frame: int = 16) -> DataFrame:
+    """Frame sampling for chunked media: strided byte windows as
+    "frames" (a video decoder would yield real frames here). Pure
+    Column expressions — the chunk bookkeeping needs no Python."""
+    return media_df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(octet_length(media) - {frame - 1}, 1),"
+                f" {stride}), i -> substring(media, i, {frame}))"
+            )
+        ).alias("frame_no", "frame_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 — metadata plumbing (no Python in the path).
+# ---------------------------------------------------------------------------
+@register(
+    "m1_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS media_bytes,
+           md5(text) AS media_md5,
+           'text/plain' AS media_type
+    FROM documents
+    """,
+)
+def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = attach_media(docs)
+    return media.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("media_bytes"),
+        F.md5("text").alias("media_md5"),
+        "media_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2 — Arrow-batched feature extraction, oracle-checked: the pandas
+# featurizer and the SQL expression compute the same md5-nibble bits.
+# ---------------------------------------------------------------------------
+def _m2_oracle() -> str:
+    hi = ", ".join(f"'{c}'" for c in sorted(_HI))
+    combine = " + ".join(
+        f"(CASE WHEN substr(md5(text), {j + 1}, 1) IN ({hi}) THEN {1 << j} ELSE 0 END)"
+        for j in range(_FEAT_BITS)
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST({combine} AS BIGINT) AS feature
+    FROM documents
+    """
+
+
+@register("m2_multimodal_features", oracle=_m2_oracle())
+def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(attach_media(t(spark, sf_dir, "documents")))

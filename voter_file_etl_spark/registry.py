@@ -52,6 +52,7 @@ def load_all() -> None:
     from voter_file_etl_spark.operators import (  # noqa: F401
         dedup,
         etl,
+        multimodal,
         similarity,
         text,
     )

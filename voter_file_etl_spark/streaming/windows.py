@@ -79,9 +79,12 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -
             T.StructField("props", T.StringType()),
         ]
     )
+    # File-source streaming needs a directory; select the events file
+    # with a glob filter so the source can track it for exactly-once.
     stream = (
         spark.readStream.schema(raw_schema)
-        .parquet(table_path(sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
     )

@@ -196,6 +196,102 @@ def _lsh_oracle() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# X12 — IVF (inverted-file) ANN: coarse-quantize every vector to its
+# nearest centroid cell, then search only within the query's cell
+# (nprobe=1). Centroids here are the first _N_CELLS corpus vectors —
+# a deterministic stand-in for the k-means codebook a production
+# build step would produce; the cell-assignment and cell-local
+# search plans are identical either way.
+#
+# Scale: assignment is a broadcast join against _N_CELLS centroids
+# (map-side, O(N·C) dot products); the search join keys on cell_id,
+# so candidate generation is an equi-join shuffle on cell — never
+# the O(Q·N) cross join of x6. Recall is tuned by nprobe (probing
+# the p nearest cells) — the plan shape does not change.
+# ---------------------------------------------------------------------------
+_N_CELLS = 16
+
+
+def _ivf_oracle() -> str:
+    return (
+        _CORPUS_SQL
+        + f"""
+    , cents AS (
+      SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
+      WHERE vec_id < {_N_CELLS}
+    ), assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT n.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {V.cosine_sql(V.dot_sql_duckdb('n.qv', 'c.cqv'), 'n.nq', 'c.cnq')} DESC,
+                          c.cent_id) AS rn
+        FROM normed n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), wb AS (
+      SELECT n.vec_id, n.qv, n.nq, a.cell
+      FROM normed n JOIN assign a ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cell, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+             {V.cosine_sql(V.dot_sql_duckdb('q.qv', 'c.qv'), 'q.nq', 'c.nq')} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {V.cosine_sql(V.dot_sql_duckdb('q.qv', 'c.qv'), 'q.nq', 'c.nq')} DESC,
+                        c.vec_id) AS rank
+      FROM wb q JOIN wb c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ) WHERE rank <= {_TOP_K}
+    """
+    )
+
+
+@register("x12_ann_ivf", oracle=_ivf_oracle())
+def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = _corpus_spark(spark, sf_dir)
+    cents = corpus.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cqv"),
+        F.col("nq").alias("cnq"),
+    )
+    cos_assign = V.cosine(V.dot("qv", "cqv"), F.col("nq"), F.col("cnq"))
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.desc("cos_cent"), F.asc("cent_id")
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cent_id", cos_assign.alias("cos_cent"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    wb = corpus.join(assign, "vec_id")
+    q = wb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("qv").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    c = wb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("qv").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    cos = V.cosine(V.dot("qa", "qb"), F.col("na"), F.col("nb"))
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        q.join(c, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cell", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _TOP_K)
+    )
+
+
 @register("x7_ann_lsh", oracle=_lsh_oracle())
 def x7_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_spark(spark, sf_dir)

@@ -1,0 +1,115 @@
+"""Full-SQL frontend queries (spark.sql over temp views).
+
+The reference has no SQL surface at all — its "query language" is
+the Prisma client API (SURVEY.md §3.3: findUnique, count,
+createMany, $executeRawUnsafe). The engine replaces that with
+Spark's complete ANSI-SQL frontend; these keys prove the frontend
+end-to-end on multi-join analytic shapes (TPC-H Q3/Q5 style) and on
+correlated scalar subqueries — the three planner features (join
+reordering, aggregate pushback, subquery decorrelation) a Postgres
+user would lean on hardest.
+
+Scale notes: the SQL text compiles to the same Catalyst plans the
+DataFrame API produces — broadcast for the dims under the threshold,
+sort-merge for fact-fact, partial+final aggregates. The LIMIT query
+plans TakeOrderedAndProject (per-partition top-k, then a k-row merge
+on the driver — never a full sort of the fact table). The correlated
+subqueries decorrelate into one aggregate + one join, not per-row
+probes.
+
+All money math follows the registry's decimal policy: exact DECIMAL
+through every sum/product, DOUBLE only at the output boundary, and
+tie-broken ORDER BY keys so top-k is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import TABLE_NAMES, t
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for name in names:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# SQL1 — shipping-priority top-k (TPC-H Q3 shape): 3-way join,
+# grouped revenue, deterministic top-10.
+# ---------------------------------------------------------------------------
+_Q3 = """
+SELECT l_orderkey,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))
+            AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, order_date, l_orderkey
+LIMIT 10
+"""
+
+
+@register("sql1_topk_revenue", oracle=_Q3)
+def sql1_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3)
+
+
+# ---------------------------------------------------------------------------
+# SQL2 — local-supplier volume (TPC-H Q5 shape): 6-way join through
+# two dimension chains that must agree on nationkey.
+# ---------------------------------------------------------------------------
+_Q5 = """
+SELECT n_name,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))
+            AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("sql2_join_chain", oracle=_Q5)
+def sql2_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    return spark.sql(_Q5)
+
+
+# ---------------------------------------------------------------------------
+# SQL3 — correlated scalar subqueries (decorrelated by Catalyst into
+# an aggregate + join): orders priced above their customer's average,
+# expressed as sum/count so the comparison stays in exact DECIMAL.
+# ---------------------------------------------------------------------------
+_SUBQ = """
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS total_price
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2))
+      * (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+@register("sql3_correlated_subquery", oracle=_SUBQ)
+def sql3_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SUBQ)

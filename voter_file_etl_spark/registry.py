@@ -45,8 +45,11 @@ def load_all() -> None:
         core,
         joins,
         lifecycle,
+        reshape,
         scalars,
         setops,
+        sql_surface,
+        temporal,
         windows,
     )
     from voter_file_etl_spark.operators import (  # noqa: F401
@@ -56,4 +59,7 @@ def load_all() -> None:
         similarity,
         text,
     )
-    from voter_file_etl_spark.streaming import windows as stream_windows  # noqa: F401
+    from voter_file_etl_spark.streaming import (  # noqa: F401
+        stateful as stream_stateful,
+        windows as stream_windows,
+    )

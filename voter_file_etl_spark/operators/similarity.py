@@ -98,19 +98,35 @@ _CORPUS_SQL = f"""
     """,
 )
 def x5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus_spark(spark, sf_dir)
-    a = corpus.select(
-        F.col("vec_id").alias("id1"), "label", F.col("qv").alias("qa"), F.col("nq").alias("na")
-    )
-    b = corpus.select(
-        F.col("vec_id").alias("id2"), "label", F.col("qv").alias("qb"), F.col("nq").alias("nb")
-    )
-    cos = V.cosine(V.dot("qa", "qb"), F.col("na"), F.col("nb"))
-    return (
-        a.join(b, "label")
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
+    """Block-local Gram matrix per label group: instead of a self-join
+    that shuffles a 64-long array per CANDIDATE PAIR (O(pairs * dim)
+    network traffic), each block's vectors cross the Arrow boundary
+    once and one int64 matmul scores every pair in the block. This is
+    the shape that survives 100 TB: shuffle O(N * dim), compute BLAS.
+    The integer dot / sqrt / divide sequence is bit-identical to the
+    column-expression form, so the oracle is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    corpus = _corpus_spark(spark, sf_dir).select("vec_id", "label", "qv", "nq")
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        A = np.stack(pdf["qv"].to_numpy()).astype("int64", copy=False)
+        n = np.sqrt(pdf["nq"].to_numpy().astype("float64"))
+        # Exact int64 dot products (< 2^53, so the float64 cast is
+        # exact); cosine = dot / (sqrt(na) * sqrt(nb)) in the same op
+        # order as the SQL expression.
+        cos = (A @ A.T).astype("float64") / np.outer(n, n)
+        i1, i2 = np.triu_indices(len(ids), k=1)
+        keep = cos[i1, i2] >= _NEAR_DUP_COS
+        return pd.DataFrame(
+            {"id1": ids[i1[keep]], "id2": ids[i2[keep]], "cos_sim": cos[i1[keep], i2[keep]]}
+        )
+
+    return corpus.groupBy("label").applyInPandas(
+        block_pairs, "id1 long, id2 long, cos_sim double"
     )
 
 
@@ -145,7 +161,7 @@ def x6_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"), F.col("nq").alias("nb")
     )
-    cos = V.cosine(V.dot("qa", "qb"), F.col("na"), F.col("nb"))
+    cos = V.cosine(V.dot_arrow("qa", "qb"), F.col("na"), F.col("nb"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -257,7 +273,7 @@ def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("cqv"),
         F.col("nq").alias("cnq"),
     )
-    cos_assign = V.cosine(V.dot("qv", "cqv"), F.col("nq"), F.col("cnq"))
+    cos_assign = V.cosine(V.dot_arrow("qv", "cqv"), F.col("nq"), F.col("cnq"))
     w_assign = W.partitionBy("vec_id").orderBy(
         F.desc("cos_cent"), F.asc("cent_id")
     )
@@ -281,7 +297,7 @@ def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("qb"),
         F.col("nq").alias("nb"),
     )
-    cos = V.cosine(V.dot("qa", "qb"), F.col("na"), F.col("nb"))
+    cos = V.cosine(V.dot_arrow("qa", "qb"), F.col("na"), F.col("nb"))
     w_rank = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         q.join(c, "cell")
@@ -326,7 +342,7 @@ def x7_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = wb.select(
         F.col("vec_id").alias("id2"), "bucket", F.col("qv").alias("qb"), F.col("nq").alias("nb")
     )
-    cos = V.cosine(V.dot("qa", "qb"), F.col("na"), F.col("nb"))
+    cos = V.cosine(V.dot_arrow("qa", "qb"), F.col("na"), F.col("nb"))
     return (
         a.join(b, "bucket")
         .filter(F.col("id1") < F.col("id2"))

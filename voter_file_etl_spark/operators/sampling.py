@@ -1,0 +1,126 @@
+"""Deterministic sampling / splitting operators (north-star suite).
+
+A training-data pipeline needs reproducible sampling: the same row
+must land in the same split on every run, every engine, and every
+cluster size. Random-number sampling (df.sample) cannot promise that
+across engines, so these operators use HASH-based assignment —
+md5(key) mod N — which is a pure function of the row key:
+
+- x13_hash_sample      — take a deterministic ~k% sample.
+- x14_stratified_sample — per-stratum hash sample (equal rate per
+  group regardless of group size — the fix for skewed strata).
+- x15_train_test_split — stable train/validation/test assignment.
+
+Scale: all three are stateless map-side filters/projections — no
+shuffle, no driver involvement, trivially parallel at any data size.
+The md5-hex-prefix -> int trick keeps the bucket math in 32 bits on
+both engines (conv/ from_hex of 8 hex chars), avoiding 128-bit
+integers DuckDB and Spark disagree about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+
+def _bucket(key: F.Column, buckets: int = 100) -> F.Column:
+    """Deterministic bucket in [0, buckets): first 8 md5 hex chars as
+    a 32-bit int, mod buckets. Engine-portable and key-stable."""
+    return (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % buckets).alias(
+        "bucket"
+    )
+
+
+def _bucket_sql(key: str, buckets: int = 100) -> str:
+    # DuckDB: hex -> int via a 4-byte big-endian reinterpretation of
+    # the first 8 hex chars.
+    nib = (
+        "CAST(CASE WHEN ascii(substr(md5({k}), {i}, 1)) >= 97 "
+        "THEN ascii(substr(md5({k}), {i}, 1)) - 87 "
+        "ELSE ascii(substr(md5({k}), {i}, 1)) - 48 END AS BIGINT)"
+    )
+    terms = " + ".join(
+        f"{nib.format(k=key, i=i + 1)} * CAST({1 << (4 * (7 - i))} AS BIGINT)"
+        for i in range(8)
+    )
+    return f"(CAST(({terms}) AS BIGINT) % {buckets})"
+
+
+# ---------------------------------------------------------------------------
+# X13 — deterministic ~10% sample of documents by content-stable key.
+# ---------------------------------------------------------------------------
+@register(
+    "x13_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} < 10
+    """,
+)
+def x13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.filter(
+        _bucket(F.col("doc_id").cast("string")) < 10
+    ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# X14 — stratified sample: the same 20% rate within every lang
+# stratum, so skewed strata can't swamp the sample. Pure map filter —
+# no per-group shuffle, unlike sampleBy's fraction dict, and exactly
+# reproducible.
+# ---------------------------------------------------------------------------
+@register(
+    "x14_stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_sampled,
+           count(DISTINCT doc_id) AS n_distinct
+    FROM documents
+    WHERE {_bucket_sql("lang || ':' || CAST(doc_id AS VARCHAR)")} < 20
+    GROUP BY lang
+    """,
+)
+def x14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    key = F.concat_ws(":", "lang", F.col("doc_id").cast("string"))
+    return (
+        docs.filter(_bucket(key) < 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.countDistinct("doc_id").alias("n_distinct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X15 — stable train/val/test split (80/10/10): every doc gets the
+# same split on every run and in both engines; downstream stages can
+# re-derive membership from the key alone.
+# ---------------------------------------------------------------------------
+@register(
+    "x15_train_test_split",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs
+    FROM (
+      SELECT CASE WHEN {_bucket_sql("'split:' || CAST(doc_id AS VARCHAR)")} < 80
+                  THEN 'train'
+                  WHEN {_bucket_sql("'split:' || CAST(doc_id AS VARCHAR)")} < 90
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def x15_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    b = _bucket(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return docs.select(split).groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -174,3 +174,45 @@ def j5_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(F.broadcast(supplier), "gh4").select(
         "c_custkey", "s_suppkey", "gh4"
     )
+
+
+# ---------------------------------------------------------------------------
+# J8 — salted join for skewed keys. The build side replicates each
+# row SALT ways; the probe side salts by a deterministic hash of a
+# high-cardinality sibling column, so one hot key (CA-sized state vs
+# WY-sized, SURVEY.md §7.6) spreads over SALT reducers instead of
+# one straggler. Results are identical to the plain join — the
+# oracle is the UNSALTED join, which is the whole point.
+# AQE's skewJoin handles moderate skew automatically; explicit
+# salting is the recipe for the pathological single-hot-key case.
+# ---------------------------------------------------------------------------
+_SALT = 8
+
+
+@register(
+    "j8_salted_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % _SALT).cast("int")
+    )
+    orders = t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(_SALT)]))
+    )
+    return (
+        li.join(orders, (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

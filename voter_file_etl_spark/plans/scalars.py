@@ -253,3 +253,33 @@ def t4_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("finished_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T7 — array construction + predicates: collect_set -> sorted array
+# per group, membership and size checks. Spark's array functions are
+# JVM expressions; collect_set is a partial+final aggregate like any
+# other (set union is the combine), so the shuffle carries one
+# partial set per (group, partition).
+# ---------------------------------------------------------------------------
+@register(
+    "t7_array_funcs",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           len(list(DISTINCT o_orderpriority)) AS n_prios,
+           list_contains(list(DISTINCT o_orderpriority), '1-URGENT') AS has_urgent
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def t7_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    prios = F.array_sort(F.collect_set("o_orderpriority"))
+    return joined.groupBy("c_mktsegment").agg(
+        prios.alias("priorities"),
+        F.size(prios).alias("n_prios"),
+        F.array_contains(prios, "1-URGENT").alias("has_urgent"),
+    )

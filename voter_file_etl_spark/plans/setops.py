@@ -59,3 +59,56 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer").select("c_custkey")
     orderers = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return customer.subtract(orderers)  # EXCEPT DISTINCT semantics
+
+
+# ---------------------------------------------------------------------------
+# U4 — snapshot diff (CDC shape): the reference replaces a state's
+# live table wholesale on each load (blue/green swap, load.ts:256-308);
+# the diff between consecutive snapshots — added / removed / changed
+# keys — is what an incremental consumer actually wants. Modeled as a
+# full outer join on the PK with change classification; one shuffle
+# on the key, partial-agg'd counts.
+# ---------------------------------------------------------------------------
+@register(
+    "u4_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                WHEN new.o_orderkey IS NULL THEN 'removed'
+                WHEN old.o_orderstatus <> new.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           count(*) AS n
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY 1
+    """,
+)
+def u4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_orderstatus").alias("v_old")
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.when(F.col("o_orderkey") % 5 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("v_new"),
+    )
+    change = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("v_old") != F.col("v_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, old.k_old == new.k_new, "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

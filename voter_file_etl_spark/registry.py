@@ -56,6 +56,7 @@ def load_all() -> None:
         dedup,
         etl,
         multimodal,
+        sampling,
         similarity,
         text,
     )

@@ -1,0 +1,72 @@
+"""Physical-plan quality gates — the scale posture, enforced.
+
+Correctness says the operator computes the right answer; these tests
+say it computes it with the PLAN you'd want on a 1000-executor
+cluster: filters pushed to the parquet scan, read schemas pruned to
+the referenced columns, small dimensions broadcast, top-k planned as
+TakeOrderedAndProject (never a full sort), and partitioned reads
+pruned by partition filters. A regression here is a 100 TB incident
+that no row-count check would catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from voter_file_etl_spark import registry
+
+registry.load_all()
+
+
+def _formatted_plan(spark, key: str, sf_dir: str) -> str:
+    df = registry.QUERIES[key](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted_plan(spark, "a4_groupby_count", sf_dir)
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed to parquet"
+
+
+def test_scan_schema_is_pruned(spark, sf_dir):
+    plan = _formatted_plan(spark, "a4_groupby_count", sf_dir)
+    # lineitem has 11 columns; the query touches 7. The scan must not
+    # read the join keys it doesn't use.
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read, read
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    plan = _formatted_plan(spark, "j1_inner_join", sf_dir)
+    assert "BroadcastHashJoin" in plan, "dim join did not broadcast"
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _formatted_plan(spark, "sql1_topk_revenue", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT planned as full sort"
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, "segment filter not pushed"
+
+
+def test_partition_pruning_after_partitioned_write(spark, sf_dir):
+    plan = _formatted_plan(spark, "l3_partition_pruning", sf_dir)
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan or (
+        "PartitionFilters" in plan and "l_returnflag" in plan
+    ), "partition filter did not prune the partitioned read"
+
+
+def test_anti_join_is_join_not_subquery_loop(spark, sf_dir):
+    plan = _formatted_plan(spark, "p6_anti_join", sf_dir)
+    assert "LeftAnti" in plan, "anti-join shape lost"
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["a4_groupby_count", "j4_large_join", "a5_household_agg", "st1_tumbling_window"],
+)
+def test_aggregates_are_partial_final(spark, sf_dir, key):
+    # Partial (map-side) aggregation before the exchange: the plan
+    # must contain two HashAggregate nodes around the shuffle.
+    plan = _formatted_plan(spark, key, sf_dir)
+    assert plan.count("HashAggregate") >= 2, f"{key}: no map-side partial aggregate"

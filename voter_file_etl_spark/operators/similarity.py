@@ -265,46 +265,69 @@ def _ivf_oracle() -> str:
 
 @register("x12_ann_ivf", oracle=_ivf_oracle())
 def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    """IVF, BLAS-shaped: the 16-row codebook is collected once (that
+    IS the IVF pattern — the codebook is a broadcast constant, built
+    offline by k-means at scale), assignment is one matmul per Arrow
+    batch map-side with zero shuffles, and the cell-local search is
+    one Gram matmul per cell via applyInPandas — the same
+    shuffle-O(N·dim), compute-in-BLAS shape as x5. Every float op
+    (int dot -> float64, sqrt, divide) matches the SQL expression
+    tree, so results stay bit-identical to the oracle."""
+    import numpy as np
+    import pandas as pd
 
-    corpus = _corpus_spark(spark, sf_dir)
-    cents = corpus.filter(F.col("vec_id") < _N_CELLS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("qv").alias("cqv"),
-        F.col("nq").alias("cnq"),
+    corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
+    cent_rows = sorted(
+        corpus.filter(F.col("vec_id") < _N_CELLS).collect(), key=lambda r: r.vec_id
     )
-    cos_assign = V.cosine(V.dot_arrow("qv", "cqv"), F.col("nq"), F.col("cnq"))
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.desc("cos_cent"), F.asc("cent_id")
+    cmat = np.stack([np.asarray(r.qv, dtype="int64") for r in cent_rows])
+    cnorm = np.sqrt(np.array([r.nq for r in cent_rows], dtype="float64"))
+    cids = np.array([r.vec_id for r in cent_rows], dtype="int64")
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["qv"].to_numpy()).astype("int64", copy=False)
+            n = np.sqrt(pdf["nq"].to_numpy().astype("float64"))
+            cos = (A @ cmat.T).astype("float64") / np.outer(n, cnorm)
+            # argmax returns the first of tied maxima; centroids are
+            # sorted by cent_id, matching ORDER BY cos DESC, cent_id.
+            pdf = pdf.assign(cell=cids[np.argmax(cos, axis=1)])
+            yield pdf[["vec_id", "cell", "qv", "nq"]]
+
+    wb = corpus.mapInPandas(
+        assign, "vec_id long, cell long, qv array<long>, nq long"
     )
-    assign = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cent_id", cos_assign.alias("cos_cent"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
-    wb = corpus.join(assign, "vec_id")
-    q = wb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        "cell",
-        F.col("qv").alias("qa"),
-        F.col("nq").alias("na"),
-    )
-    c = wb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "cell",
-        F.col("qv").alias("qb"),
-        F.col("nq").alias("nb"),
-    )
-    cos = V.cosine(V.dot_arrow("qa", "qb"), F.col("na"), F.col("nb"))
-    w_rank = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        q.join(c, "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "cell", cos.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= _TOP_K)
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        qmask = ids < _N_QUERIES
+        if not qmask.any():
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cell": [], "cos_sim": [], "rank": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cell": "int64",
+                      "cos_sim": "float64", "rank": "int32"})
+        A = np.stack(pdf["qv"].to_numpy()).astype("int64", copy=False)
+        n = np.sqrt(pdf["nq"].to_numpy().astype("float64"))
+        cell = int(pdf["cell"].iloc[0])
+        qi = np.nonzero(qmask)[0]
+        cos = (A[qi] @ A.T).astype("float64") / np.outer(n[qi], n)
+        out = {"query_id": [], "neighbor_id": [], "cell": [], "cos_sim": [], "rank": []}
+        for row, q_idx in enumerate(qi):
+            keep = np.arange(len(ids)) != q_idx
+            order = np.lexsort((ids[keep], -cos[row, keep]))[:_TOP_K]
+            nb, cs = ids[keep][order], cos[row, keep][order]
+            out["query_id"].extend([ids[q_idx]] * len(nb))
+            out["neighbor_id"].extend(nb)
+            out["cell"].extend([cell] * len(nb))
+            out["cos_sim"].extend(cs)
+            out["rank"].extend(range(1, len(nb) + 1))
+        return pd.DataFrame(out)
+
+    return wb.groupBy("cell").applyInPandas(
+        cell_topk, "query_id long, neighbor_id long, cell long, cos_sim double, rank int"
     )
 
 

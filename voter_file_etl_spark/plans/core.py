@@ -335,3 +335,64 @@ def p7_offset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
     )
+
+
+# ---------------------------------------------------------------------------
+# S9 — JSON source/sink roundtrip: write a projection as JSON lines,
+# read it back with a DECLARED schema (no inferSchema job — one pass,
+# like the reference's declared-schema TSV parse), aggregate. JSON is
+# the interchange format the reference's Slack/manifest tooling
+# implies; at scale the declared schema keeps the read single-pass
+# and lets Catalyst prune unread fields from the parse.
+# ---------------------------------------------------------------------------
+@register(
+    "s9_json_roundtrip",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def s9_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _tmp_dir("s9_json")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, event_type string, value double").json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 — partitioned write + partition pruning: the engine's answer to
+# the reference's 51 per-state tables (SURVEY.md §1.3) — ONE dataset,
+# partitionBy(state-like column), and a filtered read that prunes to
+# a single partition directory (PartitionFilters in the scan, zero
+# bytes read from other partitions).
+# ---------------------------------------------------------------------------
+@register(
+    "l3_partition_pruning",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+)
+def l3_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_returnflag"
+    )
+    path = _tmp_dir("l3_partitioned")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -13,8 +13,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", cpus=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        "tests", cpus=8, extra_conf={"spark.sql.warehouse.dir": str(wh)}
+    )
     yield s
 
 

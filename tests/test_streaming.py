@@ -17,3 +17,27 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    from voter_file_etl_spark.streaming.windows import (
+        run_enrich_stream,
+        st5_stream_static_join,
+    )
+
+    batch = {tuple(r) for r in st5_stream_static_join(spark, sf_dir).collect()}
+    streamed = {
+        tuple(r)
+        for r in run_enrich_stream(spark, sf_dir, str(tmp_path / "ckpt5")).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
+def test_stateful_dedup_stream_is_deterministic(spark, sf_dir, tmp_path):
+    from voter_file_etl_spark.streaming.stateful import run_dedup_stream
+
+    a = {tuple(r) for r in run_dedup_stream(spark, sf_dir, str(tmp_path / "c1")).collect()}
+    b = {tuple(r) for r in run_dedup_stream(spark, sf_dir, str(tmp_path / "c2")).collect()}
+    assert a == b
+    assert len(a) > 0

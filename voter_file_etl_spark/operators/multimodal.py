@@ -154,3 +154,34 @@ def _m2_oracle() -> str:
 @register("m2_multimodal_features", oracle=_m2_oracle())
 def m2_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_media(t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# M3 — frame sampling, oracle-checked on the frame BOOKKEEPING
+# (positions and truncated tail lengths are pure arithmetic in both
+# engines; the byte payloads themselves are exercised in unit tests).
+# ---------------------------------------------------------------------------
+_FRAME, _STRIDE = 16, 64
+
+
+@register(
+    "m3_frame_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    )
+    SELECT doc_id,
+           CAST((i - 1) // {_STRIDE} AS INTEGER) AS frame_no,
+           CAST(least({_FRAME}, n_bytes - i + 1) AS INTEGER) AS frame_len
+    FROM m, unnest(range(1, greatest(n_bytes - {_FRAME - 1}, 1) + 1, {_STRIDE}))
+           AS t(i)
+    """,
+)
+def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(t(spark, sf_dir, "documents"))
+    frames = frame_sample(media, stride=_STRIDE, frame=_FRAME)
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.octet_length("frame_bytes").cast("int").alias("frame_len"),
+    )

@@ -227,3 +227,73 @@ def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> md5(substring(norm, i, 16))))"
         ).alias("win_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X16 — TF-IDF: the canonical text-feature pipeline (term frequency ×
+# inverse document frequency) using t5's tokenization. Three
+# aggregates (per-doc-term counts, per-doc lengths, per-term doc
+# frequencies) joined back — every one partial+final, shuffles keyed
+# on doc_id / term. tf is an exact int ratio; idf's ln() is the one
+# libm call in the engine, so it (and the product) are rounded to 6
+# decimals on both sides of the oracle boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "x16_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), tfc AS (
+      SELECT doc_id, w, count(*) AS tf_count FROM toks GROUP BY doc_id, w
+    ), dlen AS (
+      SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY doc_id
+    ), dfw AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    )
+    SELECT tfc.doc_id, tfc.w AS term,
+           CAST(tf_count AS DOUBLE) / doc_len AS tf,
+           round(ln((n_docs + 1.0) / (df + 1.0)), 6) AS idf,
+           round((CAST(tf_count AS DOUBLE) / doc_len)
+                 * round(ln((n_docs + 1.0) / (df + 1.0)), 6), 6) AS tfidf
+    FROM tfc
+    JOIN dlen ON tfc.doc_id = dlen.doc_id
+    JOIN dfw ON tfc.w = dfw.w
+    CROSS JOIN nd
+    WHERE tfc.doc_id % 50 = 0
+    """,
+)
+def x16_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.col("w") != "")
+    tfc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf_count"))
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    dfw = (
+        toks.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = F.col("tf_count").cast("double") / F.col("doc_len")
+    idf = F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)
+    return (
+        tfc.join(dlen, "doc_id")
+        .join(dfw, "w")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("doc_id") % 50 == 0)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            tf.alias("tf"),
+            idf.alias("idf"),
+            F.round(tf * idf, 6).alias("tfidf"),
+        )
+    )

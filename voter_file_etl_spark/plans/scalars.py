@@ -283,3 +283,29 @@ def t7_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(prios).alias("n_prios"),
         F.array_contains(prios, "1-URGENT").alias("has_urgent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T8 — regular-expression functions: extract, partial match, replace.
+# All JVM expressions (java.util.regex); both engines use
+# leftmost-first partial matching for the predicates here.
+# ---------------------------------------------------------------------------
+@register(
+    "t8_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+           regexp_matches(p_type, '^PROMO') AS is_promo,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part
+    WHERE regexp_matches(p_type, 'BRUSHED|ANODIZED')
+    """,
+)
+def t8_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.filter(F.col("p_type").rlike("BRUSHED|ANODIZED")).select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+        F.col("p_type").rlike("^PROMO").alias("is_promo"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )

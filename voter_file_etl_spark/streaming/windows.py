@@ -99,3 +99,72 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -
     )
     query.awaitTermination()
     return spark.sql("SELECT * FROM st1_stream_out")
+
+
+# ---------------------------------------------------------------------------
+# ST5 — stream-static join: enrich the event stream with a static
+# dimension (the voter/customer profile), then aggregate. In
+# Structured Streaming the static side is re-broadcast per micro-
+# batch — no stream-side state — so this is the scalable "enrich on
+# ingest" shape. Batch form below is the oracle-checked plan;
+# run_enrich_stream executes the same logical plan as a real stream.
+# ---------------------------------------------------------------------------
+def _enriched(events: DataFrame, customer: DataFrame) -> DataFrame:
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "st5_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def st5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _enriched(t(spark, sf_dir, "events"), t(spark, sf_dir, "customer"))
+
+
+def run_enrich_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> DataFrame:
+    """ST5 as a real stream-static join with a file-source stream."""
+    from pyspark.sql import types as T
+
+    from voter_file_etl_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    query = (
+        _enriched(stream, t(spark, sf_dir, "customer"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("st5_stream_out")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql("SELECT * FROM st5_stream_out")

@@ -406,3 +406,101 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", jac.alias("jaccard3"))
         .filter(F.col("jaccard3") >= _NGRAM_JACCARD_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# X17 — dedup clustering: connected components over the near-dup
+# pair graph, so each group of mutual near-duplicates gets ONE
+# canonical id (the minimum doc_id in the component) — the step that
+# turns pairwise dedup findings into actual keep/drop decisions.
+#
+# Spark side: iterative min-label propagation (the Pregel shape
+# expressed in DataFrames) — labels start as the node id and each
+# round takes the min over the node's neighborhood, until a round
+# changes nothing. Rounds = graph diameter (near-dup components are
+# stars/short chains, so 2-3). Each round is one shuffle keyed on
+# node id; no collect of the graph.
+#
+# Corpus plants two copies of every 20th doc (suffix and prefix
+# edits), giving 3-node star components whose edges come from a
+# 40-char-prefix blocking hash. The DuckDB oracle computes the same
+# components with a recursive CTE — terminating because UNION
+# dedups (node, label) states.
+# ---------------------------------------------------------------------------
+@register(
+    "x17_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz suffix edit') AS text
+      FROM documents WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, concat(text, ' yy other edit') AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ), keyed AS (
+      SELECT doc_id, md5(substr(text, 1, 40)) AS blk FROM corpus
+    ), edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id <> b.doc_id
+    ), nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+    ), reach(node, label) AS (
+      SELECT node, node AS label FROM nodes
+      UNION
+      SELECT e.dst AS node, r.label
+      FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT node, min(label) AS component FROM reach GROUP BY node
+    """,
+)
+def x17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    c1 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz suffix edit")).alias("text"),
+    )
+    c2 = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat("text", F.lit(" yy other edit")).alias("text"),
+    )
+    keyed = (
+        docs.unionByName(c1)
+        .unionByName(c2)
+        .select("doc_id", F.md5(F.substring("text", 1, 40)).alias("blk"))
+    )
+    a = keyed.select(F.col("doc_id").alias("src"), "blk")
+    b = keyed.select(F.col("doc_id").alias("dst"), "blk")
+    edges = (
+        a.join(b, "blk")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    # Min-label propagation to fixpoint. Each iteration: a node's new
+    # label is the min of its own and its neighbors' labels.
+    for _ in range(20):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

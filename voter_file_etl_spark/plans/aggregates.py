@@ -195,3 +195,34 @@ def a7_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 — max_by / min_by (argmax aggregates): "which order was the
+# customer's most expensive" without a window + filter round-trip.
+# The ordering value carries a unique tie-break (price scaled exact-
+# decimal + key) so both engines pick the same row.
+# ---------------------------------------------------------------------------
+@register(
+    "a13_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) * 10000000 + o_orderkey)
+             AS priciest_order,
+           arg_min(o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(18,2)) * 10000000 + o_orderkey)
+             AS cheapest_order,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def a13_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    ordv = F.col("o_totalprice").cast("decimal(18,2)") * 10000000 + F.col("o_orderkey")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordv).alias("priciest_order"),
+        F.min_by("o_orderkey", ordv).alias("cheapest_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -226,3 +226,63 @@ def a13_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", ordv).alias("cheapest_order"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A14 — variance / stddev / covariance / correlation from EXACT
+# decimal power sums. Built-in stddev/corr merge float partials in
+# partition order — fine statistically, but not bit-stable across
+# cluster sizes. Summing x, x², xy in exact DECIMAL makes the moment
+# computation a pure function of the data (any DOP, any engine), and
+# only the final normalize/sqrt runs in float, rounded at the
+# boundary. sum(x²) for 6M rows of (18,2) values fits decimal(38,4)
+# with ~15 digits to spare.
+# ---------------------------------------------------------------------------
+@register(
+    "a14_stats_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / (n - 1), 4) AS var_qty,
+           round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / (n - 1)), 4) AS std_qty,
+           round((CAST(sxy AS DOUBLE) - CAST(s AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+                 / (n - 1), 4) AS cov_qty_price
+    FROM (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+             sum(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def a14_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s"),
+        F.sum(q * q).alias("sq"),
+        F.sum(p).alias("sp"),
+        F.sum(q * p).alias("sxy"),
+    )
+    var = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("s").cast("double") * F.col("sp").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return sums.select(
+        "l_returnflag",
+        F.round(var, 4).alias("var_qty"),
+        F.round(F.sqrt(var), 4).alias("std_qty"),
+        F.round(cov, 4).alias("cov_qty_price"),
+    )

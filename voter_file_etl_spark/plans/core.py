@@ -396,3 +396,47 @@ def l3_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 — PERMISSIVE parse with corrupt-record capture: the S3 loader's
+# non-strict mode (load-s3.ts:218-228) done right — malformed rows
+# are quarantined into a _corrupt column instead of silently dropped
+# or fatally failing (FAILFAST, S2's mode, is the local loader's
+# strict parse). The count contract (all good rows survive, every
+# bad row is captured) is the oracle check.
+# ---------------------------------------------------------------------------
+_S10_BAD_LINES = ["not_a_number\tNaN\tZ", "12,34\t\tbad", "x\ty\tz"]
+
+
+@register(
+    "s10_permissive_read",
+    oracle=f"""
+    SELECT count(*) AS n_good, CAST({len(_S10_BAD_LINES)} AS BIGINT) AS n_corrupt
+    FROM lineitem
+    """,
+)
+def s10_permissive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
+    path = _tmp_dir("s10_tsv")
+    li.write.mode("overwrite").option("sep", "\t").csv(path)
+    with open(os.path.join(path, "part-corrupt.csv"), "w") as fh:
+        fh.write("\n".join(_S10_BAD_LINES) + "\n")
+    back = (
+        spark.read.schema(
+            "l_orderkey long, l_linenumber int, l_returnflag string, _corrupt string"
+        )
+        .option("sep", "\t")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        # Spark disallows aggregating the internal corrupt column
+        # straight off the scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+        # materialize the parse first — at scale this is the "write
+        # quarantine table, then count" step anyway.
+        .cache()
+    )
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).alias("n_corrupt"),
+    )

@@ -44,3 +44,50 @@ def l2_overwrite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L4 — MERGE-style upsert without a transactional table format:
+# target ⟗ source on the PK, source wins on match (update), both
+# sides keep their exclusives (insert / retain). This is the
+# incremental-load alternative to the reference's whole-table swap —
+# one full-outer shuffle on the key, then an atomic overwrite
+# publish. (On Delta/Iceberg this is MERGE INTO; the plan shape is
+# identical.)
+# ---------------------------------------------------------------------------
+@register(
+    "l4_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ), source AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) + CAST(10.00 AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           CAST(coalesce(s.price, t.price) AS DOUBLE) AS price
+    FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def l4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    target = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("t_key"),
+        F.col("o_orderstatus").alias("t_status"),
+        price.alias("t_price"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("s_key"),
+        F.lit("U").alias("s_status"),
+        (price + F.lit(10.00).cast("decimal(18,2)")).alias("s_price"),
+    )
+    merged = target.join(source, target.t_key == source.s_key, "full_outer")
+    return merged.select(
+        F.coalesce("s_key", "t_key").alias("o_orderkey"),
+        F.coalesce("s_status", "t_status").alias("o_orderstatus"),
+        F.coalesce("s_price", "t_price").cast("double").alias("price"),
+    )

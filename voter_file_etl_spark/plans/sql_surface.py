@@ -113,3 +113,26 @@ WHERE CAST(o_totalprice AS DECIMAL(18,2))
 def sql3_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_SUBQ)
+
+
+# ---------------------------------------------------------------------------
+# SQL4 — IN / NOT IN subqueries (planned as left-semi / null-aware
+# anti joins): the SQL spelling of the manifest skip-logic (P6/J3).
+# ---------------------------------------------------------------------------
+_INQ = """
+SELECT o_orderpriority,
+       count(*) AS n_building,
+       sum(CASE WHEN o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                    WHERE l_quantity >= 45)
+                THEN 1 ELSE 0 END) AS n_with_bulk_item
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql4_in_subquery", oracle=_INQ)
+def sql4_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "lineitem")
+    return spark.sql(_INQ)

@@ -41,3 +41,18 @@ def test_stateful_dedup_stream_is_deterministic(spark, sf_dir, tmp_path):
     b = {tuple(r) for r in run_dedup_stream(spark, sf_dir, str(tmp_path / "c2")).collect()}
     assert a == b
     assert len(a) > 0
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    from voter_file_etl_spark.streaming.joins import (
+        run_interval_join_stream,
+        st6_interval_join,
+    )
+
+    batch = {tuple(r) for r in st6_interval_join(spark, sf_dir).collect()}
+    streamed = {
+        tuple(r)
+        for r in run_interval_join_stream(spark, sf_dir, str(tmp_path / "ckpt6")).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0

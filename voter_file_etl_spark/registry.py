@@ -61,6 +61,7 @@ def load_all() -> None:
         text,
     )
     from voter_file_etl_spark.streaming import (  # noqa: F401
+        joins as stream_joins,
         stateful as stream_stateful,
         windows as stream_windows,
     )

@@ -329,11 +329,20 @@ def p7_offset_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     orders = t(spark, sf_dir, "orders")
-    w = W.orderBy("o_orderkey")
-    return (
+    # Slice FIRST via offset+limit — Spark plans a bounded
+    # TakeOrdered (per-partition top-k + driver merge of offset+limit
+    # rows), never a single-partition window over the full table.
+    # The row_number that materializes `rn` then runs over only the
+    # 100 sliced rows, so the unpartitioned window is O(slice), not
+    # O(table).
+    sliced = (
         orders.select("o_orderkey", "o_orderstatus")
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(100)
+    )
+    return sliced.withColumn(
+        "rn", F.row_number().over(W.orderBy("o_orderkey")) + 100
     )
 
 

@@ -309,3 +309,46 @@ def t8_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").rlike("^PROMO").alias("is_promo"),
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T9 — haversine distance over the deterministic pseudo-coordinates
+# of J5: the proximity measure behind the geohash-prefix join (two
+# points sharing a 4-char prefix are "close"; this computes how
+# close). Trig runs in each engine's libm, so the result is rounded
+# to 6 decimals (sub-millimeter) at the oracle boundary.
+# ---------------------------------------------------------------------------
+_HAV_KM = (
+    "2 * 6371.0088 * asin(sqrt("
+    "pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+    "cos(radians({lat1})) * cos(radians({lat2})) * "
+    "pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))"
+)
+
+
+@register(
+    "t9_haversine",
+    oracle=f"""
+    SELECT c_custkey, s_suppkey,
+           round({_HAV_KM.format(
+               lat1="-90.0 + (c_custkey % 180) + 0.25",
+               lon1="-180.0 + ((c_custkey * 7) % 360) + 0.25",
+               lat2="-90.0 + ((s_suppkey * 3) % 180) + 0.25",
+               lon2="-180.0 + ((s_suppkey * 11) % 360) + 0.25",
+           )}, 6) AS dist_km
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+    CROSS JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey < 50)
+    """,
+)
+def t9_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select("c_custkey")
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 50).select("s_suppkey")
+    km = _HAV_KM.format(
+        lat1="-90.0D + (c_custkey % 180) + 0.25D",
+        lon1="-180.0D + ((c_custkey * 7) % 360) + 0.25D",
+        lat2="-90.0D + ((s_suppkey * 3) % 180) + 0.25D",
+        lon2="-180.0D + ((s_suppkey * 11) % 360) + 0.25D",
+    )
+    return c.crossJoin(F.broadcast(s)).select(
+        "c_custkey", "s_suppkey", F.round(F.expr(km), 6).alias("dist_km")
+    )

@@ -124,3 +124,60 @@ def x15_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
     )
     return docs.select(split).groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# X21 — context-window packing: assign documents to fixed-budget
+# training sequences ("bins") by running token count within each
+# source shard — the sequence-packing step between dedup and
+# tokenizer. Streaming-greedy semantics: docs are packed in shard
+# order and a bin closes when the budget would overflow; expressed as
+# floor(cumulative_tokens_before / budget), one window sum per shard
+# — no iterative bin-packing, no driver loop, shuffle keyed on the
+# shard. (Boundary docs may straddle bins — the deterministic
+# streaming tradeoff every packer at scale makes.)
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+@register(
+    "x21_context_packing",
+    oracle=f"""
+    WITH counted AS (
+      SELECT source, doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM counted
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin
+    FROM packed
+    """,
+)
+def x21_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    ).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    counted = docs.select("source", "doc_id", n_tokens.alias("n_tokens"))
+    return counted.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET
+        ).cast("bigint").alias("bin"),
+    )

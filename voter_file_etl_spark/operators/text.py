@@ -297,3 +297,122 @@ def x16_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(tf * idf, 6).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X18 — bigram language-model counts: P(w2 | w1) as exact count
+# ratios (the n-gram LM prep step). Bigrams come from lead() over
+# token positions within each doc; both aggregates are partial+final
+# hash aggs keyed on the bigram. Probabilities are int/int divisions
+# — bit-identical across engines, no rounding needed.
+# ---------------------------------------------------------------------------
+@register(
+    "x18_bigram_lm",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+      FROM documents
+    ), toks AS (
+      -- explicit array index as the position (never rely on unnest
+      -- emission order surviving window evaluation)
+      SELECT doc_id, arr[i] AS w, i AS pos
+      FROM arrs, unnest(range(1, len(arr) + 1)) AS t(i)
+      WHERE arr[i] <> ''
+    ), big AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY w1
+    )
+    SELECT c12.w1, c12.w2, n12, CAST(n12 AS DOUBLE) / n1 AS p_cond
+    FROM c12 JOIN c1 ON c12.w1 = c1.w1
+    WHERE n12 >= 5
+    """,
+)
+def x18_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    big = toks.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w").over(W.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        c12.join(c1, "w1")
+        .filter(F.col("n12") >= 5)
+        .select("w1", "w2", "n12", (F.col("n12").cast("double") / F.col("n1")).alias("p_cond"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X20 — PII detection + redaction: the scrub step every training-data
+# pipeline runs before anything else. Synthetic PII is planted
+# deterministically (the corpus has none), then detected with
+# regexp_count and redacted with regexp_replace — patterns kept to
+# the RE2/java.util.regex common subset (no lookaround, no backrefs)
+# so both engines match identical spans. The redacted text crosses
+# the oracle boundary as md5 to keep the comparison compact.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "x20_pii_redact",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN concat(text, ' contact user', doc_id,
+                              '@example.com or 555-',
+                              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM planted
+    """,
+)
+def x20_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                "text",
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

@@ -504,3 +504,89 @@ def x17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# X22 — benchmark decontamination: drop training docs sharing any
+# word 8-gram with a held-out benchmark set (the C4/Dolma-style
+# contamination scrub). Benchmark n-grams are DISTINCT and small
+# relative to the corpus, so the plan is: corpus n-grams (map-side
+# explode) ⋈ broadcast benchmark n-gram set -> distinct contaminated
+# doc ids -> left-anti join back. Two shuffles total (distinct +
+# anti), never a doc×doc comparison.
+# ---------------------------------------------------------------------------
+_DECON_N = 8
+
+
+def _decon_grams_sql(src: str) -> str:
+    return f"""
+      SELECT doc_id, g FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, len(arr) - {_DECON_N - 2}),
+                 i -> list_aggregate(list_slice(arr, i, i + {_DECON_N - 1}), 'string_agg', ' ')
+               )) AS grams
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS arr FROM {src})
+      ), unnest(grams) AS t(g)
+    """
+
+
+_DECON_CORPUS_SQL = """
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             concat('leaked eval sample ', text) AS text, lang
+      FROM documents WHERE doc_id % 97 = 0
+"""
+
+
+@register(
+    "x22_decontaminate",
+    oracle=f"""
+    WITH corpus AS (
+      {_DECON_CORPUS_SQL}
+    ), bench AS (
+      SELECT DISTINCT g FROM ({_decon_grams_sql("(SELECT * FROM documents WHERE doc_id % 97 = 0)")})
+    ), corpus_grams AS (
+      {_decon_grams_sql("corpus")}
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM corpus_grams JOIN bench USING (g)
+    )
+    SELECT d.doc_id, d.lang
+    FROM corpus d
+    LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL
+    """,
+)
+def x22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+
+    def grams(df: DataFrame) -> DataFrame:
+        arr = F.split(F.lower("text"), " ")
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(split(lower(text), ' ')) >= {_DECON_N} THEN "
+                    f"array_distinct(transform(sequence(0, size(split(lower(text), ' ')) - {_DECON_N}), "
+                    f"i -> concat_ws(' ', slice(split(lower(text), ' '), i + 1, {_DECON_N})))) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            ).alias("g"),
+        )
+
+    bench = grams(docs.filter(is_bench)).select("g").distinct()
+    # Corpus = non-benchmark docs plus planted leaks (benchmark text
+    # embedded in new docs) so the detection path is provably
+    # exercised — the planted docs MUST be removed.
+    planted = docs.filter(is_bench).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.lit("leaked eval sample "), F.col("text")).alias("text"),
+        "lang",
+    )
+    corpus = docs.filter(~is_bench).select("doc_id", "text", "lang").unionByName(planted)
+    contaminated = (
+        grams(corpus).join(F.broadcast(bench), "g").select("doc_id").distinct()
+    )
+    return corpus.join(contaminated, "doc_id", "left_anti").select("doc_id", "lang")

@@ -55,6 +55,7 @@ HEADLINE = [
     "j6_asof_join",
     "t6_json_funcs",
     "x12_ann_ivf",
+    "x23_curation_pipeline",
 ]
 
 

@@ -181,3 +181,67 @@ def x21_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET
         ).cast("bigint").alias("bin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X23 — the end-to-end curation pipeline as ONE declarative plan:
+# language filter -> quality gate (x9's heuristics) -> exact dedup
+# (keep min doc_id per content hash) -> deterministic train/val/test
+# assignment -> per-split stats. This is the composition the
+# individual operators exist for; expressing it as a single DataFrame
+# chain lets Catalyst pipeline the filters into the scan and run ONE
+# shuffle for the dedup and ONE for the final rollup. At 100 TB the
+# same plan is: scan (pruned+filtered) -> hash-agg -> hash-agg.
+# ---------------------------------------------------------------------------
+@register(
+    "x23_curation_pipeline",
+    oracle=f"""
+    WITH quality AS (
+      SELECT doc_id, text,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents
+      WHERE lang = 'en'
+    ), gated AS (
+      SELECT doc_id, text, n_words,
+             CAST(length(text) - (n_words - 1) AS DOUBLE) / n_words AS awl
+      FROM quality
+      WHERE n_words >= 10 AND n_words <= 1000
+    ), ok AS (
+      SELECT doc_id, text, n_words FROM gated WHERE awl >= 2.0 AND awl <= 12.0
+    ), deduped AS (
+      SELECT min(doc_id) AS doc_id, min(n_words) AS n_words
+      FROM ok GROUP BY md5(text)
+    )
+    SELECT CASE WHEN {_bucket_sql("'split:' || CAST(doc_id AS VARCHAR)")} < 80
+                THEN 'train'
+                WHEN {_bucket_sql("'split:' || CAST(doc_id AS VARCHAR)")} < 90
+                THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_words) AS total_words
+    FROM deduped
+    GROUP BY split
+    """,
+)
+def x23_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    quality = docs.filter(F.col("lang") == "en").select(
+        "doc_id", "text", n_words.alias("n_words")
+    )
+    awl = (F.length("text") - (F.col("n_words") - 1)).cast("double") / F.col("n_words")
+    ok = quality.filter(
+        (F.col("n_words") >= 10) & (F.col("n_words") <= 1000)
+    ).filter((awl >= 2.0) & (awl <= 12.0))
+    deduped = ok.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_words").alias("n_words")
+    )
+    b = _bucket(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        deduped.select(split.alias("split"), "n_words")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        )
+    )

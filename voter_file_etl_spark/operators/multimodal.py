@@ -185,3 +185,62 @@ def m3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("int").alias("frame_no"),
         F.octet_length("frame_bytes").cast("int").alias("frame_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 — resize / re-batch: normalize every media payload to a fixed
+# byte budget (truncate long, keep short) — the shape-normalization
+# step before batched model inference. A real image resize would run
+# in this same mapInPandas loop (PIL is not in this container; the
+# deterministic byte-level normalization keeps the plumbing
+# oracle-checkable). Pure map work, no shuffle, Arrow-batched.
+# ---------------------------------------------------------------------------
+_RESIZE_BYTES = 64
+
+
+def resize_media(media_df: DataFrame, target: int = _RESIZE_BYTES) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["media"].map(lambda b: bytes(b)[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": payload,
+                    "out_bytes": payload.map(len).astype("int64"),
+                    "was_truncated": pdf["media"].map(lambda b: len(b) > target),
+                }
+            )
+
+    return media_df.mapInPandas(
+        run, "doc_id long, resized binary, out_bytes long, was_truncated boolean"
+    )
+
+
+@register(
+    "m4_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(least(octet_length(encode(text)), {_RESIZE_BYTES}) AS BIGINT)
+             AS out_bytes,
+           octet_length(encode(text)) > {_RESIZE_BYTES} AS was_truncated,
+           md5(substr(text, 1, {_RESIZE_BYTES})) AS resized_md5
+    FROM documents
+    """,
+)
+def m4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ASCII corpus: byte truncation == char truncation, so the oracle
+    # can express the resized payload as substr(text, 1, target).
+    resized = resize_media(attach_media(t(spark, sf_dir, "documents")))
+    return resized.select(
+        "doc_id", "out_bytes", "was_truncated", F.md5("resized").alias("resized_md5")
+    )
+
+
+def decode_audio(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """STUB — audio decode requires soundfile/librosa, not in this
+    container. Contract mirrors decode_image: mapInPandas over the
+    binary column yielding (doc_id, sample_rate, samples array)."""
+    raise NotImplementedError(
+        "decode_audio: audio codecs not available in this environment; "
+        "the mapInPandas plumbing is exercised via extract_features/resize_media"
+    )

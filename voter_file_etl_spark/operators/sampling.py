@@ -72,7 +72,10 @@ def x13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X14 — stratified sample: the same 20% rate within every lang
 # stratum, so skewed strata can't swamp the sample. Pure map filter —
 # no per-group shuffle, unlike sampleBy's fraction dict, and exactly
-# reproducible.
+# reproducible. A NULL lang coalesces to a sentinel on BOTH sides so
+# the NULL stratum is sampled at the same rate instead of diverging
+# (concat_ws skips NULLs; SQL || propagates them — neither is what we
+# want for a stratum key).
 # ---------------------------------------------------------------------------
 @register(
     "x14_stratified_sample",
@@ -80,13 +83,19 @@ def x13_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, count(*) AS n_sampled,
            count(DISTINCT doc_id) AS n_distinct
     FROM documents
-    WHERE {_bucket_sql("lang || ':' || CAST(doc_id AS VARCHAR)")} < 20
+    WHERE {_bucket_sql(
+        "coalesce(lang, '<null>') || ':' || CAST(doc_id AS VARCHAR)"
+    )} < 20
     GROUP BY lang
     """,
 )
 def x14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    key = F.concat_ws(":", "lang", F.col("doc_id").cast("string"))
+    key = F.concat(
+        F.coalesce("lang", F.lit("<null>")),
+        F.lit(":"),
+        F.col("doc_id").cast("string"),
+    )
     return (
         docs.filter(_bucket(key) < 20)
         .groupBy("lang")
@@ -217,7 +226,7 @@ def x21_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN {_bucket_sql("'split:' || CAST(doc_id AS VARCHAR)")} < 90
                 THEN 'val' ELSE 'test' END AS split,
            count(*) AS n_docs,
-           sum(n_words) AS total_words
+           CAST(sum(n_words) AS BIGINT) AS total_words
     FROM deduped
     GROUP BY split
     """,

@@ -261,12 +261,19 @@ def t4_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JVM expressions; collect_set is a partial+final aggregate like any
 # other (set union is the combine), so the shuffle carries one
 # partial set per (group, partition).
+#
+# Final-output rule (driver contract): no array/map/struct columns in
+# a registered query's output — the driver's value-hash cannot digest
+# them. The array is exercised end-to-end (collect_set -> array_sort
+# -> size/contains) and then scalarized via array_join for the
+# comparison boundary.
 # ---------------------------------------------------------------------------
 @register(
     "t7_array_funcs",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities,
            len(list(DISTINCT o_orderpriority)) AS n_prios,
            list_contains(list(DISTINCT o_orderpriority), '1-URGENT') AS has_urgent
     FROM orders JOIN customer ON o_custkey = c_custkey
@@ -279,7 +286,7 @@ def t7_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
     prios = F.array_sort(F.collect_set("o_orderpriority"))
     return joined.groupBy("c_mktsegment").agg(
-        prios.alias("priorities"),
+        F.array_join(prios, ",").alias("priorities"),
         F.size(prios).alias("n_prios"),
         F.array_contains(prios, "1-URGENT").alias("has_urgent"),
     )

@@ -122,9 +122,9 @@ def sql3_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INQ = """
 SELECT o_orderpriority,
        count(*) AS n_building,
-       sum(CASE WHEN o_orderkey IN (SELECT l_orderkey FROM lineitem
-                                    WHERE l_quantity >= 45)
-                THEN 1 ELSE 0 END) AS n_with_bulk_item
+       CAST(sum(CASE WHEN o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                         WHERE l_quantity >= 45)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_bulk_item
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer
                     WHERE c_mktsegment = 'BUILDING')

@@ -1,19 +1,18 @@
 """Multimodal columns: binary media + typed metadata + Arrow-batched
-feature extraction (north-star suite).
+decode / feature extraction (north-star suite).
 
 Pattern: media is an opaque `binary` column with a typed metadata
 struct beside it; decode / feature-extract / resize / frame-sample
 run as `mapInPandas` over Arrow batches — one Python round-trip per
-*batch*, never per row. The actual image/audio codecs are NOT in
-this container, so the decode step is STUBBED (clearly marked below):
-`decode_image`/`decode_audio` raise NotImplementedError unless
-PIL/soundfile are importable, while `extract_features` uses a
-deterministic hash-based featurizer so the full Spark plumbing —
-schema, batching, partitioning — is real and oracle-checked.
+*batch*, never per row. Decode is REAL for the formats that need no
+external library (PPM/BMP images, RIFF-PCM WAV audio — see
+functions/codecs.py); compressed codecs (JPEG/PNG/FLAC) would slot
+into the same mapInPandas loops via PIL/soundfile in a full
+container.
 
 Scale: mapInPandas preserves partitioning (no shuffle); batch size is
-controlled by spark.sql.execution.arrow.maxRecordsPerBatch. Feature
-extraction is embarrassingly parallel map work.
+controlled by spark.sql.execution.arrow.maxRecordsPerBatch. Decode
+and feature extraction are embarrassingly parallel map work.
 """
 
 from __future__ import annotations
@@ -25,15 +24,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from voter_file_etl_spark.functions.codecs import (
+    decode_image_bytes,
+    decode_wav_bytes,
+)
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
-
-try:  # pragma: no cover - codec not in the image
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
 
 _FEAT_BITS = 16
 _HI = set("89abcdef")
@@ -54,16 +50,39 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """STUB — image decode requires PIL, which is not in this
-    container. The mapInPandas signature and output schema are the
-    real contract; swap the body for PIL decode in production."""
-    if not _HAS_PIL:
-        raise NotImplementedError(
-            "decode_image: PIL not available in this environment; "
-            "the mapInPandas plumbing is exercised via extract_features"
-        )
-    raise NotImplementedError("wire PIL decode here")
+def decode_image(media_df: DataFrame) -> DataFrame:
+    """Real image decode over the binary `media` column: PPM (P6/P3)
+    and uncompressed BMP (24/32 bpp, padding + bottom-up handled) via
+    the dependency-free codecs in functions/codecs.py. Arrow-batched;
+    one output row per payload with scalar image stats (the pixel
+    array itself stays out of registered outputs per the
+    no-complex-types rule — callers needing pixels use
+    decode_image_bytes inside their own mapInPandas stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "channels": [],
+                "format": [], "sum_pixel": [], "mean_pixel": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_image_bytes(payload)
+                s = int(img.pixels.sum(dtype="int64"))
+                n = img.width * img.height * img.channels
+                out["doc_id"].append(doc_id)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["channels"].append(img.channels)
+                out["format"].append(img.format)
+                out["sum_pixel"].append(s)
+                out["mean_pixel"].append(float(s) / n)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run,
+        "doc_id long, width int, height int, channels int, "
+        "format string, sum_pixel long, mean_pixel double",
+    )
 
 
 def _feature_from_bytes(payload: bytes) -> int:
@@ -236,11 +255,130 @@ def m4_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_audio(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """STUB — audio decode requires soundfile/librosa, not in this
-    container. Contract mirrors decode_image: mapInPandas over the
-    binary column yielding (doc_id, sample_rate, samples array)."""
-    raise NotImplementedError(
-        "decode_audio: audio codecs not available in this environment; "
-        "the mapInPandas plumbing is exercised via extract_features/resize_media"
+def decode_audio(media_df: DataFrame) -> DataFrame:
+    """Real audio decode over the binary `media` column: RIFF PCM WAV
+    (8-bit unsigned / 16-bit signed, proper chunk walking + word
+    alignment) via functions/codecs.py. Same Arrow-batched contract
+    as decode_image; outputs scalar stream stats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "bits": [], "n_frames": [], "sum_amp": [], "mean_amp": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                au = decode_wav_bytes(payload)
+                s = int(au.samples.sum(dtype="int64"))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(au.sample_rate)
+                out["n_channels"].append(au.n_channels)
+                out["bits"].append(au.bits)
+                out["n_frames"].append(au.samples.shape[0])
+                out["sum_amp"].append(s)
+                out["mean_amp"].append(float(s) / max(au.samples.size, 1))
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run,
+        "doc_id long, sample_rate int, n_channels int, bits int, "
+        "n_frames long, sum_amp long, mean_amp double",
     )
+
+
+# ---------------------------------------------------------------------------
+# M5 — REAL image decode, oracle-checked: each document is wrapped
+# into a P6 PPM (constant header + the first 48 text bytes as a 4x4
+# RGB raster, space-padded), decoded by the dependency-free PPM
+# parser, and the (width, height, channels, pixel-sum, pixel-mean)
+# arithmetic is reproduced exactly in DuckDB from the same text.
+# ---------------------------------------------------------------------------
+_IMG_W, _IMG_H = 4, 4
+_IMG_N = _IMG_W * _IMG_H * 3
+_PPM_HEADER = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()
+
+
+def build_ppm_media(docs: DataFrame) -> DataFrame:
+    """Spark-side P6 PPM construction: binary concat of the constant
+    header and the padded text raster (pure Column expressions)."""
+    raster = F.encode(
+        F.rpad(F.substring("text", 1, _IMG_N), _IMG_N, " "), "utf-8"
+    )
+    return docs.select(
+        "doc_id", F.concat(F.lit(_PPM_HEADER), raster).alias("media")
+    )
+
+
+@register(
+    "m5_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             ascii(substr(rpad(substr(text, 1, {_IMG_N}), {_IMG_N}, ' '),
+                          i, 1)) AS v
+      FROM documents, unnest(range(1, {_IMG_N + 1})) AS u(i)
+    )
+    SELECT doc_id,
+           {_IMG_W} AS width, {_IMG_H} AS height, 3 AS channels,
+           'ppm' AS format,
+           CAST(sum(v) AS BIGINT) AS sum_pixel,
+           CAST(sum(v) AS DOUBLE) / {_IMG_N} AS mean_pixel
+    FROM px GROUP BY doc_id
+    """,
+)
+def m5_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return decode_image(build_ppm_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# M6 — REAL audio decode, oracle-checked: each document becomes a
+# 48-sample 8-bit-PCM mono WAV (constant 44-byte RIFF header + the
+# padded text bytes as unsigned samples); the chunk-walking decoder
+# recovers rate/bits/frames and the centered amplitude sum/mean,
+# which DuckDB reproduces as sum(ascii - 128).
+# ---------------------------------------------------------------------------
+_WAV_N = 48
+_WAV_RATE = 8000
+_WAV_HEADER = (
+    b"RIFF" + (36 + _WAV_N).to_bytes(4, "little") + b"WAVE"
+    + b"fmt " + (16).to_bytes(4, "little")
+    + (1).to_bytes(2, "little")            # PCM
+    + (1).to_bytes(2, "little")            # mono
+    + _WAV_RATE.to_bytes(4, "little")      # sample rate
+    + _WAV_RATE.to_bytes(4, "little")      # byte rate (8-bit mono)
+    + (1).to_bytes(2, "little")            # block align
+    + (8).to_bytes(2, "little")            # bits per sample
+    + b"data" + _WAV_N.to_bytes(4, "little")
+)
+
+
+def build_wav_media(docs: DataFrame) -> DataFrame:
+    samples = F.encode(
+        F.rpad(F.substring("text", 1, _WAV_N), _WAV_N, " "), "utf-8"
+    )
+    return docs.select(
+        "doc_id", F.concat(F.lit(_WAV_HEADER), samples).alias("media")
+    )
+
+
+@register(
+    "m6_audio_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             ascii(substr(rpad(substr(text, 1, {_WAV_N}), {_WAV_N}, ' '),
+                          i, 1)) - 128 AS v
+      FROM documents, unnest(range(1, {_WAV_N + 1})) AS u(i)
+    )
+    SELECT doc_id,
+           {_WAV_RATE} AS sample_rate, 1 AS n_channels, 8 AS bits,
+           CAST({_WAV_N} AS BIGINT) AS n_frames,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(sum(v) AS DOUBLE) / {_WAV_N} AS mean_amp
+    FROM px GROUP BY doc_id
+    """,
+)
+def m6_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return decode_audio(build_wav_media(docs))

@@ -118,6 +118,41 @@ def test_full_load_publish_and_idempotence(spark, fixture_dirs):
     assert m.filter("Loaded").count() == 2
 
 
+def test_full_339_column_schema_roundtrip(spark, tmp_path):
+    """The complete Voter.prisma:3-345 model: a fixture row with every
+    one of the 339 declared columns populated must load with each
+    column present and typed (324 string, 13 int, 2 date)."""
+    from pyspark.sql import types as T
+
+    from voter_file_etl_spark.schema import VOTER_FIELDS
+
+    assert len(VOTER_FIELDS) == 339
+    cells = []
+    for name, dtype in VOTER_FIELDS.items():
+        if isinstance(dtype, T.IntegerType):
+            cells.append("7")
+        elif isinstance(dtype, T.DateType):
+            cells.append("02/03/2014")
+        else:
+            cells.append(f"v {name}")
+    path = tmp_path / "01--NV--20250101.tab"
+    path.write_text(
+        "\t".join(VOTER_FIELDS) + "\n" + "\t".join(cells) + "\n"
+    )
+    df = read_tsv(spark, str(path))
+    assert df.columns == list(VOTER_FIELDS)
+    kinds = {"string": 0, "int": 0, "date": 0}
+    for _, k in df.dtypes:
+        kinds[k] += 1
+    assert kinds == {"string": 324, "int": 13, "date": 2}
+    row = df.collect()[0]
+    assert row["LALVOTERID"] == "v LALVOTERID"
+    assert row["Mailing_Families_HHCount"] == 7
+    assert str(row["Voters_MovedFrom_Date"]) == "2014-02-03"
+    assert row["General_2022"] == "v General_2022"  # election-history cols
+    assert all(v is not None for v in row)
+
+
 def test_reconciliation_failure_blocks_manifest(spark, tmp_path):
     files_dir = tmp_path / "files"
     files_dir.mkdir()

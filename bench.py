@@ -56,6 +56,15 @@ HEADLINE = [
     "t6_json_funcs",
     "x12_ann_ivf",
     "x23_curation_pipeline",
+    # round-2 additions: the two round-1 hash-fix keys, a ranking
+    # window, the IN-subquery SQL shape, and the real media decoders —
+    # so regressions in those surfaces show up in BENCH_r02+.
+    "p8_pivot",
+    "t7_array_funcs",
+    "w1_row_number",
+    "sql4_in_subquery",
+    "m5_decode",
+    "m6_audio_decode",
 ]
 
 

@@ -61,6 +61,15 @@ def test_anti_join_is_join_not_subquery_loop(spark, sf_dir):
     assert "LeftAnti" in plan, "anti-join shape lost"
 
 
+def test_multi_distinct_has_no_expand(spark, sf_dir):
+    # agg(countDistinct x3) would plan an Expand that multiplies every
+    # input row by 3 before the shuffle; a6 is written as joined
+    # single-distinct aggregates precisely to avoid that.
+    plan = _formatted_plan(spark, "a6_multi_distinct", sf_dir)
+    assert "Expand" not in plan, "a6 reintroduced the multi-distinct Expand blowup"
+    assert plan.count("HashAggregate") >= 6, "per-column dedup aggregates missing"
+
+
 @pytest.mark.parametrize(
     "key",
     ["a4_groupby_count", "j4_large_join", "a5_household_agg", "st1_tumbling_window"],

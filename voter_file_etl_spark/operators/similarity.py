@@ -85,6 +85,99 @@ _CORPUS_SQL = f"""
 # X5 — embedding near-dup: pairs within the same label block with
 # quantized cosine >= threshold.
 # ---------------------------------------------------------------------------
+_BLOCK_CAP = 4096  # max rows per pandas group in the pair search
+
+
+def bounded_block_pairs(
+    corpus: DataFrame,
+    block_col: str = "label",
+    threshold: float = _NEAR_DUP_COS,
+    cap: int = _BLOCK_CAP,
+) -> DataFrame:
+    """Exhaustive same-block near-dup pairs with a HARD per-task bound.
+
+    The naive shape — one pandas group per block — is O(B²) inside a
+    SINGLE task when a block is skewed, which is the real 100 TB
+    failure mode (one straggling, OOMing executor). Here each block
+    splits into ceil(n/cap) hash sub-blocks and every sub-block PAIR
+    (i <= j) becomes its own group: a row with sub s replicates once
+    per counterpart sub-block, group (i, j) scores side-i x side-j
+    with one int64 Gram matmul, and no group ever holds more than
+    2*cap rows regardless of skew. Every same-block pair lands in
+    exactly one group (the sorted sub pair), so results are identical
+    to the unbounded form and the oracle is unchanged. Shuffle cost
+    is O(N * nsub * dim) — the distributed price of all-pairs, paid
+    in bounded tasks instead of one unbounded one.
+
+    The integer dot / sqrt / divide sequence is bit-identical to the
+    SQL expression, so DuckDB agrees to the last ulp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    counts = corpus.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
+    # 2x oversplit: hash sub-block sizes concentrate at cap/2, so a
+    # group (two sub-blocks) averages ~cap rows and stays under 2*cap
+    # even with hash variance; blocks <= cap/2 keep a single group.
+    nsub = F.ceil(F.col("_bn") * 2 / F.lit(cap)).cast("int")
+    sized = corpus.join(
+        F.broadcast(counts.select(block_col, nsub.alias("_nsub"))), block_col
+    )
+    sub = F.pmod(F.xxhash64("vec_id"), F.col("_nsub")).cast("int")
+    keyed = (
+        sized.withColumn("_sub", sub)
+        .withColumn("_k", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)))
+        .select(
+            block_col,
+            F.least("_sub", "_k").alias("_si"),
+            F.greatest("_sub", "_k").alias("_sj"),
+            "_sub",
+            "vec_id",
+            "qv",
+            "nq",
+        )
+    )
+
+    def pair_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        A = np.stack(pdf["qv"].to_numpy()).astype("int64", copy=False)
+        n = np.sqrt(pdf["nq"].to_numpy().astype("float64"))
+        si, sj = int(pdf["_si"].iloc[0]), int(pdf["_sj"].iloc[0])
+        if si == sj:
+            # Exact int64 dot products (< 2^53, so the float64 cast
+            # is exact); cosine = dot / (sqrt(na) * sqrt(nb)) in the
+            # same op order as the SQL expression.
+            cos = (A @ A.T).astype("float64") / np.outer(n, n)
+            i1, i2 = np.triu_indices(len(ids), k=1)
+        else:
+            left = (pdf["_sub"].to_numpy() == si).nonzero()[0]
+            right = (pdf["_sub"].to_numpy() == sj).nonzero()[0]
+            cos = (A[left] @ A[right].T).astype("float64") / np.outer(
+                n[left], n[right]
+            )
+            li, ri = np.meshgrid(
+                np.arange(len(left)), np.arange(len(right)), indexing="ij"
+            )
+            g1, g2 = left[li.ravel()], right[ri.ravel()]
+            flat = cos[li.ravel(), ri.ravel()]
+            flip = ids[g1] > ids[g2]
+            i1 = np.where(flip, g2, g1)
+            i2 = np.where(flip, g1, g2)
+            keep = flat >= threshold
+            return pd.DataFrame(
+                {"id1": ids[i1[keep]], "id2": ids[i2[keep]], "cos_sim": flat[keep]}
+            )
+        keep = cos[i1, i2] >= threshold
+        return pd.DataFrame(
+            {"id1": ids[i1[keep]], "id2": ids[i2[keep]], "cos_sim": cos[i1[keep], i2[keep]]}
+        )
+
+    return keyed.groupBy(block_col, "_si", "_sj").applyInPandas(
+        pair_block, "id1 long, id2 long, cos_sim double"
+    )
+
+
 @register(
     "x5_embedding_dedup",
     oracle=_CORPUS_SQL
@@ -98,36 +191,12 @@ _CORPUS_SQL = f"""
     """,
 )
 def x5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-local Gram matrix per label group: instead of a self-join
-    that shuffles a 64-long array per CANDIDATE PAIR (O(pairs * dim)
-    network traffic), each block's vectors cross the Arrow boundary
-    once and one int64 matmul scores every pair in the block. This is
-    the shape that survives 100 TB: shuffle O(N * dim), compute BLAS.
-    The integer dot / sqrt / divide sequence is bit-identical to the
-    column-expression form, so the oracle is unchanged."""
-    import numpy as np
-    import pandas as pd
-
+    """Block-local Gram matmul per (label x sub-block pair) group —
+    see bounded_block_pairs for the skew-bounded shape. Shuffle is
+    O(N * dim), compute is BLAS, and no task exceeds 2 * _BLOCK_CAP
+    rows even if one label holds the whole corpus."""
     corpus = _corpus_spark(spark, sf_dir).select("vec_id", "label", "qv", "nq")
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        A = np.stack(pdf["qv"].to_numpy()).astype("int64", copy=False)
-        n = np.sqrt(pdf["nq"].to_numpy().astype("float64"))
-        # Exact int64 dot products (< 2^53, so the float64 cast is
-        # exact); cosine = dot / (sqrt(na) * sqrt(nb)) in the same op
-        # order as the SQL expression.
-        cos = (A @ A.T).astype("float64") / np.outer(n, n)
-        i1, i2 = np.triu_indices(len(ids), k=1)
-        keep = cos[i1, i2] >= _NEAR_DUP_COS
-        return pd.DataFrame(
-            {"id1": ids[i1[keep]], "id2": ids[i2[keep]], "cos_sim": cos[i1[keep], i2[keep]]}
-        )
-
-    return corpus.groupBy("label").applyInPandas(
-        block_pairs, "id1 long, id2 long, cos_sim double"
-    )
+    return bounded_block_pairs(corpus)
 
 
 # ---------------------------------------------------------------------------

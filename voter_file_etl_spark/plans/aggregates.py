@@ -143,10 +143,18 @@ def a5_household_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A6 — multiple exact distinct counts per group. Spark expands this
-# to an expand+two-phase aggregate; at 100 TB prefer
-# approx_count_distinct (HLL) — provided in operators, not oracle-
-# checked (sketch results are engine-specific).
+# A6 — multiple exact distinct counts per group. The naive
+# `agg(countDistinct, countDistinct, countDistinct)` plans as an
+# Expand node that multiplies every input row by the number of
+# distinct aggregates BEFORE the shuffle — the classic 100 TB
+# expand-blowup. Instead: one dedup-then-count aggregation per key
+# column (partial HashAggregate dedups map-side, so each shuffle
+# carries only the DISTINCT (flag, key) pairs), joined on the tiny
+# group key. Three pruned 2-column scans replace one 4-column scan —
+# columnar scans are cheap; shuffled rows are not. a11 (HLL
+# approx_count_distinct) remains the single-pass path when estimates
+# suffice. Gate: tests/test_plan_quality.py asserts this plan has no
+# Expand node.
 # ---------------------------------------------------------------------------
 @register(
     "a6_multi_distinct",
@@ -161,10 +169,19 @@ def a5_household_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a6_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
+
+    def distinct_count(col: str, alias: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    return (
+        distinct_count("l_partkey", "n_parts")
+        .join(distinct_count("l_suppkey", "n_supps"), "l_returnflag")
+        .join(distinct_count("l_orderkey", "n_orders"), "l_returnflag")
     )
 
 

@@ -471,39 +471,10 @@ def x17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = keyed.select(F.col("doc_id").alias("src"), "blk")
     b = keyed.select(F.col("doc_id").alias("dst"), "blk")
-    edges = (
-        a.join(b, "blk")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .persist()
-    )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    # Min-label propagation to fixpoint. Each iteration: a node's new
-    # label is the min of its own and its neighbors' labels.
-    for _ in range(20):
-        nbr = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
-        )
-        new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+    edges = a.join(b, "blk").filter(F.col("src") != F.col("dst")).select("src", "dst")
+    from voter_file_etl_spark.operators.graph import connected_components
+
+    return connected_components(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -254,3 +254,55 @@ def x23_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_words").alias("total_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X25 — domain-mix resampling: hit a target per-domain sampling rate
+# (the "20% web, 5% forums, 80% books" mixture step every pretraining
+# corpus goes through). Rates are a pure function of the domain key —
+# here a deterministic rate table over the source's numeric suffix —
+# and assignment is the same md5-bucket filter as x13/x14, so the
+# sample is reproducible on any engine at any parallelism.
+#
+# Scale: rate lookup + bucket filter are map-side expressions; the
+# single shuffle is the per-domain audit aggregate. At 100 TB the
+# rate table would be a broadcast dim instead of a CASE expression —
+# same plan shape.
+# ---------------------------------------------------------------------------
+_MIX_RATES = {0: 80, 1: 50, 2: 25, 3: 10}  # src_num % 4 -> keep %
+
+
+@register(
+    "x25_domain_mix",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE CAST(substr(source, 4) AS INTEGER) % 4
+                  WHEN 0 THEN {_MIX_RATES[0]} WHEN 1 THEN {_MIX_RATES[1]}
+                  WHEN 2 THEN {_MIX_RATES[2]} ELSE {_MIX_RATES[3]} END AS target_rate
+      FROM documents
+    )
+    SELECT source, max(target_rate) AS target_rate,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {_bucket_sql("'mix:' || source || ':' || CAST(doc_id AS VARCHAR)")}
+                         < target_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM rated
+    GROUP BY source
+    """,
+)
+def x25_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (
+        F.when(src_num % 4 == 0, F.lit(_MIX_RATES[0]))
+        .when(src_num % 4 == 1, F.lit(_MIX_RATES[1]))
+        .when(src_num % 4 == 2, F.lit(_MIX_RATES[2]))
+        .otherwise(F.lit(_MIX_RATES[3]))
+    )
+    key = F.concat(F.lit("mix:"), "source", F.lit(":"), F.col("doc_id").cast("string"))
+    sampled = _bucket(key) < rate
+    return docs.groupBy("source").agg(
+        F.max(rate).alias("target_rate"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+    )

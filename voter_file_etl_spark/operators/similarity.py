@@ -332,20 +332,16 @@ def _ivf_oracle() -> str:
     )
 
 
-@register("x12_ann_ivf", oracle=_ivf_oracle())
-def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF, BLAS-shaped: the 16-row codebook is collected once (that
-    IS the IVF pattern — the codebook is a broadcast constant, built
-    offline by k-means at scale), assignment is one matmul per Arrow
-    batch map-side with zero shuffles, and the cell-local search is
-    one Gram matmul per cell via applyInPandas — the same
-    shuffle-O(N·dim), compute-in-BLAS shape as x5. Every float op
-    (int dot -> float64, sqrt, divide) matches the SQL expression
-    tree, so results stay bit-identical to the oracle."""
-    import numpy as np
-    import pandas as pd
+def ivf_assign_cells(corpus: DataFrame) -> DataFrame:
+    """Assign every (vec_id, qv, nq) row to its nearest-centroid cell.
 
-    corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
+    The _N_CELLS-row codebook is collected once (that IS the IVF
+    pattern — the codebook is a broadcast constant, built offline by
+    k-means at scale); assignment is one int64 matmul per Arrow batch
+    map-side with zero shuffles. Shared by x12 (IVF ANN search) and
+    x26 (SemDeDup cluster-level dedup)."""
+    import numpy as np
+
     cent_rows = sorted(
         corpus.filter(F.col("vec_id") < _N_CELLS).collect(), key=lambda r: r.vec_id
     )
@@ -365,9 +361,24 @@ def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf = pdf.assign(cell=cids[np.argmax(cos, axis=1)])
             yield pdf[["vec_id", "cell", "qv", "nq"]]
 
-    wb = corpus.mapInPandas(
+    return corpus.mapInPandas(
         assign, "vec_id long, cell long, qv array<long>, nq long"
     )
+
+
+@register("x12_ann_ivf", oracle=_ivf_oracle())
+def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF, BLAS-shaped: broadcast-codebook cell assignment
+    (ivf_assign_cells), then cell-local search as one Gram matmul per
+    cell via applyInPandas — the same shuffle-O(N·dim),
+    compute-in-BLAS shape as x5. Every float op (int dot -> float64,
+    sqrt, divide) matches the SQL expression tree, so results stay
+    bit-identical to the oracle."""
+    import numpy as np
+    import pandas as pd
+
+    corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
+    wb = ivf_assign_cells(corpus)
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -440,4 +451,83 @@ def x7_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "bucket", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _NEAR_DUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X26 — SemDeDup-style cluster-level semantic dedup (Abbas et al.
+# 2023): coarse-cluster the embedding space, find near-duplicate
+# pairs ONLY within each cluster cell, take connected components of
+# the pair graph, and keep one canonical representative (the minimum
+# vec_id) per component. This is the step that turns pairwise
+# embedding similarity into actual keep/drop curation decisions at
+# corpus scale.
+#
+# Scale: cell assignment is the broadcast-codebook matmul
+# (ivf_assign_cells, zero shuffles); the pair search is
+# bounded_block_pairs keyed on cell — O(N·dim) shuffle, BLAS
+# compute, hard per-task row cap even for a skewed cell; components
+# are min-label propagation (shuffles keyed on node id, rounds =
+# component diameter). No stage ever materializes the corpus on one
+# machine.
+# ---------------------------------------------------------------------------
+def _semdedup_oracle() -> str:
+    return (
+        _CORPUS_SQL.replace("WITH base", "WITH RECURSIVE base", 1)
+        + f"""
+    , cents AS (
+      SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
+      WHERE vec_id < {_N_CELLS}
+    ), assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT n.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY {V.cosine_sql(V.dot_sql_duckdb('n.qv', 'c.cqv'), 'n.nq', 'c.cnq')} DESC,
+                          c.cent_id) AS rn
+        FROM normed n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), wb AS (
+      SELECT n.vec_id, n.qv, n.nq, a.cell
+      FROM normed n JOIN assign a ON n.vec_id = a.vec_id
+    ), pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM wb a JOIN wb b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      WHERE {V.cosine_sql(V.dot_sql_duckdb('a.qv', 'b.qv'), 'a.nq', 'b.nq')}
+            >= {_NEAR_DUP_COS}
+    ), reach(node, label) AS (
+      SELECT DISTINCT src AS node, src AS label FROM pairs
+      UNION
+      SELECT p.dst AS node, r.label
+      FROM reach r JOIN pairs p ON r.node = p.src
+    ), comp AS (
+      SELECT node, min(label) AS component FROM reach GROUP BY node
+    )
+    SELECT w.vec_id, w.cell,
+           coalesce(c.component, w.vec_id) AS cluster,
+           coalesce(c.component, w.vec_id) = w.vec_id AS is_kept
+    FROM wb w LEFT JOIN comp c ON w.vec_id = c.node
+    """
+    )
+
+
+@register("x26_semdedup", oracle=_semdedup_oracle())
+def x26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.operators.graph import connected_components
+
+    corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
+    wb = ivf_assign_cells(corpus).persist()
+    pairs = bounded_block_pairs(wb, block_col="cell").select("id1", "id2")
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")).unionByName(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return (
+        wb.join(comp, wb.vec_id == comp.node, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("component", "vec_id").alias("cluster"),
+            (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("is_kept"),
+        )
     )

@@ -416,3 +416,85 @@ def x20_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X24 — repetition filter (Gopher-rule shape, Rae et al. 2021 §A1.1):
+# per-doc duplicate-word fraction and top-bigram fraction, plus the
+# keep/drop verdict. Repetitive machine-generated text shows up as a
+# high duplicate-token fraction or one dominating n-gram; both
+# signals here are exact count ratios (int/int -> double, bit-stable
+# across engines, no rounding needed).
+#
+# Scale: word stats are pure array expressions (map-side, no
+# shuffle); bigram stats are explode -> two partial+final hash aggs
+# keyed on doc_id (doc-local keys, no skew) -> broadcast-size join
+# back. No Python in the hot path.
+# ---------------------------------------------------------------------------
+_DUP_WORD_MAX = 0.54
+_TOP_BIGRAM_MAX = 0.12
+
+
+@register(
+    "x24_repetition_filter",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, str_split(lower(text), ' ') AS arr FROM documents
+    ), words AS (
+      SELECT doc_id, len(arr) AS n_tokens,
+             len(arr) - len(list_distinct(arr)) AS n_dup
+      FROM s
+    ), bg AS (
+      SELECT doc_id, g, count(*) AS n
+      FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(1, len(arr)),
+                 i -> concat(arr[i], ' ', arr[i + 1]))) AS g
+        FROM s
+      )
+      GROUP BY doc_id, g
+    ), bgs AS (
+      SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS n_bg
+      FROM bg GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_tokens,
+           CAST(w.n_dup AS DOUBLE) / w.n_tokens AS dup_word_frac,
+           CAST(b.top_n AS DOUBLE) / b.n_bg AS top_bigram_frac,
+           (CAST(w.n_dup AS DOUBLE) / w.n_tokens <= {_DUP_WORD_MAX}
+            AND CAST(b.top_n AS DOUBLE) / b.n_bg <= {_TOP_BIGRAM_MAX}) AS keep
+    FROM words w JOIN bgs b ON w.doc_id = b.doc_id
+    """,
+)
+def x24_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    arr = F.split(F.lower("text"), " ")
+    words = docs.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        (F.size(arr) - F.size(F.array_distinct(arr))).alias("n_dup"),
+    )
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+                    "i -> concat(split(lower(text), ' ')[i - 1], ' ', "
+                    "split(lower(text), ' ')[i]))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("n_bg"))
+    )
+    dup_frac = F.col("n_dup").cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_n").cast("double") / F.col("n_bg")
+    return words.join(bg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_frac"),
+        ((dup_frac <= _DUP_WORD_MAX) & (top_frac <= _TOP_BIGRAM_MAX)).alias("keep"),
+    )

@@ -56,3 +56,40 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_upsert_sink_merges_multiple_batches(spark, sf_dir, tmp_path):
+    """foreachBatch upsert: the stream must actually split into
+    several micro-batches (versioned snapshots advance once per
+    batch) and the final snapshot must equal the batch argmax."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from voter_file_etl_spark.streaming.sinks import _N_SRC_FILES, run_upsert_stream
+    from voter_file_etl_spark.tables import t
+
+    work = str(tmp_path / "upsert")
+    final = run_upsert_stream(spark, sf_dir, work)
+
+    versions = [d for d in os.listdir(work) if d.startswith("state_v")]
+    assert len(versions) == _N_SRC_FILES  # one merge per source file
+
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc(F.unix_micros("ts")), F.desc("event_id")
+    )
+    batch = (
+        t(spark, sf_dir, "events")
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("last_us"),
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+    assert {tuple(r) for r in final.collect()} == {tuple(r) for r in batch.collect()}

@@ -62,6 +62,7 @@ def load_all() -> None:
     )
     from voter_file_etl_spark.streaming import (  # noqa: F401
         joins as stream_joins,
+        sinks as stream_sinks,
         stateful as stream_stateful,
         windows as stream_windows,
     )

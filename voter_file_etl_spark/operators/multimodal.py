@@ -382,3 +382,113 @@ def build_wav_media(docs: DataFrame) -> DataFrame:
 def m6_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return decode_audio(build_wav_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# M7 — perceptual-hash image dedup (dHash, Krawetz 2013): decode each
+# image, reduce to a per-cell brightness grid, and hash the SIGN of
+# adjacent-cell gradients — identical images (and re-encodes with the
+# same pixels) collide, so grouping by the hash is image-level exact
+# dedup without comparing pixels pairwise. Horizontal then vertical
+# gradients over the 4x4 grid pack into a 24-bit integer.
+#
+# The Spark side computes the hash from the REAL decoded pixel
+# raster (decode_image_bytes); the oracle reproduces the same bits
+# from the source text with ascii() arithmetic, so the decoder's
+# pixel layout (H x W x C, row-major) is itself under test. Every
+# 25th doc is planted twice so hash collisions provably occur.
+#
+# Scale: decode+hash is Arrow-batched map work (no shuffle); the
+# dedup verdict is one window over phash — at 100 TB, a hash-keyed
+# groupBy instead (same plan as x1 exact dedup).
+# ---------------------------------------------------------------------------
+def image_phash(media_df: DataFrame) -> DataFrame:
+    """dHash over decoded images: brightness = per-cell channel sum,
+    bit k set iff the left/upper cell is darker than its right/lower
+    neighbor (row-major horizontal comparisons first)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_image_bytes(payload)
+                g = img.pixels.astype("int64").sum(axis=2)
+                bits, k = 0, 0
+                for r in range(img.height):
+                    for c in range(img.width - 1):
+                        if g[r, c] < g[r, c + 1]:
+                            bits |= 1 << k
+                        k += 1
+                for r in range(img.height - 1):
+                    for c in range(img.width):
+                        if g[r, c] < g[r + 1, c]:
+                            bits |= 1 << k
+                        k += 1
+                ids.append(doc_id)
+                hashes.append(bits)
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return media_df.mapInPandas(run, "doc_id long, phash long")
+
+
+def _phash_cell_sql(r: int, c: int) -> str:
+    base = (r * _IMG_W + c) * 3
+    return "(" + " + ".join(f"ascii(substr(t, {base + j}, 1))" for j in (1, 2, 3)) + ")"
+
+
+def _phash_bits_sql() -> str:
+    terms, k = [], 0
+    for r in range(_IMG_H):
+        for c in range(_IMG_W - 1):
+            terms.append(
+                f"CASE WHEN {_phash_cell_sql(r, c)} < {_phash_cell_sql(r, c + 1)} "
+                f"THEN CAST({1 << k} AS BIGINT) ELSE 0 END"
+            )
+            k += 1
+    for r in range(_IMG_H - 1):
+        for c in range(_IMG_W):
+            terms.append(
+                f"CASE WHEN {_phash_cell_sql(r, c)} < {_phash_cell_sql(r + 1, c)} "
+                f"THEN CAST({1 << k} AS BIGINT) ELSE 0 END"
+            )
+            k += 1
+    return " + ".join(terms)
+
+
+@register(
+    "m7_image_phash",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id, text FROM documents
+      WHERE doc_id % 25 = 0
+    ), padded AS (
+      SELECT doc_id, rpad(substr(text, 1, {_IMG_N}), {_IMG_N}, ' ') AS t
+      FROM corpus
+    ), hashed AS (
+      SELECT doc_id, {_phash_bits_sql()} AS phash FROM padded
+    )
+    SELECT doc_id, phash,
+           count(*) OVER (PARTITION BY phash) AS n_same,
+           doc_id = min(doc_id) OVER (PARTITION BY phash) AS is_canonical
+    FROM hashed
+    """,
+)
+def m7_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+    )
+    media = build_ppm_media(docs.unionByName(planted))
+    hashed = image_phash(media)
+    w = W.partitionBy("phash")
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count(F.lit(1)).over(w).alias("n_same"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+    )

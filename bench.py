@@ -65,6 +65,13 @@ HEADLINE = [
     "sql4_in_subquery",
     "m5_decode",
     "m6_audio_decode",
+    # round-2 new flagship operators
+    "x26_semdedup",
+    "x27_perplexity_filter",
+    "m7_image_phash",
+    "j10_spatial_blocked_join",
+    "j9_bucketed_join",
+    "st7_foreach_batch_upsert",
 ]
 
 

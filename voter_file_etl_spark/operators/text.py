@@ -498,3 +498,99 @@ def x24_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_frac.alias("top_bigram_frac"),
         ((dup_frac <= _DUP_WORD_MAX) & (top_frac <= _TOP_BIGRAM_MAX)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X27 — perplexity filtering (the CCNet/Gopher LM-score gate): score
+# every document by its average bigram negative log-likelihood under
+# the corpus's own bigram model (x18's counts, unsmoothed — every
+# observed bigram has a probability), and keep low-perplexity docs.
+#
+# Cross-engine exactness: ln() is libm, so each bigram's NLL is
+# snapped to integer MICRO-nats (round(ln(p)*1e6)) BEFORE the
+# per-doc aggregation — the sum is then exact BIGINT arithmetic in
+# any order, and the final average is one exact double division.
+# (Summing raw doubles would hash-mismatch: addition order differs
+# between engines.)
+#
+# Scale: two global count aggregates (partial+final, keyed on the
+# bigram), one broadcast-sized join per doc-bigram, one per-doc agg.
+# The model table is O(vocab²) — at 100 TB it stays a table (sort-
+# merge join), never a driver collect.
+# ---------------------------------------------------------------------------
+_PPL_CUT = -3.4  # avg log-prob cutoff in nats (~corpus median, so both classes occur)
+
+
+@register(
+    "x27_perplexity_filter",
+    oracle=f"""
+    WITH arrs AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '[^a-z0-9]+') AS arr
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, arr[i] AS w, i AS pos
+      FROM arrs, unnest(range(1, len(arr) + 1)) AS t(i)
+      WHERE arr[i] <> ''
+    ), big AS (
+      SELECT doc_id, w AS w1,
+             lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM big WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY w1
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(n12 AS DOUBLE) / n1) * 1000000, 0) AS BIGINT)
+               AS micro_lp
+      FROM big b
+      JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+      JOIN c1 ON b.w1 = c1.w1
+      WHERE b.w2 IS NOT NULL
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(micro_lp) AS BIGINT) AS sum_micro_lp,
+           CAST(sum(micro_lp) AS DOUBLE) / count(*) / 1000000.0 AS avg_lp,
+           CAST(sum(micro_lp) AS DOUBLE) / count(*) / 1000000.0 >= {_PPL_CUT}
+             AS keep
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def x27_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    big = toks.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.lead("w").over(W.partitionBy("doc_id").orderBy("pos")).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    micro = (
+        F.round(F.log(F.col("n12").cast("double") / F.col("n1")) * 1000000, 0)
+        .cast("bigint")
+        .alias("micro_lp")
+    )
+    scored = big.join(c12, ["w1", "w2"]).join(c1, "w1").select("doc_id", micro)
+    avg_lp = F.col("sum_micro_lp").cast("double") / F.col("n_bigrams") / F.lit(1000000.0)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("micro_lp").cast("bigint").alias("sum_micro_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_micro_lp",
+            avg_lp.alias("avg_lp"),
+            (avg_lp >= _PPL_CUT).alias("keep"),
+        )
+    )

@@ -303,3 +303,45 @@ def a14_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var), 4).alias("std_qty"),
         F.round(cov, 4).alias("cov_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A15 — exact per-group mode (most frequent value, lexicographic
+# tiebreak): two-level aggregate — count per (group, value), then
+# argmax via one row_number window over the tiny (group, value)
+# count table. The shuffles are keyed on (group, value) then group;
+# no Expand, no collect.
+# ---------------------------------------------------------------------------
+@register(
+    "a15_mode",
+    oracle="""
+    SELECT o_orderstatus, priority_mode, n_mode FROM (
+      SELECT o_orderstatus, o_orderpriority AS priority_mode,
+             count(*) AS n_mode,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def a15_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_mode")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("n_mode"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("priority_mode"),
+            "n_mode",
+        )
+    )

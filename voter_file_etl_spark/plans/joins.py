@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.geohash import geohash_col, geohash_sql
+from voter_file_etl_spark.plans.scalars import _HAV_KM
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -215,4 +216,153 @@ def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_price"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9 — bucketed co-located join: both sides written bucketBy the join
+# key, so the join plans with NO exchange on either side — the bucket
+# layout IS the shuffle, paid once at write time and amortized over
+# every later join (SCALE.md §2; plan property asserted in
+# tests/test_bucketing.py). This is the 100 TB recipe for repeated
+# fact-fact joins (state table ⋈ state table on the voter key in the
+# reference's implied workload). The oracle is the plain join — the
+# bucketed physical layout must not change a single result row.
+# ---------------------------------------------------------------------------
+@register(
+    "j9_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def j9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_buckets = 8
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    spark.sql("DROP TABLE IF EXISTS j9_li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS j9_orders_bucketed")
+    (
+        li.write.bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .saveAsTable("j9_li_bucketed")
+    )
+    (
+        orders.write.bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .saveAsTable("j9_orders_bucketed")
+    )
+    lib = spark.table("j9_li_bucketed")
+    ob = spark.table("j9_orders_bucketed")
+    return (
+        lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — spatial blocked join (the distributed "find points within d"
+# shape the reference's geo columns imply: voters near an address,
+# households within a radius). All-pairs haversine is O(N²); the
+# scale shape is grid blocking: every point gets an integer cell, one
+# side expands to its 3x3 cell neighborhood (explode — at most 9x one
+# side, constant), candidates come from the cell equi-join, and the
+# exact haversine filters candidates. Cell size (0.01 deg) exceeds
+# the 0.55 km threshold at this latitude, so no qualifying pair can
+# span beyond adjacent cells — the join is exact, never quadratic.
+#
+# Determinism: cells derive from INTEGER grid indices only (float
+# floor() near cell edges is where engines disagree); coordinates are
+# double with identical op order on both engines; the haversine is
+# rounded to 6 decimals before the threshold compare (t9 policy).
+# ---------------------------------------------------------------------------
+_GRID_LAT0, _GRID_LON0 = "40.0", "-88.0"
+_SPAT_KM = 0.55
+
+
+def _spatial_coords_sql(dialect: str) -> str:
+    """(id, li, lj, lat, lon, cx, cy) from customer keys — synthetic
+    but deterministic points on a 0.001-degree grid, cells = 10x10
+    grid indices (pure integer math)."""
+    idiv = "//" if dialect == "duckdb" else "div"
+    dbl = "" if dialect == "duckdb" else "D"
+    return f"""
+      SELECT c_custkey AS id,
+             c_custkey % 40 AS li,
+             (c_custkey {idiv} 40) % 40 AS lj,
+             {_GRID_LAT0}{dbl} + CAST(c_custkey % 40 AS DOUBLE) * 0.001{dbl} AS lat,
+             {_GRID_LON0}{dbl} + CAST((c_custkey {idiv} 40) % 40 AS DOUBLE) * 0.001{dbl} AS lon,
+             (c_custkey % 40) {idiv} 10 AS cx,
+             ((c_custkey {idiv} 40) % 40) {idiv} 10 AS cy
+      FROM customer
+    """
+
+
+@register(
+    "j10_spatial_blocked_join",
+    oracle=f"""
+    WITH coords AS (
+      {_spatial_coords_sql("duckdb")}
+    ), expanded AS (
+      SELECT c.id, c.lat, c.lon, c.cx + dx.d AS jx, c.cy + dy.d AS jy
+      FROM coords c,
+           (VALUES (-1), (0), (1)) AS dx(d),
+           (VALUES (-1), (0), (1)) AS dy(d)
+    )
+    SELECT a.id AS id1, b.id AS id2,
+           round({_HAV_KM.format(lat1="a.lat", lon1="a.lon",
+                                 lat2="b.lat", lon2="b.lon")}, 6) AS dist_km
+    FROM expanded a JOIN coords b ON a.jx = b.cx AND a.jy = b.cy AND a.id < b.id
+    WHERE round({_HAV_KM.format(lat1="a.lat", lon1="a.lon",
+                                lat2="b.lat", lon2="b.lon")}, 6) <= {_SPAT_KM}
+    """,
+)
+def j10_spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    li = F.col("c_custkey") % 40
+    lj = F.expr("(c_custkey div 40) % 40")
+    coords = customer.select(
+        F.col("c_custkey").alias("id"),
+        (F.expr(f"{_GRID_LAT0}D") + li.cast("double") * F.expr("0.001D")).alias("lat"),
+        (F.expr(f"{_GRID_LON0}D") + lj.cast("double") * F.expr("0.001D")).alias("lon"),
+        F.expr("(c_custkey % 40) div 10").alias("cx"),
+        F.expr("((c_custkey div 40) % 40) div 10").alias("cy"),
+    )
+    offsets = F.expr("explode(sequence(-1, 1))")
+    expanded = (
+        coords.select("id", "lat", "lon", "cx", "cy", offsets.alias("dx"))
+        .select("id", "lat", "lon", "cx", "cy", "dx", offsets.alias("dy"))
+        .select(
+            "id",
+            "lat",
+            "lon",
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    a = expanded.select(
+        F.col("id").alias("id1"), F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"), "jx", "jy",
+    )
+    b = coords.select(
+        F.col("id").alias("id2"), F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"), F.col("cx").alias("jx"), F.col("cy").alias("jy"),
+    )
+    km = F.round(
+        F.expr(_HAV_KM.format(lat1="lat1", lon1="lon1", lat2="lat2", lon2="lon2")), 6
+    )
+    return (
+        a.join(b, ["jx", "jy"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", km.alias("dist_km"))
+        .filter(F.col("dist_km") <= _SPAT_KM)
     )

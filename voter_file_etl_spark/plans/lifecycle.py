@@ -91,3 +91,58 @@ def l4_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("s_status", "t_status").alias("o_orderstatus"),
         F.coalesce("s_price", "t_price").cast("double").alias("price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 — schema evolution across snapshots: the reference's migration
+# history adds columns over time (migration 20240618150602 added the
+# district columns; read_tsv already tolerates narrower inputs). The
+# table-side equivalent: snapshots written before the migration lack
+# the new column; mergeSchema=true reads the union schema and
+# back-fills NULL, so old snapshots stay readable forever without a
+# rewrite. Snapshot v=1 (even order keys) predates the migration and
+# omits o_orderpriority; v=2 carries it. The aggregate proves the
+# merged read: v1 rows have zero non-null priorities, v2 all, and the
+# exact-decimal price sum shows no row was lost or duplicated.
+#
+# Scale: mergeSchema unions footer schemas at planning time (driver-
+# side, O(files) — use a fixed read schema once it stabilizes);
+# per-file reads stay columnar and NULL back-fill is free.
+# ---------------------------------------------------------------------------
+@register(
+    "l5_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS v,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_priority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def l5_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = os.path.join(tempfile.gettempdir(), "voter_file_etl_spark", "l5_evolve")
+    orders = t(spark, sf_dir, "orders")
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "v=1"))
+    )
+    (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(base, "v=2"))
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", base)
+        .parquet(base)
+    )
+    return merged.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_priority"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )

@@ -359,3 +359,58 @@ def t9_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.crossJoin(F.broadcast(s)).select(
         "c_custkey", "s_suppkey", F.round(F.expr(km), 6).alias("dist_km")
     )
+
+
+# ---------------------------------------------------------------------------
+# F4 — contact normalization (the VoterTelephones_* columns' implied
+# cleanup): strip formatting to bare digits, validate digit count,
+# split the area prefix. The raw phone is synthesized from the key in
+# mixed formats — "(312) 555-0148", "312-555-0148", "312.555.0148" —
+# so the normalizer provably handles format variance. Pure
+# regexp/substring Column expressions: whole-stage codegen, no
+# Python.
+# ---------------------------------------------------------------------------
+_PH_AREA = "lpad(CAST(200 + (c_custkey % 700) AS VARCHAR), 3, '0')"
+_PH_LINE = "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+
+
+@register(
+    "f4_normalize_phone",
+    oracle=f"""
+    WITH raw AS (
+      SELECT c_custkey,
+             CASE c_custkey % 3
+               WHEN 0 THEN concat('(', {_PH_AREA}, ') 555-', {_PH_LINE})
+               WHEN 1 THEN concat({_PH_AREA}, '-555-', {_PH_LINE})
+               ELSE concat({_PH_AREA}, '.555.', {_PH_LINE})
+             END AS phone
+      FROM customer
+    )
+    SELECT c_custkey, phone,
+           regexp_replace(phone, '[^0-9]', '', 'g') AS digits,
+           length(regexp_replace(phone, '[^0-9]', '', 'g')) AS n_digits,
+           substr(regexp_replace(phone, '[^0-9]', '', 'g'), 1, 3) AS area_code,
+           length(regexp_replace(phone, '[^0-9]', '', 'g')) = 10 AS valid
+    FROM raw
+    """,
+)
+def f4_normalize_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    area = F.lpad((F.lit(200) + F.col("c_custkey") % 700).cast("string"), 3, "0")
+    line = F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")
+    phone = (
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.lit("("), area, F.lit(") 555-"), line))
+        .when(F.col("c_custkey") % 3 == 1,
+              F.concat(area, F.lit("-555-"), line))
+        .otherwise(F.concat(area, F.lit(".555."), line))
+    )
+    digits = F.regexp_replace(phone, "[^0-9]", "")
+    return customer.select(
+        "c_custkey",
+        phone.alias("phone"),
+        digits.alias("digits"),
+        F.length(digits).alias("n_digits"),
+        F.substring(digits, 1, 3).alias("area_code"),
+        (F.length(digits) == 10).alias("valid"),
+    )

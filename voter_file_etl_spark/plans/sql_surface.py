@@ -136,3 +136,30 @@ GROUP BY o_orderpriority
 def sql4_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders", "customer", "lineitem")
     return spark.sql(_INQ)
+
+
+# ---------------------------------------------------------------------------
+# SQL5 — window function through the SQL frontend: per-nation top-3
+# suppliers by account balance (the Q2-shaped "best supplier per
+# group" pattern). Same SQL text runs on both engines; ordering is
+# made total with the key tiebreak so rank assignment is
+# deterministic at any parallelism.
+# ---------------------------------------------------------------------------
+_QW = """
+SELECT n_name, s_name, rnk,
+       CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+FROM (
+  SELECT n_name, s_name, s_acctbal,
+         row_number() OVER (
+           PARTITION BY n_nationkey
+           ORDER BY CAST(s_acctbal AS DECIMAL(12,2)) DESC, s_suppkey) AS rnk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+WHERE rnk <= 3
+"""
+
+
+@register("sql5_window_rank", oracle=_QW)
+def sql5_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "nation")
+    return spark.sql(_QW)

@@ -229,6 +229,21 @@ def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's implied workload). The oracle is the plain join — the
 # bucketed physical layout must not change a single result row.
 # ---------------------------------------------------------------------------
+def _reset_bucketed_table(spark: SparkSession, name: str) -> None:
+    """Drop ``name`` from the catalog AND clear its warehouse
+    location: a fresh session's in-memory catalog forgets the table
+    while the directory a previous session wrote survives, and
+    saveAsTable refuses to CREATE over an existing location."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if wh.scheme in ("file", ""):
+        shutil.rmtree(os.path.join(wh.path, name.lower()), ignore_errors=True)
+
+
 @register(
     "j9_bucketed_join",
     oracle="""
@@ -243,8 +258,8 @@ def j9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buckets = 8
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    spark.sql("DROP TABLE IF EXISTS j9_li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS j9_orders_bucketed")
+    _reset_bucketed_table(spark, "j9_li_bucketed")
+    _reset_bucketed_table(spark, "j9_orders_bucketed")
     (
         li.write.bucketBy(n_buckets, "l_orderkey")
         .sortBy("l_orderkey")

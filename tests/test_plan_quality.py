@@ -79,3 +79,40 @@ def test_aggregates_are_partial_final(spark, sf_dir, key):
     # must contain two HashAggregate nodes around the shuffle.
     plan = _formatted_plan(spark, key, sf_dir)
     assert plan.count("HashAggregate") >= 2, f"{key}: no map-side partial aggregate"
+
+
+def test_bucketed_join_key_has_no_shuffle(spark, sf_dir):
+    # j9 writes both sides bucketed by the join key; the join itself
+    # must then plan with no Exchange above either scan — the bucket
+    # layout IS the shuffle, paid once at write time.
+    plan = _formatted_plan(spark, "j9_bucketed_join", sf_dir)
+    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # Exactly one Exchange is allowed: the final aggregation's. The
+    # join inputs must come straight from the bucketed scans.
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+
+
+def test_spatial_join_is_equi_join_not_cartesian(spark, sf_dir):
+    # j10's proximity predicate must plan as an equi-join on the cell
+    # keys (blocking), never a CartesianProduct / BroadcastNestedLoop
+    # with a theta filter.
+    plan = _formatted_plan(spark, "j10_spatial_blocked_join", sf_dir)
+    assert "CartesianProduct" not in plan, "spatial join fell back to cartesian"
+    assert "BroadcastNestedLoopJoin" not in plan, "spatial join is a nested loop"
+
+
+def test_schema_evolution_read_prunes_columns(spark, sf_dir):
+    # The mergeSchema read must still prune: the aggregate touches
+    # only 3 of the union-schema columns.
+    plan = _formatted_plan(spark, "l5_schema_evolution", sf_dir)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "o_orderkey" not in read[-1], read
+
+
+def test_semdedup_assignment_is_map_side(spark, sf_dir):
+    # x26's cell assignment is a broadcast-codebook mapInPandas: the
+    # stage between scan and the pair-search shuffle must contain no
+    # join for the assignment itself.
+    plan = _formatted_plan(spark, "x26_semdedup", sf_dir)
+    assert "CartesianProduct" not in plan

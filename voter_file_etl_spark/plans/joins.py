@@ -274,8 +274,12 @@ def j9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lib = spark.table("j9_li_bucketed")
     ob = spark.table("j9_orders_bucketed")
+    # MERGE hint: at tiny SF Catalyst would broadcast the small side
+    # (also shuffle-free, but it bypasses the bucketed layout this
+    # operator demonstrates); at production scale both sides exceed
+    # the broadcast threshold and SMJ over buckets is the plan anyway.
     return (
-        lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        lib.hint("merge").join(ob, lib.l_orderkey == ob.o_orderkey)
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

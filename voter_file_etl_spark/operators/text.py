@@ -594,3 +594,72 @@ def x27_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (avg_lp >= _PPL_CUT).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X28 — BPE merge-pair counting: the inner step of byte-pair-encoding
+# tokenizer training — count adjacent symbol pairs across the corpus
+# weighted by word frequency, rank candidates for the next merge.
+# One round is shown (chars -> pairs); iterating re-runs the same
+# plan over re-segmented words.
+#
+# Scale: word-frequency table first (one shuffle keyed on the word —
+# pair generation then runs once per DISTINCT word, not per
+# occurrence), pair explosion is map-side over the tiny distinct-word
+# table, final count is a partial+final agg keyed on the pair.
+# ---------------------------------------------------------------------------
+_BPE_TOP = 50
+
+
+@register(
+    "x28_bpe_merge_pairs",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, count(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ), pairs AS (
+      SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, freq
+      FROM words, unnest(range(1, length(w))) AS t(i)
+    ), counted AS (
+      SELECT c1, c2, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY c1, c2
+    )
+    SELECT c1, c2, pair_count, rnk FROM (
+      SELECT c1, c2, pair_count,
+             row_number() OVER (ORDER BY pair_count DESC, c1, c2) AS rnk
+      FROM counted
+    ) WHERE rnk <= {_BPE_TOP}
+    """,
+)
+def x28_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+        )).alias("_i", "pair"),
+        "freq",
+    ).filter(F.length("pair") == 2)
+    counted = (
+        pairs.select(
+            F.substring("pair", 1, 1).alias("c1"),
+            F.substring("pair", 2, 1).alias("c2"),
+            "freq",
+        )
+        .groupBy("c1", "c2")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+    w = W.orderBy(F.desc("pair_count"), F.asc("c1"), F.asc("c2"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BPE_TOP)
+    )

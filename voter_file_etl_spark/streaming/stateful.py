@@ -122,3 +122,62 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> D
 def st4_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="st4_ckpt_", dir=os.environ.get("TMPDIR", "/tmp"))
     return run_dedup_stream(spark, sf_dir, ckpt)
+
+
+# ---------------------------------------------------------------------------
+# ST8 — built-in streaming dedup: dropDuplicates over the full key on
+# an unbounded stream (state = one entry per distinct key, the
+# native sibling of st4's custom applyInPandasWithState dedup; with
+# event-time bounds, dropDuplicatesWithinWatermark caps the state).
+# Which PHYSICAL row survives per key is arrival-order-dependent, so
+# the registered output is the per-type distinct-key count — exactly
+# the quantity the dedup guarantees deterministically.
+# ---------------------------------------------------------------------------
+@register(
+    "st8_stream_dedup_builtin",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st8_stream_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    ckpt = tempfile.mkdtemp(prefix="st8_ckpt_", dir=os.environ.get("TMPDIR", "/tmp"))
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) as long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+    )
+    counted = (
+        stream.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    query = (
+        counted.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st8_stream_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # Update mode emits a row per trigger as counts grow; the final
+    # value per type is the maximum emitted.
+    return (
+        spark.sql("SELECT * FROM st8_stream_out")
+        .groupBy("event_type")
+        .agg(F.max("n_users").alias("n_users"))
+    )

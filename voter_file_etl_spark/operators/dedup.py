@@ -174,42 +174,33 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("x2_dedup_minhash", oracle=_minhash_oracle())
-def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz end marker")).alias("text"),
+def shingle3(corpus: DataFrame) -> DataFrame:
+    """(doc_id, shingles): distinct word 3-shingles per doc. Callers
+    persist the result — the shingle arrays typically feed several
+    consumers (signatures + both sides of the Jaccard verify), and
+    recomputing the md5/shingle work per branch multiplies the map
+    cost. MEMORY_AND_DISK at the call site so a 100 TB corpus spills
+    instead of OOMing; size is O(corpus tokens), not O(pairs)."""
+    return corpus.withColumn("arr", F.split("text", " ")).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(arr) >= 3 THEN "
+            "array_distinct(transform(sequence(0, size(arr) - 3), "
+            "i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) "
+            "ELSE CAST(array() AS ARRAY<STRING>) END"
+        ).alias("shingles"),
     )
-    corpus = docs.unionByName(copies)
 
-    # Tokenize once (not per shingle), then persist: the shingle arrays
-    # feed three consumers (minhash signatures + both sides of the
-    # Jaccard verify join), and recomputing the md5/shingle work per
-    # branch triples the map cost. MEMORY_AND_DISK so a 100 TB corpus
-    # spills instead of OOMing; size is O(corpus tokens), not O(pairs).
-    shingled = (
-        corpus.withColumn("arr", F.split("text", " "))
-        .select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN size(arr) >= 3 THEN "
-                "array_distinct(transform(sequence(0, size(arr) - 3), "
-                "i -> concat(arr[i], ' ', arr[i+1], ' ', arr[i+2]))) "
-                "ELSE CAST(array() AS ARRAY<STRING>) END"
-            ).alias("shingles"),
-        )
-        .persist()
-    )
-    # Hash each shingle once, then slice — see the seed-slicing note
-    # above _minhash_oracle.
+
+def minhash_bands(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): LSH band signatures — one md5 per shingle
+    sliced into _N_SEEDS 16-bit hashes (see the seed-slicing note
+    above _minhash_oracle), banded _BAND_SIZE seeds per signature."""
     mh = shingled.select(
         "doc_id",
-        "shingles",
         F.expr("transform(shingles, x -> md5(x))").alias("hx"),
     ).select(
         "doc_id",
-        "shingles",
         *[
             F.expr(f"array_min(transform(hx, h -> substring(h, {4 * s + 1}, 4)))").alias(
                 f"m{s}"
@@ -217,9 +208,7 @@ def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_N_SEEDS)
         ],
     )
-    # Persist the band table: both sides of the self-join read it, and
-    # without the persist each side re-runs the md5/min signature scan.
-    bands = mh.select(
+    return mh.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -229,7 +218,21 @@ def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "sig"),
-    ).persist()
+    )
+
+
+@register("x2_dedup_minhash", oracle=_minhash_oracle())
+def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz end marker")).alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    shingled = shingle3(corpus).persist()
+    # Persist the band table: both sides of the self-join read it, and
+    # without the persist each side re-runs the md5/min signature scan.
+    bands = minhash_bands(shingled).persist()
     a = bands.select(
         F.col("doc_id").alias("id1"), F.col("band").alias("band"), F.col("sig").alias("sig")
     )
@@ -561,3 +564,112 @@ def x22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams(corpus).join(F.broadcast(bench), "g").select("doc_id").distinct()
     )
     return corpus.join(contaminated, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# X29 — fuzzy decontamination: cross-corpus MinHash (x2's machinery
+# between TWO corpora instead of within one). Exact n-gram scrubbing
+# (x22) misses lightly-edited benchmark leaks; here the held-out set
+# and the training corpus are both shingled+banded, candidates come
+# from the band equi-join bench ⋈ corpus, and the Jaccard verify
+# keeps precision exact. Planted near-duplicates (benchmark text +
+# trailing edit) prove the detection path. Output = every
+# (corpus doc, bench doc) pair above threshold — the kill list a
+# curation pipeline anti-joins against.
+#
+# Scale: identical to x2 — shuffle keyed on (band, sig), the bench
+# side is typically small enough to broadcast, verify is candidates-
+# only. Never corpus x bench.
+# ---------------------------------------------------------------------------
+def _fuzzy_decon_oracle() -> str:
+    mh_cols = ",\n        ".join(
+        f"list_min(list_transform(shingles, x -> substr(md5(x), {4 * s + 1}, 4))) AS m{s}"
+        for s in range(_N_SEEDS)
+    )
+
+    def bands(src: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band, m{2 * b} || m{2 * b + 1} AS sig FROM {src}"
+            for b in range(_N_BANDS)
+        )
+
+    return f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, concat(text, ' xq tail edit') AS text
+      FROM documents WHERE doc_id % 97 = 0
+    ), shb AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(arr) - 1),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+      FROM (SELECT doc_id, str_split(text, ' ') AS arr FROM bench)
+    ), shc AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(arr) - 1),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+      FROM (SELECT doc_id, str_split(text, ' ') AS arr FROM corpus)
+    ), mhb AS (
+      SELECT doc_id, shingles, {mh_cols} FROM shb
+    ), mhc AS (
+      SELECT doc_id, shingles, {mh_cols} FROM shc
+    ), bb AS (
+      {bands("mhb")}
+    ), bc AS (
+      {bands("mhc")}
+    ), cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS bench_id
+      FROM bc c JOIN bb b ON c.band = b.band AND c.sig = b.sig
+    )
+    SELECT cand.corpus_id, cand.bench_id,
+      CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        / (len(s1.shingles) + len(s2.shingles)
+           - len(list_intersect(s1.shingles, s2.shingles))) AS jaccard
+    FROM cand
+    JOIN shc s1 ON cand.corpus_id = s1.doc_id
+    JOIN shb s2 ON cand.bench_id = s2.doc_id
+    WHERE CAST(len(list_intersect(s1.shingles, s2.shingles)) AS DOUBLE)
+        / (len(s1.shingles) + len(s2.shingles)
+           - len(list_intersect(s1.shingles, s2.shingles))) >= {_MINHASH_JACCARD_MIN}
+    """
+
+
+@register("x29_fuzzy_decontaminate", oracle=_fuzzy_decon_oracle())
+def x29_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = docs.filter(is_bench)
+    planted = bench.select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.concat("text", F.lit(" xq tail edit")).alias("text"),
+    )
+    corpus = docs.filter(~is_bench).unionByName(planted)
+
+    shb = shingle3(bench).persist()
+    shc = shingle3(corpus).persist()
+    cand = (
+        minhash_bands(shc)
+        .select(F.col("doc_id").alias("corpus_id"), "band", "sig")
+        .join(
+            F.broadcast(
+                minhash_bands(shb).select(
+                    F.col("doc_id").alias("bench_id"), "band", "sig"
+                )
+            ),
+            ["band", "sig"],
+        )
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    s1 = shc.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh1"))
+    s2 = shb.select(F.col("doc_id").alias("bench_id"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    return (
+        cand.join(s1, "corpus_id")
+        .join(F.broadcast(s2), "bench_id")
+        .select("corpus_id", "bench_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _MINHASH_JACCARD_MIN)
+    )

@@ -310,18 +310,19 @@ _SPAT_KM = 0.55
 
 def _spatial_coords_sql(dialect: str) -> str:
     """(id, li, lj, lat, lon, cx, cy) from customer keys — synthetic
-    but deterministic points on a 0.001-degree grid, cells = 10x10
-    grid indices (pure integer math)."""
+    but deterministic points on a 0.001-degree grid, cells = 7x7 grid
+    indices (pure integer math; 7 steps = 0.78/0.60 km >= the 0.55 km
+    radius, so adjacent cells always cover it)."""
     idiv = "//" if dialect == "duckdb" else "div"
     dbl = "" if dialect == "duckdb" else "D"
     return f"""
       SELECT c_custkey AS id,
-             c_custkey % 40 AS li,
-             (c_custkey {idiv} 40) % 40 AS lj,
-             {_GRID_LAT0}{dbl} + CAST(c_custkey % 40 AS DOUBLE) * 0.001{dbl} AS lat,
-             {_GRID_LON0}{dbl} + CAST((c_custkey {idiv} 40) % 40 AS DOUBLE) * 0.001{dbl} AS lon,
-             (c_custkey % 40) {idiv} 10 AS cx,
-             ((c_custkey {idiv} 40) % 40) {idiv} 10 AS cy
+             c_custkey % 400 AS li,
+             (c_custkey {idiv} 400) % 400 AS lj,
+             {_GRID_LAT0}{dbl} + CAST(c_custkey % 400 AS DOUBLE) * 0.001{dbl} AS lat,
+             {_GRID_LON0}{dbl} + CAST((c_custkey {idiv} 400) % 400 AS DOUBLE) * 0.001{dbl} AS lon,
+             (c_custkey % 400) {idiv} 7 AS cx,
+             ((c_custkey {idiv} 400) % 400) {idiv} 7 AS cy
       FROM customer
     """
 
@@ -347,14 +348,14 @@ def _spatial_coords_sql(dialect: str) -> str:
 )
 def j10_spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
-    li = F.col("c_custkey") % 40
-    lj = F.expr("(c_custkey div 40) % 40")
+    li = F.col("c_custkey") % 400
+    lj = F.expr("(c_custkey div 400) % 400")
     coords = customer.select(
         F.col("c_custkey").alias("id"),
         (F.expr(f"{_GRID_LAT0}D") + li.cast("double") * F.expr("0.001D")).alias("lat"),
         (F.expr(f"{_GRID_LON0}D") + lj.cast("double") * F.expr("0.001D")).alias("lon"),
-        F.expr("(c_custkey % 40) div 10").alias("cx"),
-        F.expr("((c_custkey div 40) % 40) div 10").alias("cy"),
+        F.expr("(c_custkey % 400) div 7").alias("cx"),
+        F.expr("((c_custkey div 400) % 400) div 7").alias("cy"),
     )
     offsets = F.expr("explode(sequence(-1, 1))")
     expanded = (

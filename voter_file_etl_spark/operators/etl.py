@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.geohash import geohash_text_col
+from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.schema import GEOHASH_COLUMN
 from voter_file_etl_spark.sources import manifest as mf
 from voter_file_etl_spark.sources.tsv import read_tsv
@@ -174,4 +175,93 @@ def read_voters(spark: SparkSession, warehouse_dir: str) -> DataFrame:
     — partition pruning replaces the per-state table routing."""
     return spark.read.option("basePath", warehouse_dir).parquet(
         os.path.join(warehouse_dir, "state=*")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 — the whole §3.1 pipeline, driver-checked: TSV fixtures derive
+# from the customer table (so the DuckDB oracle can recompute every
+# output row from the same source), flow through
+# manifest -> run_load (projection/cast/null-normalize -> geohash +
+# city enrichment -> PK dedup -> reconcile -> blue/green publish) ->
+# read_voters, and the published rows are compared field-by-field —
+# including the geohash encoding, the " (EST.)" strip, NULL geohash
+# for blank coordinates, duplicate-PK collapse, and the skipped
+# DEMOGRAPHIC file.
+#
+# Fixture construction is driver-side (it IS file generation, the
+# role the reference's SFTP download plays); everything after the
+# files exist is the engine's distributed path.
+# ---------------------------------------------------------------------------
+from voter_file_etl_spark.functions.geohash import geohash_sql as _gh_sql
+
+_E1_LAT = "((c_custkey % 80) + 0.25)"
+_E1_LON = "(((c_custkey * 3) % 170) + 0.25)"
+
+
+@register(
+    "e1_etl_pipeline",
+    oracle=f"""
+    SELECT 'LAL' || CAST(c_custkey AS VARCHAR) AS voter_id,
+           'N0' || CAST(c_nationkey % 3 AS VARCHAR) AS state,
+           c_name AS first_name,
+           'City' || CAST(c_custkey % 5 AS VARCHAR) AS city,
+           CASE WHEN c_custkey % 11 = 0 THEN NULL
+                ELSE {_gh_sql(_E1_LAT, _E1_LON, 8, "duckdb")} END AS geohash
+    FROM customer
+    """,
+)
+def e1_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import csv
+    import tempfile
+
+    from voter_file_etl_spark.tables import t as _t
+
+    base = tempfile.mkdtemp(prefix="e1_etl_", dir=os.environ.get("TMPDIR", "/tmp"))
+    files_dir = os.path.join(base, "files")
+    wh = os.path.join(base, "warehouse")
+    mfp = os.path.join(base, "manifest")
+    os.makedirs(files_dir)
+
+    rows = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    ).collect()
+    header = [
+        "LALVOTERID", "Voters_FirstName", "Residence_Addresses_Latitude",
+        "Residence_Addresses_Longitude", "Residence_Addresses_City",
+        "NotInSchemaJunk",  # must be projected away (mapHeaders)
+    ]
+    by_state: dict[str, list[list[str]]] = {}
+    for r in rows:
+        k = int(r["c_custkey"])
+        state = f"N0{int(r['c_nationkey']) % 3}"
+        lat = "" if k % 11 == 0 else f"{k % 80}.25"
+        lon = "" if k % 11 == 0 else f"{(k * 3) % 170}.25"
+        city = f"City{k % 5}" + (" (EST.)" if k % 7 == 0 else "")
+        line = [f"LAL{k}", r["c_name"], lat, lon, city, "junk"]
+        by_state.setdefault(state, []).append(line)
+        if k % 13 == 0:  # exact duplicate PK row -> collapsed by dedup
+            by_state[state].append(list(line))
+
+    recorded = []
+    for i, state in enumerate(sorted(by_state)):
+        name = f"{i + 1:02d}--{state}--2024-01-01.tab"
+        with open(os.path.join(files_dir, name), "w", newline="") as f:
+            w = csv.writer(f, delimiter="\t")
+            w.writerow(header)
+            w.writerows(by_state[state])
+        recorded.append((name, state, len(by_state[state]) + 1))
+    # A DEMOGRAPHIC companion file that the loader must skip.
+    with open(os.path.join(files_dir, "99--N00--2024-01-01--DEMOGRAPHIC.tab"), "w") as f:
+        f.write("LALVOTERID\nLAL999999999\n")
+
+    mf.record_files(spark, mfp, recorded)
+    run_load(spark, files_dir, wh, mfp)
+    voters = read_voters(spark, wh)
+    return voters.select(
+        F.col(PK).alias("voter_id"),
+        F.col("state").cast("string").alias("state"),
+        F.col("Voters_FirstName").alias("first_name"),
+        F.col("Residence_Addresses_City").alias("city"),
+        F.col(GEOHASH_COLUMN).alias("geohash"),
     )

@@ -531,3 +531,121 @@ def x26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("component", "vec_id") == F.col("vec_id")).alias("is_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X30 — k-means codebook training (Lloyd's algorithm, 2 iterations):
+# the OFFLINE step that produces the IVF codebook x12/x26 consume.
+# Initialization is deterministic (the first _N_CELLS corpus
+# vectors); each iteration is (a) assign: broadcast-centroid argmax
+# cosine, (b) update: element-wise integer mean of the assigned
+# quantized vectors. Integer means (exact BIGINT sums, truncating
+# div — both engines truncate toward zero) keep every centroid
+# coordinate bit-identical across engines and shuffle orders, the
+# same determinism-by-quantization policy as the rest of the vector
+# suite. Output: per final cell, the member count and the quantized
+# inertia (micro-units of 1-cos, summed as exact integers).
+#
+# Scale: per iteration, assignment is a broadcast join (centroids
+# are O(cells)) + one argmax window keyed on vec_id; the update is
+# one partial+final agg keyed on (cell, dim). Iterations are a
+# driver-side loop over DataFrame plans — nothing is collected but
+# the tiny codebook.
+# ---------------------------------------------------------------------------
+def _kmeans_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmax-cosine cell assignment: (vec_id, qv, nq, cell, cos)."""
+    from pyspark.sql import Window as W
+
+    scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
+        "cos", V.cosine(V.dot("qv", "cqv"), F.col("nq"), F.col("cnq"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "nq", F.col("cent_id").alias("cell"), "cos")
+    )
+
+
+def _kmeans_update(assigned: DataFrame) -> DataFrame:
+    """Element-wise integer-mean centroids: (cent_id, cqv, cnq)."""
+    sums = (
+        assigned.select("cell", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    cent = (
+        sums.join(counts, "cell")
+        .withColumn("m", F.expr("s div n"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), x -> x.m)"
+            ).alias("cqv")
+        )
+        .select(F.col("cell").alias("cent_id"), "cqv", V.sq_norm("cqv").alias("cnq"))
+    )
+    return cent
+
+
+def _kmeans_oracle() -> str:
+    cos0 = V.cosine_sql(V.dot_sql_duckdb("n.qv", "c.cqv"), "n.nq", "c.cnq")
+    return (
+        _CORPUS_SQL
+        + f"""
+    , cents0 AS (
+      SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
+      WHERE vec_id < {_N_CELLS}
+    ), a1 AS (
+      SELECT vec_id, qv, cell FROM (
+        SELECT n.vec_id, n.qv, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {cos0} DESC, c.cent_id) AS rn
+        FROM normed n CROSS JOIN cents0 c
+      ) WHERE rn = 1
+    ), sums AS (
+      SELECT cell, i, CAST(sum(qv[i]) AS BIGINT) AS s
+      FROM a1, unnest(range(1, len(qv) + 1)) AS t(i)
+      GROUP BY cell, i
+    ), counts AS (
+      SELECT cell, count(*) AS n FROM a1 GROUP BY cell
+    ), cent1 AS (
+      SELECT cell AS cent_id,
+             list(CAST(s // n AS BIGINT) ORDER BY i) AS cqv
+      FROM sums JOIN counts USING (cell)
+      GROUP BY cell
+    ), cent1n AS (
+      SELECT cent_id, cqv, {V.sq_norm_sql_duckdb('cqv')} AS cnq FROM cent1
+    ), a2 AS (
+      SELECT vec_id, cell, cos FROM (
+        SELECT n.vec_id, c.cent_id AS cell, {cos0} AS cos,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {cos0} DESC, c.cent_id) AS rn
+        FROM normed n CROSS JOIN cent1n c
+      ) WHERE rn = 1
+    )
+    SELECT cell, count(*) AS n_assigned,
+           CAST(sum(CAST(round((1 - cos) * 1000000, 0) AS BIGINT)) AS BIGINT)
+             AS inertia_micro
+    FROM a2 GROUP BY cell
+    """
+    )
+
+
+@register("x30_kmeans_codebook", oracle=_kmeans_oracle())
+def x30_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
+    cents = corpus.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cqv"),
+        F.col("nq").alias("cnq"),
+    )
+    a1 = _kmeans_assign(corpus, cents)
+    cent1 = _kmeans_update(a1)
+    a2 = _kmeans_assign(corpus, cent1)
+    micro = F.round((F.lit(1) - F.col("cos")) * 1000000, 0).cast("bigint")
+    return a2.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(micro).cast("bigint").alias("inertia_micro"),
+    )

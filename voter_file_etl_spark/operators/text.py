@@ -663,3 +663,88 @@ def x28_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# X31 — URL normalization + URL-keyed dedup: the crawl-curation step
+# that collapses scheme/case/www/default-port/tracking-param/fragment
+# variants of the same page before content dedup ever runs. Four raw
+# variants are planted per canonical URL (plain, utm-tracking
+# params, fragment, uppercase-www-with-:443) and the normalizer must
+# collapse each group to one key. Regexp chain is in the
+# RE2/java.util.regex common subset and applied in the same order on
+# both engines.
+#
+# Scale: normalization is map-side regexp work; the dedup is one
+# hash groupBy on the canonical key — same plan as x1.
+# ---------------------------------------------------------------------------
+def _url_norm_sql(u: str) -> str:
+    out = u
+    for pat, rep in _URL_NORM_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return f"lower({out})"
+
+
+_URL_NORM_STEPS = [
+    ("#.*$", ""),                       # fragment
+    ("[?&]utm_[a-z_]+=[^&#]*", ""),     # tracking params
+    ("^HTTPS://WWW\\.", "HTTPS://"),    # www (pre-lowercase form)
+    ("^https://www\\.", "https://"),
+    (":443/", "/"),                     # https default port
+]
+
+
+@register(
+    "x31_url_normalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://ex' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                           || '.org/p/' || CAST(doc_id // 4 AS VARCHAR)
+               WHEN 1 THEN 'https://ex' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                           || '.org/p/' || CAST(doc_id // 4 AS VARCHAR)
+                           || '?utm_source=feed&utm_campaign=x'
+               WHEN 2 THEN 'https://ex' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                           || '.org/p/' || CAST(doc_id // 4 AS VARCHAR) || '#sec2'
+               ELSE 'HTTPS://WWW.EX' || CAST((doc_id // 4) % 7 AS VARCHAR)
+                    || '.ORG:443/P/' || CAST(doc_id // 4 AS VARCHAR)
+             END AS url
+      FROM documents
+    )
+    SELECT {_url_norm_sql('url')} AS canonical,
+           count(*) AS n_variants,
+           min(doc_id) AS keep_id
+    FROM raw
+    GROUP BY 1
+    """,
+)
+def x31_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("https://ex"), F.expr("(doc_id div 4) % 7").cast("string"))
+    path = F.concat(F.lit(".org/p/"), F.expr("doc_id div 4").cast("string"))
+    up = F.concat(
+        F.lit("HTTPS://WWW.EX"),
+        F.expr("(doc_id div 4) % 7").cast("string"),
+        F.lit(".ORG:443/P/"),
+        F.expr("doc_id div 4").cast("string"),
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(host, path))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(host, path, F.lit("?utm_source=feed&utm_campaign=x")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(host, path, F.lit("#sec2")))
+        .otherwise(up)
+    )
+    canon = url
+    for pat, rep in _URL_NORM_STEPS:
+        canon = F.regexp_replace(canon, pat, rep)
+    canon = F.lower(canon)
+    return (
+        docs.select("doc_id", canon.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )

@@ -228,3 +228,35 @@ def w6_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W7 — percent_rank / cume_dist: relative standing within a group
+# (the "top X% of donors per segment" shape). Both are exact count
+# ratios — (rank-1)/(n-1) and n_at_or_before/n — so the doubles are
+# bit-identical across engines given a total order (price DESC with
+# key tiebreak).
+# ---------------------------------------------------------------------------
+@register(
+    "w7_percent_rank_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey)
+    """,
+)
+def w7_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc(F.col("o_totalprice").cast("decimal(18,2)")), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

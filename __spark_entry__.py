@@ -25,34 +25,29 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Driver-coverage rotation (the driver oracle-checks the FIRST 50 keys
 # of queries() per round — contract documented in SURVEY.md §8).
 #
-# Round 2 window: the two round-1 failures (t7 scalarized, p8 oracle
-# BIGINT-cast) re-check first, then the new m5_decode, then the 47
-# highest-novelty keys that had no CORRECTNESS_r01 row. Five unchecked
-# keys whose machinery is already proven by green siblings (u3/u4 ~
-# u1/u2; o1/o3/o4 ~ p7/w5/sql1) defer to round 3, as does any key
-# newly registered this round (they land after _CHECK_FIRST, before
-# the round-1 greens). Round 3 should rotate: deferred + new keys
-# first, round-2 greens last.
+# Round 3 window: the 25 keys that have never had a driver CORRECTNESS
+# row (everything registered in round 2 plus the round-2-deferred
+# u3/u4, o1/o3/o4, a15, sql5, w7) lead. Any key newly registered THIS
+# round is unplaced and sorts immediately after them — inside the
+# window — so new code is always externally oracle-checked the round
+# it lands (per ADVICE r2). The window then backfills to 50 from
+# _BACKFILL (round-1 greens, oldest first, earning a second green);
+# round-2 greens close the list.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    "t7_array_funcs", "p8_pivot", "m5_decode",
-    "sql1_topk_revenue", "sql2_join_chain", "sql3_correlated_subquery",
-    "sql4_in_subquery", "j6_asof_join", "j7_range_join",
-    "st2_sliding_window", "st3_session_window", "t6_json_funcs",
-    "w1_row_number", "w2_rank_dense_rank", "w3_agg_over_frame",
-    "w4_lag_lead", "w6_first_last", "d1_drop_duplicates",
-    "d2_fuzzy_dedup", "x1_dedup_exact", "x2_dedup_minhash",
-    "x3_dedup_simhash", "x4_ngram_jaccard", "x17_dedup_clusters",
-    "x22_decontaminate", "m1_multimodal_meta", "m2_multimodal_features",
-    "m3_frame_sample", "m4_resize", "x13_hash_sample",
-    "x14_stratified_sample", "x15_train_test_split", "x21_context_packing",
-    "x23_curation_pipeline", "x5_embedding_dedup", "x6_ann_topk",
-    "x12_ann_ivf", "x7_ann_lsh", "t5_tokenize_explode", "x8_lang_id",
-    "x9_quality_score", "x10_token_count", "x11_fingerprint",
-    "x16_tfidf", "x18_bigram_lm", "x20_pii_redact", "st6_interval_join",
-    "st4_stateful_dedup", "st1_tumbling_window", "st5_stream_static_join",
+    # never driver-checked (VERDICT r2 "What's missing" #1)
+    "x24_repetition_filter", "x25_domain_mix", "x26_semdedup",
+    "x27_perplexity_filter", "x28_bpe_merge_pairs",
+    "x29_fuzzy_decontaminate", "x30_kmeans_codebook", "x31_url_normalize",
+    "m6_audio_decode", "m7_image_phash",
+    "j9_bucketed_join", "j10_spatial_blocked_join",
+    "st7_foreach_batch_upsert", "st8_stream_dedup_builtin",
+    "e1_etl_pipeline", "l5_schema_evolution",
+    "sql5_window_rank", "a15_mode", "f4_normalize_phone",
+    "o1_order_by", "o3_limit_offset", "o4_top_k",
+    "u3_except", "u4_snapshot_diff", "w7_percent_rank_cume_dist",
 ]
-_CHECK_LAST = [  # green in CORRECTNESS_r01 — rotate out of the window
+_BACKFILL = [  # round-1 greens, oldest first — fill the window to 50
     "a2_reconcile", "a4_groupby_count", "a5_household_agg",
     "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",
     "s1_file_scan", "s2_csv_read", "s6_count", "s7_write_roundtrip",
@@ -68,15 +63,34 @@ _CHECK_LAST = [  # green in CORRECTNESS_r01 — rotate out of the window
     "t1_string_funcs", "t2_date_funcs", "t3_math_funcs",
     "t4_conditional", "t8_regexp_funcs", "t9_haversine",
     "u1_union", "u2_intersect",
+    # round-1 failures re-greened in r2
+    "t7_array_funcs", "p8_pivot",
+    # round-2 greens close the list
+    "m5_decode", "sql1_topk_revenue", "sql2_join_chain",
+    "sql3_correlated_subquery", "sql4_in_subquery", "j6_asof_join",
+    "j7_range_join", "st2_sliding_window", "st3_session_window",
+    "t6_json_funcs", "w1_row_number", "w2_rank_dense_rank",
+    "w3_agg_over_frame", "w4_lag_lead", "w6_first_last",
+    "d1_drop_duplicates", "d2_fuzzy_dedup", "x1_dedup_exact",
+    "x2_dedup_minhash", "x3_dedup_simhash", "x4_ngram_jaccard",
+    "x17_dedup_clusters", "x22_decontaminate", "m1_multimodal_meta",
+    "m2_multimodal_features", "m3_frame_sample", "m4_resize",
+    "x13_hash_sample", "x14_stratified_sample", "x15_train_test_split",
+    "x21_context_packing", "x23_curation_pipeline", "x5_embedding_dedup",
+    "x6_ann_topk", "x12_ann_ivf", "x7_ann_lsh", "t5_tokenize_explode",
+    "x8_lang_id", "x9_quality_score", "x10_token_count",
+    "x11_fingerprint", "x16_tfidf", "x18_bigram_lm", "x20_pii_redact",
+    "st6_interval_join", "st4_stateful_dedup", "st1_tumbling_window",
+    "st5_stream_static_join",
 ]
 
 
 def _ordered(keys: dict) -> list[str]:
     head = [k for k in _CHECK_FIRST if k in keys]
-    tail = [k for k in _CHECK_LAST if k in keys]
-    placed = set(head) | set(tail)
-    rest = [k for k in keys if k not in placed]  # deferred + newly added
-    return head + rest + tail
+    placed = set(head) | set(_BACKFILL)
+    new = [k for k in keys if k not in placed]  # registered this round
+    backfill = [k for k in _BACKFILL if k in keys]
+    return head + new + backfill
 
 
 def entry(spark: SparkSession) -> DataFrame:

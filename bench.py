@@ -65,7 +65,16 @@ HEADLINE = [
     "sql4_in_subquery",
     "m5_decode",
     "m6_audio_decode",
-    # round-2 new flagship operators
+    # round-3: deferred-family representatives (VERDICT r2 #7) so
+    # their first driver round also produces a timing row
+    "a15_mode",
+    "sql5_window_rank",
+    "w7_percent_rank_cume_dist",
+    "u4_snapshot_diff",
+    "o1_order_by",
+    # round-2 new flagship operators; sink-writing queries (j9 table
+    # build via its cached fixture, st7 file staging + checkpoints)
+    # stay LAST so their IO can't pollute earlier timings
     "x26_semdedup",
     "x27_perplexity_filter",
     "m7_image_phash",

@@ -116,3 +116,45 @@ def test_semdedup_assignment_is_map_side(spark, sf_dir):
     # join for the assignment itself.
     plan = _formatted_plan(spark, "x26_semdedup", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_spatial_expansion_is_bounded_9x(spark, sf_dir):
+    # j10's neighborhood expansion must be the two 3-element explodes
+    # (3x3 = bounded 9x on ONE side) — not an unbounded generator and
+    # not an expansion of both sides.
+    plan = _formatted_plan(spark, "j10_spatial_blocked_join", sf_dir)
+    assert plan.count("+- Generate") == 2, plan[:2000]
+
+
+def test_semdedup_components_iteration_is_bounded(spark):
+    # x26's connected-components loop must be driver-bounded: a hard
+    # max_iter with early exit, never an unbounded fixpoint.
+    import inspect
+
+    from voter_file_etl_spark.operators.graph import connected_components
+
+    sig = inspect.signature(connected_components)
+    assert sig.parameters["max_iter"].default <= 20
+
+
+def test_components_converge_early_on_chain(spark):
+    # 0-1-2-3 chain + isolated pair: min-label propagation must
+    # produce the right components well inside the iteration cap.
+    from voter_file_etl_spark.operators.graph import connected_components
+
+    und = [(0, 1), (1, 2), (2, 3), (10, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (10, 10), (11, 10)}
+
+
+def test_kmeans_centroid_join_is_broadcast(spark, sf_dir):
+    # x30's assignment step joins every vector against the K=16
+    # centroid table: that join must be a broadcast (nested-loop over
+    # a 16-row broadcast side is the intended bounded shape), never a
+    # shuffle-partitioned cartesian.
+    plan = _formatted_plan(spark, "x30_kmeans_codebook", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]

@@ -60,8 +60,8 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
 
 def test_upsert_sink_merges_multiple_batches(spark, sf_dir, tmp_path):
     """foreachBatch upsert: the stream must actually split into
-    several micro-batches (versioned snapshots advance once per
-    batch) and the final snapshot must equal the batch argmax."""
+    several micro-batches (one staged merge per batch) and the final
+    snapshot must equal the batch argmax."""
     import os
 
     from pyspark.sql import functions as F
@@ -72,8 +72,8 @@ def test_upsert_sink_merges_multiple_batches(spark, sf_dir, tmp_path):
     work = str(tmp_path / "upsert")
     final = run_upsert_stream(spark, sf_dir, work)
 
-    versions = [d for d in os.listdir(work) if d.startswith("state_v")]
-    assert len(versions) == _N_SRC_FILES  # one merge per source file
+    stages = [d for d in os.listdir(work) if d.startswith("stage_b")]
+    assert len(stages) == _N_SRC_FILES  # one merge per source file
 
     from pyspark.sql import Window as W
 
@@ -93,3 +93,58 @@ def test_upsert_sink_merges_multiple_batches(spark, sf_dir, tmp_path):
         )
     )
     assert {tuple(r) for r in final.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The bucket-partitioned merge must leave buckets whose keys are
+    absent from a batch byte-identical on disk (VERDICT r2 #5): the
+    O(touched)-not-O(table) claim, asserted at the file level."""
+    import glob
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from voter_file_etl_spark.streaming.sinks import _N_BUCKETS, upsert_merge_batch
+
+    work = str(tmp_path / "bucketed")
+    snap = os.path.join(work, "snapshot")
+    os.makedirs(work)
+
+    cols = ["event_id", "us", "user_id", "event_type", "value"]
+    base = spark.createDataFrame(
+        [(i, 1000 + i, i, "click", float(i)) for i in range(200)], cols
+    )
+    upsert_merge_batch(spark, snap, work, base, 0)
+
+    def file_hashes():
+        out = {}
+        for p in glob.glob(os.path.join(snap, "_bucket=*", "*.parquet")):
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, snap)] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    before = file_hashes()
+    buckets_before = {os.path.dirname(p) for p in before}
+    assert len(buckets_before) > 2  # keys actually spread over buckets
+
+    # Batch 2: a single key -> exactly one touched bucket.
+    batch = spark.createDataFrame([(9001, 9999, 7, "click", 99.0)], cols)
+    touched_bucket = spark.createDataFrame([(7, "click")], ["user_id", "event_type"]) \
+        .select(F.pmod(F.xxhash64("user_id", "event_type"), F.lit(_N_BUCKETS))
+                .cast("int").alias("b")).collect()[0]["b"]
+    upsert_merge_batch(spark, snap, work, batch, 1)
+
+    after = file_hashes()
+    untouched = {p for p in before if os.path.dirname(p) != f"_bucket={touched_bucket}"}
+    assert untouched  # the scenario really has untouched buckets
+    for p in untouched:
+        assert p in after and after[p] == before[p], f"untouched bucket rewritten: {p}"
+
+    # The touched key must reflect last-writer-wins.
+    row = (
+        spark.read.parquet(snap)
+        .filter((F.col("user_id") == 7) & (F.col("event_type") == "click"))
+        .collect()
+    )
+    assert len(row) == 1 and row[0]["event_id"] == 9001 and row[0]["us"] == 9999

@@ -162,3 +162,31 @@ def decode_wav_bytes(payload: bytes) -> DecodedAudio:
     frames = len(samples) // n_channels
     samples = samples[: frames * n_channels].reshape(frames, n_channels)
     return DecodedAudio(sample_rate, n_channels, bits, "wav-pcm", samples)
+
+
+# ---------------------------------------------------------------------------
+# "VID0" — a minimal uncompressed video container for the frame-
+# sampling operators: 4-byte magic, 1-byte frame count, then raw
+# fixed-size frames back to back. Stands in for MP4/AVI the way PPM
+# stands in for JPEG (no video lib in this container); the chunk walk
+# and per-frame slicing are the real plumbing.
+# ---------------------------------------------------------------------------
+_VID_MAGIC = b"VID0"
+
+
+def parse_video_bytes(payload: bytes, frame_bytes: int = 48) -> list[np.ndarray]:
+    """Split a VID0 payload into its frames (uint8 arrays of
+    ``frame_bytes`` each). Validates magic, count, and total length."""
+    if payload[:4] != _VID_MAGIC:
+        raise ValueError("not a VID0 payload")
+    n = payload[4]
+    data = payload[5:]
+    if len(data) != n * frame_bytes:
+        raise ValueError(
+            f"VID0 length mismatch: {len(data)} bytes for {n} frames "
+            f"of {frame_bytes}"
+        )
+    return [
+        np.frombuffer(data[k * frame_bytes : (k + 1) * frame_bytes], dtype=np.uint8)
+        for k in range(n)
+    ]

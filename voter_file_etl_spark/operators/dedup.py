@@ -673,3 +673,97 @@ def x29_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("corpus_id", "bench_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _MINHASH_JACCARD_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# X35 — sub-document containment detection: asymmetric Jaccard
+# C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|, the measure
+# that catches a document EMBEDDED in another (quote farms, scraped
+# excerpts, licence-header reuse) where symmetric Jaccard stays low
+# because the host document is much larger. Every 30th doc plants a
+# fragment (its first 60% of characters plus a two-word suffix), and
+# candidate pairs come from equi-joining on the first-3-word prefix
+# key — fragments start where their parents start, so blocking is
+# exact for this planting while staying a plain shuffle-partitionable
+# equi-join (never all-pairs) at scale.
+#
+# Determinism: shingle sets are distinct word trigrams; containment
+# is an exact int/int division rounded to 6dp on both engines.
+# ---------------------------------------------------------------------------
+_CONTAIN_MIN = 0.2
+_FRAG_BASE = 6000000
+
+
+@register(
+    "x35_containment_dedup",
+    oracle=f"""
+    WITH allx AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_FRAG_BASE} AS doc_id,
+             substr(text, 1, length(text) * 3 // 5) || ' fragment copy' AS text
+      FROM documents WHERE doc_id % 30 = 0
+    ), words AS (
+      SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+      FROM allx
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams,
+             w[1] || ' ' || w[2] || ' ' || w[3] AS pfx
+      FROM words WHERE len(w) >= 3
+    )
+    SELECT f.doc_id AS frag_id, p.doc_id AS parent_id,
+           round(CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
+                 / len(f.grams), 6) AS containment,
+           round(CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
+                 / len(f.grams), 6) >= 0.5 AS is_contained
+    FROM sh f JOIN sh p
+      ON f.pfx = p.pfx AND f.doc_id >= {_FRAG_BASE} AND p.doc_id < {_FRAG_BASE}
+    WHERE round(CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
+                / len(f.grams), 6) >= {_CONTAIN_MIN}
+    """,
+)
+def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    frags = docs.filter(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + _FRAG_BASE).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, CAST(length(text) * 3 div 5 AS INT))"),
+            F.lit(" fragment copy"),
+        ).alias("text"),
+    )
+    allx = docs.select("doc_id", "text").unionByName(frags)
+    words = allx.select(
+        "doc_id", F.filter(F.split("text", " "), lambda x: x != "").alias("w")
+    )
+    sh = words.filter(F.size("w") >= 3).select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(1, size(w) - 2), "
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ', "
+            "element_at(w, i + 2))))"
+        ).alias("grams"),
+        F.expr(
+            "concat(element_at(w, 1), ' ', element_at(w, 2), ' ', element_at(w, 3))"
+        ).alias("pfx"),
+    )
+    f_side = sh.filter(F.col("doc_id") >= _FRAG_BASE).select(
+        F.col("doc_id").alias("frag_id"), F.col("grams").alias("fg"), "pfx"
+    )
+    p_side = sh.filter(F.col("doc_id") < _FRAG_BASE).select(
+        F.col("doc_id").alias("parent_id"), F.col("grams").alias("pg"), "pfx"
+    )
+    cont = F.round(
+        F.size(F.array_intersect("fg", "pg")).cast("double") / F.size("fg"), 6
+    )
+    return (
+        f_side.join(p_side, "pfx")
+        .select(
+            "frag_id",
+            "parent_id",
+            cont.alias("containment"),
+            (cont >= 0.5).alias("is_contained"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_MIN)
+    )

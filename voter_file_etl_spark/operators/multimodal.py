@@ -298,11 +298,25 @@ _IMG_N = _IMG_W * _IMG_H * 3
 _PPM_HEADER = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()
 
 
+# The m5/m6/m7 media payloads are documents.text BYTES (utf-8), while
+# the oracles rebuild them with DuckDB ascii() — a CODEPOINT per
+# character. The two agree only on ASCII text, so both sides strip
+# non-ASCII before building the payload: the corpus is pure ASCII
+# today (0 non-ASCII docs at every sf), and this makes the invariant
+# enforced instead of silently assumed (ADVICE r2). Spark's
+# regexp_replace is global by default; DuckDB needs the 'g' flag.
+_ASCII_TEXT_SQL = "regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')"
+
+
+def _ascii_text():
+    return F.regexp_replace("text", "[^\\x00-\\x7F]", "")
+
+
 def build_ppm_media(docs: DataFrame) -> DataFrame:
     """Spark-side P6 PPM construction: binary concat of the constant
     header and the padded text raster (pure Column expressions)."""
     raster = F.encode(
-        F.rpad(F.substring("text", 1, _IMG_N), _IMG_N, " "), "utf-8"
+        F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " "), "utf-8"
     )
     return docs.select(
         "doc_id", F.concat(F.lit(_PPM_HEADER), raster).alias("media")
@@ -314,7 +328,8 @@ def build_ppm_media(docs: DataFrame) -> DataFrame:
     oracle=f"""
     WITH px AS (
       SELECT doc_id,
-             ascii(substr(rpad(substr(text, 1, {_IMG_N}), {_IMG_N}, ' '),
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}),
+                               {_IMG_N}, ' '),
                           i, 1)) AS v
       FROM documents, unnest(range(1, {_IMG_N + 1})) AS u(i)
     )
@@ -355,7 +370,7 @@ _WAV_HEADER = (
 
 def build_wav_media(docs: DataFrame) -> DataFrame:
     samples = F.encode(
-        F.rpad(F.substring("text", 1, _WAV_N), _WAV_N, " "), "utf-8"
+        F.rpad(F.substring(_ascii_text(), 1, _WAV_N), _WAV_N, " "), "utf-8"
     )
     return docs.select(
         "doc_id", F.concat(F.lit(_WAV_HEADER), samples).alias("media")
@@ -367,7 +382,8 @@ def build_wav_media(docs: DataFrame) -> DataFrame:
     oracle=f"""
     WITH px AS (
       SELECT doc_id,
-             ascii(substr(rpad(substr(text, 1, {_WAV_N}), {_WAV_N}, ' '),
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_WAV_N}),
+                               {_WAV_N}, ' '),
                           i, 1)) - 128 AS v
       FROM documents, unnest(range(1, {_WAV_N + 1})) AS u(i)
     )
@@ -465,7 +481,8 @@ def _phash_bits_sql() -> str:
       SELECT doc_id + 4000000 AS doc_id, text FROM documents
       WHERE doc_id % 25 = 0
     ), padded AS (
-      SELECT doc_id, rpad(substr(text, 1, {_IMG_N}), {_IMG_N}, ' ') AS t
+      SELECT doc_id,
+             rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}), {_IMG_N}, ' ') AS t
       FROM corpus
     ), hashed AS (
       SELECT doc_id, {_phash_bits_sql()} AS phash FROM padded
@@ -492,3 +509,79 @@ def m7_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_same"),
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M8 — REAL video-container decode + strided frame sampling: each
+# document becomes a 4-frame "VID0" clip (5-byte header + four raw
+# 48-byte frames built from consecutive text slices), the decoder
+# walks the container, and every 2nd frame is sampled with per-frame
+# brightness stats — the decode → frame-sample → feature shape of a
+# video curation pipeline, with the codec real and the frame layout
+# itself under oracle test (a mis-sliced frame changes every sum).
+#
+# Scale: map-side mapInPandas (Arrow batches, no shuffle); output is
+# docs × sampled-frames rows, bounded by the stride. Reference: the
+# same opaque-binary + typed-metadata posture as m1-m7
+# (prisma/Voter.prisma's media-adjacent columns).
+# ---------------------------------------------------------------------------
+_VID_FRAMES = 4
+_VID_STRIDE = 2
+_VID_N = _IMG_N * _VID_FRAMES  # 192 payload bytes per clip
+_VID_HEADER = b"VID0" + bytes([_VID_FRAMES])
+
+
+def build_vid_media(docs: DataFrame) -> DataFrame:
+    raster = F.encode(
+        F.rpad(F.substring(_ascii_text(), 1, _VID_N), _VID_N, " "), "utf-8"
+    )
+    return docs.select(
+        "doc_id", F.concat(F.lit(_VID_HEADER), raster).alias("media")
+    )
+
+
+def decode_video_frames(media_df: DataFrame, stride: int = _VID_STRIDE) -> DataFrame:
+    """Walk each VID0 payload and emit one row per SAMPLED frame
+    (frames 0, stride, 2*stride, ...) with exact integer brightness
+    sums."""
+    from voter_file_etl_spark.functions.codecs import parse_video_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_sum": [], "frame_mean": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                frames = parse_video_bytes(bytes(payload), _IMG_N)
+                for idx in range(0, len(frames), stride):
+                    s = int(frames[idx].sum(dtype="int64"))
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_sum"].append(s)
+                    out["frame_mean"].append(float(s) / _IMG_N)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run, "doc_id long, frame_idx int, frame_sum long, frame_mean double"
+    )
+
+
+@register(
+    "m8_video_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, f.fi AS frame_idx,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_VID_N}),
+                               {_VID_N}, ' '),
+                          f.fi * {_IMG_N} + i, 1)) AS v
+      FROM documents,
+           (VALUES (0), ({_VID_STRIDE})) AS f(fi),
+           unnest(range(1, {_IMG_N + 1})) AS r(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(sum(v) AS BIGINT) AS frame_sum,
+           CAST(sum(v) AS DOUBLE) / {_IMG_N} AS frame_mean
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
+def m8_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return decode_video_frames(build_vid_media(docs))

@@ -292,7 +292,10 @@ _MIX_RATES = {0: 80, 1: 50, 2: 25, 3: 10}  # src_num % 4 -> keep %
 )
 def x25_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("int")
+    # 2-arg substring (suffix to end of string), identical to the
+    # oracle's substr(source, 4): no silent truncation past 10 chars,
+    # and ANSI cast hard-errors on junk exactly like DuckDB's CAST.
+    src_num = F.expr("substring(source, 4)").cast("int")
     rate = (
         F.when(src_num % 4 == 0, F.lit(_MIX_RATES[0]))
         .when(src_num % 4 == 1, F.lit(_MIX_RATES[1]))
@@ -304,5 +307,83 @@ def x25_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.max(rate).alias("target_rate"),
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X32 — temperature-based domain rebalancing (the multilingual /
+# multi-domain mixing rule: sample domain i with probability
+# proportional to p_i^(1/τ), here τ=2, normalized so the SMALLEST
+# domain keeps rate 1.0 — large domains are downsampled ∝ 1/sqrt(n),
+# flattening the mixture toward uniform). Unlike x25 (static
+# per-domain rates), the rates here are DERIVED FROM the corpus
+# itself: count per domain, global min, sqrt ratio. Sources fold into
+# 4 deliberately skewed domains (12/4/3/1 sources) so the rates are
+# non-trivial — the web/books/code/wiki imbalance every real mixture
+# has.
+#
+# Determinism: sqrt and double division are correctly-rounded IEEE
+# ops, so both engines compute bit-identical rates; membership is the
+# md5-bucket pure function of the row key. Scale: the rate table is
+# one tiny agg (n_domains rows) broadcast back; membership is then a
+# stateless map-side filter — the same two-job shape at any corpus
+# size.
+# ---------------------------------------------------------------------------
+_DOMAIN_SQL = (
+    "CASE WHEN CAST(substr(source, 4) AS INTEGER) < 12 THEN 'web' "
+    "WHEN CAST(substr(source, 4) AS INTEGER) < 16 THEN 'books' "
+    "WHEN CAST(substr(source, 4) AS INTEGER) < 19 THEN 'code' "
+    "ELSE 'wiki' END"
+)
+_DOMAIN_SPARK = (
+    "CASE WHEN CAST(substring(source, 4) AS INT) < 12 THEN 'web' "
+    "WHEN CAST(substring(source, 4) AS INT) < 16 THEN 'books' "
+    "WHEN CAST(substring(source, 4) AS INT) < 19 THEN 'code' "
+    "ELSE 'wiki' END"
+)
+
+
+@register(
+    "x32_temperature_mix",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DOMAIN_SQL} AS domain FROM documents
+    ), c AS (
+      SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
+    ), m AS (
+      SELECT min(n_docs) AS minn FROM c
+    ), r AS (
+      SELECT domain, n_docs,
+             round(sqrt(CAST(minn AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS rate
+      FROM c, m
+    )
+    SELECT d.domain, max(r.n_docs) AS n_docs, max(r.rate) AS rate,
+           CAST(sum(CASE WHEN {_bucket_sql("'tmx:' || d.domain || ':' || CAST(d.doc_id AS VARCHAR)")}
+                         < CAST(floor(r.rate * 100) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM d JOIN r ON d.domain = r.domain
+    GROUP BY d.domain
+    """,
+)
+def x32_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DOMAIN_SPARK).alias("domain")
+    )
+    counts = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    minn = counts.agg(F.min("n_docs").alias("minn"))
+    rates = counts.crossJoin(F.broadcast(minn)).select(
+        "domain",
+        "n_docs",
+        F.round(
+            F.sqrt(F.col("minn").cast("double") / F.col("n_docs").cast("double")), 6
+        ).alias("rate"),
+    )
+    key = F.concat(F.lit("tmx:"), "domain", F.lit(":"), F.col("doc_id").cast("string"))
+    joined = docs.join(F.broadcast(rates), "domain")
+    sampled = _bucket(key) < F.floor(F.col("rate") * 100).cast("bigint")
+    return joined.groupBy("domain").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("rate").alias("rate"),
         F.sum(F.when(sampled, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
     )

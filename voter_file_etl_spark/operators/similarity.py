@@ -99,12 +99,15 @@ def bounded_block_pairs(
     The naive shape — one pandas group per block — is O(B²) inside a
     SINGLE task when a block is skewed, which is the real 100 TB
     failure mode (one straggling, OOMing executor). Here each block
-    splits into ceil(n/cap) hash sub-blocks and every sub-block PAIR
-    (i <= j) becomes its own group: a row with sub s replicates once
-    per counterpart sub-block, group (i, j) scores side-i x side-j
-    with one int64 Gram matmul, and no group ever holds more than
-    2*cap rows regardless of skew. Every same-block pair lands in
-    exactly one group (the sorted sub pair), so results are identical
+    splits into ceil(2n/cap) round-robin sub-blocks (per-block
+    row_number % nsub — a worst-case size bound, not an expected-case
+    hash bound) and every sub-block PAIR (i <= j) becomes its own
+    group: a row with sub s replicates once per counterpart
+    sub-block, group (i, j) scores side-i x side-j with one int64
+    Gram matmul, and no group ever holds more than ~cap rows
+    regardless of skew or id distribution. Every same-block pair
+    lands in exactly one group (the sorted sub pair), so results are
+    identical
     to the unbounded form and the oracle is unchanged. Shuffle cost
     is O(N * nsub * dim) — the distributed price of all-pairs, paid
     in bounded tasks instead of one unbounded one.
@@ -115,15 +118,25 @@ def bounded_block_pairs(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import Window as W
+
     counts = corpus.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bn"))
-    # 2x oversplit: hash sub-block sizes concentrate at cap/2, so a
-    # group (two sub-blocks) averages ~cap rows and stays under 2*cap
-    # even with hash variance; blocks <= cap/2 keep a single group.
+    # 2x oversplit: nsub = ceil(2n/cap) puts <= cap/2 (+1) rows in
+    # every sub-block, so a pair group (two sub-blocks) never exceeds
+    # ~cap rows; blocks <= cap/2 keep a single group.
     nsub = F.ceil(F.col("_bn") * 2 / F.lit(cap)).cast("int")
     sized = corpus.join(
         F.broadcast(counts.select(block_col, nsub.alias("_nsub"))), block_col
     )
-    sub = F.pmod(F.xxhash64("vec_id"), F.col("_nsub")).cast("int")
+    # Round-robin by per-block row_number, NOT by hash: hash sub-block
+    # sizes are only an expected-case bound (an unlucky id set can
+    # concentrate a sub-block), while row_number % nsub is a TRUE
+    # worst-case cap — sizes differ by at most 1 regardless of the id
+    # distribution. Costs one extra sort-shuffle on block_col; the
+    # numbering pass is Spark's external sort (spill-safe), so no task
+    # ever materializes a skewed block in memory.
+    rn = F.row_number().over(W.partitionBy(block_col).orderBy("vec_id"))
+    sub = F.pmod(rn - F.lit(1), F.col("_nsub")).cast("int")
     keyed = (
         sized.withColumn("_sub", sub)
         .withColumn("_k", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)))

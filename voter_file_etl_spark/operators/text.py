@@ -748,3 +748,164 @@ def x31_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X33 — boilerplate n-gram removal: compute the corpus's globally
+# most frequent word trigrams (the "boilerplate vocabulary" — at web
+# scale, nav bars / cookie banners / license headers), then score
+# each document by what fraction of its trigrams are boilerplate and
+# gate on it. The C4-style cleaning step that needs GLOBAL corpus
+# statistics, unlike x24's purely doc-local repetition features.
+#
+# Scale: trigram counting is one partial+final agg keyed on the gram;
+# the top-K table is K rows (broadcast); per-doc scoring is a
+# broadcast hash join + one agg keyed on doc_id. No all-pairs, no
+# skew (gram frequencies are the skew — but they're aggregated, not
+# joined-through). Tie-break (count DESC, gram ASC) makes top-K
+# deterministic.
+# ---------------------------------------------------------------------------
+_BOILER_TOP = 100
+_BOILER_FRAC_DEN = 25  # keep iff boiler trigrams < 4% of doc trigrams
+
+
+@register(
+    "x33_boilerplate_ngrams",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), trig AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 3
+                    THEN list_transform(generate_series(1, len(w) - 2),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                    ELSE [] END) AS g
+      FROM a
+    ), cnt AS (
+      SELECT g, count(*) AS n FROM trig GROUP BY g
+    ), top AS (
+      SELECT g FROM cnt ORDER BY n DESC, g LIMIT {_BOILER_TOP}
+    )
+    SELECT doc_id,
+           count(*) AS n_trigrams,
+           CAST(sum(CASE WHEN g IN (SELECT g FROM top) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(sum(CASE WHEN g IN (SELECT g FROM top) THEN 1 ELSE 0 END)
+                * {_BOILER_FRAC_DEN} < count(*) AS BOOLEAN) AS keep
+    FROM trig
+    GROUP BY doc_id
+    """,
+)
+def x33_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    # Guard: Spark's sequence(1, n) runs BACKWARD for n < 1, so short
+    # docs must map to an empty array explicitly.
+    trig = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 3 THEN "
+                "transform(sequence(1, size(w) - 2), "
+                " i -> concat(element_at(w, i), ' ', "
+                "             element_at(w, i + 1), ' ', "
+                "             element_at(w, i + 2))) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    top = (
+        trig.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("g"))
+        .limit(_BOILER_TOP)
+        .select("g", F.lit(True).alias("_boiler"))
+    )
+    scored = trig.join(F.broadcast(top), "g", "left")
+    boiler = F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).cast("bigint")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        boiler.alias("n_boiler"),
+        (boiler * _BOILER_FRAC_DEN < F.count(F.lit(1))).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X34 — model-based quality scoring: a fixed-weight logistic
+# classifier over doc-local features (stopword ratio, mean word
+# length, length penalty) — the fasttext-classifier-shaped filter
+# step of production pipelines, with deterministic weights standing
+# in for learned ones. The squashing function is the ALGEBRAIC
+# sigmoid z/(1+|z|) rather than 1/(1+exp(-z)): division and abs are
+# correctly-rounded IEEE ops, so unlike exp/libm the score is
+# bit-identical across engines with no micro-unit rounding policy
+# needed.
+#
+# Scale: pure per-row Column arithmetic — map-side, codegen'd, no
+# shuffle, no UDF.
+# ---------------------------------------------------------------------------
+@register(
+    "x34_quality_classifier",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x = 'a' OR x = 'the')) AS BIGINT) AS n_stop,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ), z AS (
+      SELECT doc_id, n_words,
+             round(3.0 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   + 0.5 * (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   - 0.002 * CAST(n_chars AS DOUBLE)
+                   - 1.5, 6) AS z
+      FROM f WHERE n_words > 0
+    )
+    SELECT doc_id, n_words,
+           CAST(round((0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000, 0) AS BIGINT)
+             AS score_micro,
+           z >= 0.0 AS keep
+    FROM z
+    """,
+)
+def x34_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    feats = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(
+            F.filter(words, lambda x: (x == "a") | (x == "the"))
+        ).cast("bigint").alias("n_stop"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_alpha"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).filter(F.col("n_words") > 0)
+    z = F.round(
+        F.lit(3.0) * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
+        + F.lit(0.5) * (F.col("n_alpha").cast("double") / F.col("n_words").cast("double"))
+        - F.lit(0.002) * F.col("n_chars").cast("double")
+        - F.lit(1.5),
+        6,
+    )
+    scored = feats.select("doc_id", "n_words", z.alias("z"))
+    return scored.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            (F.lit(0.5) + F.lit(0.5) * F.col("z") / (F.lit(1.0) + F.abs("z")))
+            * 1000000,
+            0,
+        ).cast("bigint").alias("score_micro"),
+        (F.col("z") >= 0.0).alias("keep"),
+    )

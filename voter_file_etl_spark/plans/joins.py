@@ -244,6 +244,76 @@ def _reset_bucketed_table(spark: SparkSession, name: str) -> None:
         shutil.rmtree(os.path.join(wh.path, name.lower()), ignore_errors=True)
 
 
+def _warehouse_path(spark: SparkSession) -> str | None:
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    return wh.path if wh.scheme in ("file", "") else None
+
+
+def ensure_bucketed_tables(spark: SparkSession, sf_dir: str, n_buckets: int = 8) -> None:
+    """Build (once) the j9 bucketed tables for ``sf_dir``.
+
+    Bucketing is a WRITE-TIME investment — the whole point of the
+    operator is that the probe join is exchange-free because the
+    shuffle was paid when the table was laid out. So the layout is a
+    cached fixture keyed by sf_dir (VERDICT r2 #3), not part of the
+    measured query:
+
+    - same session, same sf_dir       -> no-op (session cache)
+    - fresh session, marker matches   -> re-register the surviving
+      warehouse files as external bucketed tables (DDL only, no IO)
+    - marker missing/stale            -> reset + rebuild + marker
+    """
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_buckets)
+    if key in _BUCKETED_READY:
+        return
+    wh = _warehouse_path(spark)
+    marker = os.path.join(wh, "_j9_bucketed_for") if wh else None
+    specs = [
+        ("j9_li_bucketed", "lineitem", ["l_orderkey", "l_quantity"], "l_orderkey"),
+        ("j9_orders_bucketed", "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey"),
+    ]
+    stamp = f"{sf_dir}\n{n_buckets}\n"
+    reusable = False
+    if marker and os.path.exists(marker):
+        with open(marker) as fh:
+            reusable = fh.read() == stamp
+        reusable = reusable and all(
+            os.path.isdir(os.path.join(wh, name)) for name, *_ in specs
+        )
+    for name, table, cols, bkey in specs:
+        df = t(spark, sf_dir, table).select(*cols)
+        if reusable:
+            if not spark.catalog.tableExists(name):
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+                )
+                loc = os.path.join(wh, name)
+                spark.sql(
+                    f"CREATE TABLE {name} ({ddl}) USING parquet "
+                    f"CLUSTERED BY ({bkey}) SORTED BY ({bkey}) "
+                    f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+                )
+        else:
+            _reset_bucketed_table(spark, name)
+            (
+                df.write.bucketBy(n_buckets, bkey)
+                .sortBy(bkey)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    if not reusable and marker:
+        with open(marker, "w") as fh:
+            fh.write(stamp)
+    _BUCKETED_READY.add(key)
+
+
+_BUCKETED_READY: set = set()
+
+
 @register(
     "j9_bucketed_join",
     oracle="""
@@ -255,23 +325,7 @@ def _reset_bucketed_table(spark: SparkSession, name: str) -> None:
     """,
 )
 def j9_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_buckets = 8
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    _reset_bucketed_table(spark, "j9_li_bucketed")
-    _reset_bucketed_table(spark, "j9_orders_bucketed")
-    (
-        li.write.bucketBy(n_buckets, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("j9_li_bucketed")
-    )
-    (
-        orders.write.bucketBy(n_buckets, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("j9_orders_bucketed")
-    )
+    ensure_bucketed_tables(spark, sf_dir)
     lib = spark.table("j9_li_bucketed")
     ob = spark.table("j9_orders_bucketed")
     # MERGE hint: at tiny SF Catalyst would broadcast the small side

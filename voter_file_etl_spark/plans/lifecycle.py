@@ -146,3 +146,79 @@ def l5_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_priority"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L6 — small-file compaction: the table-maintenance operation every
+# 100 TB lake needs (streaming sinks and per-batch loads accumulate
+# thousands of KB-sized files per partition; scan throughput dies on
+# file-open overhead and footer reads). A fragmented copy of events
+# is written (40 round-robin writer tasks × every partition -> 40
+# files per partition), then compacted by repartitioning ON the
+# partition column so each partition's rows land in exactly one
+# writer task -> exactly 1 file per partition. The registered output
+# measures REAL file counts from the committed directories, and the
+# oracle pins the expected layout (40 -> 1) plus exact row
+# preservation — a compaction that loses rows or leaves fragments
+# hash-mismatches.
+#
+# Scale: compaction is one shuffle keyed on the partition column (at
+# production scale, repartition(N, col) with N sized to target file
+# size, or AQE-coalesced rebalance); the directory listing is driver
+# bookkeeping O(partitions), the same role the reference's manifest
+# plays.
+# ---------------------------------------------------------------------------
+_L6_SMALL_TASKS = 40
+
+
+@register(
+    "l6_compaction",
+    oracle=f"""
+    SELECT event_type,
+           {_L6_SMALL_TASKS} AS n_files_before,
+           1 AS n_files_after,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def l6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    base = tempfile.mkdtemp(prefix="l6_compact_", dir=os.environ.get("TMPDIR", "/tmp"))
+    small = os.path.join(base, "small")
+    compact = os.path.join(base, "compact")
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    # Fragmented layout: 40 round-robin tasks each hold rows of every
+    # event_type, so every partition directory gets 40 small files.
+    ev.repartition(_L6_SMALL_TASKS).write.partitionBy("event_type").parquet(small)
+
+    frag = spark.read.parquet(small)
+    n_types = frag.select("event_type").distinct().count()  # tiny collect
+    # Compact: repartition ON the partition column -> one writer task
+    # per event_type -> one file per partition directory.
+    frag.repartition(n_types, "event_type").write.partitionBy("event_type").parquet(
+        compact
+    )
+
+    def files_per_type(root: str) -> dict[str, int]:
+        out = {}
+        for d in glob.glob(os.path.join(root, "event_type=*")):
+            etype = os.path.basename(d).split("=", 1)[1]
+            out[etype] = len(glob.glob(os.path.join(d, "*.parquet")))
+        return out
+
+    before, after = files_per_type(small), files_per_type(compact)
+    layout = spark.createDataFrame(
+        [(k, before[k], after.get(k, 0)) for k in sorted(before)],
+        "event_type string, n_files_before int, n_files_after int",
+    )
+    counts = (
+        spark.read.parquet(compact)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return counts.join(F.broadcast(layout), "event_type").select(
+        "event_type", "n_files_before", "n_files_after", "n_rows"
+    )

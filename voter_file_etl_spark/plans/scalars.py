@@ -414,3 +414,72 @@ def f4_normalize_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(digits, 1, 3).alias("area_code"),
         (F.length(digits) == 10).alias("valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F5 — postal address standardization (the Residence_Addresses_*
+# columns' implied cleanup, the USPS-suffix normalization every voter
+# matcher does before comparing addresses): uppercase, strip
+# punctuation, abbreviate street suffixes (STREET->ST, AVENUE->AVE,
+# ROAD->RD, BOULEVARD->BLVD, DRIVE->DR), collapse whitespace. Raw
+# addresses are synthesized from the key in mixed styles so the
+# normalizer provably handles the variance. Chained regexp_replace
+# Column expressions — word-boundary patterns valid in both Java
+# regex and RE2 — whole-stage codegen, no Python.
+# ---------------------------------------------------------------------------
+_ADDR_STREET_NAMES = ("Oak", "Maple", "Cedar", "Elm", "Pine", "Lake", "Hill")
+_ADDR_SUFFIXES = ("Street", "Avenue", "Road", "Boulevard", "Drive")
+_ADDR_ABBREV = {"STREET": "ST", "AVENUE": "AVE", "ROAD": "RD",
+                "BOULEVARD": "BLVD", "DRIVE": "DR"}
+
+
+def _f5_raw_sql(dialect: str) -> str:
+    name_case = " ".join(
+        f"WHEN {i} THEN '{n}'" for i, n in enumerate(_ADDR_STREET_NAMES)
+    )
+    suf_case = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(_ADDR_SUFFIXES)
+    )
+    strtype = "VARCHAR" if dialect == "duckdb" else "STRING"
+    return (
+        f"concat(CAST(1 + c_custkey % 9999 AS {strtype}), ' ', "
+        f"CASE c_custkey % {len(_ADDR_STREET_NAMES)} {name_case} END, ' ', "
+        f"CASE c_custkey % {len(_ADDR_SUFFIXES)} {suf_case} END, "
+        f"CASE WHEN c_custkey % 4 = 0 THEN '  Apt. 5' ELSE '' END)"
+    )
+
+
+def _f5_std_sql(col: str, dialect: str) -> str:
+    # Spark SQL string literals treat backslash as an escape (so the
+    # regex word boundary must be written '\\b'); DuckDB literals keep
+    # the backslash as-is.
+    g = ", 'g'" if dialect == "duckdb" else ""
+    b = "\\" if dialect == "duckdb" else "\\\\"
+    out = f"upper({col})"
+    out = f"regexp_replace({out}, '[.]', ''{g})"
+    for full, abbr in _ADDR_ABBREV.items():
+        out = f"regexp_replace({out}, '{b}b{full}{b}b', '{abbr}'{g})"
+    return f"trim(regexp_replace({out}, ' +', ' '{g}))"
+
+
+@register(
+    "f5_address_standardize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT c_custkey, {_f5_raw_sql("duckdb")} AS raw_address FROM customer
+    )
+    SELECT c_custkey, raw_address,
+           {_f5_std_sql("raw_address", "duckdb")} AS std_address
+    FROM raw
+    """,
+)
+def f5_address_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    raw = customer.select(
+        "c_custkey", F.expr(_f5_raw_sql("spark")).alias("raw_address")
+    )
+    return raw.select(
+        "c_custkey",
+        "raw_address",
+        F.expr(_f5_std_sql("raw_address", "spark")).alias("std_address"),
+    )

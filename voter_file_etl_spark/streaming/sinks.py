@@ -9,12 +9,17 @@ merged into the current table snapshot with last-writer-wins
 semantics, and the snapshot flips atomically (versioned directory =
 the same blue/green publish the batch ETL uses).
 
-Scale: the merge is one window-dedup over (current ∪ batch) keyed on
-the upsert key — a shuffle proportional to the table, which is the
-honest cost of file-format upserts without a log-structured table
-format; with Delta/Iceberg the same foreachBatch body becomes a
-MERGE INTO and the shuffle drops to touched files. The plan shape
-(per-key argmax by event time) is unchanged either way.
+Scale: the snapshot is hash-bucketed on the upsert key
+(``_bucket = pmod(xxhash64(key), N)`` as a parquet partition
+column), and each micro-batch rewrites ONLY the buckets its keys
+touch, via dynamic partition overwrite — untouched bucket files are
+not read, shuffled, or rewritten (tests assert they stay
+byte-identical across a batch). Per-batch cost is therefore
+O(touched buckets + batch), not O(table): with a bucket count sized
+so batches are sparse relative to buckets (16 here; thousands at
+100 TB), this is the same touched-files-only cost model a
+Delta/Iceberg MERGE INTO gives, expressed with plain parquet. The
+plan shape (per-key argmax by event time) is unchanged either way.
 """
 
 from __future__ import annotations
@@ -43,9 +48,60 @@ _SRC_SCHEMA = T.StructType(
 _N_SRC_FILES = 4  # micro-batches with maxFilesPerTrigger=1
 
 
+_N_BUCKETS = 16  # snapshot hash buckets; thousands at production scale
+_UPSERT_KEY = ["user_id", "event_type"]
+
+
+def upsert_merge_batch(
+    spark: SparkSession,
+    snap_dir: str,
+    work_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """Merge one micro-batch into the bucket-partitioned snapshot,
+    rewriting only the buckets the batch's keys hash into."""
+    win = W.partitionBy(*_UPSERT_KEY).orderBy(F.desc("us"), F.desc("event_id"))
+    bucket = F.pmod(F.xxhash64(*_UPSERT_KEY), F.lit(_N_BUCKETS)).cast("int")
+    batch = batch_df.withColumn("_bucket", bucket)
+    if os.path.isdir(snap_dir):
+        touched = sorted(
+            r["_bucket"] for r in batch.select("_bucket").distinct().collect()
+        )
+        cur = spark.read.parquet(snap_dir).filter(
+            F.col("_bucket").isin(touched)  # partition pruning
+        )
+        merged = cur.unionByName(batch)
+    else:
+        merged = batch
+    deduped = (
+        merged.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # Stage then read back: the overwrite's input must not be the
+    # path being overwritten (Spark rejects self-overwrite plans).
+    stage = os.path.join(work_dir, f"stage_b{batch_id}")
+    deduped.write.mode("overwrite").parquet(stage)
+    (
+        spark.read.parquet(stage)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_bucket")
+        .parquet(snap_dir)
+    )
+
+
 def run_upsert_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
     """events -> N-file stream -> foreachBatch last-writer-wins merge
-    into a versioned parquet snapshot -> final snapshot."""
+    into a bucket-partitioned parquet snapshot -> final snapshot.
+
+    Per batch: bucket the batch rows, list the touched buckets
+    (bounded collect, <= _N_BUCKETS rows), read ONLY those snapshot
+    partitions (partition pruning on the _bucket filter), window-dedup
+    (current ∪ batch) per key, stage, and dynamic-partition-overwrite
+    just the touched buckets back into the snapshot. Untouched bucket
+    files are never opened or rewritten."""
     ensure_session_confs(spark)
     src_dir = os.path.join(work_dir, "src")
     # Stage the stream input as several files so availableNow +
@@ -65,25 +121,10 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFr
         .parquet(src_dir)
     )
 
-    key = ["user_id", "event_type"]
-    win = W.partitionBy(*key).orderBy(F.desc("us"), F.desc("event_id"))
-    version = {"n": 0}
+    snap_dir = os.path.join(work_dir, "snapshot")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        cur_dir = os.path.join(work_dir, f"state_v{version['n']}")
-        nxt_dir = os.path.join(work_dir, f"state_v{version['n'] + 1}")
-        if os.path.isdir(cur_dir):
-            merged = spark.read.parquet(cur_dir).unionByName(batch_df)
-        else:
-            merged = batch_df
-        (
-            merged.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .write.mode("overwrite")
-            .parquet(nxt_dir)
-        )
-        version["n"] += 1
+        upsert_merge_batch(spark, snap_dir, work_dir, batch_df, batch_id)
 
     stream = (
         spark.readStream.schema(_SRC_SCHEMA)
@@ -98,7 +139,7 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFr
     )
     query.awaitTermination()
 
-    final = spark.read.parquet(os.path.join(work_dir, f"state_v{version['n']}"))
+    final = spark.read.parquet(snap_dir)
     return final.select(
         "user_id",
         "event_type",

@@ -128,3 +128,84 @@ def test_wav_rejects_non_pcm():
     struct.pack_into("<H", payload, payload.index(b"fmt ") + 8, 3)  # float
     with pytest.raises(ValueError, match="PCM"):
         decode_wav_bytes(bytes(payload))
+
+
+def test_png_roundtrip_gray8():
+    from voter_file_etl_spark.functions.codecs import decode_png, encode_png_gray8
+
+    px = bytes(range(48))
+    img = decode_png(encode_png_gray8(px, 8, 6))
+    assert (img.width, img.height, img.channels, img.format) == (8, 6, 1, "png")
+    assert img.pixels.reshape(-1).tobytes() == px
+
+
+def test_png_all_filter_types_decode():
+    # Hand-build a 4x4 grayscale PNG whose four rows use filters
+    # 1/2/3/4 (Sub/Up/Average/Paeth) and check the decoder inverts
+    # them back to the intended pixels.
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from voter_file_etl_spark.functions.codecs import _paeth, _png_chunk, _PNG_SIG, decode_png
+
+    target = np.arange(16, dtype=np.uint8).reshape(4, 4) * 10
+    rows = []
+    prev = np.zeros(4, dtype=int)
+    for y, ftype in enumerate((1, 2, 3, 4)):
+        cur = target[y].astype(int)
+        enc = bytearray()
+        for x in range(4):
+            left = cur[x - 1] if x > 0 else 0
+            up = prev[x]
+            ul = prev[x - 1] if x > 0 else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, ul)
+            enc.append((cur[x] - pred) & 0xFF)
+        rows.append(bytes([ftype]) + bytes(enc))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    img = decode_png(payload)
+    assert img.pixels.reshape(4, 4).tolist() == target.tolist()
+
+
+def test_png_crc_mismatch_raises():
+    import pytest
+
+    from voter_file_etl_spark.functions.codecs import decode_png, encode_png_gray8
+
+    png = bytearray(encode_png_gray8(bytes(48), 8, 6))
+    png[40] ^= 0xFF  # corrupt a byte inside IDAT
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+
+
+def test_vid0_parse_and_length_check():
+    import numpy as np
+    import pytest
+
+    from voter_file_etl_spark.functions.codecs import parse_video_bytes
+
+    frames = [bytes([i] * 48) for i in range(4)]
+    payload = b"VID0" + bytes([4]) + b"".join(frames)
+    out = parse_video_bytes(payload, 48)
+    assert len(out) == 4
+    assert all(np.array_equal(f, np.frombuffer(raw, dtype=np.uint8))
+               for f, raw in zip(out, frames))
+    with pytest.raises(ValueError):
+        parse_video_bytes(payload[:-1], 48)
+    with pytest.raises(ValueError):
+        parse_video_bytes(b"XXXX" + payload[4:], 48)

@@ -126,6 +126,8 @@ def decode_image_bytes(payload: bytes) -> DecodedImage:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise ValueError(f"unsupported image format (magic {payload[:2]!r})")
 
 
@@ -190,3 +192,116 @@ def parse_video_bytes(payload: bytes, frame_bytes: int = 48) -> list[np.ndarray]
         np.frombuffer(data[k * frame_bytes : (k + 1) * frame_bytes], dtype=np.uint8)
         for k in range(n)
     ]
+
+
+# ---------------------------------------------------------------------------
+# PNG — a REAL compressed codec with no external dependency: the
+# DEFLATE stream is stdlib zlib, so unlike JPEG/FLAC (which need
+# PIL/soundfile) PNG decode can be complete here. Grayscale and RGB,
+# 8-bit, non-interlaced; all five scanline filters (None/Sub/Up/
+# Average/Paeth) are implemented, and chunk CRCs are verified. The
+# encoder emits filter-0 rows (the decoder's filter paths are
+# exercised by unit tests with hand-filtered rows).
+# ---------------------------------------------------------------------------
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png_gray8(pixels: bytes, width: int, height: int) -> bytes:
+    """Minimal 8-bit grayscale PNG: IHDR + one zlib IDAT of
+    filter-0-prefixed scanlines + IEND."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count != width*height")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> DecodedImage:
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    i = 8
+    ihdr = None
+    idat = b""
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("png: missing IHDR/IDAT")
+    width, height, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("png: only 8-bit non-interlaced supported")
+    channels = {0: 1, 2: 3}.get(ctype_n)
+    if channels is None:
+        raise ValueError(f"png: unsupported color type {ctype_n}")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("png: scanline length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + int(prev[x])) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"png: unknown filter {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+    return DecodedImage(
+        width=width,
+        height=height,
+        channels=channels,
+        format="png",
+        pixels=out.reshape(height, width, channels),
+    )

@@ -909,3 +909,197 @@ def x34_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("score_micro"),
         (F.col("z") >= 0.0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X36 — out-of-vocabulary (OOV) rate filter: build the corpus
+# vocabulary as the K globally most frequent words (count DESC, word
+# ASC — deterministic), then score every document by the fraction of
+# its tokens outside that vocabulary and gate on it. The
+# gibberish/encoding-junk detector of web-scale cleaning: a doc whose
+# words mostly aren't in the corpus's own head vocabulary is noise.
+#
+# Scale: word counting is one partial+final agg; the vocabulary is K
+# rows broadcast; scoring is a broadcast join + per-doc agg — the
+# same global-stats-then-map shape as x33, never all-pairs.
+# ---------------------------------------------------------------------------
+_OOV_VOCAB_K = 30
+_OOV_KEEP_MAX = 0.10  # keep iff OOV fraction <= 10%
+
+
+@register(
+    "x36_oov_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+          regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w FROM (SELECT w, count(*) AS n FROM toks GROUP BY w)
+      ORDER BY n DESC, w LIMIT {_OOV_VOCAB_K}
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+                      AS DOUBLE) / count(*), 6) AS oov_rate,
+           round(CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+                      AS DOUBLE) / count(*), 6) <= {_OOV_KEEP_MAX} AS keep
+    FROM toks
+    GROUP BY doc_id
+    """,
+)
+def x36_oov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    scored = toks.join(F.broadcast(vocab), "w", "left")
+    n_oov = F.sum(F.when(F.col("_in_vocab"), 0).otherwise(1)).cast("bigint")
+    rate = F.round(n_oov.cast("double") / F.count(F.lit(1)), 6)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        rate.alias("oov_rate"),
+        (rate <= _OOV_KEEP_MAX).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T10 — stemming + stopword normalization: the token-normalize stage
+# of a text index (suffix-strip stemmer + stopword drop, then stem
+# frequencies). The stemmer is a fixed-precedence CASE over
+# endswith/length tests — NOT a regex alternation, whose
+# leftmost-first-vs-longest semantics differ subtly between regex
+# engines; LIKE and substring behave identically everywhere.
+#
+# Scale: explode + one partial+final agg keyed on the stem.
+# ---------------------------------------------------------------------------
+_T10_STOP = ("a", "the", "of", "and")
+
+
+def _t10_stem_sql(w: str) -> str:
+    # Order matters and each branch is exclusive: ing > ed > ly > es > s.
+    return f"""CASE
+      WHEN {w} LIKE '%ing' AND length({w}) > 4 THEN substr({w}, 1, length({w}) - 3)
+      WHEN {w} LIKE '%ed' AND length({w}) > 3 THEN substr({w}, 1, length({w}) - 2)
+      WHEN {w} LIKE '%ly' AND length({w}) > 3 THEN substr({w}, 1, length({w}) - 2)
+      WHEN {w} LIKE '%es' AND length({w}) > 3 THEN substr({w}, 1, length({w}) - 2)
+      WHEN {w} LIKE '%s' AND NOT {w} LIKE '%ss' AND length({w}) > 3
+           THEN substr({w}, 1, length({w}) - 1)
+      ELSE {w} END"""
+
+
+@register(
+    "t10_stem_stopword",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+      FROM documents
+    ), kept AS (
+      SELECT w, {_t10_stem_sql("w")} AS stem FROM toks
+      WHERE w NOT IN ({", ".join(f"'{s}'" for s in _T10_STOP)})
+    )
+    SELECT stem,
+           count(*) AS n_tokens,
+           count(DISTINCT w) AS n_surface_forms
+    FROM kept GROUP BY stem
+    """,
+)
+def t10_stem_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+        ).alias("w")
+    ).filter(~F.col("w").isin(*_T10_STOP))
+    kept = toks.select("w", F.expr(_t10_stem_sql("w")).alias("stem"))
+    return kept.groupBy("stem").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_surface_forms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X37 — character-entropy filter: Shannon entropy of the per-doc
+# character distribution, the classic gibberish / encoding-junk /
+# key-mash detector (natural text sits near the corpus's typical
+# entropy; base64 blobs and aaaaaa-runs sit far above/below). Follows
+# x27's micro-nat policy for the one libm call: each ln(p) is rounded
+# to integer MICRO-NATS before the weighted sum, so the aggregation
+# is exact integer math in any order and only the final per-doc
+# division returns to double (then rounds to integer micro-nats
+# again) — bit-identical across engines and cluster sizes.
+#
+# Scale: per-char explode (length(text) rows per doc) into one
+# partial+final agg keyed on (doc_id, char), then a per-doc agg — no
+# window, no collect. At 100 TB the explode factor is the honest cost
+# of a per-character statistic; partial aggregation collapses it
+# map-side before the shuffle.
+# ---------------------------------------------------------------------------
+_ENTROPY_KEEP_MIN = 2_800_000  # micro-nats (~corpus median, both classes occur)
+
+
+@register(
+    "x37_entropy_filter",
+    oracle=f"""
+    WITH ch AS (
+      SELECT doc_id, substr(text, i, 1) AS c, length(text) AS n
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+    ), freq AS (
+      SELECT doc_id, c, max(n) AS n, count(*) AS nc FROM ch GROUP BY doc_id, c
+    ), terms AS (
+      SELECT doc_id, n,
+             nc * CAST(round(ln(CAST(nc AS DOUBLE) / n) * 1000000, 0) AS BIGINT)
+               AS tm
+      FROM freq
+    )
+    SELECT doc_id,
+           max(n) AS n_chars,
+           count(*) AS n_distinct_chars,
+           CAST(round(-CAST(sum(tm) AS DOUBLE) / max(n), 0) AS BIGINT)
+             AS entropy_micro,
+           CAST(round(-CAST(sum(tm) AS DOUBLE) / max(n), 0) AS BIGINT)
+             >= {_ENTROPY_KEEP_MIN} AS keep
+    FROM terms GROUP BY doc_id
+    """,
+)
+def x37_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("c"),
+    )
+    freq = ch.groupBy("doc_id", "c").agg(
+        F.max("n").alias("n"), F.count(F.lit(1)).alias("nc")
+    )
+    term = (
+        F.col("nc")
+        * F.round(F.log(F.col("nc").cast("double") / F.col("n")) * 1000000, 0)
+        .cast("bigint")
+    )
+    terms = freq.select("doc_id", "n", term.alias("tm"))
+    emicro = F.round(
+        -F.sum("tm").cast("double") / F.max("n"), 0
+    ).cast("bigint")
+    return terms.groupBy("doc_id").agg(
+        F.max("n").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        emicro.alias("entropy_micro"),
+        (emicro >= _ENTROPY_KEEP_MIN).alias("keep"),
+    )

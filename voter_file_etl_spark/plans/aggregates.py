@@ -345,3 +345,68 @@ def a15_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_mode",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A16 — weighted median: the 50%-of-total-WEIGHT order statistic
+# (median price weighted by quantity — "the price at which half the
+# VOLUME trades", not half the rows). Expressed as one cumulative-
+# weight window per group + a conditional min: the first price whose
+# running weight reaches half the group total. All weight arithmetic
+# stays in exact DECIMAL with a total order (price, orderkey,
+# linenumber), so the picked row — and therefore the double output —
+# is identical across engines and cluster sizes.
+#
+# Scale: one shuffle keyed on the group, per-partition sort, running
+# sum — the same WindowExec shape as w3; no second pass, no collect.
+# ---------------------------------------------------------------------------
+@register(
+    "a16_weighted_median",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             CAST(l_quantity AS DECIMAL(18,2)) AS wgt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price,
+             sum(wgt) OVER (PARTITION BY l_returnflag
+                            ORDER BY price, l_orderkey, l_linenumber) AS cw,
+             sum(wgt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM base
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN cw * 2 >= tw THEN price END) AS DOUBLE)
+             AS weighted_median,
+           CAST(max(tw) AS DOUBLE) AS total_weight
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def a16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("wgt").over(wcum).alias("cw"),
+        F.sum("wgt").over(wall).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price")))
+        .cast("double").alias("weighted_median"),
+        F.max("tw").cast("double").alias("total_weight"),
+    )

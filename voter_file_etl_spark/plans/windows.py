@@ -260,3 +260,52 @@ def w7_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — time-RANGE window frame: per-user trailing 1-hour sum/count
+# over events (the "activity in the last hour at each event" shape).
+# Unlike w3's ROWS frame (a fixed row count), a RANGE frame bounds
+# the frame by the ORDER-BY VALUE — peers with equal timestamps are
+# all in-frame, and gaps in time shrink the frame — which is the
+# correct semantics for time-windowed features. Ordered by integer
+# epoch micros so the frame bound (3.6e9 µs) is exact arithmetic in
+# both engines; the sum routes through DECIMAL so frame order can't
+# perturb the double.
+#
+# Scale: one shuffle keyed on user_id, then a per-partition sort and
+# a running frame — Spark's WindowExec keeps only the active frame
+# buffered, so memory is O(frame), not O(partition).
+# ---------------------------------------------------------------------------
+_W8_FRAME_US = 3_600_000_000  # 1 hour in microseconds
+
+
+@register(
+    "w8_time_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id,
+           epoch_us(ts) AS us,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS hour_sum,
+           CAST(count(*) OVER w AS BIGINT) AS hour_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_W8_FRAME_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def w8_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_W8_FRAME_US, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("hour_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("hour_n"),
+    )

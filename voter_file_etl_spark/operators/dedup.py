@@ -767,3 +767,105 @@ def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= _CONTAIN_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# X38 — sketch accuracy evaluation: MinHash-ESTIMATED Jaccard
+# (fraction of matching signature slots) against EXACT Jaccard for
+# the planted near-dup pairs — the calibration step that tells you
+# whether a given signature budget (here 8 slots) is adequate before
+# you trust LSH at 100 TB, where the exact verify is affordable only
+# on candidates. Reuses x2's seed-sliced md5 signatures so the
+# estimate under test is literally the production sketch.
+#
+# Scale: per-doc signatures are map-side; the pair table is the
+# bounded planted set joined twice — no candidate explosion.
+# ---------------------------------------------------------------------------
+def _x38_oracle() -> str:
+    mh_cols = ",\n        ".join(
+        f"list_min(list_transform(shingles, x -> substr(md5(x), {4 * s + 1}, 4))) AS m{s}"
+        for s in range(_N_SEEDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END)" for s in range(_N_SEEDS)
+    )
+    exact = (
+        "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+        " / (len(a.shingles) + len(b.shingles)"
+        " - len(list_intersect(a.shingles, b.shingles)))"
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz end marker') AS text
+      FROM documents WHERE doc_id % 20 = 0
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(arr) - 1),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+      FROM (SELECT doc_id, str_split(text, ' ') AS arr FROM corpus)
+    ), mh AS (
+      SELECT doc_id, shingles,
+        {mh_cols}
+      FROM sh
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round({exact}, 6) AS jaccard_exact,
+           round(CAST({matches} AS DOUBLE) / {_N_SEEDS}, 6) AS jaccard_est,
+           round(abs(round({exact}, 6)
+                     - round(CAST({matches} AS DOUBLE) / {_N_SEEDS}, 6)), 6)
+             AS abs_err
+    FROM mh a JOIN mh b ON a.doc_id + 1000000 = b.doc_id
+    """
+
+
+@register("x38_minhash_accuracy", oracle=_x38_oracle())
+def x38_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz end marker")).alias("text"),
+    )
+    sh = shingle3(docs.unionByName(copies)).persist()
+    mh = sh.select(
+        "doc_id",
+        "shingles",
+        F.expr("transform(shingles, x -> md5(x))").alias("hx"),
+    ).select(
+        "doc_id",
+        "shingles",
+        *[
+            F.expr(
+                f"array_min(transform(hx, h -> substring(h, {4 * s + 1}, 4)))"
+            ).alias(f"m{s}")
+            for s in range(_N_SEEDS)
+        ],
+    )
+    a = mh.select(
+        F.col("doc_id").alias("id1"),
+        F.col("shingles").alias("sh1"),
+        *[F.col(f"m{s}").alias(f"a{s}") for s in range(_N_SEEDS)],
+    )
+    b = mh.select(
+        (F.col("doc_id") - 1000000).alias("id1"),
+        F.col("doc_id").alias("id2"),
+        F.col("shingles").alias("sh2"),
+        *[F.col(f"m{s}").alias(f"b{s}") for s in range(_N_SEEDS)],
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    exact = F.round(
+        inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter), 6
+    )
+    nmatch = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(_N_SEEDS)
+    )
+    est = F.round(nmatch.cast("double") / _N_SEEDS, 6)
+    return a.join(b, "id1").select(
+        "id1",
+        "id2",
+        exact.alias("jaccard_exact"),
+        est.alias("jaccard_est"),
+        F.round(F.abs(exact - est), 6).alias("abs_err"),
+    )

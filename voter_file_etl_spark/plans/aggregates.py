@@ -410,3 +410,70 @@ def a16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("weighted_median"),
         F.max("tw").cast("double").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A17 — exact-sum correlation / covariance: Pearson corr(quantity,
+# price) per return flag, computed from the five exact DECIMAL power
+# sums (n, Σx, Σy, Σxy, Σx², Σy²) rather than the engine's native
+# corr() — native implementations use different one-pass update
+# formulas whose float error differs by engine, while power sums in
+# DECIMAL are exact in any aggregation order. Only the final formula
+# runs in double (correctly-rounded ops in identical order on both
+# sides, then round to 6dp).
+#
+# Scale: one partial+final agg — the five sums travel as one row per
+# (group, map partition); no second pass, no window.
+# ---------------------------------------------------------------------------
+@register(
+    "a17_corr_covar",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qp,
+           round((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS covar_pop_qp
+    FROM s
+    """,
+)
+def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    prc = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(prc).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(prc * prc).cast("double").alias("syy"),
+        F.sum(qty * prc).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    corr = F.round(
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * F.sqrt(nd * F.col("syy") - F.col("sy") * F.col("sy"))
+        ),
+        6,
+    )
+    covar = F.round(
+        (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / nd, 6
+    )
+    return s.select(
+        "l_returnflag", "n", corr.alias("corr_qp"), covar.alias("covar_pop_qp")
+    )

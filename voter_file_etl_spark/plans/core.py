@@ -449,3 +449,70 @@ def s10_permissive_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0)).alias("n_good"),
         F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)).alias("n_corrupt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S11 — RFC 4180 quoted-CSV round-trip parity: payloads carrying the
+# three parser killers (embedded delimiter, embedded doubled quote,
+# embedded NEWLINE) are written as CSV by the distributed writer,
+# then BOTH engines parse the same files back — proving the
+# quote/escape/multiline dialect (quote '"', escape '"', i.e.
+# doubled-quote) is interpreted identically. A parser that mangles
+# any edge case changes payload bytes and hash-mismatches.
+#
+# Scale note: multiLine CSV parsing cannot split a file (rows may
+# span line boundaries), so parallelism = file count — which is why
+# the serving format is parquet and CSV exists only at the ingest
+# edge (sources/tsv.py), exactly the reference's posture.
+# ---------------------------------------------------------------------------
+_S11_DIR = os.path.join(tempfile.gettempdir(), "voter_file_etl_spark_s11")
+
+
+@register(
+    "s11_quoted_csv",
+    oracle=f"""
+    SELECT id, payload,
+           length(payload) AS n_chars,
+           contains(payload, ',') AS has_comma,
+           contains(payload, '"') AS has_quote,
+           contains(payload, chr(10)) AS has_newline
+    FROM read_csv('{_S11_DIR}/*.csv', header=true, sep=',',
+                  quote='"', escape='"',
+                  columns={{'id': 'BIGINT', 'payload': 'VARCHAR'}})
+    """,
+)
+def s11_quoted_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("c_custkey")
+    payload = F.concat(
+        "c_name",
+        F.when(k % 4 == 0, F.lit(", embedded comma"))
+        .when(k % 4 == 1, F.lit(' has "doubled quotes"'))
+        .when(k % 4 == 2, F.lit("\nsecond line"))
+        .otherwise(F.lit(" plain")),
+    )
+    (
+        t(spark, sf_dir, "customer")
+        .select(k.cast("bigint").alias("id"), payload.alias("payload"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(_S11_DIR)
+    )
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema("id long, payload string")
+        .csv(_S11_DIR)
+    )
+    return back.select(
+        "id",
+        "payload",
+        F.length("payload").alias("n_chars"),
+        F.col("payload").contains(",").alias("has_comma"),
+        F.col("payload").contains('"').alias("has_quote"),
+        F.col("payload").contains("\n").alias("has_newline"),
+    )

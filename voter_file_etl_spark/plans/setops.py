@@ -112,3 +112,30 @@ def u4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# U5 — EXCEPT ALL: multiset difference (each occurrence counts —
+# removing one load's rows from a snapshot must subtract per-copy,
+# not per-distinct-value, or re-loaded duplicates silently survive).
+# Spark's exceptAll implements bag semantics via per-value counts;
+# the output aggregates to (value, count) so the multiset result is
+# order-free and hashable.
+# ---------------------------------------------------------------------------
+@register(
+    "u5_except_all",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n FROM (
+      SELECT o_orderpriority FROM orders
+      EXCEPT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    ) GROUP BY o_orderpriority
+    """,
+)
+def u5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.select("o_orderpriority")
+    b = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderpriority")
+    return a.exceptAll(b).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )

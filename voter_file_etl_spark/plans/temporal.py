@@ -213,3 +213,142 @@ def t6_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J11 — nearest-event join: for every purchase, the same user's view
+# with the SMALLEST time distance in EITHER direction (j6's as-of is
+# backward-only; sensor/event alignment usually wants nearest). Two
+# running windows over one sorted pass — last view at-or-before and
+# first view after — then a pure CASE picks the nearer side (ties
+# prefer the backward view). Identical window formulation on both
+# engines (explicit ROWS frames + total order on (ts, is_purchase,
+# event_id)), so no reliance on engine-specific ASOF variants.
+#
+# Scale: one shuffle keyed on user_id + one per-partition sort feeds
+# BOTH windows (same ordering, reversed frame) — never a pairwise
+# |Δt| join, which would be quadratic per user.
+# ---------------------------------------------------------------------------
+@register(
+    "j11_nearest_event_join",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase,
+             CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_us
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), spanned AS (
+      SELECT event_id, user_id, us, is_purchase,
+             last_value(view_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, is_purchase, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_view_us,
+             last_value(view_us IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us DESC, is_purchase, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_view_us
+      FROM tagged
+    )
+    SELECT event_id, user_id, us AS purchase_us,
+           CASE
+             WHEN prev_view_us IS NULL THEN next_view_us
+             WHEN next_view_us IS NULL THEN prev_view_us
+             WHEN us - prev_view_us <= next_view_us - us THEN prev_view_us
+             ELSE next_view_us
+           END AS nearest_view_us
+    FROM spanned WHERE is_purchase = 1
+    """,
+)
+def j11_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+        F.when(
+            F.col("event_type") == "view", F.unix_micros("ts")
+        ).alias("view_us"),
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.asc("is_purchase"), F.asc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("us"), F.asc("is_purchase"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    spanned = tagged.select(
+        "event_id",
+        "user_id",
+        "us",
+        "is_purchase",
+        F.last("view_us", ignorenulls=True).over(fwd).alias("prev_view_us"),
+        F.last("view_us", ignorenulls=True).over(bwd).alias("next_view_us"),
+    )
+    nearest = (
+        F.when(F.col("prev_view_us").isNull(), F.col("next_view_us"))
+        .when(F.col("next_view_us").isNull(), F.col("prev_view_us"))
+        .when(
+            F.col("us") - F.col("prev_view_us")
+            <= F.col("next_view_us") - F.col("us"),
+            F.col("prev_view_us"),
+        )
+        .otherwise(F.col("next_view_us"))
+    )
+    return spanned.filter(F.col("is_purchase") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        nearest.alias("nearest_view_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T11 — MAP-typed column round-trip: per-user event-type counts
+# collected into a map<string,bigint> column (map_from_entries over
+# collect_list), then exploded back to rows. Complex-type surface the
+# array/json keys don't cover; registered output is post-explode
+# scalars (no-complex-types rule), so the oracle checks that the trip
+# through the MAP loses and reorders nothing — map_from_entries
+# rejecting duplicate keys and explode preserving multiplicity are
+# the semantics under test.
+#
+# Scale: one partial+final agg to counts, one map-side collect_list
+# into the map (bounded: #event_types entries per user), one explode.
+# ---------------------------------------------------------------------------
+@register(
+    "t11_map_funcs",
+    oracle="""
+    SELECT user_id, event_type, n,
+           n_types,
+           CAST(total AS BIGINT) AS total
+    FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             CAST(count(*) OVER (PARTITION BY user_id) AS INTEGER) AS n_types,
+             sum(count(*)) OVER (PARTITION BY user_id) AS total
+      FROM events GROUP BY user_id, event_type
+    )
+    """,
+)
+def t11_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    exploded = mapped.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.expr(
+            "aggregate(map_values(m), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("total"),
+        F.explode("m").alias("event_type", "n"),
+    )
+    return exploded.select("user_id", "event_type", "n", "n_types", "total")

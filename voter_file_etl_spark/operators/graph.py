@@ -52,3 +52,97 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# G1 — PageRank (3 unrolled power iterations, damping 0.85) over a
+# deterministic synthetic citation graph on the customer keys (each
+# node links to 3 arithmetically-derived targets, so out-degree is
+# exactly 3 everywhere). The iterative-DataFrame-algorithm shape
+# beyond connected components: per iteration one join edges->ranks +
+# one partial+final sum keyed on the destination — the graph never
+# moves to the driver.
+#
+# Determinism policy: ranks are integer MICRO-RANKS and every update
+# is integer arithmetic — contribution = rank div 3 (exact for the
+# constant out-degree), update = 150000 + (85 * Σcontrib) div 100 —
+# so partial-aggregation order cannot perturb a single bit, in either
+# engine, at any parallelism. (Float PageRank sums in shuffle order
+# are NOT reproducible across cluster sizes; integer mass is.)
+# ---------------------------------------------------------------------------
+from pyspark.sql import SparkSession
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+
+def _pr_edges_sql() -> str:
+    return """
+      SELECT c_custkey AS src,
+             1 + (c_custkey * 7 + 3) % n AS dst FROM customer, nn
+      UNION ALL
+      SELECT c_custkey, 1 + (c_custkey * 13 + 5) % n FROM customer, nn
+      UNION ALL
+      SELECT c_custkey, 1 + (c_custkey * 29 + 11) % n FROM customer, nn
+    """
+
+
+def _pr_iter_sql(prev: str) -> str:
+    return f"""
+      SELECT c.c_custkey AS node,
+             150000 + (85 * coalesce(s.contrib, 0)) // 100 AS r
+      FROM customer c LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r // 3) AS contrib
+        FROM edges e JOIN {prev} p ON e.src = p.node
+        GROUP BY e.dst
+      ) s ON c.c_custkey = s.node
+    """
+
+
+@register(
+    "g1_pagerank",
+    oracle=f"""
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    edges AS ({_pr_edges_sql()}),
+    r0 AS (SELECT c_custkey AS node, 1000000 AS r FROM customer),
+    r1 AS ({_pr_iter_sql("r0")}),
+    r2 AS ({_pr_iter_sql("r1")}),
+    r3 AS ({_pr_iter_sql("r2")})
+    SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3
+    """,
+)
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.crossJoin(F.broadcast(n))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(
+                F.array(
+                    F.lit(1) + (F.col("node") * 7 + 3) % F.col("n"),
+                    F.lit(1) + (F.col("node") * 13 + 5) % F.col("n"),
+                    F.lit(1) + (F.col("node") * 29 + 11) % F.col("n"),
+                )
+            ).alias("dst"),
+        )
+        .persist()
+    )
+    ranks = cust.select("node", F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select("dst", F.expr("r div 3").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = cust.join(contrib, cust.node == contrib.dst, "left").select(
+            "node",
+            (
+                F.lit(150000)
+                + F.expr("85 * coalesce(contrib, 0) div 100")
+            ).cast("bigint").alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank_micro"))

@@ -662,3 +662,83 @@ def x30_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         F.sum(micro).cast("bigint").alias("inertia_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X39 — ANN recall evaluation: recall@k of the IVF index (x12)
+# against the exact brute-force top-k (x6), per query — the
+# measurement that justifies (or rejects) an index configuration
+# before trusting it at 100 TB, where exact search exists only as a
+# sampled audit. Recall loss here comes solely from nprobe=1 cell
+# truncation, so the number is a real index property, not noise:
+# both pipelines are bit-deterministic, making the recall itself
+# oracle-checkable — an eval harness whose own correctness is
+# verified.
+#
+# Scale: reuses the two production pipelines as-is, then one
+# left join on (query, neighbor) + a per-query count — costs no more
+# than running the index plus a k-row-per-query audit join.
+# ---------------------------------------------------------------------------
+def _x39_oracle() -> str:
+    cos_qc = V.cosine_sql(V.dot_sql_duckdb("q.qv", "c.qv"), "q.nq", "c.nq")
+    cos_nc = V.cosine_sql(V.dot_sql_duckdb("n.qv", "c.cqv"), "n.nq", "c.cnq")
+    return (
+        _CORPUS_SQL
+        + f"""
+    , exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.vec_id) AS rank
+        FROM normed q JOIN normed c
+          ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      ) WHERE rank <= {_TOP_K}
+    ), cents AS (
+      SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
+      WHERE vec_id < {_N_CELLS}
+    ), assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT n.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {cos_nc} DESC, c.cent_id) AS rn
+        FROM normed n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), wb AS (
+      SELECT n.vec_id, n.qv, n.nq, a.cell
+      FROM normed n JOIN assign a ON n.vec_id = a.vec_id
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.vec_id) AS rank
+        FROM wb q JOIN wb c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rank <= {_TOP_K}
+    )
+    SELECT e.query_id,
+           count(*) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall_at_k
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """
+    )
+
+
+@register("x39_ann_recall", oracle=_x39_oracle())
+def x39_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = x6_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = x12_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(True).alias("_hit")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    n_matched = F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("bigint")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        n_matched.alias("n_matched"),
+        F.round(n_matched.cast("double") / F.count(F.lit(1)), 6).alias(
+            "recall_at_k"
+        ),
+    )

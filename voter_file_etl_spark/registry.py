@@ -55,6 +55,7 @@ def load_all() -> None:
     from voter_file_etl_spark.operators import (  # noqa: F401
         dedup,
         etl,
+        graph,
         multimodal,
         sampling,
         similarity,

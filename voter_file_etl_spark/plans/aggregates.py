@@ -477,3 +477,63 @@ def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", corr.alias("corr_qp"), covar.alias("covar_pop_qp")
     )
+
+
+# ---------------------------------------------------------------------------
+# A18 — fixed-width histogram with empty-bin densification: bin
+# counts over account balance INCLUDING zero-count bins (generated
+# bin spine LEFT JOIN counts) — the chart-ready histogram every BI
+# layer wants, where a missing bin must read 0, not vanish. Bin ids
+# are integer floor-division of DECIMAL cents, so bin edges are
+# exact — no float boundary can put a row in different bins on
+# different engines.
+#
+# Scale: one partial+final agg for the counts; the spine is
+# sequence() over the fixed bin range (a few hundred rows) —
+# broadcast, never a shuffle.
+# ---------------------------------------------------------------------------
+_HIST_WIDTH = 100  # dollars per bin
+
+
+@register(
+    "a18_histogram",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(floor(min(CAST(c_acctbal AS DECIMAL(18,2)) / {_HIST_WIDTH}))
+                  AS BIGINT) AS lo,
+             CAST(floor(max(CAST(c_acctbal AS DECIMAL(18,2)) / {_HIST_WIDTH}))
+                  AS BIGINT) AS hi
+      FROM customer
+    ), spine AS (
+      SELECT unnest(range(lo, hi + 1)) AS bin FROM bounds
+    ), counts AS (
+      SELECT CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / {_HIST_WIDTH})
+                  AS BIGINT) AS bin,
+             count(*) AS n
+      FROM customer GROUP BY 1
+    )
+    SELECT s.bin,
+           CAST(s.bin * {_HIST_WIDTH} AS DOUBLE) AS lo_edge,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+    """,
+)
+def a18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    bin_of = F.floor(
+        F.col("c_acctbal").cast("decimal(18,2)") / _HIST_WIDTH
+    ).cast("bigint")
+    counts = cust.select(bin_of.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = cust.agg(
+        F.min(bin_of).alias("lo"), F.max(bin_of).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("bin")
+    )
+    return spine.join(counts, "bin", "left").select(
+        "bin",
+        (F.col("bin") * _HIST_WIDTH).cast("double").alias("lo_edge"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )

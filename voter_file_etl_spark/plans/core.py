@@ -516,3 +516,56 @@ def s11_quoted_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload").contains('"').alias("has_quote"),
         F.col("payload").contains("\n").alias("has_newline"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P10 — NULL semantics surface: null-safe equality (<=> / IS NOT
+# DISTINCT FROM) joining on a NULLABLE key (plain = drops NULL=NULL
+# matches silently — the classic reconciliation bug), plus explicit
+# NULLS FIRST ordering folded into a deterministic rank. Voter data
+# is full of NULLable natural keys (middle names, suffixes); a diff
+# tool that loses the NULL-keyed rows under-reports changes.
+# ---------------------------------------------------------------------------
+@register(
+    "p10_null_semantics",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN NULL
+                  ELSE c_custkey % 7 END AS k
+      FROM customer
+    ), b AS (
+      SELECT DISTINCT CASE WHEN c_custkey % 15 = 0 THEN NULL
+                           ELSE c_custkey % 7 END AS k
+      FROM customer
+    ), joined AS (
+      SELECT a.c_custkey, a.k
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    )
+    SELECT k, count(*) AS n,
+           CAST(row_number() OVER (ORDER BY k NULLS FIRST) AS BIGINT) AS k_rank
+    FROM joined
+    GROUP BY k
+    """,
+)
+def p10_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cust = t(spark, sf_dir, "customer")
+    k_a = F.when(F.col("c_custkey") % 10 == 0, F.lit(None)).otherwise(
+        F.col("c_custkey") % 7
+    )
+    k_b = F.when(F.col("c_custkey") % 15 == 0, F.lit(None)).otherwise(
+        F.col("c_custkey") % 7
+    )
+    a = cust.select("c_custkey", k_a.alias("k"))
+    b = cust.select(k_b.alias("kb")).distinct()
+    joined = a.join(b, a.k.eqNullSafe(b.kb))
+    return (
+        joined.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "k_rank",
+            F.row_number().over(W.orderBy(F.asc_nulls_first("k"))).cast("bigint"),
+        )
+    )

@@ -1,0 +1,217 @@
+"""Property-based and randomized-reference tests.
+
+Pure-Python components (codecs) get hypothesis property tests;
+Spark-dependent components get seeded randomized comparisons against
+independent pure-Python reference implementations (union-find,
+bisection geohash, brute-force pair search) — one Spark job per
+test, all examples batched into a single DataFrame.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from voter_file_etl_spark.functions.codecs import (
+    decode_png,
+    decode_wav_bytes,
+    encode_png_gray8,
+    parse_video_bytes,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    data=st.data(),
+)
+def test_png_roundtrip_any_size(w, h, data):
+    px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)))
+    img = decode_png(encode_png_gray8(px, w, h))
+    assert (img.width, img.height, img.channels) == (w, h, 1)
+    assert img.pixels.reshape(-1).tobytes() == px
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data(), w=st.integers(1, 8), h=st.integers(1, 8))
+def test_png_random_filters_roundtrip(w, h, data):
+    # Encode each row with a RANDOM filter type; the decoder must
+    # invert every combination.
+    from voter_file_etl_spark.functions.codecs import _paeth, _png_chunk, _PNG_SIG
+
+    target = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)),
+        dtype=np.uint8,
+    ).reshape(h, w)
+    ftypes = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    rows, prev = [], np.zeros(w, dtype=int)
+    for y in range(h):
+        cur = target[y].astype(int)
+        enc = bytearray()
+        for x in range(w):
+            left = cur[x - 1] if x > 0 else 0
+            up = prev[x]
+            ul = prev[x - 1] if x > 0 else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                    4: _paeth(left, up, ul)}[ftypes[y]]
+            enc.append((cur[x] - pred) & 0xFF)
+        rows.append(bytes([ftypes[y]]) + bytes(enc))
+        prev = cur
+    payload = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(payload).pixels.reshape(h, w).tolist() == target.tolist()
+
+
+@settings(max_examples=50, deadline=None)
+@given(n=st.integers(0, 8), data=st.data())
+def test_vid0_roundtrip_any_count(n, data):
+    frames = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=48, max_size=48)))
+        for _ in range(n)
+    ]
+    payload = b"VID0" + bytes([n]) + b"".join(frames)
+    out = parse_video_bytes(payload, 48)
+    assert [f.tobytes() for f in out] == frames
+
+
+@settings(max_examples=30, deadline=None)
+@given(rate=st.sampled_from([8000, 16000, 48000]), data=st.data())
+def test_wav_8bit_decode_matches_samples(rate, data):
+    samples = data.draw(st.lists(st.integers(0, 255), min_size=1, max_size=64))
+    body = bytes(samples)
+    header = (
+        b"RIFF" + (36 + len(body)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + rate.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + b"data" + len(body).to_bytes(4, "little")
+    )
+    audio = decode_wav_bytes(header + body)
+    assert audio.sample_rate == rate and audio.bits == 8
+    # 8-bit PCM is unsigned; the decoder centers by -128.
+    assert audio.samples.reshape(-1).tolist() == [s - 128 for s in samples]
+
+
+# ---------------------------------------------------------------------------
+# Seeded randomized reference comparisons (one Spark job per test).
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_matches_union_find(spark, seed):
+    from voter_file_etl_spark.operators.graph import connected_components
+
+    rng = np.random.default_rng(seed)
+    n_nodes, n_edges = 30, 25
+    und = [tuple(map(int, rng.integers(0, n_nodes, 2))) for _ in range(n_edges)]
+
+    parent = list(range(n_nodes))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in und:
+        parent[find(a)] = find(b)
+    touched = {v for e in und for v in e}
+    root_min = {}
+    for v in touched:
+        root_min.setdefault(find(v), v)
+        root_min[find(v)] = min(root_min[find(v)], v)
+    expected = {(v, root_min[find(v)]) for v in touched}
+
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_geohash_matches_bisection_reference(spark, seed):
+    from pyspark.sql import functions as F
+
+    from voter_file_etl_spark.functions.geohash import BASE32, geohash_col
+
+    def ref_geohash(lat, lon, precision=8):
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even = 0, [], True
+        ch = 0
+        while len(out) < precision:
+            if even:
+                mid = (lon_r[0] + lon_r[1]) / 2
+                if lon >= mid:
+                    ch = (ch << 1) | 1; lon_r[0] = mid
+                else:
+                    ch = ch << 1; lon_r[1] = mid
+            else:
+                mid = (lat_r[0] + lat_r[1]) / 2
+                if lat >= mid:
+                    ch = (ch << 1) | 1; lat_r[0] = mid
+                else:
+                    ch = ch << 1; lat_r[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(BASE32[ch]); bits = 0; ch = 0
+        return "".join(out)
+
+    rng = np.random.default_rng(seed)
+    coords = [
+        (float(lat), float(lon))
+        for lat, lon in zip(rng.uniform(-89.9, 89.9, 100), rng.uniform(-179.9, 179.9, 100))
+    ]
+    df = spark.createDataFrame(coords, ["lat", "lon"])
+    got = [
+        r["gh"]
+        for r in df.select(geohash_col(F.col("lat"), F.col("lon"), 8).alias("gh"))
+        .collect()
+    ]
+    assert got == [ref_geohash(lat, lon) for lat, lon in coords]
+
+
+@pytest.mark.parametrize("seed,cap", [(0, 8), (1, 6)])
+def test_bounded_block_pairs_complete_vs_bruteforce(spark, seed, cap):
+    # Every same-block pair meeting the threshold must appear exactly
+    # once, no matter how the cap slices blocks into sub-groups.
+    from itertools import combinations
+
+    from voter_file_etl_spark.operators.similarity import bounded_block_pairs
+
+    rng = np.random.default_rng(seed)
+    n, dim = 40, 8
+    rows = [
+        (int(i), int(rng.integers(0, 3)),
+         [int(x) for x in rng.integers(-5, 6, dim)])
+        for i in range(n)
+    ]
+    thr = 0.8
+
+    def cos(a, b):
+        d = float(np.dot(a, b))
+        return d / (np.sqrt(float(np.dot(a, a))) * np.sqrt(float(np.dot(b, b))))
+
+    expected = set()
+    for (i1, b1, v1), (i2, b2, v2) in combinations(rows, 2):
+        if b1 == b2 and cos(np.array(v1), np.array(v2)) >= thr:
+            expected.add((min(i1, i2), max(i1, i2)))
+
+    df = spark.createDataFrame(
+        [(i, b, v, int(np.dot(v, v))) for i, b, v in rows],
+        "vec_id long, label int, qv array<long>, nq long",
+    )
+    got = {
+        (r["id1"], r["id2"])
+        for r in bounded_block_pairs(df, block_col="label", threshold=thr, cap=cap)
+        .collect()
+    }
+    assert got == expected

@@ -72,6 +72,11 @@ HEADLINE = [
     "w7_percent_rank_cume_dist",
     "u4_snapshot_diff",
     "o1_order_by",
+    # round-3 flagship operators
+    "m9_png_decode",
+    "g1_pagerank",
+    "x33_boilerplate_ngrams",
+    "w8_time_range_frame",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

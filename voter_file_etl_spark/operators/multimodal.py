@@ -651,3 +651,64 @@ def build_png_media(docs: DataFrame) -> DataFrame:
 def m9_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return decode_image(build_png_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# M10 — corrupt-media quarantine: at 100 TB decode failures are
+# routine (truncated uploads, bit rot, mislabeled formats), and a
+# decoder that throws kills the whole job. Every 50th clip is
+# deliberately truncated; the decode loop catches per-payload codec
+# errors and routes them to a quarantine flag instead of failing the
+# task — the PERMISSIVE-mode posture of s10, applied to binary
+# decode. The oracle pins exactly which docs must quarantine and
+# that good docs still decode to the right stats.
+# ---------------------------------------------------------------------------
+@register(
+    "m10_decode_quarantine",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}),
+                               {_IMG_N}, ' '),
+                          i, 1)) AS v
+      FROM documents, unnest(range(1, {_IMG_N + 1})) AS u(i)
+    )
+    SELECT doc_id,
+           doc_id % 50 = 0 AS quarantined,
+           CASE WHEN doc_id % 50 = 0 THEN NULL
+                ELSE CAST(sum(v) AS BIGINT) END AS sum_pixel
+    FROM px GROUP BY doc_id
+    """,
+)
+def m10_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = build_png_media(docs)
+    # Corrupt every 50th payload: truncate to 10 bytes (invalid PNG).
+    damaged = media.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0, F.expr("substring(media, 1, 10)")
+        ).otherwise(F.col("media")).alias("media"),
+    )
+
+    from voter_file_etl_spark.functions.codecs import decode_image_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "quarantined": [], "sum_pixel": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    img = decode_image_bytes(payload)
+                    out["quarantined"].append(False)
+                    out["sum_pixel"].append(int(img.pixels.sum(dtype="int64")))
+                except (ValueError, zlib_error):
+                    out["quarantined"].append(True)
+                    out["sum_pixel"].append(None)
+                out["doc_id"].append(doc_id)
+            yield pd.DataFrame(out)
+
+    from zlib import error as zlib_error
+
+    return damaged.mapInPandas(
+        run, "doc_id long, quarantined boolean, sum_pixel long"
+    )

@@ -1103,3 +1103,92 @@ def x37_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         emicro.alias("entropy_micro"),
         (emicro >= _ENTROPY_KEEP_MIN).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X40 — curation decision audit: every text-quality gate in the
+# engine (heuristic x9, repetition x24, perplexity x27, boilerplate
+# x33, classifier x34, OOV x36, entropy x37) evaluated over the same
+# corpus, reported as per-filter keep counts plus the strict
+# all-gates intersection — the "how much data survives, and which
+# gate is the bottleneck" report every curation run ships with. The
+# oracle re-derives all seven gates independently, so the composite
+# is not allowed to drift from its parts.
+#
+# Scale: the seven gates share the documents scan and each is the
+# already-audited plan; the report adds one union + one join keyed on
+# doc_id — negligible next to the gates themselves.
+# ---------------------------------------------------------------------------
+def _x40_oracle() -> str:
+    from voter_file_etl_spark.registry import ORACLE
+
+    gates = [
+        ("x9", ORACLE["x9_quality_score"], "quality_ok"),
+        ("x24", ORACLE["x24_repetition_filter"], "keep"),
+        ("x27", ORACLE["x27_perplexity_filter"], "keep"),
+        ("x33", ORACLE["x33_boilerplate_ngrams"], "keep"),
+        ("x34", ORACLE["x34_quality_classifier"], "keep"),
+        ("x36", ORACLE["x36_oov_filter"], "keep"),
+        ("x37", ORACLE["x37_entropy_filter"], "keep"),
+    ]
+    ctes = ",\n    ".join(
+        f"k_{name} AS (SELECT doc_id, {col} AS keep FROM ({sql}\n))"
+        for name, sql, col in gates
+    )
+    per_filter = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS filter_name, doc_id, keep FROM k_{name}"
+        for name, _, _ in gates
+    )
+    all_join = " AND ".join(f"k_{name}.keep" for name, _, _ in gates)
+    all_from = " JOIN ".join(
+        f"k_{name}" if i == 0 else f"k_{name} USING (doc_id)"
+        for i, (name, _, _) in enumerate(gates)
+    )
+    return f"""
+    WITH {ctes}
+    SELECT filter_name,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM (
+      {per_filter}
+      UNION ALL
+      SELECT 'all' AS filter_name, doc_id, {all_join} AS keep
+      FROM {all_from}
+    )
+    GROUP BY filter_name
+    """
+
+
+@register("x40_curation_report", oracle=_x40_oracle())
+def x40_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gates = [
+        ("x9", x9_quality_score(spark, sf_dir).select("doc_id", F.col("quality_ok").alias("keep"))),
+        ("x24", x24_repetition_filter(spark, sf_dir).select("doc_id", "keep")),
+        ("x27", x27_perplexity_filter(spark, sf_dir).select("doc_id", "keep")),
+        ("x33", x33_boilerplate_ngrams(spark, sf_dir).select("doc_id", "keep")),
+        ("x34", x34_quality_classifier(spark, sf_dir).select("doc_id", "keep")),
+        ("x36", x36_oov_filter(spark, sf_dir).select("doc_id", "keep")),
+        ("x37", x37_entropy_filter(spark, sf_dir).select("doc_id", "keep")),
+    ]
+    tagged = None
+    for name, df in gates:
+        part = df.select(F.lit(name).alias("filter_name"), "doc_id", "keep")
+        tagged = part if tagged is None else tagged.unionByName(part)
+    joined = None
+    all_keep = None
+    for name, df in gates:
+        side = df.select("doc_id", F.col("keep").alias(f"k_{name}"))
+        joined = side if joined is None else joined.join(side, "doc_id")
+        flag = F.col(f"k_{name}")
+        all_keep = flag if all_keep is None else (all_keep & flag)
+    all_rows = joined.select(
+        F.lit("all").alias("filter_name"), "doc_id", all_keep.alias("keep")
+    )
+    return (
+        tagged.unionByName(all_rows)
+        .groupBy("filter_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
+        )
+    )

@@ -86,11 +86,13 @@ def test_bucketed_join_key_has_no_shuffle(spark, sf_dir):
     # must then plan with no Exchange above either scan — the bucket
     # layout IS the shuffle, paid once at write time.
     plan = _formatted_plan(spark, "j9_bucketed_join", sf_dir)
-    join_part = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # Exactly one Exchange is allowed: the final aggregation's. The
-    # join inputs must come straight from the bucketed scans.
-    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
+    # join inputs must come straight from the bucketed scans. (Count
+    # tree nodes — formatted mode puts hashpartitioning arguments on
+    # a separate line, so substring-matching "Exchange hashpartitioning"
+    # would be vacuously zero.)
+    assert plan.count("+- Exchange") <= 1, plan[:2000]
 
 
 def test_spatial_join_is_equi_join_not_cartesian(spark, sf_dir):
@@ -158,3 +160,36 @@ def test_kmeans_centroid_join_is_broadcast(spark, sf_dir):
     plan = _formatted_plan(spark, "x30_kmeans_codebook", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "Broadcast" in plan, plan[:2000]
+
+
+def test_range_frame_window_has_single_shuffle(spark, sf_dir):
+    # w8's RANGE frame must plan as ONE exchange on user_id followed
+    # by sort + window — a second exchange would mean the frame was
+    # recomputed per aggregate instead of shared.
+    plan = _formatted_plan(spark, "w8_time_range_frame", sf_dir)
+    assert plan.count("+- Exchange") == 1, plan[:2000]
+    assert "Window" in plan
+
+
+def test_histogram_spine_join_is_broadcast(spark, sf_dir):
+    # a18's empty-bin densification joins a tiny generated spine to
+    # the counts — that join must broadcast, never shuffle both sides.
+    plan = _formatted_plan(spark, "a18_histogram", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_pagerank_iterations_have_no_cartesian(spark, sf_dir):
+    # g1's three unrolled iterations are equi-joins on node ids; a
+    # cartesian anywhere means an iteration lost its join key.
+    plan = _formatted_plan(spark, "g1_pagerank", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_nearest_event_join_is_windows_not_join(spark, sf_dir):
+    # j11 must be the two-running-windows formulation — a pairwise
+    # |Δt| join (SortMergeJoin/ShuffledHashJoin between event sets)
+    # would be quadratic per user.
+    plan = _formatted_plan(spark, "j11_nearest_event_join", sf_dir)
+    assert "Window" in plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node} in j11 plan"

@@ -166,3 +166,49 @@ def test_reconciliation_failure_blocks_manifest(spark, tmp_path):
     res = etl.run_load(spark, str(files_dir), wh, mfp)
     assert len(res) == 1 and not res[0].reconciled
     assert mf.read_manifest(spark, mfp).filter("Loaded").count() == 0
+
+
+def test_failed_publish_preserves_previous_snapshot(spark, tmp_path):
+    """A load whose write job FAILS must leave the previously
+    published snapshot fully readable — the reference's transactional
+    rename property (load.ts:256-308). A bare mode('overwrite') would
+    delete the live directory before the failing job commits; the
+    stage-then-rename publish must not."""
+    files_dir = tmp_path / "files"
+    files_dir.mkdir()
+    good = files_dir / "01--TX--20250101.tab"
+    good.write_text(HEADER + "\n" + "\n".join(_row(i, "TX") for i in range(20)) + "\n")
+    mfp = str(tmp_path / "manifest")
+    wh = str(tmp_path / "wh")
+    mf.record_files(spark, mfp, [("01--TX--20250101.tab", "TX", 21)])
+    res = etl.run_load(spark, str(files_dir), wh, mfp)
+    assert len(res) == 1 and res[0].reconciled
+    before = {r["LALVOTERID"] for r in etl.read_voters(spark, wh).collect()}
+    assert len(before) == 20
+
+    # Second-generation file for the SAME state with a poisoned age
+    # cell: FAILFAST parse throws inside the write job, after the
+    # staging write has begun.
+    bad = files_dir / "02--TX--20250202.tab"
+    bad.write_text(
+        HEADER + "\n"
+        + "\n".join(_row(i, "TX") for i in range(5)) + "\n"
+        + _row(99, "TX").replace("\tJane\t", "\tJane\t").replace("\t24\t", "\tnot_an_age\t", 1)
+        + "\n"
+    )
+    # Build an unambiguous poisoned row: age column -> junk.
+    cells = _row(99, "TX").split("\t")
+    cells[3] = "definitely_not_an_int"
+    bad.write_text(
+        HEADER + "\n"
+        + "\n".join(_row(i, "TX") for i in range(5)) + "\n"
+        + "\t".join(cells) + "\n"
+    )
+    with pytest.raises(Exception):
+        etl.load_one(spark, str(bad), wh, mfp, expected_lines=7)
+
+    after = {r["LALVOTERID"] for r in etl.read_voters(spark, wh).collect()}
+    assert after == before, "failed publish corrupted the live snapshot"
+    # No stray staging/retired dirs left visible to readers.
+    visible = [d for d in os.listdir(wh) if not d.startswith((".", "_"))]
+    assert visible == ["state=TX"]

@@ -9,16 +9,26 @@ manifest. Here the whole thing is one declarative plan per state:
     -> enrich (geohash + city cleanup, load-s3.ts:186-196)
     -> dropDuplicates(PK)          (createMany skipDuplicates)
     -> observe(count)              (reconciliation without a 2nd scan)
-    -> overwrite parquet           (the RENAME-swap, via commit protocol)
+    -> stage to hidden dir, then RENAME-swap live (blue/green)
     -> mark manifest Loaded
 
 Scale notes: per-state loads are independent jobs; within a load the
 only wide op is dropDuplicates (hash shuffle on the PK) — everything
 else pipelines map-side. Reconciliation uses `observe` metrics so the
-count costs nothing extra. Publish is mode("overwrite") through the
-file commit protocol: readers see old or new, never a mix — the same
-reader-visible atomicity as the reference's table rename
-(load.ts:256-308), without the Old-table retention dance.
+count costs nothing extra.
+
+Publish durability: a bare `mode("overwrite")` DELETES the live
+directory before the job commits, so a failed load would destroy the
+previous snapshot — the opposite of the reference's transactional
+rename (load.ts:256-308, Temp renamed over live inside a
+transaction). The load therefore writes to a hidden staging dir
+(invisible to readers — Spark's file listing skips dot-prefixed
+paths) and goes live only via Hadoop-FS renames after the write has
+fully committed: a job failure at any point leaves the old snapshot
+being served. The rename pair (park old, promote new) is atomic per
+rename on HDFS/local FS; a crash exactly between them leaves both
+versions on disk, recoverable — never silent loss. With
+Delta/Iceberg the same flow is one transactional replace.
 """
 
 from __future__ import annotations
@@ -115,11 +125,31 @@ def load_voter_file(
         .observe(obs, F.count(F.lit(1)).alias("rows"))
     )
 
-    # Publish into the per-state partition directory; overwrite is the
-    # blue/green swap (load.ts:256-308) via the commit protocol.
+    # Blue/green publish (load.ts:256-308): write the new snapshot to
+    # a hidden staging dir (a failure here leaves the live dir
+    # untouched), then promote it with atomic FS renames. Hadoop FS
+    # API, not os.rename, so the same code serves file://, hdfs://
+    # and s3a:// warehouses.
+    import uuid
+
     published_path = os.path.join(warehouse_dir, f"state={state}")
-    df.write.mode("overwrite").parquet(published_path)
+    run_id = uuid.uuid4().hex[:12]
+    staging_path = os.path.join(warehouse_dir, f".staging_{state}_{run_id}")
+    df.write.mode("overwrite").parquet(staging_path)
     rows_published = int(obs.get["rows"])
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(warehouse_dir).getFileSystem(hconf)
+
+    def _p(path: str):
+        return jvm.org.apache.hadoop.fs.Path(path)
+
+    retired_path = os.path.join(warehouse_dir, f".retired_{state}_{run_id}")
+    if fs.exists(_p(published_path)):
+        fs.rename(_p(published_path), _p(retired_path))  # park old (atomic)
+    fs.rename(_p(staging_path), _p(published_path))      # promote new (atomic)
+    fs.delete(_p(retired_path), True)                    # old version GC
 
     # Reconciliation (load.ts:235-254): published count vs manifest
     # line count (header excluded), tolerance 1000.

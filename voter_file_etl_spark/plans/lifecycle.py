@@ -2,11 +2,16 @@
 
 The reference publishes atomically by renaming Voter{ST}Temp over the
 live table inside a transaction (load.ts:256-308). Spark-first
-equivalent: mode("overwrite") through the file-commit protocol — the
-new data becomes visible only at commit, readers of the old snapshot
-are unaffected, and a failed job leaves the previous table intact.
-The operators/etl.py module exposes the full publish routine; this
-query verifies the read-back contract.
+equivalent for READER atomicity: mode("overwrite") through the
+file-commit protocol — readers of the old snapshot are unaffected
+until commit, never seeing a mix. Note the FAILURE semantics differ:
+a bare overwrite deletes the target before the writing job commits,
+so a failed job loses the old copy — acceptable for these derived
+demo outputs (re-runnable from source), NOT for durable state. The
+production publish (operators/etl.py) and the manifest writer
+(sources/manifest.py) therefore stage to a hidden dir and promote
+via atomic FS renames; l2 here verifies the read-back contract of
+overwrite itself.
 """
 
 from __future__ import annotations

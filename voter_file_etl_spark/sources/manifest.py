@@ -75,10 +75,32 @@ def pending_files(files_df: DataFrame, manifest: DataFrame) -> DataFrame:
 
 
 def _overwrite_small(df: DataFrame, path: str) -> None:
-    # Manifest is tiny: materialize driver-side, then overwrite in one
-    # shot so we never read and write the same files in one job.
+    # Manifest is tiny: materialize driver-side (so we never read and
+    # write the same files in one job), write to a hidden staging dir,
+    # and promote it with atomic FS renames. The manifest is the
+    # system of record for Loaded flags — a bare overwrite deletes the
+    # live copy before the writing job commits, so a failure there
+    # would lose the entire load history (same hazard the etl.py
+    # publish guards against).
+    import uuid
+
     spark = df.sparkSession
     rows = df.collect()
-    spark.createDataFrame(rows, df.schema).coalesce(1).write.mode("overwrite").parquet(
-        path
+    run_id = uuid.uuid4().hex[:12]
+    parent = os.path.dirname(path.rstrip("/")) or "."
+    staging = os.path.join(parent, f".mf_staging_{run_id}")
+    retired = os.path.join(parent, f".mf_retired_{run_id}")
+    spark.createDataFrame(rows, df.schema).coalesce(1).write.parquet(staging)
+
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(parent).getFileSystem(
+        spark._jsc.hadoopConfiguration()
     )
+
+    def _p(p: str):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    if fs.exists(_p(path)):
+        fs.rename(_p(path), _p(retired))
+    fs.rename(_p(staging), _p(path))
+    fs.delete(_p(retired), True)

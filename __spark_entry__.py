@@ -47,7 +47,11 @@ _CHECK_FIRST = [
     "o1_order_by", "o3_limit_offset", "o4_top_k",
     "u3_except", "u4_snapshot_diff", "w7_percent_rank_cume_dist",
 ]
-_BACKFILL = [  # round-1 greens, oldest first — fill the window to 50
+_BACKFILL = [  # placed OUTSIDE the 50-key window (head 25 + 25 r3 keys fill it)
+    # -- registered late in round 3, after the window filled: never
+    # driver-checked — FRONT THESE IN _CHECK_FIRST FOR ROUND 4 --
+    "l7_txn_log_merge", "l8_time_travel",
+    # -- round-1 greens, oldest first --
     "a2_reconcile", "a4_groupby_count", "a5_household_agg",
     "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",
     "s1_file_scan", "s2_csv_read", "s6_count", "s7_write_roundtrip",

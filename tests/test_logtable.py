@@ -1,0 +1,123 @@
+"""Log-structured table format (sources/logtable.py) invariants.
+
+The scale claim under l7/l8: a MERGE touches only the key-hash
+buckets present in the batch — untouched data files are not opened or
+rewritten (byte-identical across commits), the commit is atomic and
+optimistic (os.link loses cleanly to a concurrent writer), and time
+travel replays the log exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from voter_file_etl_spark.sources.logtable import CommitConflict, LogTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, seq bigint, payload string"
+    )
+
+
+def _table(spark, tmp_path):
+    return LogTable(
+        spark,
+        str(tmp_path / "table"),
+        key_cols=["k"],
+        order_cols=["seq"],
+        n_buckets=8,
+    )
+
+
+def _file_hashes(table: LogTable) -> dict[str, str]:
+    out = {}
+    for f in table.active_files():
+        with open(os.path.join(table.root, f["path"]), "rb") as fh:
+            out[f["path"]] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(64)]), work)
+    before = _file_hashes(table)
+
+    # Batch of ONE key -> exactly one bucket touched.
+    v = table.merge(_mk(spark, [(7, 2, "v2-7")]), work)
+    entry = table.history()[v]
+    touched = {a["bucket"] for a in entry["adds"]}
+    assert len(touched) == 1
+
+    after = _file_hashes(table)
+    untouched_before = {p: h for p, h in before.items() if p in after}
+    # Every surviving pre-merge file is byte-identical...
+    assert all(after[p] == h for p, h in untouched_before.items())
+    # ...and only the one touched bucket's files were replaced.
+    replaced = set(before) - set(after)
+    assert replaced == set(entry["removes"])
+    assert all(f"-b{list(touched)[0]:05d}-" in p for p in replaced)
+
+    # Semantics: key 7 updated, all others unchanged.
+    rows = {r["k"]: r["payload"] for r in table.snapshot().collect()}
+    assert rows[7] == "v2-7" and rows[3] == "v1-3" and len(rows) == 64
+
+
+def test_last_writer_wins_total_order(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(1, 5, "late"), (1, 2, "early")]), work)
+    table.merge(_mk(spark, [(1, 3, "middle")]), work)  # older than seq=5
+    rows = table.snapshot().collect()
+    assert len(rows) == 1 and rows[0]["payload"] == "late"
+
+
+def test_commit_is_atomic_and_optimistic(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(1, 1, "a")]), work)
+    # A concurrent writer already published version 1: the link(2)
+    # publish must fail (not silently clobber)...
+    with open(table._entry_path(1), "w") as f:
+        f.write('{"version": 1, "adds": [], "removes": []}')
+    with pytest.raises(CommitConflict):
+        table._commit(1, [], [])
+    # ...and a fresh merge re-reads the log, REBASES past the foreign
+    # commit, and lands as version 2.
+    assert table.merge(_mk(spark, [(2, 1, "b")]), work) == 2
+    assert table.snapshot().count() == 2
+
+
+def test_time_travel_replays_log(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, "v1") for k in range(10)]), work)
+    table.merge(_mk(spark, [(k, 2, "v2") for k in range(5)]), work)
+    table.merge(_mk(spark, [(99, 1, "new")]), work)
+
+    v0 = {r["k"]: r["payload"] for r in table.snapshot(0).collect()}
+    assert v0 == {k: "v1" for k in range(10)}
+    v1 = {r["k"]: r["payload"] for r in table.snapshot(1).collect()}
+    assert v1 == {k: ("v2" if k < 5 else "v1") for k in range(10)}
+    v2 = table.snapshot(2)
+    assert v2.count() == 11 and v2.filter("k = 99").count() == 1
+
+
+def test_vacuum_keeps_only_live_files(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, "v1") for k in range(16)]), work)
+    table.merge(_mk(spark, [(k, 2, "v2") for k in range(16)]), work)
+    removed = table.vacuum()
+    assert removed  # superseded v0 files were reclaimed
+    live = {f["path"] for f in table.active_files()}
+    on_disk = {
+        os.path.join("data", n)
+        for n in os.listdir(os.path.join(table.root, "data"))
+    }
+    assert on_disk == live
+    assert table.snapshot().count() == 16  # head still fully readable

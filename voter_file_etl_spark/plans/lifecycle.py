@@ -154,6 +154,117 @@ def l5_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7 — log-structured MERGE: the table-format answer to the
+# reference's continuous upsert loop (load.ts:256-308 swaps a whole
+# Temp table per load; VERDICT r2 named the O(table)-per-batch rewrite
+# as the remaining scale gap). Here the events table arrives as 4
+# deterministic batches (event_id % 4), each MERGEd into a
+# sources/logtable.py LogTable: an atomic JSON commit log over plain
+# parquet where every merge rewrites ONLY the key-hash buckets the
+# batch touches (file-level pruning planned from log metadata —
+# untouched files are never opened; tests/test_logtable.py asserts
+# byte-identity). Last-writer-wins per user_id ordered by (event
+# time, event_id) is a total order, so incremental merges equal the
+# global argmax no matter how batches slice the stream — which is
+# exactly what the oracle computes.
+# ---------------------------------------------------------------------------
+_L7_N_BATCHES = 4
+
+
+def _build_logtable(spark: SparkSession, sf_dir: str, work: str):
+    from voter_file_etl_spark.sources.logtable import LogTable
+
+    events = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    table = LogTable(
+        spark,
+        os.path.join(work, "table"),
+        key_cols=["user_id"],
+        order_cols=["us", "event_id"],
+        n_buckets=16,
+    )
+    for i in range(_L7_N_BATCHES):
+        table.merge(events.filter(F.col("event_id") % _L7_N_BATCHES == i), work)
+    return table
+
+
+@register(
+    "l7_txn_log_merge",
+    oracle="""
+    SELECT user_id, last_us, last_event_id, last_value
+    FROM (
+      SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id,
+             value AS last_value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def l7_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="l7_logtable_", dir=os.environ.get("TMPDIR", "/tmp"))
+    table = _build_logtable(spark, sf_dir, work)
+    return table.snapshot().select(
+        "user_id",
+        F.col("us").alias("last_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L8 — time travel over the same commit log: snapshot(v) replays log
+# entries 0..v, so "the table after the first k batches" is a pure
+# driver-side file-list computation — no data rewrite, no copy. The
+# query reads EVERY version of the l7 table and fingerprints each
+# (row count + exact sums); the oracle rebuilds version k as the
+# argmax over batches 0..k (event_id % 4 <= k). A replay bug in the
+# log — a remove not applied, an add leaking across versions —
+# changes some version's fingerprint and hash-mismatches.
+# ---------------------------------------------------------------------------
+@register(
+    "l8_time_travel",
+    oracle="""
+    WITH w AS (
+      SELECT g.v, e.user_id, e.event_id,
+             row_number() OVER (
+               PARTITION BY g.v, e.user_id
+               ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
+      FROM events e
+      JOIN (VALUES (0), (1), (2), (3)) AS g(v) ON e.event_id % 4 <= g.v
+    )
+    SELECT CAST(v + 1 AS BIGINT) AS n_batches,
+           count(*) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM w WHERE rn = 1
+    GROUP BY v
+    """,
+)
+def l8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="l8_travel_", dir=os.environ.get("TMPDIR", "/tmp"))
+    table = _build_logtable(spark, sf_dir, work)
+    per_version = [
+        table.snapshot(v)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("event_id").alias("sum_last_id"),
+        )
+        .withColumn("n_batches", F.lit(v + 1).cast("long"))
+        for v in range(table.latest_version() + 1)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionByName(df)
+    return out.select("n_batches", "n_keys", "sum_last_id")
+
+
+# ---------------------------------------------------------------------------
 # L6 — small-file compaction: the table-maintenance operation every
 # 100 TB lake needs (streaming sinks and per-batch loads accumulate
 # thousands of KB-sized files per partition; scan throughput dies on

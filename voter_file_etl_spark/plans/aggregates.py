@@ -537,3 +537,41 @@ def a18_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bin") * _HIST_WIDTH).cast("double").alias("lo_edge"),
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A19 — boolean + bitwise aggregates: bool_and/bool_or answer
+# "does EVERY/ANY row in the group satisfy P" in one pass (the
+# validation shape: does every file in a load have coords, did any
+# row fail a cast — validate-voter-row.ts's file-level verdicts);
+# bit_and/bit_or/bit_xor fold flag words (the xor fold doubles as an
+# order-insensitive set fingerprint: a lost or duplicated orderkey
+# flips it). All six are exact-integer/boolean — no float hazard —
+# and every one has a partial+final (map-side combine) form, so the
+# plan is a single exchange regardless of group fan-in.
+# ---------------------------------------------------------------------------
+@register(
+    "a19_bool_bit_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a19_bool_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )

@@ -569,3 +569,51 @@ def p10_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.orderBy(F.asc_nulls_first("k"))).cast("bigint"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S12 — ORC round-trip: the second columnar format a lake actually
+# meets (Hive-era feeds arrive as ORC; Spark reads/writes it natively
+# with the same pushdown/pruning machinery as parquet). A filtered
+# orders slice is written as ORC, read back, and aggregated; the
+# oracle computes the identical aggregate straight from the parquet
+# source, so a round-trip that loses rows, reorders a schema, or
+# mangles a value hash-mismatches. Predicates on the read-back side
+# still push down (ORC carries min/max stripe stats, like parquet
+# row groups).
+# ---------------------------------------------------------------------------
+@register(
+    "s12_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="s12_orc_", dir=os.environ.get("TMPDIR", "/tmp")),
+        "orders_orc",
+    )
+    (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -440,3 +440,68 @@ def j10_spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", km.alias("dist_km"))
         .filter(F.col("dist_km") <= _SPAT_KM)
     )
+
+
+# ---------------------------------------------------------------------------
+# J12 — FULL OUTER join: the reconciliation shape (which customers
+# have no qualifying orders, which qualifying orders reference
+# customers outside the slice — the two-sided version of the
+# reference's sync diff between a fresh load and the serving table,
+# load.ts:256-308). Both inputs are filtered so each side has
+# exclusives, making all three match classes non-empty.
+#
+# Scale: full-outer cannot broadcast (both sides must keep unmatched
+# rows), so Catalyst plans a sort-merge join with both sides
+# hash-partitioned on the key — one shuffle each, streaming merge, no
+# row buffered beyond a key group. The aggregate below the join is
+# partial+final on the already-key-partitioned side.
+# ---------------------------------------------------------------------------
+@register(
+    "j12_full_outer_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0
+    ), ords AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+      FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_mktsegment AS mktsegment,
+           coalesce(o.n_orders, 0) AS n_orders,
+           o.total_spend AS total_spend,
+           CASE WHEN c.c_custkey IS NULL THEN 'right_only'
+                WHEN o.o_custkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS side
+    FROM cust c FULL OUTER JOIN ords o ON c.c_custkey = o.o_custkey
+    """,
+)
+def j12_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    ords = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+    joined = cust.join(ords, cust.c_custkey == ords.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("total_spend"),
+        F.when(F.col("c_custkey").isNull(), "right_only")
+        .when(F.col("o_custkey").isNull(), "left_only")
+        .otherwise("both")
+        .alias("side"),
+    )

@@ -483,3 +483,38 @@ def f5_address_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "raw_address",
         F.expr(_f5_std_sql("raw_address", "spark")).alias("std_address"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T12 — hash & binary-encoding functions: md5 / sha256 content
+# hashes (the file-fingerprint role the reference's manifest plays —
+# load.ts records each landed file; a content hash is how a 100 TB
+# lake detects re-delivered files), base64/hex transport encodings,
+# and an unbase64 round-trip proving the codec is lossless. All
+# byte-deterministic, so the cross-engine check is exact; hex case
+# is normalized (Spark upper, DuckDB upper for blobs — lower()ed on
+# both sides). Everything is a JVM intrinsic inside one codegen
+# stage: no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "t12_hash_encode",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS md5_hex,
+           sha256(c_name) AS sha256_hex,
+           to_base64(encode(c_name)) AS b64,
+           lower(hex(encode(c_name))) AS hex_lc,
+           decode(from_base64(to_base64(encode(c_name)))) AS roundtrip
+    FROM customer
+    """,
+)
+def t12_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name_bin = F.col("c_name").cast("binary")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5(name_bin).alias("md5_hex"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_hex"),
+        F.base64(name_bin).alias("b64"),
+        F.lower(F.hex(name_bin)).alias("hex_lc"),
+        F.unbase64(F.base64(name_bin)).cast("string").alias("roundtrip"),
+    )

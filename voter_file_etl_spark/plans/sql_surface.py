@@ -163,3 +163,36 @@ WHERE rnk <= 3
 def sql5_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "supplier", "nation")
     return spark.sql(_QW)
+
+
+# ---------------------------------------------------------------------------
+# SQL6 — CTE + correlated EXISTS / NOT EXISTS: the remaining ANSI
+# subquery forms (sql3 covers correlated scalar, sql4 covers IN).
+# One SQL string runs verbatim on BOTH engines — the frontend-parity
+# claim at its strongest. Catalyst decorrelates both predicates into
+# joins (EXISTS -> left-semi, NOT EXISTS -> left-anti) against the
+# aggregated CTE — no per-row re-execution of the subquery; the CTE
+# itself is a partial+final aggregate.
+# ---------------------------------------------------------------------------
+_SQL6 = """
+WITH big_buyers AS (
+  SELECT o_custkey, count(*) AS n_big
+  FROM orders
+  WHERE CAST(o_totalprice AS DECIMAL(18,2)) > CAST(150000 AS DECIMAL(18,2))
+  GROUP BY o_custkey
+)
+SELECT c.c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM big_buyers b
+              WHERE b.o_custkey = c.c_custkey AND b.n_big >= 2)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'P')
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("sql6_cte_exists", oracle=_SQL6)
+def sql6_cte_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_SQL6)

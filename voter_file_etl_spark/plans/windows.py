@@ -309,3 +309,45 @@ def w8_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("hour_sum"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("hour_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W9 — nth_value over a full-partition frame: "the 3rd-highest
+# balance holder in each segment, shown on every row" — the
+# benchmark-row pattern (compare each row to a fixed per-group
+# reference row, no self-join). The frame must be UNBOUNDED
+# PRECEDING..UNBOUNDED FOLLOWING on BOTH engines: with the default
+# ORDER BY frame, rows before rank 3 would see NULL. Ties are broken
+# by c_custkey so "3rd" is a total-order rank, identical across
+# engines.
+#
+# Scale: one hash-exchange on the partition key + one sort; the
+# unbounded frame materializes one partition's window buffer per
+# task — bounded by the largest group, not the table.
+# ---------------------------------------------------------------------------
+@register(
+    "w9_nth_value",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           first_value(c_name) OVER w AS top_name,
+           nth_value(c_name, 3) OVER w AS third_name
+    FROM customer
+    WINDOW w AS (
+      PARTITION BY c_mktsegment
+      ORDER BY c_acctbal DESC, c_custkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w9_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    win = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.first("c_name").over(win).alias("top_name"),
+        F.nth_value("c_name", 3).over(win).alias("third_name"),
+    )

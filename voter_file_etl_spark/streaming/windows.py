@@ -168,3 +168,151 @@ def run_enrich_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> 
     )
     query.awaitTermination()
     return spark.sql("SELECT * FROM st5_stream_out")
+
+
+# ---------------------------------------------------------------------------
+# ST9 — watermark late-data semantics, driver-checkable. The brief's
+# "watermarks + windowed aggs for late data" has so far been proven
+# only structurally (st1 declares a watermark but AvailableNow drains
+# everything in order, so nothing is ever late). Here lateness is
+# REAL and the outcome is exact. Spark keeps TWO watermarks per batch
+# (SPARK-24634): late-event filtering uses the PREVIOUS batch's
+# watermark, state eviction the current one — so a late row is
+# dropped only when it arrives >= 2 batches after the watermark
+# passed its window. The staging forces exactly that:
+#
+#   batch 0 — events before the timeline midpoint T_mid;
+#   batch 1 — on-time continuation [T_mid, T_b1) — advances the
+#             watermark past every early window;
+#   batch 2 — re-deliveries (event_id % 7 == 0 of the early half, new
+#             ids, ORIGINAL old timestamps): filtered against
+#             wmA = maxA - delay (batch 0's eviction watermark) —
+#             dropped iff hour-window end <= wmA (empirically
+#             verified: the filter keys on WINDOW END, not row time).
+#             A survivor whose window was already evicted re-creates
+#             state and re-emits that window, so the sink can hold
+#             two rows per window — the registered read SUMS them.
+#   batch 3 — the tail [T_b1, max]: pushes the final watermark to
+#             wmD = max_all - delay, flushing every window with
+#             end <= wmD (append-mode emission cutoff).
+#
+# Both cutoffs are pure integer functions of the data, so the DuckDB
+# oracle reproduces the whole lifecycle — including WHICH late rows
+# were dropped — exactly.
+#
+# Determinism engineering: file order is pinned (mtime + lexicographic
+# names); the delay is 90 min + 500 ms so the (millisecond-truncated)
+# watermark can never coincide with an hour-aligned window end —
+# the <= vs < eviction boundary is unreachable; Spark tracks event
+# time in whole milliseconds, which the oracle mirrors with
+# (us // 1000 - delay_ms) * 1000.
+#
+# Scale: state is one count per open (window, type); the watermark
+# evicts every closed window, so state is bounded by lateness x key
+# cardinality, independent of stream length — THE property that makes
+# infinite-stream aggregation feasible.
+# ---------------------------------------------------------------------------
+_ST9_DELAY_MS = 5_400_500  # 90 min + 500 ms; never hour-aligned
+_ST9_HOUR_US = 3_600_000_000
+
+
+@register(
+    "st9_watermark_late_drop",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_id, epoch_us(ts) AS us, event_type FROM events
+    ), lim AS (
+      SELECT (min(us) + max(us)) // 2 AS t_mid, max(us) AS max_all FROM b
+    ), wm AS (
+      SELECT ((max(us) // 1000) - {_ST9_DELAY_MS}) * 1000 AS wm1
+      FROM b, lim WHERE us < t_mid
+    ), survivors AS (
+      SELECT us, event_type FROM b, lim WHERE us < t_mid
+      UNION ALL
+      SELECT us, event_type FROM b, lim WHERE us >= t_mid
+      UNION ALL
+      SELECT l.us, l.event_type
+      FROM (SELECT us, event_type FROM b, lim
+            WHERE us < t_mid AND event_id % 7 = 0) l, wm
+      WHERE l.us - l.us % {_ST9_HOUR_US} + {_ST9_HOUR_US} > wm.wm1
+    )
+    SELECT s.us - s.us % {_ST9_HOUR_US} AS window_start_us,
+           s.event_type,
+           count(*) AS n_events
+    FROM survivors s, lim
+    WHERE s.us - s.us % {_ST9_HOUR_US} + {_ST9_HOUR_US}
+          <= ((lim.max_all // 1000) - {_ST9_DELAY_MS}) * 1000
+    GROUP BY 1, 2
+    """,
+)
+def st9_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from voter_file_etl_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="st9_late_", dir=os.environ.get("TMPDIR", "/tmp"))
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    lims = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("m"), F.max("us").alias("mx")
+    ).collect()[0]
+    t_mid, t_b1 = lims["m"], (lims["m"] + lims["mx"]) // 2
+
+    early = ev.filter(F.col("us") < t_mid)
+    ontime = ev.filter((F.col("us") >= t_mid) & (F.col("us") < t_b1))
+    late_redelivery = early.filter(F.col("event_id") % 7 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(100_000_000)
+    )
+    tail = ev.filter(F.col("us") >= t_b1)
+
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = time.time()
+    batches = [
+        ("00_early", early),
+        ("01_ontime", ontime),
+        ("02_late", late_redelivery),
+        ("03_tail", tail),
+    ]
+    for i, (name, df) in enumerate(batches):
+        stage = os.path.join(work, f"stage_{name}")
+        df.repartition(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        mtime = now - 100 + 10 * i  # batch order pinned by mtime
+        os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("event_id long, us long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(F.timestamp_micros("us").alias("ts"), "event_type")
+        .withWatermark("ts", f"{_ST9_DELAY_MS} milliseconds")
+    )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st9_stream_out")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # A window whose state was evicted before a surviving late row
+    # arrived re-emits with the late-only count: sum the emissions.
+    return (
+        spark.table("st9_stream_out")
+        .groupBy(
+            F.unix_micros("w.start").alias("window_start_us"), F.col("event_type")
+        )
+        .agg(F.sum("n_events").alias("n_events"))
+    )

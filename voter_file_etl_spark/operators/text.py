@@ -1192,3 +1192,229 @@ def x40_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X41 — exact-substring overlap dedup (the suffix-array method of
+# "Deduplicating Training Data Makes Language Models Better", Lee et
+# al. 2022, re-expressed for a cluster): a single suffix array over
+# 100 TB is not distributable, but its OUTPUT — pairs of documents
+# sharing a long exact token run — is reachable with anchor shingles:
+# every 8-token shingle with position, equi-joined across documents,
+# then gaps-and-islands over the match diagonal (p1 - p2) to recover
+# the MAXIMAL shared run length. A shared run of L tokens appears as
+# L-7 consecutive shingle hits on one diagonal, so max_run_tokens =
+# island size + 7 is exact, not an estimate.
+#
+# Scale: the join key is shingle content with a document-frequency
+# cap (2..20) — the same frequent-shingle guard CCNet uses — so a
+# boilerplate shingle shared by thousands of docs cannot create a
+# quadratic hot key: per-shingle expansion is bounded by C(20,2).
+# Everything else is windows over (d1, d2, diag) partitions — small
+# by construction.
+# ---------------------------------------------------------------------------
+@register(
+    "x41_substring_dedup",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         w -> w <> '') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i, array_to_string(list_slice(arr, i, i + 7), ' ') AS g
+      FROM arrs, unnest(generate_series(1, len(arr) - 7)) AS u(i)
+      WHERE len(arr) >= 8
+    ), keep AS (
+      SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) BETWEEN 2 AND 20
+    ), hits AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.i AS p1, b.i AS p2
+      FROM sh a JOIN keep USING (g) JOIN sh b USING (g)
+      WHERE a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT d1, d2, p1 - p2 AS diag,
+             p1 - row_number() OVER (
+               PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS grp
+      FROM hits
+    ), runs AS (
+      SELECT d1, d2, count(*) + 7 AS run_tokens
+      FROM isl GROUP BY d1, d2, diag, grp
+    )
+    SELECT d1 AS doc1, d2 AS doc2, max(run_tokens) AS max_run_tokens
+    FROM runs GROUP BY 1, 2
+    HAVING max(run_tokens) >= 16
+    """,
+)
+def x41_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    arrs = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')").alias("arr"),
+    ).filter(F.size("arr") >= 8)
+    sh = arrs.select(
+        "doc_id",
+        F.expr(
+            "inline(transform(sequence(1, size(arr) - 7), "
+            "i -> named_struct('i', i, 'g', concat_ws(' ', slice(arr, i, 8)))))"
+        ),
+    )
+    keep = (
+        sh.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .filter((F.col("ndocs") >= 2) & (F.col("ndocs") <= 20))
+        .select("g")
+    )
+    shk = sh.join(keep, "g")
+    a, b = shk.alias("a"), shk.alias("b")
+    hits = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        F.col("a.i").alias("p1"),
+        F.col("b.i").alias("p2"),
+    )
+    diag = (F.col("p1") - F.col("p2")).alias("diag")
+    win = W.partitionBy("d1", "d2", F.col("p1") - F.col("p2")).orderBy("p1")
+    isl = hits.select(
+        "d1", "d2", diag, (F.col("p1") - F.row_number().over(win)).alias("grp")
+    )
+    runs = (
+        isl.groupBy("d1", "d2", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(7)).alias("run_tokens"))
+    )
+    return (
+        runs.groupBy(F.col("d1").alias("doc1"), F.col("d2").alias("doc2"))
+        .agg(F.max("run_tokens").alias("max_run_tokens"))
+        .filter(F.col("max_run_tokens") >= 16)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X42 — overlapping document chunking: the context-window prep step
+# for embedding/RAG pipelines — each document becomes 64-token
+# chunks on a 48-token stride (16 tokens of overlap so no boundary
+# sentence is lost). Pure per-row array arithmetic (sequence ->
+# slice -> concat): map-side only, no shuffle, no UDF; the chunk
+# text itself stays out of the result (md5 fingerprint instead) so
+# the row width is bounded.
+# ---------------------------------------------------------------------------
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "x42_doc_chunking",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, str_split(text, ' ') AS arr FROM documents)
+    SELECT doc_id,
+           CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(arr, s, s + {_CHUNK} - 1)) AS BIGINT) AS n_tokens,
+           md5(array_to_string(list_slice(arr, s, s + {_CHUNK} - 1), ' '))
+             AS chunk_md5
+    FROM a, unnest(generate_series(1, len(arr), {_STRIDE})) AS u(s)
+    """,
+)
+def x42_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("arr"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"inline(transform(sequence(1, size(arr), {_STRIDE}), "
+                f"s -> named_struct("
+                f"'chunk_idx', CAST((s - 1) div {_STRIDE} AS BIGINT), "
+                f"'n_tokens', CAST(size(slice(arr, s, {_CHUNK})) AS BIGINT), "
+                f"'chunk', concat_ws(' ', slice(arr, s, {_CHUNK})))))"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_tokens",
+            F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X43 — PMI co-occurrence mining: which word pairs co-occur in more
+# documents than independence predicts (collocation discovery /
+# topic drift detection over a training corpus). PMI > 0 is tested
+# as the EXACT integer cross-multiplication
+#     c_xy * N > c_x * c_y
+# — no logarithm ever crosses the engine boundary (the x27/x37
+# micro-nat lesson: exp/ln are not IEEE-reproducible across engines,
+# integer products are). Vocabulary is capped to the top-100 words
+# by document frequency (ties broken lexically), so the per-document
+# pair fan-out is bounded by C(100,2) and the pair shuffle cannot
+# blow up on a verbose document.
+# ---------------------------------------------------------------------------
+@register(
+    "x43_pmi_cooccurrence",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents) WHERE w <> ''
+    ), dfc AS (
+      SELECT w, count(*) AS df FROM toks GROUP BY w
+    ), vocab AS (
+      SELECT w, df FROM dfc ORDER BY df DESC, w LIMIT 100
+    ), vt AS (
+      SELECT t.doc_id, t.w, v.df FROM toks t JOIN vocab v USING (w)
+    ), pairs AS (
+      SELECT a.w AS w1, a.df AS c_x, b.w AS w2, b.df AS c_y,
+             count(*) AS c_xy
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT w1, w2, c_xy, c_x, c_y
+    FROM pairs, (SELECT count(*) AS n FROM documents)
+    WHERE c_xy >= 5 AND c_xy * n > c_x * c_y
+    """,
+)
+def x43_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("w"))
+        .limit(100)
+    )
+    vt = toks.join(F.broadcast(vocab), "w")
+    a, b = vt.alias("a"), vt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(
+            F.col("a.w").alias("w1"),
+            F.col("a.df").alias("c_x"),
+            F.col("b.w").alias("w2"),
+            F.col("b.df").alias("c_y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n_total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
+    return (
+        pairs.crossJoin(n_total)
+        .filter(
+            (F.col("c_xy") >= 5)
+            & (F.col("c_xy") * F.col("n") > F.col("c_x") * F.col("c_y"))
+        )
+        .select("w1", "w2", "c_xy", "c_x", "c_y")
+    )

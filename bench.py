@@ -77,6 +77,11 @@ HEADLINE = [
     "g1_pagerank",
     "x33_boilerplate_ngrams",
     "w8_time_range_frame",
+    # round-3 late additions: two-sided join, substring-run dedup,
+    # PMI pair mining
+    "j12_full_outer_join",
+    "x41_substring_dedup",
+    "x43_pmi_cooccurrence",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings
@@ -86,6 +91,10 @@ HEADLINE = [
     "j10_spatial_blocked_join",
     "j9_bucketed_join",
     "st7_foreach_batch_upsert",
+    # sink-writing round-3 late additions: the commit-log MERGE table
+    # and the 4-batch watermark stream — both stage files + write
+    "l7_txn_log_merge",
+    "st9_watermark_late_drop",
 ]
 
 

@@ -193,3 +193,44 @@ def test_nearest_event_join_is_windows_not_join(spark, sf_dir):
     assert "Window" in plan
     for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert node not in plan, f"unexpected {node} in j11 plan"
+
+
+def test_full_outer_join_is_sort_merge(spark, sf_dir):
+    # j12: full-outer cannot broadcast (both sides keep unmatched
+    # rows); the right plan is a sort-merge join with both sides
+    # hash-partitioned on the key — never a nested loop.
+    plan = _formatted_plan(spark, "j12_full_outer_join", sf_dir)
+    assert "SortMergeJoin FullOuter" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_map_side_only(spark, sf_dir):
+    # x42 is pure per-row array arithmetic: any Exchange means the
+    # chunker started shuffling document text.
+    plan = _formatted_plan(spark, "x42_doc_chunking", sf_dir)
+    assert "+- Exchange" not in plan, plan[:2000]
+
+
+def test_hash_encode_is_map_side_only(spark, sf_dir):
+    # t12: hash/encode intrinsics are one codegen stage, no shuffle.
+    plan = _formatted_plan(spark, "t12_hash_encode", sf_dir)
+    assert "+- Exchange" not in plan, plan[:2000]
+    assert "[codegen id : 1]" in plan  # single whole-stage-codegen span
+
+
+def test_substring_dedup_is_equi_join(spark, sf_dir):
+    # x41's pair discovery must be the shingle equi-join (blocked by
+    # content), never an all-pairs nested loop over documents.
+    plan = _formatted_plan(spark, "x41_substring_dedup", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_pmi_vocab_join_is_broadcast(spark, sf_dir):
+    # x43: the top-100 vocabulary must broadcast to the token stream
+    # (a shuffle of all tokens against 100 rows would be absurd); the
+    # only nested-loop allowed is the 1-row corpus-size factor.
+    plan = _formatted_plan(spark, "x43_pmi_cooccurrence", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

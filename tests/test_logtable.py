@@ -121,3 +121,35 @@ def test_vacuum_keeps_only_live_files(spark, tmp_path):
     }
     assert on_disk == live
     assert table.snapshot().count() == 16  # head still fully readable
+
+
+def test_delete_is_physical_erasure(spark, tmp_path):
+    import glob
+
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(64)]), work)
+    before = _file_hashes(table)
+
+    doomed = spark.createDataFrame([(7,), (13,)], "k bigint")
+    v = table.delete(doomed, work)
+    entry = table.history()[v]
+    touched = {a["bucket"] for a in entry["adds"]}
+    # Only the buckets containing the subjects were rewritten...
+    after = _file_hashes(table)
+    survivors = {p: h for p, h in before.items() if p in after}
+    assert all(after[p] == h for p, h in survivors.items())
+    assert set(before) - set(after) == set(entry["removes"])
+    # ...the snapshot no longer has the keys...
+    assert table.snapshot().filter("k IN (7, 13)").count() == 0
+    assert table.snapshot().count() == 62
+    # ...time travel still shows them until vacuum...
+    assert table.snapshot(v - 1).filter("k IN (7, 13)").count() == 2
+    table.vacuum()
+    # ...and after vacuum NO file on disk contains them (GDPR).
+    files = glob.glob(str(tmp_path / "table" / "data" / "*.parquet"))
+    assert files
+    raw = spark.read.parquet(*files)
+    assert raw.filter("k IN (7, 13)").count() == 0
+    assert raw.count() == 62
+    assert touched  # delete actually touched something

@@ -575,3 +575,54 @@ def a19_bool_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").alias("key_or"),
         F.bit_xor("o_orderkey").alias("key_xor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A21 — column profiling: per-column null rate / distinct count /
+# min / max in ONE pass — the data-quality report every load job
+# runs before publish (the engine-side generalization of the
+# reference's per-row validation, validate-voter-row.ts, which
+# checks values but never summarizes a column). Columns are stacked
+# map-side (Expand: k rows per input row for the k profiled
+# columns), then a single groupBy(col_name) shuffle computes every
+# statistic; profiling the full 339-column voter schema would batch
+# columns to bound the expansion factor.
+# ---------------------------------------------------------------------------
+@register(
+    "a21_column_profile",
+    oracle="""
+    WITH vals AS (
+      SELECT 'c_mktsegment' AS col_name, c_mktsegment AS val FROM customer
+      UNION ALL SELECT 'c_name', c_name FROM customer
+      UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL SELECT 'segment_nullable', nullif(c_mktsegment, 'BUILDING')
+        FROM customer
+    )
+    SELECT col_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT val) AS n_distinct,
+           min(val) AS min_val,
+           max(val) AS max_val
+    FROM vals GROUP BY col_name
+    """,
+)
+def a21_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stacked = t(spark, sf_dir, "customer").select(
+        F.expr(
+            "stack(4, "
+            "'c_mktsegment', c_mktsegment, "
+            "'c_name', c_name, "
+            "'c_nationkey', CAST(c_nationkey AS STRING), "
+            "'segment_nullable', nullif(c_mktsegment, 'BUILDING')"
+            ") AS (col_name, val)"
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("val").isNull()).alias("n_nulls"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

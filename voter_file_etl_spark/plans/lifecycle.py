@@ -265,6 +265,50 @@ def l8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L9 — GDPR hard delete on the commit-log table: erase every row for
+# a keyed subject set (user_id % 10 == 3 here), with the same
+# touched-buckets-only cost model as the MERGE — the deletion list
+# broadcasts, only buckets containing subjects are rewritten, and
+# vacuum() then physically removes the superseded files so the
+# erased rows exist in no file at all (tests/test_logtable.py scans
+# raw data files to prove it). This is the reference's per-state
+# reload answered at row granularity: deleting one voter does not
+# rewrite the state, only the key's bucket.
+# ---------------------------------------------------------------------------
+@register(
+    "l9_gdpr_delete",
+    oracle="""
+    SELECT event_type, count(*) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND user_id % 10 <> 3
+    GROUP BY event_type
+    """,
+)
+def l9_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="l9_gdpr_", dir=os.environ.get("TMPDIR", "/tmp"))
+    table = _build_logtable(spark, sf_dir, work)
+    subjects = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .filter(F.col("user_id") % 10 == 3)
+        .distinct()
+    )
+    table.delete(subjects, work)
+    table.vacuum()
+    return table.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").alias("sum_last_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L6 — small-file compaction: the table-maintenance operation every
 # 100 TB lake needs (streaming sinks and per-batch loads accumulate
 # thousands of KB-sized files per partition; scan throughput dies on
@@ -337,4 +381,65 @@ def l6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return counts.join(F.broadcast(layout), "event_type").select(
         "event_type", "n_files_before", "n_files_after", "n_rows"
+    )
+
+
+# ---------------------------------------------------------------------------
+# L10 — SCD Type-2 history build: collapse an event-grained history
+# (every order a customer placed) into validity intervals per
+# attribute state — the warehouse pattern for "what was this
+# customer's status ON date D". Change rows are detected with lag()
+# (first row or status != previous), then valid_to chains from the
+# NEXT change's valid_from via lead(); the open interval is the
+# current state. The reference keeps only the latest snapshot per
+# voter (load.ts swaps whole tables); SCD2 is what a 100 TB lake
+# keeps instead so history is queryable without replaying loads.
+#
+# Scale: two window passes over the SAME (custkey, date, key)
+# ordering — Catalyst plans one exchange + one sort, with the second
+# window reusing the first's partitioning (no re-shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "l10_scd2_history",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders
+    ), chg AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      FROM h WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CAST(lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS DATE) AS valid_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             IS NULL AS is_current
+    FROM chg
+    """,
+)
+def l10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = t(spark, sf_dir, "orders")
+    chg = (
+        orders.withColumn("prev_status", F.lag("o_orderstatus").over(win))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    nxt = F.lead("o_orderdate").over(win)
+    return chg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        nxt.cast("date").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )

@@ -197,6 +197,60 @@ class LogTable:
         shutil.rmtree(stage, ignore_errors=True)
         return version
 
+    def delete(self, keys: DataFrame, work_dir: str) -> int:
+        """Hard-delete every row matching ``keys`` (GDPR erasure).
+
+        Same touched-buckets-only cost model as merge: the deletion
+        list (small — broadcast) hashes to a bucket set; only those
+        files are read, anti-joined, and rewritten. After ``vacuum``
+        the erased rows exist in NO live or dead file — physical
+        erasure, not a tombstone mask (time travel to pre-delete
+        versions works only until vacuum, exactly Delta's documented
+        GDPR posture: VACUUM is what completes the erasure).
+        """
+        version = self.latest_version() + 1
+        keyed = (
+            keys.select(*self.key_cols)
+            .distinct()
+            .withColumn("_bucket", self._bucket_col())
+        )
+        touched = sorted(
+            r["_bucket"] for r in keyed.select("_bucket").distinct().collect()
+        )
+        old = [f for f in self.active_files() if f["bucket"] in touched]
+        adds: list[dict] = []
+        if old:
+            cur = self.spark.read.parquet(
+                *[os.path.join(self.root, f["path"]) for f in old]
+            ).withColumn("_bucket", self._bucket_col())
+            remaining = cur.join(
+                F.broadcast(keyed.drop("_bucket")), self.key_cols, "left_anti"
+            )
+            stage = os.path.join(work_dir, f"stage_v{version:08d}")
+            (
+                remaining.repartition(max(len(touched), 1), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(stage)
+            )
+            for bucket in touched:
+                part_dir = os.path.join(stage, f"_bucket={bucket}")
+                if not os.path.isdir(part_dir):
+                    continue  # every row of the bucket was deleted
+                for i, name in enumerate(sorted(os.listdir(part_dir))):
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = os.path.join(
+                        _DATA_DIR, f"v{version:08d}-b{bucket:05d}-{i:03d}.parquet"
+                    )
+                    shutil.move(
+                        os.path.join(part_dir, name), os.path.join(self.root, rel)
+                    )
+                    adds.append({"path": rel, "bucket": bucket})
+            shutil.rmtree(stage, ignore_errors=True)
+        self._commit(version, adds, [f["path"] for f in old])
+        return version
+
     def vacuum(self) -> list[str]:
         """Delete data files no longer referenced by the LATEST snapshot.
 

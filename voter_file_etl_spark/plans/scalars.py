@@ -518,3 +518,50 @@ def t12_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(name_bin)).alias("hex_lc"),
         F.unbase64(F.base64(name_bin)).cast("string").alias("roundtrip"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T13 — date/interval arithmetic: month addition with end-of-month
+# clamping (Spark add_months == DuckDB + INTERVAL n MONTH — both
+# clamp 2020-01-31 + 1 month to 2020-02-29), day offsets, day
+# difference, month truncation, last-day-of-month, and calendar
+# field extraction. All calendar-exact integer/date results — no
+# timezone or float hazard (dates only, session tz pinned UTC).
+# ---------------------------------------------------------------------------
+@register(
+    "t13_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS plus_3_months,
+           CAST(CAST(o_orderdate AS DATE) + 45 AS DATE) AS plus_45_days,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+             AS days_to_eoy,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INTEGER) AS dow
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def t13_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("o_orderdate").cast("date")
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            d.alias("d"),
+            F.add_months(d, 3).alias("plus_3_months"),
+            F.date_add(d, 45).alias("plus_45_days"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+            F.last_day(d).alias("month_end"),
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            (F.dayofweek(d) - F.lit(1)).alias("dow"),
+        )
+    )

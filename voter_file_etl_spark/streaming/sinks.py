@@ -175,3 +175,82 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFr
 def st7_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="st7_upsert_", dir=os.environ.get("TMPDIR", "/tmp"))
     return run_upsert_stream(spark, sf_dir, work)
+
+
+# ---------------------------------------------------------------------------
+# ST10 — stream into the ACID commit-log table: the same foreachBatch
+# upsert as st7, but the target is sources/logtable.py's LogTable, so
+# every micro-batch lands as ONE atomic multi-bucket commit (st7's
+# dynamic partition overwrite is atomic only per partition). A reader
+# replaying the log mid-stream sees batch N fully or not at all, and
+# the stream's exactly-once file tracking composes with the table's
+# optimistic commits — the Delta-sink pattern (writeStream.format(
+# "delta")) expressed over plain parquet. Last-writer-wins per
+# (user_id, event_type) by (event time, event_id) is a total order,
+# so the final snapshot equals the batch argmax regardless of how
+# the file source slices the stream.
+# ---------------------------------------------------------------------------
+@register(
+    "st10_stream_into_logtable",
+    oracle="""
+    SELECT user_id, event_type, last_us, last_value, last_event_id
+    FROM (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS last_us, value AS last_value,
+             event_id AS last_event_id,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st10_stream_into_logtable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.sources.logtable import LogTable
+
+    work = tempfile.mkdtemp(prefix="st10_log_", dir=os.environ.get("TMPDIR", "/tmp"))
+    ensure_session_confs(spark)
+    src_dir = os.path.join(work, "src")
+    (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .repartition(_N_SRC_FILES)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    table = LogTable(
+        spark,
+        os.path.join(work, "table"),
+        key_cols=["user_id", "event_type"],
+        order_cols=["us", "event_id"],
+        n_buckets=_N_BUCKETS,
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge(batch_df, work)
+
+    stream = (
+        spark.readStream.schema(_SRC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return table.snapshot().select(
+        "user_id",
+        "event_type",
+        F.col("us").alias("last_us"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )

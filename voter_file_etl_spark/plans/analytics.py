@@ -1,0 +1,206 @@
+"""Behavioral analytics over the events stream: funnel conversion,
+cohort retention, and gaps-and-islands streaks.
+
+The reference's implied workload is voter-contact analytics (SURVEY.md
+§2.6: per-person event rollups over the 251-index query surface);
+these are the three canonical event-sequence shapes every OLAP engine
+is asked for on top of that. All three are pure DataFrame plans —
+equi-joins and window functions on integer microseconds and DATEs, no
+floats — so results are bit-exact across engines.
+
+Scale notes (100 TB posture):
+- The funnel is K sequential groupBy/join rounds ALL keyed on
+  user_id: AQE co-partitions them, so after the first shuffle every
+  later stage is a local join (no re-partitioning); the per-step
+  frames shrink monotonically (only converting users survive).
+- Retention and islands shuffle once on user_id and once on the
+  (cohort, offset) / island rollup — both bounded-cardinality keys.
+- Islands uses a per-user window (ORDER BY within PARTITION BY
+  user_id), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.tables import t
+
+# ---------------------------------------------------------------------------
+# A22 — event funnel: how many users complete signup -> view ->
+# click -> purchase with STRICTLY increasing event times. Classic
+# conversion funnel (the reference's voter-contact cadence reports
+# are this shape over contact events). Each step is
+#   min(us) of the step's event type AFTER the user's previous-step
+#   time — one groupBy(user_id) per step, joined back; exact int64
+# microseconds end to end.
+# ---------------------------------------------------------------------------
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+@register(
+    "a22_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view' AND epoch_us(e.ts) > s1.t
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s2.t
+      GROUP BY e.user_id
+    ), s4 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t
+      FROM events e JOIN s3 ON e.user_id = s3.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s3.t
+      GROUP BY e.user_id
+    )
+    SELECT CAST(1 AS BIGINT) AS step_no, 'signup' AS step,
+           (SELECT count(*) FROM s1) AS n_users
+    UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+    UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+    UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+    """,
+)
+def a22_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for step in _FUNNEL_STEPS:
+        stage = ev.filter(F.col("event_type") == step)
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(F.col("us") > F.col("t")).drop("t")
+        cur = stage.groupBy("user_id").agg(F.min("us").alias("t"))
+        reached.append(cur)
+        prev = cur
+    out = None
+    for i, (step, df) in enumerate(zip(_FUNNEL_STEPS, reached), start=1):
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).cast("long").alias("step_no"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A23 — cohort retention: users grouped by the ISO week of their
+# first event (both engines truncate weeks to Monday), counted as
+# active in each later week; offset = whole weeks since the cohort
+# week. Pure DATE/int arithmetic — datediff of two Monday-aligned
+# dates is always a multiple of 7, so the integer division is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "a23_retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             date_trunc('week', min(CAST(ts AS DATE))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS DATE)) AS w
+      FROM events
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, act.w) // 7 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_active
+    FROM act JOIN f ON act.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def a23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("d")).cast("date").alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "d").cast("date").alias("w")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / F.lit(7))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select("cohort_week", "week_offset", "n_active")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10 — gaps and islands: per user, runs of CONSECUTIVE active days.
+# The classic trick: within a user, date minus row_number() (over
+# dates ascending) is constant exactly along a gap-free run, so
+# grouping on that anchor yields the islands. Longest streak breaks
+# ties toward the earliest start so the argmax is deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "w10_gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), r AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+      FROM d
+    ), isl AS (
+      SELECT user_id, grp, count(*) AS len, min(d) AS start
+      FROM r GROUP BY user_id, grp
+    ), ranked AS (
+      SELECT user_id, len, start,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY len DESC, start) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_islands,
+             sum(len) OVER (PARTITION BY user_id) AS active_days
+      FROM isl
+    )
+    SELECT user_id, CAST(n_islands AS BIGINT) AS n_islands,
+           CAST(active_days AS BIGINT) AS active_days,
+           len AS longest, start AS longest_start
+    FROM ranked WHERE rn = 1
+    """,
+)
+def w10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("d"))
+        .distinct()
+    )
+    rn = W.partitionBy("user_id").orderBy("d")
+    isl = (
+        d.withColumn("grp", F.date_sub("d", F.row_number().over(rn)))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"), F.min("d").alias("start"))
+    )
+    pick = W.partitionBy("user_id").orderBy(F.desc("len"), F.asc("start"))
+    per_user = W.partitionBy("user_id")
+    return (
+        isl.withColumn("rn", F.row_number().over(pick))
+        .withColumn("n_islands", F.count(F.lit(1)).over(per_user))
+        .withColumn("active_days", F.sum("len").over(per_user))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_islands").cast("long"),
+            F.col("active_days").cast("long"),
+            F.col("len").alias("longest"),
+            F.col("start").alias("longest_start"),
+        )
+    )

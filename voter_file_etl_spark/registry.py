@@ -42,6 +42,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from voter_file_etl_spark.plans import (  # noqa: F401
         aggregates,
+        analytics,
         core,
         joins,
         lifecycle,

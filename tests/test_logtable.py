@@ -153,3 +153,33 @@ def test_delete_is_physical_erasure(spark, tmp_path):
     assert raw.filter("k IN (7, 13)").count() == 0
     assert raw.count() == 62
     assert touched  # delete actually touched something
+
+
+def test_change_feed_classifies_ops(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(1, 1, "a"), (2, 1, "b")]), work)
+    table.merge(_mk(spark, [(2, 5, "b2"), (3, 1, "c")]), work)
+    table.delete(_mk(spark, [(1, 0, "")]).select("k"), work)
+
+    v0 = {(r["k"], r["op"]) for r in table.changes(0).collect()}
+    assert v0 == {(1, "insert"), (2, "insert")}
+
+    v1 = {r["k"]: r for r in table.changes(1).collect()}
+    assert v1[3]["op"] == "insert" and v1[3]["old_seq"] is None
+    assert v1[2]["op"] == "update"
+    assert (v1[2]["old_seq"], v1[2]["new_seq"]) == (1, 5)
+    # k=1 did not change at v1: even if its bucket was rewritten it
+    # must be filtered out of the feed, not reported as an update.
+    assert 1 not in v1
+
+    v2 = {r["k"]: r for r in table.changes(2).collect()}
+    assert v2[1]["op"] == "delete" and v2[1]["new_seq"] is None
+    # replaying ops over the feed reconstructs the live key set
+    live = set()
+    for v in range(table.latest_version() + 1):
+        for r in table.changes(v).collect():
+            live.discard(r["k"])
+            if r["op"] != "delete":
+                live.add(r["k"])
+    assert live == {r["k"] for r in table.snapshot().collect()}

@@ -443,3 +443,134 @@ def l10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.cast("date").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L11 — CDC change feed off the commit log: for each of the four l7
+# merge commits, LogTable.changes(v) reads ONLY the files that commit
+# added/removed (O(touched buckets), never O(table)) and classifies
+# every key as insert / update / delete — Delta's "change data feed"
+# re-expressed over the plain-parquet log. The oracle rebuilds every
+# version's winner per user (argmax over batches 0..v) and diffs
+# adjacent versions with lag(), so a replay bug — an add leaking, a
+# remove skipped, an unchanged row reported as changed — produces a
+# row-level mismatch, not just a count drift.
+# ---------------------------------------------------------------------------
+@register(
+    "l11_change_feed",
+    oracle="""
+    WITH win AS (
+      SELECT g.v, e.user_id, epoch_us(e.ts) AS us, e.event_id,
+             row_number() OVER (PARTITION BY g.v, e.user_id
+               ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
+      FROM events e JOIN (VALUES (0), (1), (2), (3)) AS g(v)
+        ON e.event_id % 4 <= g.v
+    ), st AS (
+      SELECT v, user_id, us, event_id FROM win WHERE rn = 1
+    ), ch AS (
+      SELECT v, user_id, us AS new_us, event_id AS new_event_id,
+             lag(us) OVER w AS old_us,
+             lag(event_id) OVER w AS old_event_id,
+             row_number() OVER w AS k
+      FROM st WINDOW w AS (PARTITION BY user_id ORDER BY v)
+    )
+    SELECT CAST(v AS BIGINT) AS version, user_id,
+           CASE WHEN k = 1 THEN 'insert'
+                WHEN new_event_id <> old_event_id THEN 'update' END AS op,
+           new_us, new_event_id, old_us, old_event_id
+    FROM ch WHERE k = 1 OR new_event_id <> old_event_id
+    """,
+)
+def l11_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="l11_cdc_", dir=os.environ.get("TMPDIR", "/tmp"))
+    table = _build_logtable(spark, sf_dir, work)
+    out = None
+    for v in range(table.latest_version() + 1):
+        feed = table.changes(v).withColumn("version", F.lit(v).cast("long"))
+        out = feed if out is None else out.unionByName(feed)
+    return out.select(
+        "version", "user_id", "op",
+        "new_us", "new_event_id", "old_us", "old_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# L12 — Z-order clustering for data skipping: interleave the bits of
+# two independent dimensions (l_partkey%1024, l_orderkey%1024 — both
+# span the full 10-bit range at every SF; suppkey does not) into a
+# Morton code, lay rows out in z order, and cut the layout into 16
+# equal file-sized bins (ntile over the z total order — the query
+# models the file boundaries; the physical write is
+# repartitionByRange(z) + sortWithinPartitions, asserted in
+# tests/test_zorder.py). Per bin we report the (min,max) bounding box
+# of BOTH dimensions plus whether a quarter×quarter box query
+# p<=255 AND 512<=s<=767 would scan it — with z-order the box
+# touches a small fraction of bins; range-partitioning on either
+# single key would leave the other dimension's bounds full-width and
+# prune nothing. The interleave is 20 integer bit terms, identical
+# arithmetic in both engines.
+# ---------------------------------------------------------------------------
+_Z_SPARK = " + ".join(
+    f"shiftleft(shiftright(p, {i}) & 1, {2 * i}) + "
+    f"shiftleft(shiftright(s, {i}) & 1, {2 * i + 1})"
+    for i in range(10)
+)
+_Z_DUCK = " + ".join(
+    f"(((p >> {i}) & 1) << {2 * i}) + (((s >> {i}) & 1) << {2 * i + 1})"
+    for i in range(10)
+)
+
+
+@register(
+    "l12_zorder_bins",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_orderkey, l_linenumber,
+             l_partkey % 1024 AS p, l_orderkey % 1024 AS s
+      FROM lineitem
+    ), b AS (
+      SELECT p, s,
+             ntile(16) OVER (ORDER BY {_Z_DUCK}, l_orderkey, l_linenumber)
+               AS bin
+      FROM d
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_rows,
+           min(p) AS pmin, max(p) AS pmax,
+           min(s) AS smin, max(s) AS smax,
+           CAST((min(p) <= 255 AND max(s) >= 512 AND min(s) <= 767)
+                AS INTEGER) AS scanned
+    FROM b GROUP BY bin
+    """,
+)
+def l12_zorder_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_partkey % 1024").alias("p"),
+        F.expr("l_orderkey % 1024").alias("s"),
+    )
+    z = d.withColumn("z", F.expr(_Z_SPARK))
+    binned = z.withColumn(
+        "bin",
+        F.ntile(16).over(W.orderBy("z", "l_orderkey", "l_linenumber")),
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p").alias("pmin"),
+            F.max("p").alias("pmax"),
+            F.min("s").alias("smin"),
+            F.max("s").alias("smax"),
+        )
+        .withColumn(
+            "scanned",
+            (
+                (F.col("pmin") <= 255)
+                & (F.col("smax") >= 512)
+                & (F.col("smin") <= 767)
+            ).cast("int"),
+        )
+    )

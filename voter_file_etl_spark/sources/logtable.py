@@ -136,6 +136,72 @@ class LogTable:
             *[os.path.join(self.root, f["path"]) for f in files]
         )
 
+    def changes(self, version: int) -> DataFrame:
+        """Row-level change feed (CDC) for one commit — the "change
+        data feed" read expressed over the plain-parquet log.
+
+        Reads ONLY the files this commit added and removed (O(touched
+        buckets), never O(table)): the adds hold the new content of
+        every rewritten bucket and the removes its prior content, so a
+        full outer join on the upsert key classifies each key as
+        ``insert`` (no prior row), ``delete`` (no new row), ``update``
+        (winning row changed), while keys whose winning row survived
+        the bucket rewrite byte-identical are filtered out. Returns
+        ``key_cols + op + new_*/old_*`` for each order column.
+        """
+        entry = json.load(open(self._entry_path(version)))
+        new_files = [a["path"] for a in entry["adds"]]
+        old_files = list(entry["removes"])
+
+        def _side(paths: list[str], prefix: str) -> DataFrame | None:
+            if not paths:
+                return None
+            df = self.spark.read.parquet(
+                *[os.path.join(self.root, p) for p in paths]
+            )
+            return df.select(
+                *self.key_cols,
+                *[F.col(c).alias(f"{prefix}{c}") for c in self.order_cols],
+            ).withColumn(f"_{prefix}present", F.lit(True))
+
+        new = _side(new_files, "new_")
+        old = _side(old_files, "old_")
+        if new is None and old is None:
+            raise ValueError(f"version {version} touched no files")
+        for missing, prefix, present in ((new, "new_", old), (old, "old_", new)):
+            if missing is None:
+                # empty side with the mirrored schema (swap prefixes)
+                other = "old_" if prefix == "new_" else "new_"
+                empty = present.limit(0)
+                for c in self.order_cols:
+                    empty = empty.withColumnRenamed(f"{other}{c}", f"{prefix}{c}")
+                empty = empty.withColumnRenamed(
+                    f"_{other}present", f"_{prefix}present"
+                )
+                if prefix == "new_":
+                    new = empty
+                else:
+                    old = empty
+        changed = F.lit(False)
+        for c in self.order_cols:
+            changed = changed | ~F.col(f"new_{c}").eqNullSafe(F.col(f"old_{c}"))
+        op = (
+            F.when(F.col("_old_present").isNull(), F.lit("insert"))
+            .when(F.col("_new_present").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update"))
+        )
+        return (
+            new.join(old, self.key_cols, "full_outer")
+            .withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select(
+                *self.key_cols,
+                "op",
+                *[f"new_{c}" for c in self.order_cols],
+                *[f"old_{c}" for c in self.order_cols],
+            )
+        )
+
     # -- writes ------------------------------------------------------------
 
     def _bucket_col(self):

@@ -869,3 +869,103 @@ def x38_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("jaccard_est"),
         F.round(F.abs(exact - est), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X44 — line-level dedup with document reassembly (the RefinedWeb /
+# CCNet recipe): cut every document into fixed 10-word lines, drop
+# every line whose exact text already occurred earlier in the corpus
+# (first occurrence by (doc_id, line_id) wins — boilerplate headers,
+# navigation chrome and licence blocks collapse to one copy), then
+# stitch each document back together from its surviving lines. Three
+# shuffles at any scale: explode->line groupBy (key = the line text,
+# uniform), the winner filter (window over the same key, fused into
+# the same exchange), and the per-doc reassembly groupBy. Fingerprint
+# output (kept counts + md5 of the rebuilt text) keeps the driver row
+# narrow while pinning the exact reconstruction.
+# ---------------------------------------------------------------------------
+_X44_LINE = 10
+
+
+@register(
+    "x44_line_dedup",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id,
+             CAST((s - 1) // {_X44_LINE} AS BIGINT) AS line_id,
+             array_to_string(
+               list_slice(str_split(text, ' '), s, s + {_X44_LINE} - 1),
+               ' ') AS line
+      FROM documents,
+           unnest(generate_series(
+             1, len(str_split(text, ' ')), {_X44_LINE})) AS u(s)
+    ), kept AS (
+      SELECT doc_id, line_id, line,
+             row_number() OVER (
+               PARTITION BY line ORDER BY doc_id, line_id) AS rn
+      FROM lines
+    ), rebuilt AS (
+      SELECT doc_id,
+             count(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY line_id) AS new_text
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           md5(coalesce(r.new_text, '')) AS new_md5
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def x44_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from voter_file_etl_spark.tables import t as _t
+
+    lines = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("arr"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"inline(transform(sequence(1, size(arr), {_X44_LINE}), "
+                f"s -> named_struct("
+                f"'line_id', CAST((s - 1) div {_X44_LINE} AS BIGINT), "
+                f"'line', concat_ws(' ', slice(arr, s, {_X44_LINE})))))"
+            ),
+        )
+    )
+    kept = (
+        lines.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("line").orderBy("doc_id", "line_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_id", "line"))
+                ),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(
+                F.coalesce("new_text", F.lit("")).cast("binary")
+            ).alias("new_md5"),
+        )
+    )

@@ -82,6 +82,13 @@ HEADLINE = [
     "j12_full_outer_join",
     "x41_substring_dedup",
     "x43_pmi_cooccurrence",
+    # round-3 final additions: behavioral analytics, line-level dedup,
+    # z-order bin model, calendar arithmetic
+    "a22_funnel",
+    "w10_gaps_islands",
+    "x44_line_dedup",
+    "l12_zorder_bins",
+    "t13_date_arith",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings
@@ -95,6 +102,9 @@ HEADLINE = [
     # and the 4-batch watermark stream — both stage files + write
     "l7_txn_log_merge",
     "st9_watermark_late_drop",
+    # builds the same 4-merge logtable, then diffs each commit's
+    # add/remove files — sink-writing, so it stays in the tail group
+    "l11_change_feed",
 ]
 
 

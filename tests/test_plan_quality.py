@@ -234,3 +234,42 @@ def test_pmi_vocab_join_is_broadcast(spark, sf_dir):
     plan = _formatted_plan(spark, "x43_pmi_cooccurrence", sf_dir)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_funnel_steps_are_equi_joins(spark, sf_dir):
+    # a22's sequential steps are all keyed on user_id: every join is
+    # an equi-join (AQE co-partitions the chain) — a nested loop
+    # anywhere means a step lost its key.
+    plan = _formatted_plan(spark, "a22_funnel", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_retention_and_islands_never_single_partition(spark, sf_dir):
+    # a23/w10 shuffle only on user_id / rollup keys — a
+    # SinglePartition exchange would mean a global sort or global
+    # window crept in (the 100 TB funnel-killer).
+    for key in ("a23_retention_cohorts", "w10_gaps_islands"):
+        plan = _formatted_plan(spark, key, sf_dir)
+        assert "SinglePartition" not in plan, (key, plan[:2000])
+        assert "CartesianProduct" not in plan, key
+
+
+def test_line_dedup_windows_are_partitioned(spark, sf_dir):
+    # x44's winner filter partitions by the line text and the
+    # reassembly by doc_id — both real keys, no global window, no
+    # cartesian.
+    plan = _formatted_plan(spark, "x44_line_dedup", sf_dir)
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(line" in plan
+
+
+def test_change_feed_is_equi_outer_join(spark, sf_dir):
+    # l11's per-commit diff joins adds vs removes on the upsert key —
+    # a full outer SMJ over only the touched buckets, never a
+    # nested loop.
+    plan = _formatted_plan(spark, "l11_change_feed", sf_dir)
+    assert "FullOuter" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

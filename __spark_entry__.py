@@ -59,6 +59,8 @@ _BACKFILL = [  # placed OUTSIDE the 50-key window (head 25 + 25 r3 keys fill it)
     "t13_date_arith", "st10_stream_into_logtable",
     "a22_funnel", "a23_retention_cohorts", "w10_gaps_islands",
     "l11_change_feed", "l12_zorder_bins", "x44_line_dedup",
+    "sql7_recursive_hierarchy", "a24_sweepline_concurrency",
+    "g2_triangle_count", "x45_source_overlap",
     # -- round-1 greens, oldest first --
     "a2_reconcile", "a4_groupby_count", "a5_household_agg",
     "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",

@@ -969,3 +969,93 @@ def x44_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X45 — cross-source overlap matrix: for every pair of corpus
+# sources, how many distinct 8-word shingles they share — the
+# dataset-audit companion to x22/x29 decontamination (which ask "is
+# the benchmark in my corpus"; this asks "how much do my ingest
+# feeds overlap each other", the first question before assigning
+# mixture weights to crawls that partially duplicate one another).
+# Shape: shingle -> distinct (source, md5) -> self-join on the hash.
+# The shuffle key is the shingle hash (uniform by construction); the
+# per-hash fan-out is bounded by the NUMBER OF SOURCES (a shingle
+# contributes at most C(n_sources, 2) pairs however often it
+# repeats, because sources are deduped first). Containment is the
+# one float, computed as a single IEEE division and rounded on both
+# engines.
+# ---------------------------------------------------------------------------
+_X45_SHINGLE = 8
+
+
+@register(
+    "x45_source_overlap",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               list_slice(str_split(text, ' '), s, s + {_X45_SHINGLE} - 1),
+               ' ')) AS h
+      FROM documents,
+           unnest(generate_series(
+             1, len(str_split(text, ' ')) - {_X45_SHINGLE} + 1, 1)) AS u(s)
+    ), per AS (
+      SELECT source, count(*) AS n FROM sh GROUP BY source
+    ), ov AS (
+      SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, n_shared, p1.n AS n_s1, p2.n AS n_s2,
+           round(n_shared / least(p1.n, p2.n), 6) AS containment
+    FROM ov JOIN per p1 ON ov.s1 = p1.source
+            JOIN per p2 ON ov.s2 = p2.source
+    """,
+)
+def x45_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.tables import t as _t
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("arr")
+    )
+    # guard: Spark sequence(1, n) runs BACKWARD for n < 1 (a doc
+    # shorter than the shingle would fabricate short shingles; DuckDB
+    # generate_series is empty there — both engines must drop it)
+    docs = docs.filter(F.size("arr") >= _X45_SHINGLE)
+    sh = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(arr) - {_X45_SHINGLE} + 1), "
+                    f"s -> md5(cast(concat_ws(' ', slice(arr, s, {_X45_SHINGLE})) as binary)))"
+                )
+            ).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    per = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ov = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        ov.join(per.select(F.col("source").alias("s1"), F.col("n").alias("n_s1")), "s1")
+        .join(per.select(F.col("source").alias("s2"), F.col("n").alias("n_s2")), "s2")
+        .select(
+            "s1", "s2", "n_shared", "n_s1", "n_s2",
+            F.round(
+                F.col("n_shared") / F.least("n_s1", "n_s2"), 6
+            ).alias("containment"),
+        )
+    )

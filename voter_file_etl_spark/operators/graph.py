@@ -146,3 +146,81 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("r"),
         )
     return ranks.select("node", F.col("r").alias("rank_micro"))
+
+
+# ---------------------------------------------------------------------------
+# G2 — triangle counting on the part co-purchase graph: nodes are
+# parts, an edge joins two parts co-ordered in >= 2 distinct orders
+# (the support threshold sparsifies a quadratic co-occurrence blow-up
+# into a real association graph — thr=1 gives 116k edges at sf0.01,
+# thr=2 gives 3.4k), and a triangle is the canonical a<b<c closed
+# wedge. The count is the standard two-hop equi-join: e1(a,b) joins
+# e2(b,c) to enumerate wedges, e3(a,c) closes them — every join is on
+# edge keys, no nested loop (per-order pair fan-out is bounded by
+# C(lines_per_order, 2) ~ 21). Output is per-node triangle
+# participation, the clustering-coefficient numerator.
+# ---------------------------------------------------------------------------
+@register(
+    "g2_triangle_count",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), tri AS (
+      SELECT e1.s AS a, e1.d AS b, e2.d AS c
+      FROM e e1
+      JOIN e e2 ON e1.d = e2.s
+      JOIN e e3 ON e1.s = e3.s AND e2.d = e3.d
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+    """,
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.d") == F.col("e2.s"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.s") == F.col("e3.s"))
+            & (F.col("e2.d") == F.col("e3.d")),
+        )
+        .select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.d").alias("b"),
+            F.col("e2.d").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

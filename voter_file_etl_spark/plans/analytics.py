@@ -204,3 +204,69 @@ def w10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("start").alias("longest_start"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A24 — sweep-line concurrency: treat every event as a 10-minute
+# session and find, per event type, the PEAK number of simultaneously
+# open sessions and the earliest instant it is reached. The classic
+# sweep: each session contributes (+1 at start, -1 at end), sorted by
+# (time, delta, event_id) — delta ascending puts the -1 first at a
+# shared instant, i.e. half-open [start, end) intervals — and a
+# running ROWS sum is the live concurrency. One shuffle (partition by
+# event_type), integer microseconds end to end; the explicit
+# three-key ROWS frame sidesteps the cross-engine RANGE-peers trap.
+# ---------------------------------------------------------------------------
+_A24_DUR_US = 600 * 1_000_000
+
+
+@register(
+    "a24_sweepline_concurrency",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, epoch_us(ts) AS us, 1 AS delta, event_id
+      FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + {_A24_DUR_US}, -1, event_id
+      FROM events
+    ), run AS (
+      SELECT event_type, us,
+             sum(delta) OVER (
+               PARTITION BY event_type ORDER BY us, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(max(live) AS BIGINT) AS max_concurrent,
+           min(us) FILTER (WHERE live = mx) AS at_us
+    FROM (SELECT *, max(live) OVER (PARTITION BY event_type) AS mx FROM run)
+    GROUP BY event_type
+    """,
+)
+def a24_sweepline_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    pts = ev.select(
+        "event_type", "us", F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("us") + F.lit(_A24_DUR_US)).alias("us"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    sweep = W.partitionBy("event_type").orderBy("us", "delta", "event_id")
+    run = pts.withColumn(
+        "live",
+        F.sum("delta").over(sweep.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    peak = run.withColumn(
+        "mx", F.max("live").over(W.partitionBy("event_type"))
+    )
+    return peak.groupBy("event_type").agg(
+        F.max("live").cast("long").alias("max_concurrent"),
+        F.min(F.when(F.col("live") == F.col("mx"), F.col("us"))).alias("at_us"),
+    )

@@ -196,3 +196,48 @@ GROUP BY c.c_mktsegment
 def sql6_cte_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(_SQL6)
+
+
+# ---------------------------------------------------------------------------
+# SQL7 — WITH RECURSIVE hierarchy walk (Spark 4's recursive CTE,
+# matching DuckDB's): customers form a synthetic 10-ary org tree
+# (parent = custkey div 10, roots < 10), and the recursion assigns
+# every customer its root and depth — the org-chart / BOM-expansion
+# query no non-recursive SQL can express for unbounded depth. The
+# recursion is a fixpoint of equi-joins on the parent key (each
+# iteration shuffles one frontier level, never the whole closure).
+# Output is the per-(depth, root-bucket) rollup to keep the row
+# narrow while pinning every path assignment exactly.
+# ---------------------------------------------------------------------------
+_SQL7_SPARK = """
+WITH RECURSIVE h(custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, h.root, h.depth + 1
+  FROM customer c JOIN h ON c.c_custkey div 10 = h.custkey
+  WHERE c.c_custkey >= 10
+)
+SELECT CAST(depth AS BIGINT) AS depth, root,
+       count(*) AS n, CAST(sum(custkey) AS BIGINT) AS sum_keys
+FROM h GROUP BY depth, root
+"""
+
+
+@register(
+    "sql7_recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE h(custkey, root, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, h.root, h.depth + 1
+      FROM customer c JOIN h ON c.c_custkey // 10 = h.custkey
+      WHERE c.c_custkey >= 10
+    )
+    SELECT CAST(depth AS BIGINT) AS depth, root,
+           count(*) AS n, CAST(sum(custkey) AS BIGINT) AS sum_keys
+    FROM h GROUP BY depth, root
+    """,
+)
+def sql7_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_SQL7_SPARK)

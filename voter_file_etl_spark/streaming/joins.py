@@ -112,3 +112,136 @@ def run_interval_join_stream(
     )
     query.awaitTermination()
     return spark.sql("SELECT * FROM st6_stream_out")
+
+
+# ---------------------------------------------------------------------------
+# ST11 — stream-stream LEFT OUTER interval join, executed as a REAL
+# stream: purchases left-joined to the same user's views from the
+# preceding hour, where a purchase with no qualifying view must
+# still emit — with NULL view columns — once the watermark proves no
+# match can ever arrive. That null-emission is the part append-mode
+# inner joins (st6) never exercise: Spark holds the unmatched left
+# row in state until min(left WM, right WM) passes the last instant
+# a matching view could carry, then emits exactly one null row.
+#
+# Determinism engineering: the source is staged as mtime-ordered
+# files (two chronological halves, then TWO sentinel batches far
+# past the data, +10d and +20d). Sentinels survive both side
+# filters (one 'purchase' + one 'view' row each, user_id = -1) so
+# BOTH watermarks advance past every real row — and there are two
+# post-data batches because late-row filtering uses the PREVIOUS
+# batch's watermark (SPARK-24634, proven in st9): the final state
+# flush needs one extra watermark advance. With every unmatched row
+# flushed, the stream's append-mode output equals the batch LEFT
+# JOIN, which is exactly what the oracle computes.
+#
+# Scale: state per user is one hour of views plus pending unmatched
+# purchases younger than the watermark — bounded by the interval,
+# independent of stream length.
+# ---------------------------------------------------------------------------
+_ST11_DAY_US = 86_400_000_000
+
+
+@register(
+    "st11_stream_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           epoch_us(v.ts) AS view_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def st11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="st11_outer_", dir=os.environ.get("TMPDIR", "/tmp"))
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us"), "user_id", "event_type"
+    )
+    lims = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
+    t_mid, mx = (lims["mn"] + lims["mx"]) // 2, lims["mx"]
+
+    sent = spark.createDataFrame(
+        [
+            (-1, mx + 10 * _ST11_DAY_US, -1, "purchase"),
+            (-2, mx + 10 * _ST11_DAY_US, -1, "view"),
+        ],
+        "event_id long, us long, user_id long, event_type string",
+    )
+    sent2 = sent.withColumn("us", F.col("us") + F.lit(10 * _ST11_DAY_US)).withColumn(
+        "event_id", F.col("event_id") - F.lit(2)
+    )
+    batches = [
+        ("00_first", ev.filter(F.col("us") < t_mid)),
+        ("01_second", ev.filter(F.col("us") >= t_mid)),
+        ("02_flush", sent),
+        ("03_flush2", sent2),
+    ]
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = time.time()
+    for i, (name, df) in enumerate(batches):
+        stage = os.path.join(work, f"stage_{name}")
+        df.repartition(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        mtime = now - 100 + 10 * i
+        os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("event_id long, us long, user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_id", "user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    v = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p.join(v, cond, "leftOuter").select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_us"),
+        F.unix_micros("v_ts").alias("view_us"),
+    )
+    query = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st11_stream_out")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("st11_stream_out").filter(F.col("user_id") >= 0)

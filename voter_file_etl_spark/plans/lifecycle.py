@@ -574,3 +574,96 @@ def l12_zorder_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L13 — incremental aggregate-view maintenance from the change feed:
+# the classic "materialized view over CDC" pattern (Delta CDF / Kafka
+# + summary table).  A per-shard aggregate of the LogTable
+# (shard = last_event_id % 8 → n_users, sum of last event_id) is
+# maintained WITHOUT ever re-scanning the snapshot: each commit's
+# change feed becomes +1/-1 weighted delta rows (insert → +new,
+# update → +new -old, delete → -old), folded per version and
+# cumulatively summed across versions.  The query emits the view
+# state after EVERY version; the oracle recomputes each version's
+# aggregate from scratch — incremental maintenance must equal full
+# recompute at every step, so a single missed preimage or leaked add
+# anywhere in the log hash-mismatches.
+#
+# Scale: each step reads O(changed buckets) — never the table — and
+# the fold is a single groupBy over delta rows, the exact shape a
+# 100 TB summary-table pipeline needs.  The version×shard spine is
+# 32 rows; the window cumsum runs on the folded aggregate, not data.
+# ---------------------------------------------------------------------------
+@register(
+    "l13_incremental_agg_view",
+    oracle=f"""
+    WITH w AS (
+      SELECT g.v, e.user_id, e.event_id,
+             row_number() OVER (
+               PARTITION BY g.v, e.user_id
+               ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
+      FROM events e
+      JOIN (VALUES (0), (1), (2), (3)) AS g(v)
+        ON e.event_id % {_L7_N_BATCHES} <= g.v
+    )
+    SELECT CAST(v + 1 AS BIGINT) AS n_batches,
+           event_id % 8 AS shard,
+           count(*) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM w WHERE rn = 1
+    GROUP BY v, shard
+    """,
+)
+def l13_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    work = tempfile.mkdtemp(prefix="l13_view_", dir=os.environ.get("TMPDIR", "/tmp"))
+    table = _build_logtable(spark, sf_dir, work)
+    n_versions = table.latest_version() + 1
+
+    deltas = None
+    for v in range(n_versions):
+        ch = table.changes(v)
+        plus = ch.filter(F.col("op").isin("insert", "update")).select(
+            F.lit(v).alias("version"),
+            (F.col("new_event_id") % 8).alias("shard"),
+            F.lit(1).cast("long").alias("dn"),
+            F.col("new_event_id").alias("did"),
+        )
+        minus = ch.filter(F.col("op").isin("update", "delete")).select(
+            F.lit(v).alias("version"),
+            (F.col("old_event_id") % 8).alias("shard"),
+            F.lit(-1).cast("long").alias("dn"),
+            (-F.col("old_event_id")).alias("did"),
+        )
+        step = plus.unionByName(minus)
+        deltas = step if deltas is None else deltas.unionByName(step)
+
+    folded = deltas.groupBy("version", "shard").agg(
+        F.sum("dn").alias("dn"), F.sum("did").alias("did")
+    )
+    # version×shard spine so shards quiet in a version still carry
+    # their running state forward (32 rows — driver-trivial)
+    spine = spark.range(n_versions).select(F.col("id").alias("version")).crossJoin(
+        spark.range(8).select(F.col("id").alias("shard"))
+    )
+    cum = Window.partitionBy("shard").orderBy("version").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(folded, ["version", "shard"], "left")
+        .select(
+            "version",
+            "shard",
+            F.coalesce("dn", F.lit(0)).alias("dn"),
+            F.coalesce("did", F.lit(0)).alias("did"),
+        )
+        .select(
+            (F.col("version") + 1).alias("n_batches"),
+            "shard",
+            F.sum("dn").over(cum).alias("n_users"),
+            F.sum("did").over(cum).alias("sum_last_id"),
+        )
+        .filter(F.col("n_users") > 0)
+    )

@@ -181,3 +181,182 @@ def st8_stream_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.max("n_users").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ST13 — streaming sessionization with applyInPandasWithState +
+# EventTimeTimeout: the custom stateful operator the built-in
+# session_window (st3) approximates in batch, run as a REAL stream.
+# Per user the state holds the one open session (start_us, last_us,
+# n_events); a row further than the 6 h gap from last_us closes the
+# session (emitted in that batch) and opens a new one; a session
+# with NO closing row is flushed by the event-time timeout when the
+# watermark passes last_us + gap. Close-or-timeout means every
+# session is emitted exactly once, so the streamed output equals the
+# batch gaps-and-islands oracle.
+#
+# Determinism engineering: the source is staged as four mtime-ordered
+# chronological quarters (cross-batch order guaranteed; in-batch rows
+# are sorted in the state fn; equal-us ties cannot move a session
+# boundary because gaps are strict >) plus TWO far-future sentinel
+# batches — the first advances the watermark past every real
+# last_us + gap, the second triggers the timeout sweep (timeouts fire
+# against the PREVIOUS batch's watermark, SPARK-24634, proven st9).
+#
+# Scale: state is one 24-byte open session per ACTIVE user — the
+# timeout evicts idle keys, so state is O(active users), not O(users)
+# or O(events); this is the unbounded-stream-safe sessionizer.
+# ---------------------------------------------------------------------------
+_ST13_GAP_US = 6 * 3600 * 1_000_000
+_ST13_DAY_US = 86_400_000_000
+_ST13_OUT = "user_id long, session_start_us long, session_end_us long, n_events long"
+_ST13_STATE = "start_us long, last_us long, n long"
+
+
+def _session_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    uid = key[0]
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [uid],
+                "session_start_us": [start_us],
+                "session_end_us": [last_us],
+                "n_events": [n],
+            }
+        )
+        return
+
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    us = np.sort(np.concatenate([p["us"].to_numpy() for p in parts]))
+    closed: list[tuple[int, int, int]] = []
+    if state.exists:
+        start_us, last_us, n = state.get
+        if int(us[0]) - last_us > _ST13_GAP_US:
+            closed.append((start_us, last_us, n))
+            start_us, last_us, n = None, None, 0
+    else:
+        start_us, last_us, n = None, None, 0
+
+    # segment boundaries: index i starts a new session when the gap
+    # from the previous row is strictly greater than the threshold
+    brk = np.flatnonzero(np.diff(us) > _ST13_GAP_US) + 1
+    bounds = [0, *brk.tolist(), len(us)]
+    for i in range(len(bounds) - 1):
+        seg = us[bounds[i] : bounds[i + 1]]
+        if i == 0 and start_us is not None:
+            last_us, n = int(seg[-1]), n + len(seg)
+        else:
+            if start_us is not None:
+                closed.append((start_us, last_us, n))
+            start_us, last_us, n = int(seg[0]), int(seg[-1]), len(seg)
+    state.update((start_us, last_us, n))
+    state.setTimeoutTimestamp((last_us + _ST13_GAP_US) // 1000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [uid] * len(closed),
+                "session_start_us": [c[0] for c in closed],
+                "session_end_us": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+@register(
+    "st13_sessionize_state",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (
+                    PARTITION BY user_id ORDER BY us) > {_ST13_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM d
+    ), s AS (
+      SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def st13_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="st13_sess_", dir=os.environ.get("TMPDIR", "/tmp"))
+    from voter_file_etl_spark.tables import t as _t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    lims = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
+    mn, mx = lims["mn"], lims["mx"]
+    span = max(mx - mn, 4)
+    quarters = [mn + span * i // 4 for i in range(5)]
+    quarters[-1] = mx + 1
+    batches = [
+        (
+            f"0{i}_q",
+            ev.filter((F.col("us") >= quarters[i]) & (F.col("us") < quarters[i + 1])),
+        )
+        for i in range(4)
+    ]
+    sent = spark.createDataFrame(
+        [(-1, mx + 10 * _ST13_DAY_US)], "user_id long, us long"
+    )
+    batches.append(("04_flush", sent))
+    batches.append(
+        ("05_flush2", sent.withColumn("us", F.col("us") + F.lit(10 * _ST13_DAY_US)))
+    )
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = time.time()
+    for i, (name, df) in enumerate(batches):
+        stage = os.path.join(work, f"stage_{name}")
+        df.repartition(1).write.mode("overwrite").parquet(stage)
+        part = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        mtime = now - 100 + 10 * i
+        os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("user_id long, us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros("us"))
+        .withWatermark("ts", "1 hour")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _session_state,
+        _ST13_OUT,
+        _ST13_STATE,
+        "update",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+    query = (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("st13_stream_out")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("st13_stream_out").filter(F.col("user_id") >= 0)

@@ -1059,3 +1059,76 @@ def x45_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X46 — incremental ingestion dedup: the production shape where a new
+# crawl batch is deduplicated against the ALREADY-INGESTED corpus
+# plus itself, without ever re-deduplicating the corpus. Incoming =
+# doc_id % 5 == 0 (a deterministic 20% "new batch"); the dedup key is
+# the 8-word leading-content fingerprint (normalized prefix — the
+# near-exact key crawl pipelines block on). Each incoming doc is
+# classified: `dup_of_corpus` (key already ingested — drop),
+# `dup_in_batch` (an earlier incoming doc_id claimed the key — drop),
+# `new` (survives).
+#
+# Scale: the corpus side reduces to DISTINCT keys before the join —
+# the incoming batch (small) joins corpus keys (large but
+# one-column); within-batch arbitration is a window over the
+# incoming batch only, never the corpus. Corpus keys would be a
+# bucketed/Bloom-backed table in production; the semantics here are
+# the exact version.
+# ---------------------------------------------------------------------------
+_X46_PREFIX_WORDS = 8
+
+
+@register(
+    "x46_incremental_dedup",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(str_split(text, ' '), 1, {_X46_PREFIX_WORDS}),
+               ' ') AS key
+      FROM documents
+    ), inc AS (
+      SELECT doc_id, key FROM k WHERE doc_id % 5 = 0
+    ), corpus AS (
+      SELECT DISTINCT key FROM k WHERE doc_id % 5 <> 0
+    )
+    SELECT i.doc_id,
+           CASE WHEN c.key IS NOT NULL THEN 'dup_of_corpus'
+                WHEN EXISTS (SELECT 1 FROM inc i2
+                             WHERE i2.key = i.key AND i2.doc_id < i.doc_id)
+                  THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM inc i LEFT JOIN corpus c ON i.key = c.key
+    """,
+)
+def x46_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    keyed = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.split("text", " "), 1, _X46_PREFIX_WORDS)
+        ).alias("key"),
+    )
+    inc = keyed.filter(F.col("doc_id") % 5 == 0)
+    corpus = keyed.filter(F.col("doc_id") % 5 != 0).select("key").distinct()
+    w = Window.partitionBy("key")
+    return (
+        inc.join(
+            corpus.select(F.col("key").alias("ckey")),
+            inc.key == F.col("ckey"),
+            "left",
+        )
+        .withColumn("first_in_batch", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("ckey").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") > F.col("first_in_batch"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )

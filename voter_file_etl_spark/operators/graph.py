@@ -224,3 +224,74 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# ---------------------------------------------------------------------------
+# G3 — BFS shortest-hop levels from a seed node over the same
+# deterministic arithmetic citation graph as g1 (out-degree exactly
+# 3). Frontier expansion, 6 fixed rounds: each round joins the
+# frontier to the edge table (one shuffle keyed on src), dedups the
+# new frontier, and anti-joins the settled set — exactly the
+# iterative-DataFrame shape that scales (the graph and the distance
+# table never move to the driver; rounds are data-independent so the
+# plan has no driver-side convergence counts). Oracle: DuckDB
+# recursive CTE with a depth cap, min(level) per node.
+# ---------------------------------------------------------------------------
+_G3_MAX_LVL = 6
+
+
+@register(
+    "g3_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+    edges AS (
+      SELECT c_custkey AS src, 1 + (c_custkey * 7 + 3) % n AS dst
+      FROM customer, nn
+      UNION ALL
+      SELECT c_custkey, 1 + (c_custkey * 13 + 5) % n FROM customer, nn
+      UNION ALL
+      SELECT c_custkey, 1 + (c_custkey * 29 + 11) % n FROM customer, nn
+    ),
+    bfs AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS lvl
+      UNION ALL
+      SELECT e.dst, b.lvl + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.lvl < {_G3_MAX_LVL}
+    )
+    SELECT node, CAST(min(lvl) AS BIGINT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def g3_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.crossJoin(F.broadcast(n))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(
+                F.array(
+                    F.lit(1) + (F.col("node") * 7 + 3) % F.col("n"),
+                    F.lit(1) + (F.col("node") * 13 + 5) % F.col("n"),
+                    F.lit(1) + (F.col("node") * 29 + 11) % F.col("n"),
+                )
+            ).alias("dst"),
+        )
+        .persist()
+    )
+    seed = edges.sparkSession.createDataFrame([(1, 0)], "node long, hops long")
+    dist = seed
+    frontier = seed.select("node")
+    for lvl in range(1, _G3_MAX_LVL + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(dist, "node", "left_anti").withColumn(
+            "hops", F.lit(lvl).cast("long")
+        )
+        dist = dist.unionByName(new).persist()
+        frontier = new.select("node")
+    return dist

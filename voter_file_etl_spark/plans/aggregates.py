@@ -626,3 +626,64 @@ def a21_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A27 — key-skew profile: the diagnostic run before keying a 100 TB
+# shuffle. Orders-per-customer counts, top-10 heaviest keys with
+# exact integer ppm shares and the cumulative share of the head —
+# the number that decides between a plain hash join and salting
+# (j8). Physical shape: one partial+final count aggregation, then
+# TakeOrderedAndProject on 10 rows; the window rank/cumsum runs on
+# those 10 rows only, never on the full key set.
+# ---------------------------------------------------------------------------
+@register(
+    "a27_key_skew_profile",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT count(*) AS t FROM orders),
+    top AS (
+      SELECT o_custkey, n FROM per ORDER BY n DESC, o_custkey LIMIT 10
+    )
+    SELECT row_number() OVER (ORDER BY n DESC, o_custkey) AS rnk,
+           o_custkey AS custkey,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(n * 1000000 // t AS BIGINT) AS share_ppm,
+           CAST(sum(n) OVER (ORDER BY n DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                * 1000000 // t AS BIGINT) AS cum_share_ppm
+    FROM top, tot
+    """,
+)
+def a27_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").select("o_custkey")
+    tot = orders.agg(F.count(F.lit(1)).alias("t"))
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("o_custkey"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).alias("rnk"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("n").alias("n_orders"),
+            F.expr("n * 1000000 div t").alias("share_ppm"),
+            F.sum("n").over(cum).alias("cum_n"),
+            F.col("t"),
+        )
+        .select(
+            "rnk",
+            "custkey",
+            "n_orders",
+            "share_ppm",
+            F.expr("cum_n * 1000000 div t").alias("cum_share_ppm"),
+        )
+    )

@@ -617,3 +617,63 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S13 — binary-file source: Spark's `binaryFile` format reads a
+# directory of opaque blobs as (path, modificationTime, length,
+# content) — the ingest front door for media/model artifacts before
+# the multimodal decode stage (m5-m10). The fixture stages the first
+# 200 documents as .bin blobs (bounded driver write, like x6's
+# 8-query broadcast); the query reads them back and fingerprints
+# every blob (basename, byte length, md5). Oracle: DuckDB read_blob
+# over the same directory — the cast to VARCHAR is byte-exact
+# because the corpus is pure ASCII (generator invariant, see
+# operators/multimodal.py).
+#
+# Scale: binaryFile is a standard FileScan — partitioned by file,
+# filter-pushable on path/length, no driver involvement; the 200-file
+# staged fixture stands in for an object-store bucket listing.
+# ---------------------------------------------------------------------------
+_S13_DIR = "/tmp/voter_file_etl_spark_s13"
+_S13_N = 200
+
+
+@register(
+    "s13_binary_source",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           CAST(size AS BIGINT) AS n_bytes,
+           md5(CAST(content AS VARCHAR)) AS digest
+    FROM read_blob('{_S13_DIR}/*.bin')
+    """,
+)
+def s13_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(_S13_N)
+        .collect()  # bounded: exactly 200 rows regardless of SF
+    )
+    stage = _S13_DIR + ".stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    for r in docs:
+        with open(os.path.join(stage, f"doc_{r['doc_id']:05d}.bin"), "wb") as fh:
+            fh.write(r["text"].encode("ascii"))
+    shutil.rmtree(_S13_DIR, ignore_errors=True)
+    os.replace(stage, _S13_DIR)
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(_S13_DIR)
+    )
+    return blobs.select(
+        F.regexp_extract("path", "([^/]+)$", 1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )

@@ -687,3 +687,45 @@ def a27_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_n * 1000000 div t").alias("cum_share_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A28 — mergeable distinct-count sketches (Apache DataSketches HLL,
+# built into Spark): one HLL sketch of o_custkey per order-month
+# partition, unioned into a corpus-wide estimate — the pattern that
+# replaces count(DISTINCT) at 100 TB, where per-partition sketches
+# are built map-side, merged in O(sketch) not O(rows), and stored
+# next to the partition for incremental refresh (new month = one new
+# sketch + re-union, never a re-scan). The registered result is the
+# EXACT distinct count plus a flag that the sketch estimate landed
+# within 5% — HLL at lgK=12 has σ≈1.6%, so the flag is
+# deterministic-in-practice and makes the sketch's accuracy, not
+# just its existence, the thing the oracle checks.
+# ---------------------------------------------------------------------------
+@register(
+    "a28_hll_sketch_merge",
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS n_exact, 1 AS est_ok FROM orders
+    """,
+)
+def a28_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+    )
+    per_month = orders.groupBy("ym").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    est = per_month.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_est")
+    )
+    exact = orders.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(5) / F.lit(100)
+        )
+        .cast("int")
+        .alias("est_ok"),
+    )

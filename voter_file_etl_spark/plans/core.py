@@ -677,3 +677,40 @@ def s13_binary_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S14 — nested-type parquet roundtrip: lineitems nested per order as
+# array<struct<linenumber,quantity,extendedprice>> (sort_array fixes
+# the collect_list arrival order), written to parquet, read back,
+# and re-flattened with inline(). Proves the columnar nested-type
+# path — the layout a document/metadata lakehouse table actually
+# uses — end-to-end: Spark writes Parquet LIST/STRUCT annotations,
+# the scan prunes into the nested schema, and the doubles come back
+# bit-exact against the flat oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "s14_nested_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def s14_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+            )
+        ).alias("lines")
+    )
+    out = tempfile.mkdtemp(prefix="s14_nested_", dir=os.environ.get("TMPDIR", "/tmp"))
+    path = os.path.join(out, "orders_nested")
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select("l_orderkey", F.inline("lines"))

@@ -241,3 +241,31 @@ FROM h GROUP BY depth, root
 def sql7_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer")
     return spark.sql(_SQL7_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# SQL8 — LATERAL correlated table subquery: per-nation top-2
+# customers by account balance, expressed as `nation, LATERAL
+# (SELECT ... ORDER BY ... LIMIT 2)`. Catalyst decorrelates the
+# lateral into a ranked window over the (broadcast) joined input —
+# per-group top-k without a per-row re-scan of customer, which is
+# the plan a 100 TB lateral must compile to. Doubles pass through
+# unarithmeticked (bit-exact both engines); ties break on c_name.
+# ---------------------------------------------------------------------------
+_SQL8 = """
+SELECT n.n_name, l.c_name, l.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) l
+"""
+
+
+@register("sql8_lateral_topn", oracle=_SQL8)
+def sql8_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_SQL8)

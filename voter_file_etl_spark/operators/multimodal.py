@@ -712,3 +712,72 @@ def m10_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return damaged.mapInPandas(
         run, "doc_id long, quarantined boolean, sum_pixel long"
     )
+
+
+# ---------------------------------------------------------------------------
+# M11 — image tiling (the ViT patchify shape): every decoded 4x4 PPM
+# is cut into four 2x2 patches and each patch reduced to integer
+# pixel-sum + mean — the decode→patch→per-patch-feature pipeline a
+# vision-training corpus runs, with the pixel array sliced in numpy
+# inside the SAME Arrow batch as the decode (no second pass, no
+# shuffle; tiles are emitted as rows so downstream ops stay
+# columnar). The oracle rebuilds every tile assignment from the
+# source text with ascii() + integer row/col/tile arithmetic.
+#
+# Scale: patchify is mapInPandas — embarrassingly parallel, output
+# fan-out is the fixed tile count (4x), and batch size stays bounded
+# by arrow.maxRecordsPerBatch regardless of corpus size.
+# ---------------------------------------------------------------------------
+_TILE = 2  # tile edge, in pixels; image is _IMG_W x _IMG_H
+
+
+@register(
+    "m11_image_tiles",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             CAST(((i - 1) // 3) // {_IMG_W} // {_TILE} AS INTEGER) AS tile_row,
+             CAST((((i - 1) // 3) % {_IMG_W}) // {_TILE} AS INTEGER) AS tile_col,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}),
+                               {_IMG_N}, ' '),
+                          i, 1)) AS v
+      FROM documents, unnest(range(1, {_IMG_N + 1})) AS u(i)
+    )
+    SELECT doc_id, tile_row, tile_col,
+           CAST(sum(v) AS BIGINT) AS sum_pixel,
+           CAST(sum(v) AS DOUBLE) / {_TILE * _TILE * 3} AS mean_pixel
+    FROM px GROUP BY doc_id, tile_row, tile_col
+    """,
+)
+def m11_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = build_ppm_media(t(spark, sf_dir, "documents"))
+    n_tpx = _TILE * _TILE * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "tile_row": [], "tile_col": [],
+                "sum_pixel": [], "mean_pixel": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                px = decode_image_bytes(payload).pixels  # (h, w, c)
+                for tr in range(_IMG_H // _TILE):
+                    for tc in range(_IMG_W // _TILE):
+                        tile = px[
+                            tr * _TILE : (tr + 1) * _TILE,
+                            tc * _TILE : (tc + 1) * _TILE,
+                            :,
+                        ]
+                        s = int(tile.sum(dtype="int64"))
+                        out["doc_id"].append(doc_id)
+                        out["tile_row"].append(tr)
+                        out["tile_col"].append(tc)
+                        out["sum_pixel"].append(s)
+                        out["mean_pixel"].append(s / n_tpx)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, tile_row int, tile_col int, "
+        "sum_pixel long, mean_pixel double",
+    )

@@ -65,7 +65,8 @@ _BACKFILL = [  # placed OUTSIDE the 50-key window (head 25 + 25 r3 keys fill it)
     "st13_sessionize_state", "a27_key_skew_profile", "g3_bfs_levels",
     "s13_binary_source", "x46_incremental_dedup",
     "sql8_lateral_topn", "a28_hll_sketch_merge", "s14_nested_roundtrip",
-    "m11_image_tiles",
+    "m11_image_tiles", "l15_vacuum", "s15_merge_schema",
+    "st14_incremental_ingest",
     # -- round-1 greens, oldest first --
     "a2_reconcile", "a4_groupby_count", "a5_household_agg",
     "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",

@@ -714,3 +714,46 @@ def s14_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return back.select("l_orderkey", F.inline("lines"))
+
+
+# ---------------------------------------------------------------------------
+# S15 — read-side schema merge: two parquet batches written with
+# DIFFERENT column sets (an early extract without acctbal, a later
+# one without name) under one root; `mergeSchema` unions the file
+# footers into the superset schema and nulls the absent columns per
+# file — the read-side half of schema evolution (l5 is the
+# write-side half). At scale mergeSchema is a footer-only operation
+# (one task per file reads a few KB of metadata), and the scan still
+# prunes columns per file.
+# ---------------------------------------------------------------------------
+@register(
+    "s15_merge_schema",
+    oracle="""
+    SELECT 'v1' AS batch, c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'v2', c_custkey, CAST(NULL AS VARCHAR), c_acctbal
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def s15_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="s15_merge_", dir=os.environ.get("TMPDIR", "/tmp"))
+    (
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .select(F.lit("v1").alias("batch"), "c_custkey", "c_name")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "b=1"))
+    )
+    (
+        cust.filter(F.col("c_custkey") % 2 == 1)
+        .select(F.lit("v2").alias("batch"), "c_custkey", "c_acctbal")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "b=2"))
+    )
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    return merged.select("batch", "c_custkey", "c_name", "c_acctbal")

@@ -667,3 +667,38 @@ def l13_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_users") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# L15 — vacuum: after the 4-merge LogTable build, every bucket
+# rewrite has left its previous file unreferenced; vacuum() must
+# delete exactly the unreferenced data files and must not perturb
+# the head snapshot. The registered result carries the snapshot
+# aggregate (oracle-checked against the batch argmax) plus two
+# invariant flags computed from the table's own bookkeeping: disk
+# holds precisely the active file set after vacuum, and the snapshot
+# row count is unchanged across it. At 100 TB vacuum is the
+# storage-cost control loop: O(file listing) driver work, zero data
+# movement, bounded only by the commit log's retention policy.
+# ---------------------------------------------------------------------------
+@register(
+    "l15_vacuum",
+    oracle="""
+    SELECT count(*) AS n_keys, 1 AS disk_matches_active, 1 AS snapshot_stable
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+)
+def l15_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="l15_vac_", dir=os.environ.get("TMPDIR", "/tmp"))
+    table = _build_logtable(spark, sf_dir, work)
+    before = table.snapshot().count()
+    table.vacuum()
+    data_dir = os.path.join(table.root, "data")
+    on_disk = {os.path.join("data", n) for n in os.listdir(data_dir)}
+    active = {f["path"] for f in table.active_files()}
+    after = table.snapshot().agg(F.count(F.lit(1)).alias("n_keys"))
+    return after.select(
+        "n_keys",
+        F.lit(1 if on_disk == active else 0).alias("disk_matches_active"),
+        (F.col("n_keys") == F.lit(before)).cast("int").alias("snapshot_stable"),
+    )

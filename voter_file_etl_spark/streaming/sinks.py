@@ -254,3 +254,64 @@ def st10_stream_into_logtable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("event_id").alias("last_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST14 — exactly-once incremental file ingest across a RESTART: run
+# an availableNow stream over a source directory, stop, drop a new
+# file in, and run a SECOND stream over the SAME checkpoint. The
+# file-source offset log must make the second run process ONLY the
+# new file, and the append sink must hold every event exactly once —
+# the production ingestion loop (cron-triggered availableNow is the
+# batch-sized streaming pattern) where at-least-once reprocessing or
+# a missed file would both hash-mismatch the batch oracle.
+#
+# Scale: the checkpoint's seen-file log is O(files), the restart
+# reads only new files, and the parquet append sink commits via the
+# manifest protocol — no part of the loop rescans ingested data.
+# ---------------------------------------------------------------------------
+@register(
+    "st14_incremental_ingest",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+    """,
+)
+def st14_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="st14_inc_", dir=os.environ.get("TMPDIR", "/tmp"))
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+
+    def stage(name: str, df) -> None:
+        tmp = os.path.join(work, f"stage_{name}")
+        df.repartition(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(src, f"{name}.parquet"))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, us long"
+        ).parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    stage("00_initial", ev.filter(F.col("event_id") % 2 == 0))
+    run_once()  # first deployment: ingests the initial backlog
+    stage("01_late_arrival", ev.filter(F.col("event_id") % 2 == 1))
+    run_once()  # restart: same checkpoint, must ingest ONLY the new file
+
+    return spark.read.parquet(out)

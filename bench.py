@@ -89,6 +89,15 @@ HEADLINE = [
     "x44_line_dedup",
     "l12_zorder_bins",
     "t13_date_arith",
+    # this-session additions: skew diagnostics, BFS, incremental
+    # dedup, lateral SQL, HLL sketch merge, nested roundtrip, tiling
+    "a27_key_skew_profile",
+    "g3_bfs_levels",
+    "x46_incremental_dedup",
+    "sql8_lateral_topn",
+    "a28_hll_sketch_merge",
+    "s14_nested_roundtrip",
+    "m11_image_tiles",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings
@@ -105,6 +114,10 @@ HEADLINE = [
     # builds the same 4-merge logtable, then diffs each commit's
     # add/remove files — sink-writing, so it stays in the tail group
     "l11_change_feed",
+    # CDC-folded aggregate view and the stateful sessionizer — both
+    # stage files/checkpoints, so they close the tail group
+    "l13_incremental_agg_view",
+    "st13_sessionize_state",
 ]
 
 

@@ -273,3 +273,36 @@ def test_change_feed_is_equi_outer_join(spark, sf_dir):
     assert "FullOuter" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window(spark, sf_dir):
+    # sql8's LATERAL (ORDER BY ... LIMIT 2) must decorrelate into a
+    # ranked window with WindowGroupLimit pushdown — a per-outer-row
+    # re-scan of customer (nested-loop shape) would be quadratic.
+    plan = _formatted_plan(spark, "sql8_lateral_topn", sf_dir)
+    assert "Window" in plan and "WindowGroupLimit" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_profile_is_top_k(spark, sf_dir):
+    # a27's heavy-key head must plan TakeOrderedAndProject (per-
+    # partition top-10 + driver merge), never a full sort of the
+    # per-key counts.
+    plan = _formatted_plan(spark, "a27_key_skew_profile", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_bfs_frontier_joins_are_equi(spark, sf_dir):
+    # g3's six frontier expansions are equi-joins on node id; the
+    # only nested-loop join allowed is the bounded 1-row count
+    # broadcast that parameterizes the edge formulas.
+    plan = _formatted_plan(spark, "g3_bfs_levels", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_incremental_dedup_window_is_batch_side(spark, sf_dir):
+    # x46 arbitrates within the incoming batch via a keyed window and
+    # joins the corpus on the dedup key — no cartesian, and the
+    # corpus side must reduce to distinct keys before the join.
+    plan = _formatted_plan(spark, "x46_incremental_dedup", sf_dir)
+    assert "Window" in plan and "CartesianProduct" not in plan, plan[:2000]

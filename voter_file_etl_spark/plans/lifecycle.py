@@ -317,10 +317,13 @@ def l9_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 # files per partition), then compacted by repartitioning ON the
 # partition column so each partition's rows land in exactly one
 # writer task -> exactly 1 file per partition. The registered output
-# measures REAL file counts from the committed directories, and the
-# oracle pins the expected layout (40 -> 1) plus exact row
-# preservation — a compaction that loses rows or leaves fragments
-# hash-mismatches.
+# measures REAL file counts from the committed directories; the
+# oracle pins n_files_after = 1, was_fragmented = TRUE, and exact
+# row preservation — a compaction that loses rows or leaves
+# fragments hash-mismatches. (The before-count is reported as a
+# boolean, not the exact 40: a round-robin task with zero rows of a
+# sparse type writes no file there, so the exact count depends on
+# the row distribution the driver generated.)
 #
 # Scale: compaction is one shuffle keyed on the partition column (at
 # production scale, repartition(N, col) with N sized to target file
@@ -333,9 +336,9 @@ _L6_SMALL_TASKS = 40
 
 @register(
     "l6_compaction",
-    oracle=f"""
+    oracle="""
     SELECT event_type,
-           {_L6_SMALL_TASKS} AS n_files_before,
+           TRUE AS was_fragmented,
            1 AS n_files_after,
            count(*) AS n_rows
     FROM events
@@ -380,7 +383,10 @@ def l6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     return counts.join(F.broadcast(layout), "event_type").select(
-        "event_type", "n_files_before", "n_files_after", "n_rows"
+        "event_type",
+        (F.col("n_files_before") > F.col("n_files_after")).alias("was_fragmented"),
+        "n_files_after",
+        "n_rows",
     )
 
 

@@ -17,10 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from voter_file_etl_spark.registry import register
-from voter_file_etl_spark.tables import ensure_session_confs, t
+from voter_file_etl_spark.tables import (
+    ensure_session_confs,
+    events_file_schema,
+    normalize_events_ts,
+    t,
+)
 
 
 def _sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -77,23 +81,13 @@ def run_interval_join_stream(
 ) -> DataFrame:
     """ST6 with two real watermarked file-source streams."""
     ensure_session_confs(spark)
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    raw_schema = events_file_schema(spark, sf_dir)
 
     def source() -> DataFrame:
-        return (
+        return normalize_events_ts(
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
 
     p, v = _sides(source())

@@ -31,11 +31,14 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from voter_file_etl_spark.registry import register
-from voter_file_etl_spark.tables import ensure_session_confs
+from voter_file_etl_spark.tables import (
+    ensure_session_confs,
+    events_file_schema,
+    normalize_events_ts,
+)
 
 _OUT_SCHEMA = "user_id long, event_type string, first_us long, n_seen long"
 _STATE_SCHEMA = "first_us long, n_seen long"
@@ -70,22 +73,11 @@ def _dedup_state(
 def run_dedup_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> DataFrame:
     """File-source stream -> keyed first-seen state -> memory sink."""
     ensure_session_confs(spark)
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_file_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .select("user_id", "event_type", F.expr("ts div 1000").alias("us"))
-    )
+    ).select("user_id", "event_type", F.unix_micros("ts").alias("us"))
     deduped = stream.groupBy("user_id", "event_type").applyInPandasWithState(
         _dedup_state,
         _OUT_SCHEMA,
@@ -144,18 +136,8 @@ def st4_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st8_stream_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_confs(spark)
     ckpt = tempfile.mkdtemp(prefix="st8_ckpt_", dir=os.environ.get("TMPDIR", "/tmp"))
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) as long
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(events_file_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .select("user_id", "event_type")

@@ -62,32 +62,22 @@ def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_tumbling_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> DataFrame:
     """The same aggregate as a real stream: file source, AvailableNow
     trigger, complete-mode memory sink. Returns the materialized result."""
-    # Declare the on-disk schema (ts is long nanos in the file) and
-    # convert in-plan, exactly like the batch loader.
-    from pyspark.sql import types as T
-
-    from voter_file_etl_spark.tables import ensure_session_confs
+    # Declare the on-disk schema (probed from the parquet footer) and
+    # convert ts in-plan, exactly like the batch loader.
+    from voter_file_etl_spark.tables import (
+        ensure_session_confs,
+        events_file_schema,
+        normalize_events_ts,
+    )
 
     ensure_session_confs(spark)
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
     # File-source streaming needs a directory; select the events file
     # with a glob filter so the source can track it for exactly-once.
-    stream = (
-        spark.readStream.schema(raw_schema)
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_file_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
-    )
+    ).withWatermark("ts", "1 hour")
     query = (
         _windowed(stream)
         .writeStream.outputMode("complete")
@@ -137,23 +127,15 @@ def st5_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_enrich_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> DataFrame:
     """ST5 as a real stream-static join with a file-source stream."""
-    from pyspark.sql import types as T
-
-    from voter_file_etl_spark.tables import ensure_session_confs
+    from voter_file_etl_spark.tables import (
+        ensure_session_confs,
+        events_file_schema,
+        normalize_events_ts,
+    )
 
     ensure_session_confs(spark)
-    raw_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_file_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )

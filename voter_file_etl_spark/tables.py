@@ -37,11 +37,39 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
     - session timezone UTC so timestamp rendering matches the DuckDB
       oracle's naive timestamps;
-    - nanosAsLong so parquet TIMESTAMP(NANOS) columns (events.ts) are
-      readable; the loader converts them back to timestamps in-plan.
+    - nanosAsLong so parquet TIMESTAMP(NANOS) columns (events.ts in
+      some testdata generations) are readable; `normalize_events_ts`
+      converts whatever physical type the file has back to a session
+      timestamp in-plan.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Bring events.ts to TimestampType whatever the file stored.
+
+    The driver has regenerated testdata with different physical types
+    across rounds: TIMESTAMP(NANOS) (reads as long under nanosAsLong —
+    exact ns->us integer division matches DuckDB's truncation) and
+    TIMESTAMP(MICROS) (reads as timestamp_ntz — cast is lossless under
+    the UTC session timezone). Keying on the read dtype keeps every
+    consumer correct against either generation.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype is not None and dtype != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def events_file_schema(spark: SparkSession, sf_dir: str):
+    """On-disk schema of events.parquet as this session's confs read it
+    (for readStream, which requires a declared schema). A parquet
+    footer read — no data scan."""
+    ensure_session_confs(spark)
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -51,8 +79,5 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) -> read as long ns and
-        # convert with exact integer division (micros), matching
-        # DuckDB's ns->us truncation on the oracle side.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df

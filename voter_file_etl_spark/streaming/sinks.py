@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from voter_file_etl_spark.registry import register
-from voter_file_etl_spark.tables import ensure_session_confs, t
+from voter_file_etl_spark.tables import ensure_session_confs, stream_parallelism, t
 
 _SRC_SCHEMA = T.StructType(
     [
@@ -131,13 +131,16 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFr
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    query = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # The conf pin applies to the batch jobs foreachBatch runs too —
+    # each merge's window/overwrite shuffles a sliver of the table.
+    with stream_parallelism(spark):
+        query = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(work_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
 
     final = spark.read.parquet(snap_dir)
     return final.select(
@@ -240,13 +243,14 @@ def st10_stream_into_logtable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
     )
-    query = (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with stream_parallelism(spark):
+        query = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return table.snapshot().select(
         "user_id",
         "event_type",

@@ -38,6 +38,7 @@ from voter_file_etl_spark.tables import (
     ensure_session_confs,
     events_file_schema,
     normalize_events_ts,
+    stream_parallelism,
 )
 
 _OUT_SCHEMA = "user_id long, event_type string, first_us long, n_seen long"
@@ -177,8 +178,8 @@ def st8_stream_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session is emitted exactly once, so the streamed output equals the
 # batch gaps-and-islands oracle.
 #
-# Determinism engineering: the source is staged as four mtime-ordered
-# chronological quarters (cross-batch order guaranteed; in-batch rows
+# Determinism engineering: the source is staged as mtime-ordered
+# chronological halves (cross-batch order guaranteed; in-batch rows
 # are sorted in the state fn; equal-us ties cannot move a session
 # boundary because gaps are strict >) plus TWO far-future sentinel
 # batches — the first advances the watermark past every real
@@ -289,34 +290,55 @@ def st13_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lims = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
     mn, mx = lims["mn"], lims["mx"]
-    span = max(mx - mn, 4)
-    quarters = [mn + span * i // 4 for i in range(5)]
-    quarters[-1] = mx + 1
-    batches = [
-        (
-            f"0{i}_q",
-            ev.filter((F.col("us") >= quarters[i]) & (F.col("us") < quarters[i + 1])),
+    # Stage two chronological halves in ONE write job: a single
+    # writer task emits one file per q= directory (vs per-batch
+    # scan+write jobs of the same events table). Two data batches
+    # are the minimum that still exercises cross-batch state carry
+    # (open sessions spanning the half boundary); each extra trigger
+    # costs a fixed shuffle+state-commit round.
+    _n_data_batches = 2
+    stage = os.path.join(work, "stage_q")
+    (
+        ev.withColumn(
+            "q",
+            F.width_bucket(
+                F.col("us"), F.lit(mn), F.lit(mx + 1), F.lit(_n_data_batches)
+            ).cast("int")
+            - 1,
         )
-        for i in range(4)
-    ]
-    sent = spark.createDataFrame(
-        [(-1, mx + 10 * _ST13_DAY_US)], "user_id long, us long"
-    )
-    batches.append(("04_flush", sent))
-    batches.append(
-        ("05_flush2", sent.withColumn("us", F.col("us") + F.lit(10 * _ST13_DAY_US)))
+        .repartition(1)
+        .write.partitionBy("q")
+        .parquet(stage)
     )
     src = os.path.join(work, "src")
     os.makedirs(src)
     now = time.time()
-    for i, (name, df) in enumerate(batches):
-        stage = os.path.join(work, f"stage_{name}")
-        df.repartition(1).write.mode("overwrite").parquet(stage)
-        part = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
-        dst = os.path.join(src, f"{name}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
+    names = []
+    for i in range(_n_data_batches):
+        qdir = os.path.join(stage, f"q={i}")
+        if not os.path.isdir(qdir):  # quarter with no rows
+            continue
+        part = next(p for p in sorted(os.listdir(qdir)) if p.endswith(".parquet"))
+        shutil.move(os.path.join(qdir, part), os.path.join(src, f"0{i}_q.parquet"))
+        names.append(f"0{i}_q.parquet")
+    # Far-future sentinels: 1-row files written driver-side (pyarrow,
+    # no Spark job) — they only advance the watermark.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, flush_us in enumerate(
+        [mx + 10 * _ST13_DAY_US, mx + 20 * _ST13_DAY_US], start=4
+    ):
+        name = f"0{i}_flush.parquet"
+        pq.write_table(
+            pa.table({"user_id": pa.array([-1], pa.int64()),
+                      "us": pa.array([flush_us], pa.int64())}),
+            os.path.join(src, name),
+        )
+        names.append(name)
+    for i, name in enumerate(names):
         mtime = now - 100 + 10 * i
-        os.utime(dst, (mtime, mtime))
+        os.utime(os.path.join(src, name), (mtime, mtime))
 
     stream = (
         spark.readStream.schema("user_id long, us long")
@@ -332,13 +354,14 @@ def st13_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         GroupStateTimeout.EventTimeTimeout,
     )
-    query = (
-        sessions.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("st13_stream_out")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with stream_parallelism(spark):
+        query = (
+            sessions.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st13_stream_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table("st13_stream_out").filter(F.col("user_id") >= 0)

@@ -255,18 +255,42 @@ def st9_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     os.makedirs(src)
     now = time.time()
-    batches = [
-        ("00_early", early),
-        ("01_ontime", ontime),
-        ("02_late", late_redelivery),
-        ("03_tail", tail),
-    ]
-    for i, (name, df) in enumerate(batches):
-        stage = os.path.join(work, f"stage_{name}")
-        df.repartition(1).write.mode("overwrite").parquet(stage)
-        part = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
+    names = ["00_early", "01_ontime", "02_late", "03_tail"]
+    # One write job stages all four batches: label each slice, union,
+    # and let a single writer task emit one file per b= directory
+    # (vs four separate scan+write jobs over the same events table).
+    stage = os.path.join(work, "stage_b")
+    (
+        early.withColumn("b", F.lit(0))
+        .unionByName(ontime.withColumn("b", F.lit(1)))
+        .unionByName(late_redelivery.withColumn("b", F.lit(2)))
+        .unionByName(tail.withColumn("b", F.lit(3)))
+        .repartition(1)
+        .write.partitionBy("b")
+        .parquet(stage)
+    )
+    for i, name in enumerate(names):
+        bdir = os.path.join(stage, f"b={i}")
         dst = os.path.join(src, f"{name}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
+        if os.path.isdir(bdir):
+            part = next(
+                p for p in sorted(os.listdir(bdir)) if p.endswith(".parquet")
+            )
+            shutil.move(os.path.join(bdir, part), dst)
+        else:  # empty slice: partitionBy wrote no dir; stage a 0-row file
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([], pa.int64()),
+                        "us": pa.array([], pa.int64()),
+                        "event_type": pa.array([], pa.string()),
+                    }
+                ),
+                dst,
+            )
         mtime = now - 100 + 10 * i  # batch order pinned by mtime
         os.utime(dst, (mtime, mtime))
 
@@ -280,15 +304,18 @@ def st9_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
     )
-    query = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("st9_stream_out")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from voter_file_etl_spark.tables import stream_parallelism
+
+    with stream_parallelism(spark):
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("st9_stream_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # A window whose state was evicted before a surviving late row
     # arrived re-emits with the late-only count: sum the emissions.
     return (

@@ -8,6 +8,7 @@ optimizer prunes what it needs.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -62,6 +63,35 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     if dtype is not None and dtype != "timestamp":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+@contextlib.contextmanager
+def stream_parallelism(spark: SparkSession, n: int = 8):
+    """Pin shuffle (= state-store) partitions for a streaming query.
+
+    AQE is disabled in stateful streaming, so a micro-batch pays a
+    fixed ``spark.sql.shuffle.partitions`` tasks — and one Python
+    state worker each for applyInPandasWithState — per trigger no
+    matter how small the batch is. The registered streams replay a
+    bounded backlog whose per-batch volume fits comfortably in a few
+    partitions; the session default (sized for the batch engine)
+    multiplies pure task/state-store overhead per trigger. The conf
+    is read at query START and pinned into the checkpoint, so setting
+    it around ``.start()``/``awaitTermination`` and restoring after
+    is safe for every other query in the session.
+
+    This knob must match the workload, not the machine: a production
+    cluster ingesting real volume RAISES it (state is hash-split by
+    key over exactly this many stores) — the point is that it should
+    be an explicit per-stream choice, not inherited from the batch
+    default.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def events_file_schema(spark: SparkSession, sf_dir: str):

@@ -98,6 +98,12 @@ HEADLINE = [
     "a28_hll_sketch_merge",
     "s14_nested_roundtrip",
     "m11_image_tiles",
+    # round-3 warehouse/vector additions: attribution windows, daily
+    # gap-fill, blocked band self-join, int8 vector quantization
+    "a29_attribution",
+    "w11_resample_ffill",
+    "j13_band_join",
+    "x47_embedding_quantize",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -306,3 +306,38 @@ def test_incremental_dedup_window_is_batch_side(spark, sf_dir):
     # corpus side must reduce to distinct keys before the join.
     plan = _formatted_plan(spark, "x46_incremental_dedup", sf_dir)
     assert "Window" in plan and "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_band_join_is_equi_on_buckets(spark, sf_dir):
+    # j13's +-band predicate must plan as an equi-join on the price
+    # buckets (3x bounded explode on the probe side), never a
+    # cartesian/nested-loop theta join of part with itself.
+    plan = _formatted_plan(spark, "j13_band_join", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert plan.count("+- Generate") == 1, plan[:2000]
+
+
+def test_resample_spine_is_executor_side(spark, sf_dir):
+    # w11's day spine comes from sequence()+explode inside the plan
+    # (Generate), never a driver-built range; the fill is window
+    # functions, not a self-join.
+    plan = _formatted_plan(spark, "w11_resample_ffill", sf_dir)
+    assert "Generate" in plan and "Window" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_quantize_is_map_side_only(spark, sf_dir):
+    # x47 is pure per-row array lambdas: no exchange, no join, no
+    # UDF — one scan-project stage.
+    plan = _formatted_plan(spark, "x47_embedding_quantize", sf_dir)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan and "pythonUDF" not in plan.lower(), plan[:2000]
+
+
+def test_attribution_touches_share_one_window(spark, sf_dir):
+    # a29's first-touch and last-touch must evaluate in the same
+    # window exchange (one sort over (user, time)), not two.
+    plan = _formatted_plan(spark, "a29_attribution", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("+- Window") <= 2, plan[:2000]

@@ -742,3 +742,70 @@ def x39_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# X47 — per-vector int8 symmetric quantization, the storage/serving
+# compression step of every large embedding store (4x smaller than
+# float32; FAISS/ScaNN's SQ8): scale = max|x| / 127 per vector,
+# q_i = round-half-up(x_i / scale) in [-127, 127]. Entirely
+# JVM-side array lambdas (transform/aggregate) over the embedding
+# column — no UDF, no shuffle; the output is one row per vector.
+# Cross-engine determinism: float32 -> float64 widening is exact,
+# x/scale is one IEEE op with identical operand order both sides,
+# round-half-up is floor(x + 0.5) (DuckDB round() is half-even —
+# never use it cross-engine), and the reconstruction error is
+# quantized per ELEMENT to integer 1e-12 units before the integer
+# sum, so no float reduction order exists anywhere.
+# ---------------------------------------------------------------------------
+_X47_Q = "cast(floor(cast(x as double) / _scale + 0.5d) as bigint)"
+_X47_RES = f"(cast(x as double) - {_X47_Q} * _scale)"
+_X47_Q_DUCK = "CAST(floor(x::DOUBLE / _scale + 0.5) AS BIGINT)"
+_X47_RES_DUCK = f"(x::DOUBLE - {_X47_Q_DUCK} * _scale)"
+
+
+@register(
+    "x47_embedding_quantize",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(list_sum(list_transform(embedding,
+                x -> {_X47_Q_DUCK})) AS BIGINT) AS sum_q,
+           CAST(list_sum(list_transform(embedding,
+                x -> abs({_X47_Q_DUCK}))) AS BIGINT) AS l1_q,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor({_X47_RES_DUCK} * {_X47_RES_DUCK} * 1e12)
+                          AS BIGINT))) AS BIGINT) AS err_q
+    FROM (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                 x -> abs(x::DOUBLE))), 1e-30) / 127.0 AS _scale
+      FROM embeddings
+    )
+    """,
+)
+def x47_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").withColumn(
+        "_scale",
+        F.expr(
+            "greatest(array_max(transform(embedding,"
+            " x -> abs(cast(x as double)))), 1e-30d) / 127.0d"
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.expr(
+            f"aggregate(transform(embedding, x -> {_X47_Q}),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("sum_q"),
+        F.expr(
+            f"aggregate(transform(embedding, x -> abs({_X47_Q})),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("l1_q"),
+        F.expr(
+            f"aggregate(transform(embedding,"
+            f" x -> cast(floor({_X47_RES} * {_X47_RES} * 1e12) as bigint)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("err_q"),
+    )

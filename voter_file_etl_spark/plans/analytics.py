@@ -270,3 +270,57 @@ def a24_sweepline_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").cast("long").alias("max_concurrent"),
         F.min(F.when(F.col("live") == F.col("mx"), F.col("us"))).alias("at_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A29 — marketing attribution: for every conversion (a 'purchase'
+# event), credit the user's FIRST event ever (first-touch) and the
+# event immediately BEFORE the purchase (last-touch), then roll up
+# conversions and distinct converting users per (first, last) channel
+# pair. The reference's voter-contact analog is "which outreach
+# channel began / immediately preceded each successful contact".
+# Both touches come from ONE window spec over (user_id, time) —
+# Catalyst plans a single exchange + sort and evaluates first_value
+# and lag in the same window operator; the rollup is a second
+# bounded-cardinality shuffle (|event_types|^2 groups).
+# A purchase that IS the user's first event has NULL last-touch and
+# groups as its own row — identical NULL-grouping on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "a29_attribution",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             first_value(event_type) OVER w AS first_touch,
+             lag(event_type) OVER w AS last_touch
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT first_touch, last_touch,
+           count(*) AS n_conversions,
+           count(DISTINCT user_id) AS n_users
+    FROM o WHERE event_type = 'purchase'
+    GROUP BY first_touch, last_touch
+    """,
+)
+def a29_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    touched = ev.select(
+        "user_id",
+        "event_type",
+        F.first("event_type").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ).alias("first_touch"),
+        F.lag("event_type").over(w).alias("last_touch"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

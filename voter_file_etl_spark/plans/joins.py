@@ -505,3 +505,73 @@ def j12_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("side"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J13 — large-large numeric band self-join, bucket-blocked: every
+# pair of parts whose retail prices sit within +-1.0 of each other
+# (j7 classifies against a broadcast literal; THIS is the two-big-
+# sides case where a naive non-equi join is a cartesian product).
+# Blocking: bucket = floor(price / 2.0); band 1.0 < bucket width 2.0
+# guarantees any qualifying pair differs by at most one bucket, so
+# the probe side explodes to its 3 neighbor buckets and the join is
+# a plain EQUI-join on bucket (shuffle-hash/SMJ, Catalyst's choice)
+# followed by the exact |a-b| <= 1.0 filter — a bounded 3x row
+# expansion instead of |part|^2 comparisons, the same
+# block-then-verify shape as the spatial join (j10).
+# abs(a - b) <= 1.0 is evaluated with IDENTICAL float64 operand
+# order on both engines, so band-edge rounding cannot diverge.
+# ---------------------------------------------------------------------------
+_J13_BAND = 1.0
+_J13_BUCKET_W = 2.0
+
+
+@register(
+    "j13_band_join",
+    oracle=f"""
+    SELECT a.p_partkey, a.p_retailprice,
+           count(*) AS n_bandmates,
+           min(abs(a.p_retailprice - b.p_retailprice)) AS min_gap
+    FROM part a JOIN part b
+      ON b.p_partkey <> a.p_partkey
+     AND abs(a.p_retailprice - b.p_retailprice) <= {_J13_BAND}
+    GROUP BY a.p_partkey, a.p_retailprice
+    """,
+)
+def j13_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    build = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_retailprice").alias("b_price"),
+        F.floor(F.col("p_retailprice") / _J13_BUCKET_W).alias("bucket"),
+    )
+    probe = p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_retailprice") / _J13_BUCKET_W) - 1,
+                F.floor(F.col("p_retailprice") / _J13_BUCKET_W),
+                F.floor(F.col("p_retailprice") / _J13_BUCKET_W) + 1,
+            )
+        ).alias("bucket"),
+    )
+    # Each true pair matches exactly once: the build row's single
+    # bucket meets exactly one of the probe row's 3 exploded values.
+    return (
+        probe.join(build, "bucket")
+        .filter(
+            (F.col("b_key") != F.col("p_partkey"))
+            & (
+                F.abs(F.col("p_retailprice") - F.col("b_price"))
+                <= F.lit(_J13_BAND)
+            )
+        )
+        .groupBy("p_partkey", "p_retailprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_bandmates"),
+            F.min(
+                F.abs(F.col("p_retailprice") - F.col("b_price"))
+            ).alias("min_gap"),
+        )
+    )

@@ -351,3 +351,89 @@ def w9_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(win).alias("top_name"),
         F.nth_value("c_name", 3).over(win).alias("third_name"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W11 — resample to a regular daily grid with forward fill: the
+# time-series gap-fill every metrics warehouse needs ("what was the
+# user's last reading ON day D", sparse readings). Three steps, each
+# a standard scale shape:
+#   1. per (user, day) last value — one window keyed on the pair
+#      (row_number desc over (us, event_id), exact tie-break);
+#   2. per-user day spine — sequence(min_day, max_day) exploded
+#      executor-side (never a driver loop; spine size = span days);
+#   3. forward fill — last(value, ignorenulls) over the per-user
+#      day order, one exchange reused from step 1's user hash.
+# The filled value is a raw double CARRIED, never summed, so the
+# cross-engine hash is exact with no decimal discipline needed.
+# ---------------------------------------------------------------------------
+_W11_DAY_US = 86_400_000_000
+
+
+@register(
+    "w11_resample_ffill",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // {_W11_DAY_US} AS day_idx,
+             epoch_us(ts) AS us, event_id, value
+      FROM events
+    ), lp AS (
+      SELECT user_id, day_idx, value FROM (
+        SELECT user_id, day_idx, value,
+               row_number() OVER (PARTITION BY user_id, day_idx
+                 ORDER BY us DESC, event_id DESC) AS rn
+        FROM d) WHERE rn = 1
+    ), b AS (
+      SELECT user_id, min(day_idx) AS mn, max(day_idx) AS mx
+      FROM d GROUP BY user_id
+    ), sp AS (
+      SELECT user_id, unnest(generate_series(mn, mx)) AS day_idx FROM b
+    ), j AS (
+      SELECT sp.user_id, sp.day_idx, lp.value
+      FROM sp LEFT JOIN lp
+        ON sp.user_id = lp.user_id AND sp.day_idx = lp.day_idx
+    )
+    SELECT user_id, day_idx,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value,
+           value IS NOT NULL AS has_event
+    FROM j
+    """,
+)
+def w11_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_W11_DAY_US}").alias("day_idx"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    day_w = W.partitionBy("user_id", "day_idx").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    last_per_day = (
+        ev.withColumn("rn", F.row_number().over(day_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day_idx", "value")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("day_idx").alias("mn"), F.max("day_idx").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day_idx"),
+        )
+    )
+    ffill = (
+        W.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return spine.join(last_per_day, ["user_id", "day_idx"], "left").select(
+        "user_id",
+        "day_idx",
+        F.last("value", ignorenulls=True).over(ffill).alias("filled_value"),
+        F.col("value").isNotNull().alias("has_event"),
+    )

@@ -104,6 +104,8 @@ HEADLINE = [
     "w11_resample_ffill",
     "j13_band_join",
     "x47_embedding_quantize",
+    "a31_cms_heavy_hitters",
+    "w12_cumulative_distinct",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

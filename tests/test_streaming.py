@@ -3,7 +3,12 @@ aggregate must equal the batch plan over the same events."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
+from voter_file_etl_spark import registry
 from voter_file_etl_spark.streaming.windows import run_tumbling_stream, st1_tumbling_window
+from voter_file_etl_spark.tables import t
 
 
 def test_stream_matches_batch(spark, sf_dir, tmp_path):
@@ -148,3 +153,32 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
         .collect()
     )
     assert len(row) == 1 and row[0]["event_id"] == 9001 and row[0]["us"] == 9999
+
+
+def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
+    # st15 uses Spark 4's transformWithStateInPandas, whose
+    # driver<->worker protocol needs google.protobuf; the key must be
+    # registered exactly when the dependency is importable, and when
+    # runnable it must match the batch aggregate.
+    from voter_file_etl_spark.streaming import stateful
+
+    assert ("st15_transform_with_state" in registry.QUERIES) == (
+        stateful._HAS_TWS_PROTO
+    )
+    if not stateful._HAS_TWS_PROTO:
+        pytest.skip("google.protobuf not available in this environment")
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], r["sum_cents"])
+        for r in stateful.st15_transform_with_state(spark, sf_dir).collect()
+    }
+    exp = {
+        (r["user_id"], r["event_type"]): (r["n"], r["sc"])
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(floor(value * 100 + 0.5d) as bigint)")).alias("sc"),
+        )
+        .collect()
+    }
+    assert got == exp

@@ -324,3 +324,79 @@ def a29_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A31 — count-min sketch heavy hitters: estimate per-key frequencies
+# in O(depth x width) memory instead of O(keys), then report the
+# estimate next to the exact count for the tracked keys so the
+# sketch's one-sided error (estimate >= truth, inflated only by
+# collisions) is auditable in the result itself. The sketch rows use
+# explicit universal-hash arithmetic ((a*k + b) mod p mod width) —
+# NOT engine hash builtins, which differ between Spark and DuckDB —
+# so both engines build bit-identical sketches. Build = one groupBy
+# over (depth x width) cells after a bounded depth-x explode;
+# at 100 TB the sketch is the map-side-combinable summary that
+# answers "is key k hot" without materializing per-key counts.
+# ---------------------------------------------------------------------------
+_A31_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+_A31_W = 64
+_A31_ROWS = ((3, 11), (5, 23), (7, 41), (11, 59))  # (a, b) per depth row
+
+
+@register(
+    "a31_cms_heavy_hitters",
+    oracle=f"""
+    WITH cells AS (
+      SELECT r.d,
+             ((r.a * user_id + r.b) % {_A31_P}) % {_A31_W} AS bucket,
+             count(*) AS c
+      FROM events,
+           (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_A31_ROWS))})
+             AS r(d, a, b)
+      GROUP BY r.d, bucket
+    ), tracked AS (
+      SELECT user_id, count(*) AS exact_count FROM events
+      WHERE user_id % 7 = 0 GROUP BY user_id
+    ), est AS (
+      SELECT t.user_id, t.exact_count, min(c.c) AS cms_estimate
+      FROM tracked t
+      CROSS JOIN (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_A31_ROWS))})
+             AS r(d, a, b)
+      JOIN cells c
+        ON c.d = r.d
+       AND c.bucket = ((r.a * t.user_id + r.b) % {_A31_P}) % {_A31_W}
+      GROUP BY t.user_id, t.exact_count
+    )
+    SELECT user_id, exact_count, cms_estimate,
+           cms_estimate >= exact_count AS never_undercounts
+    FROM est
+    """,
+)
+def a31_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id")
+    rows = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(_A31_ROWS)], "d int, a long, b long"
+    )
+    bucket = ((F.col("a") * F.col("user_id") + F.col("b")) % _A31_P) % _A31_W
+    cells = (
+        ev.crossJoin(F.broadcast(rows))  # bounded depth-x expansion
+        .groupBy("d", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tracked = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probes = tracked.crossJoin(F.broadcast(rows)).select(
+        "user_id", "exact_count", "d", bucket.alias("bucket")
+    )
+    return (
+        probes.join(cells, ["d", "bucket"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+        .withColumn(
+            "never_undercounts", F.col("cms_estimate") >= F.col("exact_count")
+        )
+    )

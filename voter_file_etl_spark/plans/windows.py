@@ -437,3 +437,51 @@ def w11_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(ffill).alias("filled_value"),
         F.col("value").isNotNull().alias("has_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W12 — cumulative distinct count over time ("distinct users to
+# date, per day"): the naive window collect_set is O(distinct) state
+# per row and collapses at scale; the scalable identity is
+#   running_distinct(day) = running_sum(first-occurrence flags)
+# — mark each user's FIRST day (one groupBy(user) min), count new
+# users per day (one bounded groupBy(day)), and a running sum over
+# the tiny per-day frame. Three shuffles, none keyed on anything
+# wider than (user) / (day); no per-row set state anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "w12_cumulative_distinct",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts) // {_W11_DAY_US}) AS first_day
+      FROM events GROUP BY user_id
+    ), per_day AS (
+      SELECT first_day AS day_idx, count(*) AS new_users
+      FROM f GROUP BY first_day
+    )
+    SELECT day_idx, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_users_to_date
+    FROM per_day
+    """,
+)
+def w12_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {_W11_DAY_US}").alias("day_idx"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("day_idx").alias("first_day"))
+    )
+    per_day = first.groupBy(F.col("first_day").alias("day_idx")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    run = W.orderBy("day_idx").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_day.select(
+        "day_idx",
+        "new_users",
+        F.sum("new_users").over(run).cast("long").alias("distinct_users_to_date"),
+    )

@@ -32,6 +32,21 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+# transformWithStateInPandas's driver<->worker protocol is protobuf-
+# based (pyspark/sql/streaming/proto); environments without
+# google.protobuf cannot run it, so st15 registers only where the
+# dependency exists (the engine has no hard dependency on it).
+try:  # pragma: no cover - environment probe
+    import google.protobuf  # noqa: F401
+
+    _HAS_TWS_PROTO = True
+except ImportError:  # pragma: no cover
+    _HAS_TWS_PROTO = False
 
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import (
@@ -365,3 +380,157 @@ def st13_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table("st13_stream_out").filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# ST15 — transformWithStateInPandas (Spark 4's arbitrary-state API,
+# SPARK-49564): the successor to applyInPandasWithState used by
+# st4/st13, with typed named state slots (ValueState/ListState/
+# MapState), per-state TTL, and timers as first-class handle
+# operations. Here: one ValueState per (user_id, event_type) holding
+# (n_events, sum_cents, max_us) — every component is an
+# order-independent monoid fold, so replays and batch slicing cannot
+# change the final answer, and the update-mode emissions are made
+# deterministic by taking each key's LAST (= componentwise max,
+# counters are monotone: n grows, sum of positive cents grows, max
+# grows) emission. Values cross engines as exact integer cents
+# (floor(v*100 + 0.5), identical IEEE ops both sides).
+#
+# Scale: state is one 24-byte tuple per live key in the state store
+# (RocksDB in production — this API is the one that supports state
+# rebalancing + TTL); two chronological half files exercise
+# cross-batch state carry.
+# ---------------------------------------------------------------------------
+_ST15_OUT = "user_id long, event_type string, n_events long, sum_cents long, max_us long"
+
+
+class _RunningStats(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "stats", "n long, sc long, mx long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, sc, mx = 0, 0, None
+        if self._state.exists():
+            n, sc, mx = self._state.get()
+        for pdf in rows:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            sc += int(pdf["cents"].sum())
+            bmx = int(pdf["us"].max())
+            mx = bmx if mx is None else max(mx, bmx)
+        self._state.update((n, sc, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_events": [n],
+                "sum_cents": [sc],
+                "max_us": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _register_if_tws_available(key: str, oracle: str):
+    """Register st15 only where transformWithState's protobuf protocol
+    can actually run — a key the driver can never execute is worse
+    than an honestly environment-gated one."""
+    if _HAS_TWS_PROTO:
+        return register(key, oracle=oracle)
+    return lambda fn: fn
+
+
+@_register_if_tws_available(
+    "st15_transform_with_state",
+    oracle="""
+    SELECT user_id, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           max(epoch_us(ts)) AS max_us
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def st15_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from voter_file_etl_spark.tables import t as _t
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="st15_tws_", dir=os.environ.get("TMPDIR", "/tmp"))
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr("cast(floor(value * 100 + 0.5d) as bigint)").alias("cents"),
+    )
+    lims = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
+    mn, mx = lims["mn"], lims["mx"]
+    # Two chronological halves staged in one write job (same harness
+    # as st13): cross-batch state carry is exercised, per-trigger
+    # fixed costs are not multiplied.
+    stage = os.path.join(work, "stage_q")
+    (
+        ev.withColumn(
+            "q",
+            F.width_bucket(F.col("us"), F.lit(mn), F.lit(mx + 1), F.lit(2)).cast(
+                "int"
+            )
+            - 1,
+        )
+        .repartition(1)
+        .write.partitionBy("q")
+        .parquet(stage)
+    )
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    import time
+
+    now = time.time()
+    for i in range(2):
+        qdir = os.path.join(stage, f"q={i}")
+        if not os.path.isdir(qdir):
+            continue
+        part = next(p for p in sorted(os.listdir(qdir)) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"0{i}_half.parquet")
+        shutil.move(os.path.join(qdir, part), dst)
+        os.utime(dst, (now - 100 + 10 * i, now - 100 + 10 * i))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, us long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stream.groupBy("user_id", "event_type").transformWithStateInPandas(
+        _RunningStats(),
+        outputStructType=_ST15_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )
+    with stream_parallelism(spark):
+        query = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st15_stream_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    # Update mode emits once per key per batch it appears in; the
+    # final state is the componentwise max (all components monotone).
+    return (
+        spark.table("st15_stream_out")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_cents").alias("sum_cents"),
+            F.max("max_us").alias("max_us"),
+        )
+    )

@@ -781,3 +781,67 @@ def m11_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, tile_row int, tile_col int, "
         "sum_pixel long, mean_pixel double",
     )
+
+
+# ---------------------------------------------------------------------------
+# M12 — audio frame energy: the feature-extraction step after decode
+# (VAD / loudness normalization / silence trimming all start from
+# per-frame energy). The decoded PCM stream is cut into fixed
+# 8-sample frames and each frame reports energy (sum of squared
+# amplitudes) and peak (max |amplitude|) — integer arithmetic on the
+# decoded samples, so the oracle reproduces it exactly from the
+# source text with ascii() arithmetic, and the decoder's sample
+# ordering is itself under test (a byte-order bug shifts a frame
+# boundary and hash-mismatches).
+#
+# Scale: decode + framing is one Arrow-batched map pass (no shuffle,
+# no second Python crossing); output fan-out is the fixed frame
+# count. Real corpora: same shape with 10-25 ms frames.
+# ---------------------------------------------------------------------------
+_M12_FRAME = 8
+
+
+def audio_frame_energy(media_df: DataFrame) -> DataFrame:
+    """Per 8-sample frame: energy = sum(v^2), peak = max(|v|) over
+    the decoded PCM samples (flattened frame-major)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "energy": [], "peak": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                au = decode_wav_bytes(payload)
+                v = au.samples.astype("int64").reshape(-1)
+                n_frames = len(v) // _M12_FRAME
+                fr = v[: n_frames * _M12_FRAME].reshape(n_frames, _M12_FRAME)
+                energy = (fr * fr).sum(axis=1)
+                peak = abs(fr).max(axis=1)
+                out["doc_id"].extend([doc_id] * n_frames)
+                out["frame_id"].extend(range(n_frames))
+                out["energy"].extend(int(x) for x in energy)
+                out["peak"].extend(int(x) for x in peak)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run, "doc_id long, frame_id long, energy long, peak long"
+    )
+
+
+@register(
+    "m12_audio_energy",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             (i - 1) // {_M12_FRAME} AS frame_id,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_WAV_N}),
+                               {_WAV_N}, ' '),
+                          i, 1)) - 128 AS v
+      FROM documents, unnest(range(1, {_WAV_N + 1})) AS u(i)
+    )
+    SELECT doc_id, frame_id,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(abs(v)) AS BIGINT) AS peak
+    FROM px GROUP BY doc_id, frame_id
+    """,
+)
+def m12_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return audio_frame_energy(build_wav_media(docs))

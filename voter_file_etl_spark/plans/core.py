@@ -757,3 +757,59 @@ def s15_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(root)
     )
     return merged.select("batch", "c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# P10 — ANSI-safe error handling surface: Spark 4 runs with ANSI SQL
+# mode ON, where malformed casts and overflow THROW instead of
+# returning NULL — correct pipelines route dirty-text arithmetic
+# through try_cast / try_divide / try_add and handle the NULLs
+# explicitly. The events props JSON (dirty by construction: some
+# rows lack keys) feeds string->number parses, a division with
+# engineered zero denominators, and an overflow-prone add — each via
+# the try_* family, with NULL-vs-value counts proving the errors
+# became NULLs instead of query failures. DuckDB mirrors with
+# TRY_CAST and NULLIF-guarded arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "p10_try_arithmetic",
+    oracle="""
+    WITH d AS (
+      SELECT event_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS score,
+             TRY_CAST(event_type AS BIGINT) AS junk,
+             event_id % 7 AS denom
+      FROM events
+    )
+    SELECT count(*) AS n_rows,
+           count(score) AS n_parsed,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           count(junk) AS n_junk_parsed,
+           count(CASE WHEN denom = 0 THEN NULL
+                      ELSE event_id // NULLIF(denom, 0) END) AS n_divided,
+           CAST(sum(event_id // NULLIF(denom, 0)) AS BIGINT) AS sum_div
+    FROM d
+    """,
+)
+def p10_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') as bigint)").alias(
+            "score"
+        ),
+        # 'view'/'click'/... as BIGINT: THROWS under plain ANSI cast;
+        # try_cast makes it a NULL the aggregate can count.
+        F.expr("try_cast(event_type as bigint)").alias("junk"),
+        (F.col("event_id") % 7).alias("denom"),
+    )
+    # Integer-div the nonzero denominators to match DuckDB's //
+    # exactly (try_divide would give a fractional double).
+    idiv = F.expr("cast(event_id div nullif(denom, 0) as bigint)")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("score").alias("n_parsed"),
+        F.sum("score").cast("long").alias("sum_score"),
+        F.count("junk").alias("n_junk_parsed"),
+        F.count(idiv).alias("n_divided"),
+        F.sum(idiv).cast("long").alias("sum_div"),
+    )

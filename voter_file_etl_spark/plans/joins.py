@@ -575,3 +575,55 @@ def j13_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("min_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J14 — null-safe equi-join (<=> / IS NOT DISTINCT FROM): the SQL
+# surface piece ordinary equi-joins miss — NULL keys match each
+# other. Customers and suppliers are keyed by a DERIVED nullable key
+# (nation bucket, NULLed for one bucket) and joined null-safely, so
+# the NULL-bucket rows pair up instead of vanishing; counts per key
+# prove both the NULL x NULL matches and the plain matches survive.
+# Catalyst plans <=> as a hash join on a coalesced key (it stays an
+# EQUI join — no nested loop), which is exactly how it scales.
+# ---------------------------------------------------------------------------
+@register(
+    "j14_null_safe_join",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN c_nationkey % 5 = 2 THEN NULL
+                  ELSE c_nationkey % 5 END AS k, count(*) AS n_cust
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT CASE WHEN s_nationkey % 5 = 2 THEN NULL
+                  ELSE s_nationkey % 5 END AS k, count(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT c.k, c.n_cust, s.n_supp,
+           c.k IS NULL AS matched_via_null
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    """,
+)
+def j14_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = lambda col: F.when(  # noqa: E731
+        F.col(col) % 5 == 2, F.lit(None).cast("long")
+    ).otherwise(F.col(col) % 5)
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(key("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(key("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c["k"].eqNullSafe(s["k"]))
+        .select(
+            c["k"],
+            "n_cust",
+            "n_supp",
+            c["k"].isNull().alias("matched_via_null"),
+        )
+    )

@@ -729,3 +729,70 @@ def a28_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("est_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A32 — declarative data-quality expectations (the Great
+# Expectations / dbt-test shape the reference's loader validation
+# implies): each rule is one aggregate over the scanned table —
+# range check, domain check, NOT NULL check, and a referential-
+# integrity orphan check (anti-join) — emitted as (rule, n_checked,
+# n_violations, passed). One pass per table + one broadcast-able
+# anti-join; at 100 TB every rule stays a map-side predicate counted
+# in the same partial aggregate, so the whole suite costs one scan.
+# ---------------------------------------------------------------------------
+@register(
+    "a32_data_quality_checks",
+    oracle="""
+    SELECT 'orders_price_range' AS rule,
+           count(*) AS n_checked,
+           count(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                      THEN 1 END) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_status_domain', count(*),
+           count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'customer_name_not_null', count(*),
+           count(CASE WHEN c_name IS NULL THEN 1 END)
+    FROM customer
+    UNION ALL
+    SELECT 'orders_custkey_integrity', count(*),
+           count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def a32_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def rule(df: DataFrame, name: str, violated) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(violated, 1)).alias("n_violations"),
+        ).select(
+            F.lit(name).alias("rule"), "n_checked", "n_violations"
+        )
+
+    price = rule(
+        orders,
+        "orders_price_range",
+        (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 1_000_000),
+    )
+    domain = rule(
+        orders,
+        "orders_status_domain",
+        ~F.col("o_orderstatus").isin("O", "F", "P"),
+    )
+    notnull = rule(cust, "customer_name_not_null", F.col("c_name").isNull())
+    integrity = rule(
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        ),
+        "orders_custkey_integrity",
+        F.col("c_custkey").isNull(),
+    )
+    return price.unionByName(domain).unionByName(notnull).unionByName(integrity)

@@ -139,3 +139,96 @@ def u5_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.exceptAll(b).groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# D3 — column-level snapshot drift: u4 answers "WHICH rows changed
+# between snapshots"; data-diff tooling also needs "WHICH COLUMNS
+# drifted, how much". Two deterministic customer snapshots (v1
+# perturbs acctbal for custkey%10=3, mktsegment for %10=4, drops
+# %50=7) are full-outer-joined on the PK and every compared column
+# contributes added/removed/changed counts via one unpivoted
+# aggregate. One PK-keyed shuffle; the per-column comparison is
+# map-side; output is |columns| rows regardless of table size —
+# the drift report a 100 TB reconciliation job ships nightly.
+# ---------------------------------------------------------------------------
+@register(
+    "d3_column_drift",
+    oracle="""
+    WITH v0 AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ), v1 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 10 = 4 THEN 'DRIFTED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 50 <> 7
+    ), j AS (
+      SELECT v0.c_custkey AS k0, v1.c_custkey AS k1,
+             v0.c_acctbal AS a0, v1.c_acctbal AS a1,
+             v0.c_mktsegment AS m0, v1.c_mktsegment AS m1
+      FROM v0 FULL OUTER JOIN v1 ON v0.c_custkey = v1.c_custkey
+    )
+    SELECT col,
+           count(CASE WHEN k0 IS NULL THEN 1 END) AS n_added,
+           count(CASE WHEN k1 IS NULL THEN 1 END) AS n_removed,
+           count(CASE WHEN k0 IS NOT NULL AND k1 IS NOT NULL
+                       AND changed THEN 1 END) AS n_changed
+    FROM (
+      SELECT k0, k1, 'c_acctbal' AS col,
+             a0 IS DISTINCT FROM a1 AS changed FROM j
+      UNION ALL
+      SELECT k0, k1, 'c_mktsegment',
+             m0 IS DISTINCT FROM m1 FROM j
+    ) GROUP BY col
+    """,
+)
+def d3_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    v1 = base.filter(F.col("c_custkey") % 50 != 7).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 10 == 4, F.lit("DRIFTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    j = base.alias("v0").join(
+        v1.alias("v1"), F.col("v0.c_custkey") == F.col("v1.c_custkey"), "full"
+    ).select(
+        F.col("v0.c_custkey").alias("k0"),
+        F.col("v1.c_custkey").alias("k1"),
+        F.col("v0.c_acctbal").alias("a0"),
+        F.col("v1.c_acctbal").alias("a1"),
+        F.col("v0.c_mktsegment").alias("m0"),
+        F.col("v1.c_mktsegment").alias("m1"),
+    )
+    per_col = j.select(
+        "k0",
+        "k1",
+        F.lit("c_acctbal").alias("col"),
+        (~F.col("a0").eqNullSafe(F.col("a1"))).alias("changed"),
+    ).unionByName(
+        j.select(
+            "k0",
+            "k1",
+            F.lit("c_mktsegment").alias("col"),
+            (~F.col("m0").eqNullSafe(F.col("m1"))).alias("changed"),
+        )
+    )
+    return per_col.groupBy("col").agg(
+        F.count(F.when(F.col("k0").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("k1").isNull(), 1)).alias("n_removed"),
+        F.count(
+            F.when(
+                F.col("k0").isNotNull()
+                & F.col("k1").isNotNull()
+                & F.col("changed"),
+                1,
+            )
+        ).alias("n_changed"),
+    )

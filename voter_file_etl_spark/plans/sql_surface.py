@@ -269,3 +269,45 @@ LATERAL (
 def sql8_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "nation", "customer")
     return spark.sql(_SQL8)
+
+
+# ---------------------------------------------------------------------------
+# SQL9 — GROUPING() / grouping_id() disambiguation: in a ROLLUP,
+# a NULL group value is ambiguous — "the subtotal row" vs "the
+# group whose key IS NULL". GROUPING() is the SQL-standard
+# disambiguator (1 = subtotal, 0 = real group), and grouping_id()
+# packs the per-column bits for multi-level cubes. Pure SQL on both
+# engines over a two-level rollup — the surface piece a7/a8's
+# DataFrame rollup/cube leave untested.
+# ---------------------------------------------------------------------------
+@register(
+    "sql9_grouping_id",
+    oracle="""
+    SELECT c_mktsegment,
+           c_nationkey % 5 AS region_bucket,
+           GROUPING(c_mktsegment) AS g_seg,
+           GROUPING(c_nationkey % 5) AS g_bucket,
+           GROUPING(c_mktsegment, c_nationkey % 5) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_bal_cents
+    FROM customer
+    GROUP BY ROLLUP(c_mktsegment, c_nationkey % 5)
+    """,
+)
+def sql9_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "customer").createOrReplaceTempView("sql9_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               c_nationkey % 5 AS region_bucket,
+               grouping(c_mktsegment) AS g_seg,
+               grouping(c_nationkey % 5) AS g_bucket,
+               grouping_id(c_mktsegment, c_nationkey % 5) AS gid,
+               count(*) AS n,
+               cast(sum(cast(floor(c_acctbal * 100 + 0.5d) as bigint)) as bigint)
+                 AS sum_bal_cents
+        FROM sql9_customer
+        GROUP BY ROLLUP(c_mktsegment, c_nationkey % 5)
+        """
+    )

@@ -1132,3 +1132,73 @@ def x46_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X48 — survivorship election after dedup: clustering (x17) says
+# which docs are duplicates; a curation pipeline must then pick ONE
+# canonical representative per cluster and discard the rest. The
+# rule here is the standard fitness tuple — longest text first, then
+# smallest doc_id as the deterministic tiebreak — implemented as one
+# row_number per cluster (prefix-block key, same blocking as x17)
+# on the planted-duplicate corpus. Emits per cluster: the winner,
+# member count, and discarded count; clusters of one are the
+# already-unique majority and are filtered to keep the result the
+# interesting rows. One shuffle keyed on the cluster block.
+# ---------------------------------------------------------------------------
+@register(
+    "x48_dedup_survivorship",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, concat(text, ' zz')
+      FROM documents WHERE doc_id % 20 = 0
+    ), keyed AS (
+      SELECT doc_id, length(text) AS n_chars,
+             md5(substr(text, 1, 40)) AS blk
+      FROM corpus
+    ), ranked AS (
+      SELECT doc_id, n_chars, blk,
+             row_number() OVER (PARTITION BY blk
+               ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY blk) AS n_members
+      FROM keyed
+    )
+    SELECT blk AS cluster_key, doc_id AS canonical_doc,
+           CAST(n_chars AS BIGINT) AS canonical_chars,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_discarded
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    """,
+)
+def x48_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    keyed = docs.unionByName(dups).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(F.substring("text", 1, 40)).alias("blk"),
+    )
+    w = W.partitionBy("blk")
+    ranked = keyed.select(
+        "doc_id",
+        "n_chars",
+        "blk",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_chars"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_members") >= 2)).select(
+        F.col("blk").alias("cluster_key"),
+        F.col("doc_id").alias("canonical_doc"),
+        F.col("n_chars").alias("canonical_chars"),
+        F.col("n_members").cast("long").alias("n_members"),
+        (F.col("n_members") - 1).cast("long").alias("n_discarded"),
+    )

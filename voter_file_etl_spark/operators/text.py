@@ -1418,3 +1418,56 @@ def x43_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("w1", "w2", "c_xy", "c_x", "c_y")
     )
+
+
+# ---------------------------------------------------------------------------
+# X49 — quality-threshold selectivity curve: before committing to a
+# cutoff, a curation pipeline asks "what fraction of the corpus
+# survives at each candidate threshold" — tuning data, not a guess.
+# One scan computes per-doc word counts; a bounded threshold explode
+# (5 candidate cutoffs) + groupBy yields kept-count, total, and
+# retention in exact basis points (integer arithmetic — no float
+# division crosses the engine boundary). At 100 TB this is the
+# 5x-fan-out-then-aggregate shape: map-side, one small shuffle.
+# ---------------------------------------------------------------------------
+_X49_THRESHOLDS = (5, 10, 20, 50, 100)
+
+
+@register(
+    "x49_quality_prune_curve",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT th.min_words,
+           count(CASE WHEN d.n_words >= th.min_words THEN 1 END) AS n_kept,
+           count(*) AS n_total,
+           count(CASE WHEN d.n_words >= th.min_words THEN 1 END)
+             * 10000 // count(*) AS retention_bp
+    FROM d CROSS JOIN (VALUES {", ".join(f"({v})" for v in _X49_THRESHOLDS)})
+      AS th(min_words)
+    GROUP BY th.min_words
+    """,
+)
+def x49_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_words")
+    )
+    th = spark.createDataFrame(
+        [(v,) for v in _X49_THRESHOLDS], "min_words long"
+    )
+    return (
+        d.crossJoin(F.broadcast(th))
+        .groupBy("min_words")
+        .agg(
+            F.count(F.when(F.col("n_words") >= F.col("min_words"), 1)).alias(
+                "n_kept"
+            ),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .withColumn(
+            "retention_bp",
+            F.expr("n_kept * 10000 div n_total"),
+        )
+    )

@@ -48,6 +48,11 @@ _CHECK_FIRST = [
     "u3_except", "u4_snapshot_diff", "w7_percent_rank_cume_dist",
 ]
 _BACKFILL = [  # placed OUTSIDE the 50-key window (head 25 + 25 r3 keys fill it)
+    # ROUND-4 NOTE: the never-checked set to front next round = this
+    # list's first block below PLUS the unplaced keys that overflowed
+    # past position 50 (m8/m9/m10/m12, x32-x34, x36/x37/x39/x40,
+    # x47/x49, t10 — run `[k for k in queries()][50:]` minus greens
+    # to enumerate exactly).
     # -- registered late in round 3, after the window filled: never
     # driver-checked — FRONT THESE IN _CHECK_FIRST FOR ROUND 4 --
     "l7_txn_log_merge", "l8_time_travel",

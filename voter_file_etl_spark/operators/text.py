@@ -1471,3 +1471,78 @@ def x49_quality_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_kept * 10000 div n_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X50 — span-corruption masking (the T5/UL2 denoising-objective prep
+# step): deterministic span selection — every 5th 3-token span is
+# replaced by an indexed sentinel in the input and becomes the
+# target sequence — entirely with array lambdas over the token
+# array: tokens -> span ids (pos div 3) -> masked/kept partition ->
+# reassembled strings. No UDF, no shuffle; deterministic by
+# position, so the oracle rebuilds the exact strings with DuckDB
+# list lambdas. Output: masked input, target string, and span/token
+# accounting per document.
+# ---------------------------------------------------------------------------
+_X50_SPAN = 3  # tokens per span
+_X50_EVERY = 5  # mask every 5th span
+
+
+@register(
+    "x50_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS arr
+      FROM documents
+    ), marked AS (
+      SELECT doc_id, arr,
+             list_transform(arr, (w, i) ->
+               CASE WHEN ((i - 1) // {_X50_SPAN}) % {_X50_EVERY} = 0
+                    THEN NULL ELSE w END) AS kept,
+             list_transform(arr, (w, i) ->
+               CASE WHEN ((i - 1) // {_X50_SPAN}) % {_X50_EVERY} = 0
+                    THEN w END) AS masked
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(arr) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(masked, w -> w IS NOT NULL)) AS BIGINT)
+             AS n_masked,
+           array_to_string(list_filter(kept, w -> w IS NOT NULL), ' ')
+             AS masked_input,
+           array_to_string(list_filter(masked, w -> w IS NOT NULL), ' ')
+             AS target
+    FROM marked
+    """,
+)
+def x50_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), w -> w != '')").alias("arr"),
+    )
+    marked = toks.select(
+        "doc_id",
+        "arr",
+        F.expr(
+            f"transform(arr, (w, i0) -> CASE WHEN ((i0) div {_X50_SPAN})"
+            f" % {_X50_EVERY} = 0 THEN NULL ELSE w END)"
+        ).alias("kept"),
+        F.expr(
+            f"transform(arr, (w, i0) -> CASE WHEN ((i0) div {_X50_SPAN})"
+            f" % {_X50_EVERY} = 0 THEN w END)"
+        ).alias("masked"),
+    )
+    return marked.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_tokens"),
+        F.size(F.expr("filter(masked, w -> w is not null)"))
+        .cast("long")
+        .alias("n_masked"),
+        F.array_join(
+            F.expr("filter(kept, w -> w is not null)"), " "
+        ).alias("masked_input"),
+        F.array_join(
+            F.expr("filter(masked, w -> w is not null)"), " "
+        ).alias("target"),
+    )

@@ -627,3 +627,78 @@ def j14_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             c["k"].isNull().alias("matched_via_null"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J15 — SCD2 point-in-time join: "what was this customer's status ON
+# date D" answered by joining facts to validity intervals (l10's
+# SCD2 build) — the temporal lookup every history-keeping warehouse
+# serves. The join is EQUI on custkey with the interval condition
+# (valid_from <= d < valid_to, NULL = open) as a residual filter, so
+# it shuffles once on the key — never a cartesian; interval counts
+# per key are small (status changes), so the residual is cheap.
+# Self-consistency makes the oracle sharp: each order's PIT-resolved
+# status must equal the status the order itself carried, except
+# orders sharing a change date with a later same-day change — both
+# engines derive the identical intervals, so the consistency counts
+# match exactly.
+# ---------------------------------------------------------------------------
+@register(
+    "j15_scd2_pit_join",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders
+    ), iv AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM h WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o.o_orderstatus AS status,
+           count(*) AS n_orders,
+           count(CASE WHEN iv.status = o.o_orderstatus THEN 1 END)
+             AS n_pit_consistent
+    FROM orders o JOIN iv
+      ON o.o_custkey = iv.custkey
+     AND o.o_orderdate >= iv.valid_from
+     AND (iv.valid_to IS NULL OR o.o_orderdate < iv.valid_to)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def j15_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = (
+        orders.withColumn("prev_status", F.lag("o_orderstatus").over(win))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("pit_status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(win).alias("valid_to"),
+        )
+    )
+    fact = orders.select("o_custkey", "o_orderstatus", "o_orderdate")
+    joined = fact.join(
+        iv,
+        (fact.o_custkey == iv.custkey)
+        & (fact.o_orderdate >= iv.valid_from)
+        & (iv.valid_to.isNull() | (fact.o_orderdate < iv.valid_to)),
+    )
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(
+            F.when(F.col("pit_status") == F.col("o_orderstatus"), 1)
+        ).alias("n_pit_consistent"),
+    )

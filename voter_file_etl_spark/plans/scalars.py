@@ -565,3 +565,97 @@ def t13_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek(d) - F.lit(1)).alias("dow"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F6 — multi-format date recovery: ingest feeds mix date formats
+# (ISO, US slash, compact) and a correct loader must try each format
+# and surface which one matched — the reference's filename/field
+# date parsing generalized. A dirty string column is derived
+# deterministically (format chosen by orderkey % 3), then recovered
+# with a try_to_timestamp/try_strptime coalesce chain; unparseable
+# is impossible here by construction, so the match-format histogram
+# is exact. All map-side expressions — no shuffle but the final
+# bounded groupBy.
+# ---------------------------------------------------------------------------
+@register(
+    "f6_multi_format_dates",
+    oracle="""
+    WITH dirty AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+               ELSE strftime(o_orderdate, '%Y%m%d')
+             END AS raw,
+             o_orderdate AS truth
+      FROM orders
+    ), parsed AS (
+      SELECT o_orderkey, truth,
+             CASE
+               WHEN TRY_CAST(TRY_STRPTIME(raw, '%m/%d/%Y') AS DATE)
+                    IS NOT NULL AND raw LIKE '%/%'
+                 THEN 'us_slash'
+               WHEN raw NOT LIKE '%-%' AND raw NOT LIKE '%/%'
+                 THEN 'compact'
+               ELSE 'iso'
+             END AS matched_format,
+             COALESCE(
+               CASE WHEN raw LIKE '%/%'
+                    THEN TRY_CAST(TRY_STRPTIME(raw, '%m/%d/%Y') AS DATE) END,
+               CASE WHEN raw NOT LIKE '%-%' AND raw NOT LIKE '%/%'
+                    THEN TRY_CAST(TRY_STRPTIME(raw, '%Y%m%d') AS DATE) END,
+               TRY_CAST(TRY_STRPTIME(raw, '%Y-%m-%d') AS DATE)
+             ) AS recovered
+      FROM dirty
+    )
+    SELECT matched_format,
+           count(*) AS n_rows,
+           count(CASE WHEN recovered = truth THEN 1 END) AS n_roundtrip
+    FROM parsed GROUP BY matched_format
+    """,
+)
+def f6_multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("truth"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.date_format("o_orderdate", "MM/dd/yyyy"),
+        )
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("raw"),
+    )
+    parsed = d.select(
+        "truth",
+        F.when(
+            F.col("raw").contains("/"), F.lit("us_slash")
+        )
+        .when(
+            ~F.col("raw").contains("-") & ~F.col("raw").contains("/"),
+            F.lit("compact"),
+        )
+        .otherwise(F.lit("iso"))
+        .alias("matched_format"),
+        F.coalesce(
+            F.when(
+                F.col("raw").contains("/"),
+                F.expr("try_to_timestamp(raw, 'MM/dd/yyyy')").cast("date"),
+            ),
+            F.when(
+                ~F.col("raw").contains("-") & ~F.col("raw").contains("/"),
+                F.expr("try_to_timestamp(raw, 'yyyyMMdd')").cast("date"),
+            ),
+            F.expr("try_to_timestamp(raw, 'yyyy-MM-dd')").cast("date"),
+        ).alias("recovered"),
+    )
+    return parsed.groupBy("matched_format").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("recovered") == F.col("truth"), 1)).alias(
+            "n_roundtrip"
+        ),
+    )

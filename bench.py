@@ -106,6 +106,17 @@ HEADLINE = [
     "x47_embedding_quantize",
     "a31_cms_heavy_hitters",
     "w12_cumulative_distinct",
+    "j14_null_safe_join",
+    "j15_scd2_pit_join",
+    "p10_try_arithmetic",
+    "a32_data_quality_checks",
+    "d3_column_drift",
+    "sql9_grouping_id",
+    "m12_audio_energy",
+    "f6_multi_format_dates",
+    "x48_dedup_survivorship",
+    "x49_quality_prune_curve",
+    "x50_span_corruption",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

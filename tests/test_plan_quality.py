@@ -341,3 +341,26 @@ def test_attribution_touches_share_one_window(spark, sf_dir):
     plan = _formatted_plan(spark, "a29_attribution", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("+- Window") <= 2, plan[:2000]
+
+
+def test_scd2_pit_join_is_equi_with_residual(spark, sf_dir):
+    # j15's interval condition must ride as a residual on a custkey
+    # equi hash/merge join — never a nested loop over intervals.
+    plan = _formatted_plan(spark, "j15_scd2_pit_join", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_null_safe_join_stays_equi(spark, sf_dir):
+    # j14's <=> must plan as a hash join on (coalesce, isnull)
+    # composite keys, not a nested loop.
+    plan = _formatted_plan(spark, "j14_null_safe_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_span_corruption_is_map_side(spark, sf_dir):
+    # x50 is one scan-project of array lambdas: no exchange, no UDF.
+    plan = _formatted_plan(spark, "x50_span_corruption", sf_dir)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "pythonUDF" not in plan.lower(), plan[:2000]

@@ -183,3 +183,36 @@ def test_change_feed_classifies_ops(spark, tmp_path):
             if r["op"] != "delete":
                 live.add(r["k"])
     assert live == {r["k"] for r in table.snapshot().collect()}
+
+
+def test_logtable_cache_pristine_after_mutators(spark, sf_dir):
+    # l9/l15 mutate a COPY of the session-cached pristine build; the
+    # shared build must stay intact so read-only queries (l7/l8/l11/
+    # l13) keep their results whatever order the driver runs keys in.
+    from voter_file_etl_spark import registry
+
+    registry.load_all()
+    before = {
+        tuple(r)
+        for r in registry.QUERIES["l7_txn_log_merge"](spark, sf_dir).collect()
+    }
+    registry.QUERIES["l9_gdpr_delete"](spark, sf_dir).collect()  # mutator
+    registry.QUERIES["l15_vacuum"](spark, sf_dir).collect()  # mutator
+    after = {
+        tuple(r)
+        for r in registry.QUERIES["l7_txn_log_merge"](spark, sf_dir).collect()
+    }
+    assert after == before and len(before) > 0
+
+
+def test_stream_parallelism_restores_on_error(spark):
+    from voter_file_etl_spark.tables import stream_parallelism
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        with stream_parallelism(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == old

@@ -387,3 +387,72 @@ def x32_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rate").alias("rate"),
         F.sum(F.when(sampled, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X51 — nucleus (top-p) data selection: per source, take the
+# highest-quality documents until their cumulative token mass
+# reaches 80% of the source's total — the data-selection analog of
+# nucleus sampling, and the budgeted-curation shape ("best docs
+# first, stop at the token budget") a 100 TB pipeline runs per
+# domain. Quality rank = (longest docs first, doc_id tiebreak);
+# token mass = whitespace token count (integer-exact). One window
+# pass per source (rank + running sum share one exchange) and a
+# bounded per-source aggregate; no floats cross engines (the 80%
+# cut compares 100 * running <= 80 * total in integers).
+# ---------------------------------------------------------------------------
+@register(
+    "x51_nucleus_selection",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+             sum(n_tokens) OVER (PARTITION BY source) AS total
+      FROM d
+    )
+    SELECT source,
+           count(*) AS n_selected,
+           CAST(max(run) AS BIGINT) AS tokens_selected,
+           CAST(max(total) AS BIGINT) AS tokens_total
+    FROM ranked
+    WHERE 100 * run <= 80 * total
+    GROUP BY source
+    """,
+)
+def x51_nucleus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = W.partitionBy("source")
+    run = (
+        w.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = d.select(
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(run).alias("run"),
+        F.sum("n_tokens").over(w).alias("total"),
+    )
+    return (
+        ranked.filter(100 * F.col("run") <= 80 * F.col("total"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.max("run").cast("long").alias("tokens_selected"),
+            F.max("total").cast("long").alias("tokens_total"),
+        )
+    )

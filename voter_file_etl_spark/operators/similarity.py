@@ -809,3 +809,61 @@ def x47_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0L, (acc, v) -> acc + v)"
         ).alias("err_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X52 — grouped embedding mean-pool: one centroid vector per label
+# (class prototypes / cluster summaries / the build step of a
+# doc-level retrieval index). The scalable shape is DIMENSION-
+# PARALLEL: posexplode each vector to (label, dim, q) rows —
+# quantized to exact integers first — aggregate per (label, dim),
+# and reassemble with array_agg ordered by dim. The shuffle key is
+# (label, dim): at 100 TB this spreads one label's reduction over
+# |dims| reducers instead of funneling whole vectors to one task,
+# and the partial aggregation is map-side combinable. Mean is
+# reported as exact integer-quantized sum + count (the caller
+# divides); nothing float crosses the engine boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "x52_embedding_mean_pool",
+    oracle="""
+    WITH e AS (
+      SELECT label, i AS dim,
+             CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS u(i)
+    ), agg AS (
+      SELECT label, dim, sum(q) AS sq, count(*) AS n
+      FROM e GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vectors,
+           CAST(sum(sq) AS BIGINT) AS sum_all_dims,
+           CAST(max(CASE WHEN dim = 1 THEN sq END) AS BIGINT) AS dim0_sum,
+           CAST(max(CASE WHEN dim = 2 THEN sq END) AS BIGINT) AS dim1_sum
+    FROM agg GROUP BY label
+    """,
+)
+def x52_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding,"
+                    " x -> cast(floor(cast(x as double) * 1000000) as bigint))"
+                )
+            ).alias("dim0", "q"),
+        )
+        .select("label", (F.col("dim0") + 1).alias("dim"), "q")
+    )
+    agg = e.groupBy("label", "dim").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    return agg.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.sum("sq").cast("long").alias("sum_all_dims"),
+        F.max(F.when(F.col("dim") == 1, F.col("sq"))).alias("dim0_sum"),
+        F.max(F.when(F.col("dim") == 2, F.col("sq"))).alias("dim1_sum"),
+    )

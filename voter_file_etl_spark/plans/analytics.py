@@ -400,3 +400,56 @@ def a31_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "never_undercounts", F.col("cms_estimate") >= F.col("exact_count")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A33 — rolling 7-day active users (WAU per day): the rolling
+# DISTINCT that plain window frames cannot express scalably. The
+# identity: a user is active-in-window on day D iff some active day
+# falls in (D-6 .. D) — so explode each (user, active_day) to the
+# next 7 days (BOUNDED 7x fan-out), dedup to (user, day), and count
+# per day. Two bounded shuffles; no per-row distinct state, no
+# collect_set. Days outside the observed range are trimmed so both
+# engines agree on the frame.
+# ---------------------------------------------------------------------------
+@register(
+    "a33_rolling_active_users",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {86_400_000_000} AS day
+      FROM events
+    ), lim AS (
+      SELECT min(day) AS mn, max(day) AS mx FROM d
+    ), fan AS (
+      SELECT DISTINCT user_id, day + o.o AS day
+      FROM d CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6)) AS o(o)
+    )
+    SELECT f.day, count(*) AS wau
+    FROM fan f, lim
+    WHERE f.day BETWEEN lim.mn AND lim.mx
+    GROUP BY f.day
+    """,
+)
+def a33_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .distinct()
+    )
+    lim = d.agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    fan = (
+        d.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+        )
+        .distinct()
+    )
+    return (
+        fan.crossJoin(F.broadcast(lim))
+        .filter(F.col("day").between(F.col("mn"), F.col("mx")))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )

@@ -117,6 +117,9 @@ HEADLINE = [
     "x48_dedup_survivorship",
     "x49_quality_prune_curve",
     "x50_span_corruption",
+    "x51_nucleus_selection",
+    "x52_embedding_mean_pool",
+    "a33_rolling_active_users",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

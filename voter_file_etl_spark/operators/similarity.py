@@ -867,3 +867,70 @@ def x52_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("dim") == 1, F.col("sq"))).alias("dim0_sum"),
         F.max(F.when(F.col("dim") == 2, F.col("sq"))).alias("dim1_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X53 — hard-negative mining: for each query vector, the top-k most
+# similar vectors with a DIFFERENT label — the contrastive-training
+# data prep step (hard negatives teach the margin; random negatives
+# are too easy). Same broadcast-query brute-force shape as x6 (the
+# exact-recall baseline; the IVF/LSH variants are the 100 TB scale
+# path) with the label-mismatch predicate pushed into the join, so
+# same-label pairs never reach the ranking window. Scoring is the
+# engine-exact quantized cosine (functions/vectors.py).
+# ---------------------------------------------------------------------------
+@register(
+    "x53_hard_negative_mining",
+    oracle=_CORPUS_SQL
+    + f"""
+    , scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             {V.cosine_sql(V.dot_sql_duckdb('q.qv', 'c.qv'), 'q.nq', 'c.nq')}
+               AS cos_sim
+      FROM normed q JOIN normed c
+        ON q.vec_id < {_N_QUERIES} AND c.label <> q.label
+    )
+    SELECT query_id, query_label, negative_id, negative_label,
+           cos_sim, rank
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos_sim DESC, negative_id)
+                   AS rank
+          FROM scored)
+    WHERE rank <= {_TOP_K}
+    """,
+)
+def x53_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = _corpus_spark(spark, sf_dir)
+    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("qv").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("qv").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    cos = V.cosine(V.dot_arrow("qa", "qb"), F.col("na"), F.col("nb"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("negative_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            cos.alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("negative_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= _TOP_K
+    )

@@ -813,3 +813,58 @@ def p10_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(idiv).alias("n_divided"),
         F.sum(idiv).cast("long").alias("sum_div"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S16 — fixed-width file roundtrip: the legacy voter-file format the
+# TSV loader's cousin must handle — no delimiters, columns are byte
+# ranges. Encode customer rows to a fixed layout (custkey 10,
+# name 25, signed cents 12, segment 10), write as a text source,
+# read back with spark.read.text and substring slicing, and prove
+# the parse lossless by aggregating the PARSED rows against the
+# oracle's direct aggregation of the source table — any column
+# misalignment or sign/padding bug shifts a slice and
+# hash-mismatches. Encode and parse are both map-side expression
+# work; the text source splits by line, so the format scans in
+# parallel like any delimited file.
+# ---------------------------------------------------------------------------
+@register(
+    "s16_fixed_width",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s16_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(
+        prefix="s16_fixed_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    path = os.path.join(out, "fixed")
+    cents = F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
+    line = F.concat(
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0"),
+        F.rpad("c_name", 25, " "),
+        F.lpad(cents.cast("string"), 12, " "),  # space-pad: sign survives
+        F.rpad("c_mktsegment", 10, " "),
+    )
+    t(spark, sf_dir, "customer").select(line.alias("value")).write.text(path)
+
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 10).cast("long").alias("c_custkey"),
+        F.rtrim(F.substring("value", 11, 25)).alias("c_name"),
+        F.trim(F.substring("value", 36, 12)).cast("long").alias("cents"),
+        F.rtrim(F.substring("value", 48, 10)).alias("c_mktsegment"),
+    )
+    return parsed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+    )

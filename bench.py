@@ -120,6 +120,10 @@ HEADLINE = [
     "x51_nucleus_selection",
     "x52_embedding_mean_pool",
     "a33_rolling_active_users",
+    "x53_hard_negative_mining",
+    "s16_fixed_width",
+    "a34_benford_first_digit",
+    "j16_interval_overlap_join",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -364,3 +364,11 @@ def test_span_corruption_is_map_side(spark, sf_dir):
     plan = _formatted_plan(spark, "x50_span_corruption", sf_dir)
     assert "Exchange" not in plan, plan[:2000]
     assert "pythonUDF" not in plan.lower(), plan[:2000]
+
+
+def test_interval_overlap_join_is_equi_on_months(spark, sf_dir):
+    # j16's intersection predicate must ride on a month-grid
+    # equi-join, never a nested-loop over the interval sets.
+    plan = _formatted_plan(spark, "j16_interval_overlap_join", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

@@ -796,3 +796,63 @@ def a32_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").isNull(),
     )
     return price.unionByName(domain).unionByName(notnull).unionByName(integrity)
+
+
+# ---------------------------------------------------------------------------
+# A34 — Benford first-digit screen: fraud/corruption forensics for
+# financial columns (organic magnitudes follow log-uniform leading
+# digits; fabricated or truncated feeds don't). One map-side
+# first-digit extraction + a 9-group aggregate, with the expected
+# Benford share in exact basis points (floor(log10 ratios
+# pre-computed as literals — no float logs cross engines).
+# ---------------------------------------------------------------------------
+_A34_BENFORD_BP = {d: int(10000 * __import__("math").log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+@register(
+    "a34_benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), e AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({d}, {bp})" for d, bp in _A34_BENFORD_BP.items())})
+        AS t(digit, expected_bp)
+    )
+    SELECT d.digit,
+           count(*) AS n,
+           count(*) * 10000 // (SELECT count(*) FROM d) AS observed_bp,
+           max(e.expected_bp) AS expected_bp
+    FROM d JOIN e ON d.digit = e.digit
+    GROUP BY d.digit
+    """,
+)
+def a34_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    total = d.count()  # driver scalar: one count, reused as a literal
+    e = t(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        list(_A34_BENFORD_BP.items()), "digit long, expected_bp long"
+    )
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(e), "digit")
+        .select(
+            "digit",
+            "n",
+            F.expr(f"n * 10000 div {total}").alias("observed_bp"),
+            "expected_bp",
+        )
+    )

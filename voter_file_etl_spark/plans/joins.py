@@ -702,3 +702,76 @@ def j15_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("pit_status") == F.col("o_orderstatus"), 1)
         ).alias("n_pit_consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J16 — interval-overlap join, month-grid blocked: two big interval
+# sets (derived deterministically from orders: priority-1 vs
+# priority-2 orders, each open for 1 + orderkey % 14 days) joined on
+# INTERSECTION — the concurrency/eligibility-window shape (who was
+# registered while the canvass ran). j13 blocks a scalar band; here
+# each interval explodes to the calendar months it touches (<= 2 for
+# these durations), the join is EQUI on month, the exact overlap
+# predicate (a.start <= b.end AND b.start <= a.end) filters, and a
+# DISTINCT collapses pairs that met in two shared months. Bounded
+# fan-out, no cartesian; per-side rows per month grid cell track
+# interval density, the right 100 TB knob (finer grid for denser
+# calendars).
+# ---------------------------------------------------------------------------
+@register(
+    "j16_interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_key, o_orderdate AS a_start,
+             o_orderdate + INTERVAL ((1 + o_orderkey % 14)) DAY AS a_end
+      FROM orders WHERE o_orderpriority LIKE '1%'
+    ), b AS (
+      SELECT o_orderkey AS b_key, o_orderdate AS b_start,
+             o_orderdate + INTERVAL ((1 + o_orderkey % 14)) DAY AS b_end
+      FROM orders WHERE o_orderpriority LIKE '2%'
+    )
+    SELECT a_key, count(*) AS n_overlaps, min(b_key) AS first_b
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    GROUP BY a_key
+    """,
+)
+def j16_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def side(prefix: str, k: str) -> DataFrame:
+        dur = 1 + F.col("o_orderkey") % 14
+        return orders.filter(
+            F.col("o_orderpriority").startswith(prefix)
+        ).select(
+            F.col("o_orderkey").alias(f"{k}_key"),
+            F.col("o_orderdate").cast("date").alias(f"{k}_start"),
+            F.expr(
+                "date_add(cast(o_orderdate as date),"
+                " cast(1 + o_orderkey % 14 as int))"
+            ).alias(f"{k}_end"),
+        )
+
+    def with_months(df: DataFrame, k: str) -> DataFrame:
+        midx = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(midx(f"{k}_start"), midx(f"{k}_end"))
+            ).alias("month_idx"),
+        )
+
+    a = with_months(side("1", "a"), "a")
+    b = with_months(side("2", "b"), "b")
+    pairs = (
+        a.join(b, "month_idx")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_key", "b_key")
+        .distinct()
+    )
+    return pairs.groupBy("a_key").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.min("b_key").alias("first_b"),
+    )

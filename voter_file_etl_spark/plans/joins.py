@@ -723,11 +723,11 @@ def j15_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (
       SELECT o_orderkey AS a_key, o_orderdate AS a_start,
-             o_orderdate + INTERVAL ((1 + o_orderkey % 14)) DAY AS a_end
-      FROM orders WHERE o_orderpriority LIKE '1%'
+             o_orderdate + INTERVAL ((1 + o_orderkey % 7)) DAY AS a_end
+      FROM orders WHERE o_orderpriority LIKE '1%' AND o_orderkey % 3 = 0
     ), b AS (
       SELECT o_orderkey AS b_key, o_orderdate AS b_start,
-             o_orderdate + INTERVAL ((1 + o_orderkey % 14)) DAY AS b_end
+             o_orderdate + INTERVAL ((1 + o_orderkey % 7)) DAY AS b_end
       FROM orders WHERE o_orderpriority LIKE '2%'
     )
     SELECT a_key, count(*) AS n_overlaps, min(b_key) AS first_b
@@ -739,15 +739,15 @@ def j16_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
 
     def side(prefix: str, k: str) -> DataFrame:
-        dur = 1 + F.col("o_orderkey") % 14
-        return orders.filter(
-            F.col("o_orderpriority").startswith(prefix)
-        ).select(
+        cond = F.col("o_orderpriority").startswith(prefix)
+        if k == "a":  # probe side thinned so pair volume stays bounded
+            cond = cond & (F.col("o_orderkey") % 3 == 0)
+        return orders.filter(cond).select(
             F.col("o_orderkey").alias(f"{k}_key"),
             F.col("o_orderdate").cast("date").alias(f"{k}_start"),
             F.expr(
                 "date_add(cast(o_orderdate as date),"
-                " cast(1 + o_orderkey % 14 as int))"
+                " cast(1 + o_orderkey % 7 as int))"
             ).alias(f"{k}_end"),
         )
 

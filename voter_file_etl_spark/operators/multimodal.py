@@ -845,3 +845,77 @@ def audio_frame_energy(media_df: DataFrame) -> DataFrame:
 def m12_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return audio_frame_energy(build_wav_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# M13 — scene-cut detection over the decoded VID0 clip: the video
+# curation primitive after decode (shot segmentation / keyframe
+# election keys on it). Per consecutive frame pair the decoder
+# reports the absolute brightness delta — exact integers from the
+# raw frames — and a frame is a CUT when its delta exceeds the
+# clip's mean delta (integer comparison via n*delta > sum_deltas,
+# no division). The oracle rebuilds every per-frame sum and delta
+# from the source text, so frame ordering inside the container is
+# under test (a swapped frame flips a delta sign somewhere).
+#
+# Scale: one Arrow-batched map pass; per-clip work is O(frames),
+# output bounded by frames-1 rows per doc.
+# ---------------------------------------------------------------------------
+def video_scene_cuts(media_df: DataFrame) -> DataFrame:
+    from voter_file_etl_spark.functions.codecs import parse_video_bytes
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "delta": [], "is_cut": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                frames = parse_video_bytes(bytes(payload), _IMG_N)
+                sums = [int(f.sum(dtype="int64")) for f in frames]
+                deltas = [abs(b - a) for a, b in zip(sums, sums[1:])]
+                tot = sum(deltas)
+                n = len(deltas)
+                for i, d in enumerate(deltas, start=1):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["delta"].append(d)
+                    out["is_cut"].append(n * d > tot)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run, "doc_id long, frame_idx int, delta long, is_cut boolean"
+    )
+
+
+@register(
+    "m13_video_scene_cuts",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, f.fi AS frame_idx,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_VID_N}),
+                               {_VID_N}, ' '),
+                          f.fi * {_IMG_N} + i, 1)) AS v
+      FROM documents,
+           (VALUES (0), (1), (2), (3)) AS f(fi),
+           unnest(range(1, {_IMG_N + 1})) AS r(i)
+    ), fs AS (
+      SELECT doc_id, frame_idx, sum(v) AS s
+      FROM px GROUP BY doc_id, frame_idx
+    ), d AS (
+      SELECT doc_id, frame_idx,
+             abs(s - lag(s) OVER (PARTITION BY doc_id ORDER BY frame_idx))
+               AS delta
+      FROM fs
+    ), dd AS (
+      SELECT doc_id, frame_idx, delta,
+             sum(delta) OVER (PARTITION BY doc_id) AS tot,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM d WHERE delta IS NOT NULL
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(delta AS BIGINT) AS delta,
+           n * delta > tot AS is_cut
+    FROM dd
+    """,
+)
+def m13_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return video_scene_cuts(build_vid_media(docs))

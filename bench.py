@@ -124,6 +124,7 @@ HEADLINE = [
     "s16_fixed_width",
     "a34_benford_first_digit",
     "j16_interval_overlap_join",
+    "m13_video_scene_cuts",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

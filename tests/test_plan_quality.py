@@ -300,6 +300,36 @@ def test_bfs_frontier_joins_are_equi(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_durable_checkpoint_knob(spark, sf_dir, tmp_path, monkeypatch):
+    # $SPARK_GRAFT_CHECKPOINT_DIR switches iter_checkpoint from
+    # executor-local localCheckpoint to durable reliable checkpoint()
+    # (VERDICT r3 #5). The toggled run must produce the identical BFS
+    # answer, actually write checkpoint data under the dir, and leave
+    # the downstream plan shape unchanged (scan of materialized rows —
+    # no cartesian, same equi-join discipline).
+    import os
+
+    from voter_file_etl_spark.session import CHECKPOINT_DIR_ENV
+
+    baseline = {
+        (r["node"], r["hops"])
+        for r in registry.QUERIES["g3_bfs_levels"](spark, sf_dir).collect()
+    }
+    ckpt = tmp_path / "ckpt"
+    monkeypatch.setenv(CHECKPOINT_DIR_ENV, str(ckpt))
+    durable = {
+        (r["node"], r["hops"])
+        for r in registry.QUERIES["g3_bfs_levels"](spark, sf_dir).collect()
+    }
+    assert durable == baseline
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "durable mode wrote nothing under the checkpoint dir"
+    plan = _formatted_plan(spark, "g3_bfs_levels", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
 def test_incremental_dedup_window_is_batch_side(spark, sf_dir):
     # x46 arbitrates within the incoming batch via a keyed window and
     # joins the corpus on the dedup key — no cartesian, and the

@@ -1,0 +1,60 @@
+"""Rotation-integrity gate for the driver correctness window.
+
+The driver oracle-checks only the FIRST 50 keys of
+``__spark_entry__.queries()`` per round, so every registered key must be
+explicitly placed in ``_CHECK_FIRST`` or ``_BACKFILL`` exactly once —
+an unplaced key silently sorts into an arbitrary position and can
+overflow past the window unnoticed (this happened to 13 keys in round
+3, VERDICT r3 "Next round" #4). These tests fail the suite the moment
+a new registry key lands without a rotation slot.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+from voter_file_etl_spark import registry
+
+
+# Keys whose registration is environment-conditional: they must still
+# hold a rotation slot (for environments where they register), but
+# their absence from the local registry is not a phantom entry.
+_ENV_GATED = {"st15_transform_with_state"}
+
+
+def _registry_keys() -> set[str]:
+    registry.load_all()
+    return set(registry.QUERIES)
+
+
+def test_every_registry_key_is_placed_exactly_once():
+    head = entry_mod._CHECK_FIRST
+    backfill = entry_mod._BACKFILL
+    placed = head + backfill
+    dupes = {k for k in placed if placed.count(k) > 1}
+    assert not dupes, f"keys placed more than once: {sorted(dupes)}"
+    keys = _registry_keys()
+    unplaced = keys - set(placed)
+    assert not unplaced, (
+        f"registry keys with no rotation slot (add to _CHECK_FIRST so the "
+        f"driver checks them, or _BACKFILL if already green): {sorted(unplaced)}"
+    )
+    phantom = set(placed) - keys - _ENV_GATED
+    assert not phantom, f"rotation lists name unregistered keys: {sorted(phantom)}"
+
+
+def test_window_head_is_exactly_the_check_first_block():
+    ordered = list(entry_mod.queries())
+    assert ordered[: len(entry_mod._CHECK_FIRST)] == [
+        k for k in entry_mod._CHECK_FIRST if k in _registry_keys()
+    ]
+
+
+def test_check_first_holds_the_driver_window():
+    # The driver checks 50 keys/round; a _CHECK_FIRST longer than 50
+    # silently pushes its own tail outside the window.
+    assert len(entry_mod._CHECK_FIRST) <= 50

@@ -1152,7 +1152,11 @@ def x46_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000, concat(text, ' zz')
+      -- planted duplicates take ids from the negative range, which no
+      -- genuine doc_id (>= 0) can occupy at ANY scale factor; an
+      -- additive offset like +1000000 would silently collide past 1M
+      -- rows
+      SELECT -doc_id - 1, concat(text, ' zz')
       FROM documents WHERE doc_id % 20 = 0
     ), keyed AS (
       SELECT doc_id, length(text) AS n_chars,
@@ -1176,8 +1180,10 @@ def x48_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Synthetic ids from the negative range (-doc_id - 1): out-of-band
+    # for every scale factor, unlike an additive offset.
     dups = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat("text", F.lit(" zz")).alias("text"),
     )
     keyed = docs.unionByName(dups).select(

@@ -73,6 +73,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 from pyspark.sql import SparkSession
 
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import iter_checkpoint
 from voter_file_etl_spark.tables import t
 
 
@@ -242,9 +243,10 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nests every previous round (union-of-anti-join-of-union...), and
 # Spark re-executes the whole prefix per round — measured 29 s at
 # sf0.1 vs ~3 s truncated. This is the same per-superstep
-# materialization Pregel/GraphX does; on a multi-node cluster the
-# durable variant is checkpoint() to the cluster FS (localCheckpoint
-# blocks live on executors and do not survive executor loss).
+# materialization Pregel/GraphX does. session.iter_checkpoint is the
+# truncation point: localCheckpoint by default (executor-local blocks,
+# fastest), or durable checkpoint() to $SPARK_GRAFT_CHECKPOINT_DIR so
+# rounds survive executor loss on a real cluster (VERDICT r3 #5).
 # ---------------------------------------------------------------------------
 _G3_MAX_LVL = 6
 
@@ -287,7 +289,7 @@ def g3_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("dst"),
         )
-        .localCheckpoint()
+        .transform(iter_checkpoint)
     )
     seed = edges.sparkSession.createDataFrame([(1, 0)], "node long, hops long")
     dist = seed
@@ -307,7 +309,7 @@ def g3_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         new = (
             nxt.join(dist, "node", "left_anti")
             .withColumn("hops", F.lit(lvl).cast("long"))
-            .localCheckpoint()  # eager: truncate the round's lineage
+            .transform(iter_checkpoint)  # eager: truncate round lineage
         )
         dist = dist.unionByName(new)
         frontier = new.select("node")

@@ -841,7 +841,10 @@ def a34_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("digit")
         )
     )
-    total = d.count()  # driver scalar: one count, reused as a literal
+    # In-plan scalar: the corpus total rides along as a broadcast 1-row
+    # aggregate (same discipline as a33) — no eager driver-side count at
+    # plan-build time, so the scan cost lands in execution, not setup.
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
     e = t(spark, sf_dir, "orders").sparkSession.createDataFrame(
         list(_A34_BENFORD_BP.items()), "digit long, expected_bp long"
     )
@@ -849,10 +852,11 @@ def a34_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
         .join(F.broadcast(e), "digit")
+        .crossJoin(F.broadcast(tot))
         .select(
             "digit",
             "n",
-            F.expr(f"n * 10000 div {total}").alias("observed_bp"),
+            F.expr("n * 10000 div total").alias("observed_bp"),
             "expected_bp",
         )
     )

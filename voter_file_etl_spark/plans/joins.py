@@ -707,7 +707,7 @@ def j15_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # J16 — interval-overlap join, month-grid blocked: two big interval
 # sets (derived deterministically from orders: priority-1 vs
-# priority-2 orders, each open for 1 + orderkey % 14 days) joined on
+# priority-2 orders, each open for 1 + orderkey % 7 days) joined on
 # INTERSECTION — the concurrency/eligibility-window shape (who was
 # registered while the canvass ran). j13 blocks a scalar band; here
 # each interval explodes to the calendar months it touches (<= 2 for

@@ -16,14 +16,34 @@ overwrite itself.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
+
+# Every scratch dir this module creates (pristine LogTable builds and
+# the per-query work/mutable-copy dirs) is registered here and removed
+# at interpreter exit, so long sessions don't accumulate TMPDIR litter.
+_TMPDIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix, dir=os.environ.get("TMPDIR", "/tmp"))
+    _TMPDIRS.append(d)
+    return d
+
+
+@atexit.register
+def _cleanup_tmpdirs() -> None:
+    for d in _TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @register(
@@ -175,8 +195,11 @@ _L7_N_BATCHES = 4
 # it once per session is the same fixture-reuse policy as the
 # bucketed-join tables (j9) — the registered queries then time the
 # operation under test (time travel, CDC, vacuum, ...), not the
-# repeated construction of their shared input.
+# repeated construction of their shared input. Builds are serialized
+# by _LOGTABLE_LOCK so concurrent callers can't race to build twice
+# and orphan one copy; dirs are atexit-cleaned via _tmpdir.
 _LOGTABLE_CACHE: dict[tuple[str, str], str] = {}
+_LOGTABLE_LOCK = threading.Lock()
 
 
 def _build_logtable(spark: SparkSession, sf_dir: str, work: str, mutable: bool = False):
@@ -192,30 +215,27 @@ def _build_logtable(spark: SparkSession, sf_dir: str, work: str, mutable: bool =
         )
 
     cache_key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    pristine = _LOGTABLE_CACHE.get(cache_key)
-    if pristine is None or not os.path.isdir(os.path.join(pristine, "_log")):
-        cache_work = tempfile.mkdtemp(
-            prefix="logtable_cache_", dir=os.environ.get("TMPDIR", "/tmp")
-        )
-        events = t(spark, sf_dir, "events").select(
-            "event_id",
-            F.unix_micros("ts").alias("us"),
-            "user_id",
-            "event_type",
-            "value",
-        )
-        table = attach(os.path.join(cache_work, "table"))
-        for i in range(_L7_N_BATCHES):
-            table.merge(
-                events.filter(F.col("event_id") % _L7_N_BATCHES == i), cache_work
+    with _LOGTABLE_LOCK:
+        pristine = _LOGTABLE_CACHE.get(cache_key)
+        if pristine is None or not os.path.isdir(os.path.join(pristine, "_log")):
+            cache_work = _tmpdir("logtable_cache_")
+            events = t(spark, sf_dir, "events").select(
+                "event_id",
+                F.unix_micros("ts").alias("us"),
+                "user_id",
+                "event_type",
+                "value",
             )
-        pristine = table.root
-        _LOGTABLE_CACHE[cache_key] = pristine
+            table = attach(os.path.join(cache_work, "table"))
+            for i in range(_L7_N_BATCHES):
+                table.merge(
+                    events.filter(F.col("event_id") % _L7_N_BATCHES == i), cache_work
+                )
+            pristine = table.root
+            _LOGTABLE_CACHE[cache_key] = pristine
     if mutable:
         # Mutating queries (delete/vacuum) get their own copy so the
         # shared pristine build is never perturbed.
-        import shutil
-
         root = os.path.join(work, "table")
         shutil.copytree(pristine, root)
         return attach(root)
@@ -237,7 +257,7 @@ def _build_logtable(spark: SparkSession, sf_dir: str, work: str, mutable: bool =
     """,
 )
 def l7_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="l7_logtable_", dir=os.environ.get("TMPDIR", "/tmp"))
+    work = _tmpdir("l7_logtable_")
     table = _build_logtable(spark, sf_dir, work)
     return table.snapshot().select(
         "user_id",
@@ -276,7 +296,7 @@ def l7_txn_log_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="l8_travel_", dir=os.environ.get("TMPDIR", "/tmp"))
+    work = _tmpdir("l8_travel_")
     table = _build_logtable(spark, sf_dir, work)
     per_version = [
         table.snapshot(v)
@@ -321,7 +341,7 @@ def l8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l9_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="l9_gdpr_", dir=os.environ.get("TMPDIR", "/tmp"))
+    work = _tmpdir("l9_gdpr_")
     table = _build_logtable(spark, sf_dir, work, mutable=True)
     subjects = (
         t(spark, sf_dir, "events")
@@ -377,7 +397,7 @@ _L6_SMALL_TASKS = 40
 def l6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
 
-    base = tempfile.mkdtemp(prefix="l6_compact_", dir=os.environ.get("TMPDIR", "/tmp"))
+    base = _tmpdir("l6_compact_")
     small = os.path.join(base, "small")
     compact = os.path.join(base, "compact")
 
@@ -517,7 +537,7 @@ def l10_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l11_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="l11_cdc_", dir=os.environ.get("TMPDIR", "/tmp"))
+    work = _tmpdir("l11_cdc_")
     table = _build_logtable(spark, sf_dir, work)
     out = None
     for v in range(table.latest_version() + 1):
@@ -653,7 +673,7 @@ def l12_zorder_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l13_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    work = tempfile.mkdtemp(prefix="l13_view_", dir=os.environ.get("TMPDIR", "/tmp"))
+    work = _tmpdir("l13_view_")
     table = _build_logtable(spark, sf_dir, work)
     n_versions = table.latest_version() + 1
 
@@ -724,7 +744,7 @@ def l13_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l15_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="l15_vac_", dir=os.environ.get("TMPDIR", "/tmp"))
+    work = _tmpdir("l15_vac_")
     table = _build_logtable(spark, sf_dir, work, mutable=True)
     before = table.snapshot().count()
     table.vacuum()

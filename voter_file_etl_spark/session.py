@@ -21,6 +21,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Durable-checkpoint knob for iterative operators (VERDICT r3 #5).
+# Unset (default): per-round lineage truncation uses localCheckpoint —
+# blocks live on executor local storage, zero distributed-FS traffic,
+# but a lost executor loses its blocks and fails the job. Set to a
+# cluster-visible path (HDFS/S3/NFS) and every iterative operator
+# (g3 BFS rounds, and anything else calling iter_checkpoint) switches
+# to durable reliable checkpointing that survives executor loss, at
+# the cost of one checkpoint-FS write per round.
+CHECKPOINT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def iter_checkpoint(df):
+    """Eagerly truncate an iterative algorithm's per-round lineage.
+
+    The plan shape of the consuming operator is identical either way —
+    downstream sees a leaf scan of materialized blocks; only WHERE the
+    blocks live (executor-local vs checkpoint FS) changes.
+    """
+    ckpt_dir = os.environ.get(CHECKPOINT_DIR_ENV)
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
 
 def get_spark(
     app_name: str = "voter_file_etl_spark",

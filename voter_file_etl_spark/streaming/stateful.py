@@ -523,14 +523,14 @@ def st15_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    # Update mode emits once per key per batch it appears in; the
-    # final state is the componentwise max (all components monotone).
+    # Update mode emits once per key per batch it appears in; the final
+    # state is the LAST emission. n_events grows by >=1 per emission, so
+    # max over the whole struct (field order: n_events first) selects
+    # that emission atomically — no reliance on the other columns being
+    # monotone (sum_cents could shrink if values were negative).
     return (
         spark.table("st15_stream_out")
         .groupBy("user_id", "event_type")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("sum_cents").alias("sum_cents"),
-            F.max("max_us").alias("max_us"),
-        )
+        .agg(F.max(F.struct("n_events", "sum_cents", "max_us")).alias("s"))
+        .select("user_id", "event_type", "s.n_events", "s.sum_cents", "s.max_us")
     )

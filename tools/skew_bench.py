@@ -4,10 +4,10 @@ The TPC-H-ish testdata joins on near-uniform keys, so j8's salt never
 actually fights real skew (VERDICT r3 #6). This harness PLANTS the
 pathology: a fact table derived from sf0.1 lineitem in which one key
 ("the CA of the voter file") absorbs every 100th order's lineitems,
-amplified x100 — the hot key ends up holding ~50% of the fact
-(~600k of ~1.2M rows), i.e. five orders of magnitude above the
-median key's 4 rows. At 100 TB the same shape is a few hundred GB
-landing on ONE reducer: the straggler that defines job wall-clock.
+amplified x1000 — the hot key ends up holding ~6.0M of ~6.6M fact
+rows, six orders of magnitude above the median key's 4. At 100 TB
+the same shape is a few hundred GB landing on ONE reducer: the
+straggler that defines job wall-clock.
 
 Four strategies over the identical join + aggregate:
 

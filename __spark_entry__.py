@@ -63,6 +63,10 @@ _BACKFILL = [
     "w10_gaps_islands", "w11_resample_ffill", "w12_cumulative_distinct",
     "t10_stem_stopword", "t12_hash_encode", "t13_date_arith",
     "j12_full_outer_join",
+    # -- registered in round 4, never driver-checked: part of the
+    # round-5 front block above (16 + these still fit one window) --
+    "x54_reservoir_sample", "j17_knn_join", "g4_connected_components",
+    "x55_embedding_outlier",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -125,6 +125,12 @@ HEADLINE = [
     "a34_benford_first_digit",
     "j16_interval_overlap_join",
     "m13_video_scene_cuts",
+    # round-4 additions: exact-k hash reservoir, radius-bounded kNN
+    # join, convergence-loop components, centroid outlier screen
+    "x54_reservoir_sample",
+    "j17_knn_join",
+    "g4_connected_components",
+    "x55_embedding_outlier",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -330,6 +330,33 @@ def test_durable_checkpoint_knob(spark, sf_dir, tmp_path, monkeypatch):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_reservoir_sample_is_take_ordered(spark, sf_dir):
+    # x54's exactly-k-by-hash-rank must plan TakeOrderedAndProject
+    # (per-partition local k + driver merge of partitions*k rows) —
+    # a global Sort before the limit would shuffle the whole corpus.
+    plan = _formatted_plan(spark, "x54_reservoir_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Exchange rangepartitioning" not in plan, plan[:2000]
+
+
+def test_knn_join_is_blocked_equi(spark, sf_dir):
+    # j17's candidate generation must be the bounded 9x grid-cell
+    # equi-join (same blocking as j10), ranked by a per-probe window —
+    # never a cartesian distance join.
+    plan = _formatted_plan(spark, "j17_knn_join", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
+
+
+def test_embedding_outlier_centroids_broadcast(spark, sf_dir):
+    # x55 joins the O(labels) centroid table back to the corpus — that
+    # side must broadcast; re-shuffling the corpus for a 10-row dim
+    # would be the 100 TB mistake.
+    plan = _formatted_plan(spark, "x55_embedding_outlier", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
 def test_incremental_dedup_window_is_batch_side(spark, sf_dir):
     # x46 arbitrates within the incoming batch via a keyed window and
     # joins the corpus on the dedup key — no cartesian, and the

@@ -24,9 +24,24 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     Returns (node, component) for every node appearing in ``edges``,
     where component is the minimum node id reachable from the node.
     ``edges`` is persisted internally (it feeds every iteration).
+
+    Two disciplines make this safe on ARBITRARY graphs, not just the
+    star/short-chain components near-dup clustering produces:
+
+    - every round's labels are eagerly truncated via
+      session.iter_checkpoint — without it the round-k plan nests all
+      previous rounds and the driver OOMs BUILDING THE PLAN STRING
+      around round ~15 (observed: AQE's onUpdatePlan explainString at
+      sf0.01 on the co-purchase graph), long before any data limit;
+    - each round combines neighbor-min with a POINTER-JUMP
+      (label <- label of my label), so convergence is O(log diameter)
+      rounds instead of O(eccentricity of the min node) — a 1M-hop
+      path chain converges in ~20 rounds, not 1M.
     """
+    from voter_file_etl_spark.session import iter_checkpoint
+
     edges = edges.select("src", "dst").persist()
-    labels = (
+    labels = iter_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
@@ -35,11 +50,24 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         nbr = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        merged = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+        )
+        # Pointer jump: every label value is itself a node (labels
+        # start as self-ids and only min-combine), so label-of-label
+        # is a total equi-join — the hop that halves path lengths.
+        hop = merged.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        new_labels = iter_checkpoint(
+            merged.join(hop, merged.label == hop.l_node, "left").select(
+                "node",
+                F.least(
+                    "label", F.coalesce("l_label", "label")
+                ).alias("label"),
+            )
         )
         changed = (
             new_labels.alias("n")
@@ -314,3 +342,67 @@ def g3_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(new)
         frontier = new.select("node")
     return dist
+
+
+# ---------------------------------------------------------------------------
+# G4 — connected components as a first-class query: the min-label
+# propagation library op (connected_components above, the engine
+# x17/x26 cluster on) run over the g2 co-purchase graph (parts
+# co-ordered in >= 2 distinct orders, symmetrized). Unlike g1/g3's
+# fixed unrolled rounds, this exercises the CONVERGENCE loop: rounds
+# run until a round changes no label (bounded by max_iter), the
+# iterate-until-fixpoint shape of real component finding.
+#
+# Scale: each round is one equi-join + min-aggregate keyed on node;
+# the convergence probe is a limit(1).count() — O(1) rows to the
+# driver, not the labels. Oracle: DuckDB recursive CTE computes full
+# reachability (node, reachable) with set-dedup termination and takes
+# min(reachable) per node — exact for the thresholded graph size.
+# ---------------------------------------------------------------------------
+@register(
+    "g4_connected_components",
+    oracle="""
+    WITH RECURSIVE pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), e AS (
+      SELECT s, d FROM e0 UNION ALL SELECT d, s FROM e0
+    ), reach(node, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT reach.node, e.d FROM reach JOIN e ON e.s = reach.r
+    )
+    SELECT node, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def g4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e0 = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return connected_components(edges).select(
+        "node", F.col("component").cast("long").alias("component")
+    )

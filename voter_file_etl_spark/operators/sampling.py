@@ -456,3 +456,43 @@ def x51_nucleus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").cast("long").alias("tokens_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X54 — deterministic reservoir sample: EXACTLY k documents, uniform
+# over the corpus, stable across runs/engines/parallelism. Classic
+# reservoir sampling is sequential; the distributed equivalent is
+# rank-by-random-key and take the k smallest — here the "random" key
+# is md5(doc_id), so the reservoir is content-addressed instead of
+# RNG-seeded (re-running over a grown corpus keeps every surviving
+# doc's key, the property incremental curation needs). x13's hash
+# sample fixes the RATE; this fixes the COUNT.
+#
+# Scale: plans as TakeOrderedAndProject — each partition keeps its
+# local k smallest keys, the driver merges O(partitions * k) rows;
+# no global sort, no full shuffle (gated in test_plan_quality).
+# ---------------------------------------------------------------------------
+_X54_K = 100
+
+
+@register(
+    "x54_reservoir_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS rk
+    FROM documents
+    ORDER BY rk, doc_id
+    LIMIT {_X54_K}
+    """,
+)
+def x54_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("rk"),
+        )
+        .orderBy("rk", "doc_id")
+        .limit(_X54_K)
+    )

@@ -934,3 +934,96 @@ def x53_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= _TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# X55 — embedding outlier filter: per label, flag the 3 vectors
+# farthest from the label centroid — mislabeled / garbage-embedding
+# screening before contrastive training (the vector-side sibling of
+# x9's text quality score). Exact-integer discipline end to end:
+# with per-label count n and per-dimension quantized sums S, the
+# centroid-distance ranking uses the n²-scaled squared distance
+#   score = n²·‖q‖² − 2n·(q·S) + ‖S‖²  ( = ‖n·q − S‖², all int64 )
+# so no float division or mean ever crosses engines and shuffle
+# order cannot move a rank.
+#
+# Scale: per-dimension sums via posexplode + (label, pos) partial
+# aggregation — one shuffle of |V|·dim skinny rows with map-side
+# combine; the O(labels) centroid table broadcasts back and scoring
+# is map-side; final top-3 is a per-label window over pre-filtered
+# rows. No all-pairs anything.
+# ---------------------------------------------------------------------------
+_X55_TOP = 3
+
+
+@register(
+    "x55_embedding_outlier",
+    oracle=f"""
+    WITH normed AS (
+      SELECT vec_id, label,
+             {V.quantize_sql_duckdb('embedding')} AS qv
+      FROM embeddings
+    ), nn AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM normed GROUP BY label
+    ), dims AS (
+      SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS s
+      FROM normed, range(1, {_DIM} + 1) rng(i)
+      GROUP BY label, i
+    ), cent AS (
+      SELECT label, list(s ORDER BY i) AS sv FROM dims GROUP BY label
+    ), scored AS (
+      SELECT v.vec_id, v.label, nn.n,
+             nn.n * nn.n * {V.sq_norm_sql_duckdb('qv')}
+               - 2 * nn.n * {V.dot_sql_duckdb('qv', 'sv')}
+               + {V.sq_norm_sql_duckdb('sv')} AS score
+      FROM normed v JOIN cent USING (label) JOIN nn USING (label)
+    )
+    SELECT label, vec_id, score, n
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY label
+                ORDER BY score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {_X55_TOP}
+    """,
+)
+def x55_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    normed = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", V.quantize("embedding").alias("qv"))
+    )
+    dims = (
+        normed.select("label", F.posexplode("qv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    cent = (
+        dims.groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))), x -> x.s)"
+            ).alias("sv")
+        )
+    )
+    nn = normed.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        normed.join(F.broadcast(cent), "label")
+        .join(F.broadcast(nn), "label")
+        .select(
+            "label",
+            "vec_id",
+            "n",
+            (
+                F.col("n") * F.col("n") * V.sq_norm("qv")
+                - 2 * F.col("n") * V.dot("qv", "sv")
+                + V.sq_norm("sv")
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X55_TOP)
+        .select("label", "vec_id", "score", "n")
+    )

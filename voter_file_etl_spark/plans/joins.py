@@ -775,3 +775,103 @@ def j16_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlaps"),
         F.min("b_key").alias("first_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J17 — k-nearest-neighbor spatial join within a radius: for every
+# probe point (each 5th customer on the j10 synthetic city grid),
+# the k=3 nearest neighbors among ALL points no farther than
+# _SPAT_KM, ranked by exact haversine. The "match each voter to the
+# 3 closest polling places / canvass targets" shape.
+#
+# Exactness argument (same as j10, enforced there by
+# test_spatial_expansion_is_bounded_9x): grid cells are 7 x 0.001deg
+# ~ 0.778 km lat x 0.596 km lon at 40N, both > _SPAT_KM = 0.55, so
+# every true neighbor within the radius lies in the probe's 3x3 cell
+# neighborhood — blocked candidate generation is lossless, and the
+# per-probe top-3 window over candidates equals the global kNN
+# truncated at the radius.
+#
+# Scale: candidates = bounded 9x cell fan-out equi-join (no
+# cartesian); ranking = one window per probe key over a handful of
+# candidates. Ties (symmetric grid points at equal distance) break
+# on neighbor id, so results are total-ordered in both engines.
+# ---------------------------------------------------------------------------
+_KNN_K = 3
+
+
+@register(
+    "j17_knn_join",
+    oracle=f"""
+    WITH coords AS (
+      {_spatial_coords_sql("duckdb")}
+    ), probes AS (
+      SELECT * FROM coords WHERE id % 5 = 0
+    ), expanded AS (
+      SELECT p.id, p.lat, p.lon, p.cx + dx.d AS jx, p.cy + dy.d AS jy
+      FROM probes p,
+           (VALUES (-1), (0), (1)) AS dx(d),
+           (VALUES (-1), (0), (1)) AS dy(d)
+    ), cand AS (
+      SELECT a.id AS probe_id, b.id AS neighbor_id,
+             round({_HAV_KM.format(lat1="a.lat", lon1="a.lon",
+                                   lat2="b.lat", lon2="b.lon")}, 6) AS dist_km
+      FROM expanded a JOIN coords b ON a.jx = b.cx AND a.jy = b.cy
+      WHERE a.id <> b.id
+    ), ranked AS (
+      SELECT probe_id, neighbor_id, dist_km,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY dist_km, neighbor_id) AS rn
+      FROM cand WHERE dist_km <= {_SPAT_KM}
+    )
+    SELECT probe_id, neighbor_id, dist_km, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_KNN_K}
+    """,
+)
+def j17_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    customer = t(spark, sf_dir, "customer")
+    li = F.col("c_custkey") % 400
+    lj = F.expr("(c_custkey div 400) % 400")
+    coords = customer.select(
+        F.col("c_custkey").alias("id"),
+        (F.expr(f"{_GRID_LAT0}D") + li.cast("double") * F.expr("0.001D")).alias("lat"),
+        (F.expr(f"{_GRID_LON0}D") + lj.cast("double") * F.expr("0.001D")).alias("lon"),
+        F.expr("(c_custkey % 400) div 7").alias("cx"),
+        F.expr("((c_custkey div 400) % 400) div 7").alias("cy"),
+    )
+    offsets = F.expr("explode(sequence(-1, 1))")
+    probes = (
+        coords.filter(F.col("id") % 5 == 0)
+        .select("id", "lat", "lon", "cx", "cy", offsets.alias("dx"))
+        .select("id", "lat", "lon", "cx", "cy", "dx", offsets.alias("dy"))
+        .select(
+            F.col("id").alias("probe_id"),
+            F.col("lat").alias("lat1"),
+            F.col("lon").alias("lon1"),
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+        )
+    )
+    pool = coords.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    km = F.round(
+        F.expr(_HAV_KM.format(lat1="lat1", lon1="lon1", lat2="lat2", lon2="lon2")), 6
+    )
+    cand = (
+        probes.join(pool, ["jx", "jy"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "neighbor_id", km.alias("dist_km"))
+        .filter(F.col("dist_km") <= _SPAT_KM)
+    )
+    w = W.partitionBy("probe_id").orderBy("dist_km", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _KNN_K)
+    )

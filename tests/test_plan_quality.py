@@ -357,6 +357,24 @@ def test_embedding_outlier_centroids_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_targeted_salt_profile_is_broadcast(spark, sf_dir):
+    # j18's hot-key set must reach both join sides as a broadcast
+    # (it's O(heavy keys)); the final fact-dim join stays an equi-join
+    # on (key, salt) — no cartesian anywhere.
+    plan = _formatted_plan(spark, "j18_skew_salted_join", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_ngram_novelty_is_anti_join(spark, sf_dir):
+    # x56's vocabulary check must plan as a (left anti / aggregated)
+    # equi-join keyed on the shingle — never a cartesian containment
+    # scan.
+    plan = _formatted_plan(spark, "x56_ngram_novelty", sf_dir)
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
 def test_incremental_dedup_window_is_batch_side(spark, sf_dir):
     # x46 arbitrates within the incoming batch via a keyed window and
     # joins the corpus on the dedup key — no cartesian, and the

@@ -1208,3 +1208,78 @@ def x48_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_members").cast("long").alias("n_members"),
         (F.col("n_members") - 1).cast("long").alias("n_discarded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X56 — n-gram novelty: the MEASUREMENT side of decontamination.
+# x22/x29 remove train docs that leak into eval; this scores, per
+# held-out document, how much of it the training split has already
+# seen — the shingle-overlap novelty metric run before accepting an
+# eval set (or after a crawl refresh, to see what's actually new).
+# Split is deterministic (doc_id % 10: 0-7 train, 8-9 val); score is
+# the fraction of the val doc's DISTINCT word 3-shingles absent from
+# the train shingle vocabulary, as an integer percentage.
+#
+# Scale: train vocabulary = one distinct on exploded shingles
+# (linear, map-side pre-aggregated); the novelty check is a LEFT
+# ANTI equi-join on the shingle string — shuffle-partitionable by
+# shingle, never all-pairs, O(corpus tokens) end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "x56_ngram_novelty",
+    oracle="""
+    WITH tr AS (
+      SELECT DISTINCT g
+      FROM (
+        SELECT unnest(list_distinct(list_transform(range(1, len(arr) - 1),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))) AS g
+        FROM (SELECT str_split(text, ' ') AS arr
+              FROM documents WHERE doc_id % 10 < 8)
+      )
+    ), v AS (
+      SELECT doc_id, unnest(shingles) AS g
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(arr) - 1),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingles
+        FROM (SELECT doc_id, str_split(text, ' ') AS arr
+              FROM documents WHERE doc_id % 10 >= 8)
+      )
+    )
+    SELECT v.doc_id,
+           count(*) AS n_shingles,
+           CAST(count(*) FILTER (tr.g IS NULL) AS BIGINT) AS n_novel,
+           CAST(100 * count(*) FILTER (tr.g IS NULL) // count(*) AS BIGINT)
+             AS novelty_pct
+    FROM v LEFT JOIN tr ON v.g = tr.g
+    GROUP BY v.doc_id
+    """,
+)
+def x56_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 < 8)
+    val = docs.filter(F.col("doc_id") % 10 >= 8)
+    tr_vocab = (
+        shingle3(train)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    v = shingle3(val).select("doc_id", F.explode("shingles").alias("g"))
+    novel = (
+        v.join(tr_vocab, "g", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        v.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "cast(100 * coalesce(n_novel, 0) div n_shingles as bigint)"
+            ).alias("novelty_pct"),
+        )
+    )

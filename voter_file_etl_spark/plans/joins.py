@@ -875,3 +875,87 @@ def j17_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _KNN_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# J18 — PROFILED (targeted) salted join: j8 salts every key, which
+# pays the xSALT dim inflation on the whole table; the measured
+# verdict (tools/skew_bench.py, SCALE.md §11) is that blanket salting
+# REGRESSES under mild skew while targeted salting always wins. This
+# operator is the production form: a first pass profiles the fact's
+# key histogram (a27's job), keys at/above _J18_HOT_MIN events
+# become the hot set (a bounded broadcast), and ONLY those keys get
+# fact-side salts + dim-side explosion — cold keys join untouched
+# with salt 0. Results are exactly the plain join's (the oracle), by
+# construction.
+#
+# Scale: profile = one partial+final count per key (map-side
+# combine); hot set is O(heavy keys) — broadcast; dim inflation is
+# O(hot x SALT) rows instead of O(|dim| x SALT). The salt spreads
+# each hot key over SALT reducers.
+# ---------------------------------------------------------------------------
+_J18_HOT_MIN = 80  # events-per-user at/above this => salted (max ~99)
+_J18_SALT = 8
+
+
+@register(
+    "j18_skew_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j18_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("cast(floor(value * 100 + 0.5d) as bigint)").alias("cents"),
+    )
+    hot = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _J18_HOT_MIN)
+        .select(F.col("user_id").alias("hot_id"))
+    )
+    fact = ev.join(
+        F.broadcast(hot), ev.user_id == F.col("hot_id"), "left"
+    ).select(
+        "user_id",
+        "cents",
+        F.when(
+            F.col("hot_id").isNotNull(), F.pmod("event_id", F.lit(_J18_SALT))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = (
+        cust.join(F.broadcast(hot), cust.c_custkey == F.col("hot_id"), "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.explode(
+                F.when(
+                    F.col("hot_id").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(_J18_SALT - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ).alias("salt"),
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return (
+        fact.join(
+            dim,
+            (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )

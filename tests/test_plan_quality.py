@@ -375,6 +375,15 @@ def test_ngram_novelty_is_anti_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_phash_near_dup_pairs_on_bands(spark, sf_dir):
+    # m14's candidate pairs must come from the (band_idx, band_value)
+    # equi-join over DISTINCT hashes — no cartesian, and the join keys
+    # include the band columns.
+    plan = _formatted_plan(spark, "m14_phash_near_dup", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "bv" in plan, plan[:2000]
+
+
 def test_incremental_dedup_window_is_batch_side(spark, sf_dir):
     # x46 arbitrates within the incoming batch via a keyed window and
     # joins the corpus on the dedup key — no cartesian, and the

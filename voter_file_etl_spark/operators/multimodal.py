@@ -919,3 +919,107 @@ def video_scene_cuts(media_df: DataFrame) -> DataFrame:
 def m13_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return video_scene_cuts(build_vid_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# M14 — perceptual-hash NEAR-dup join: m7 groups EXACT phash matches;
+# this finds images whose 24-bit gradient hashes differ by a few bits
+# (re-encodes, small edits) — the image-side sibling of x2's MinHash
+# text dedup, and the same scale discipline: band the hash, equi-join
+# on (band_idx, band_value), verify with bit_count(xor). Four 6-bit
+# bands over the 24-bit hash guarantee (pigeonhole) that every pair
+# at hamming <= 3 shares a band — banded recall is EXACT for the
+# threshold, not probabilistic. Every 25th document plants a
+# corner-cell perturbation: the corner participates in exactly 2
+# gradient comparisons, so planted pairs sit at hamming <= 2 and are
+# provably caught.
+#
+# The pair space is DISTINCT HASHES, not documents: hashes collapse
+# first (n_docs per hash rides along), so a million copies of one
+# image cost one group row, and candidate volume is bounded by
+# distinct-hash band collisions. Per-payload hashing itself is m7's
+# Arrow mapInPandas path (real decode, no shuffle).
+# ---------------------------------------------------------------------------
+_M14_BANDS = 4
+_M14_BAND_BITS = 6
+_M14_HAM_MAX = 3
+_M14_BASE = 7000000
+_M14_RASTER_SQL = (
+    f"rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}), {_IMG_N}, ' ')"
+)
+
+
+@register(
+    "m14_phash_near_dup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, {_M14_RASTER_SQL} AS t FROM documents
+      UNION ALL
+      SELECT doc_id + {_M14_BASE},
+             concat(substr({_M14_RASTER_SQL}, 1, {_IMG_N - 3}), '~',
+                    substr({_M14_RASTER_SQL}, {_IMG_N - 1}, 2)) AS t
+      FROM documents WHERE doc_id % 25 = 0
+    ), hashed AS (
+      SELECT doc_id, {_phash_bits_sql()} AS phash FROM corpus
+    ), groups AS (
+      SELECT phash, CAST(count(*) AS BIGINT) AS n_docs FROM hashed GROUP BY phash
+    ), bands AS (
+      SELECT phash, i,
+             (phash >> ({_M14_BAND_BITS} * i)) & {(1 << _M14_BAND_BITS) - 1} AS bv
+      FROM groups, range(0, {_M14_BANDS}) rng(i)
+    ), cand AS (
+      SELECT DISTINCT a.phash AS p1, b.phash AS p2
+      FROM bands a JOIN bands b ON a.i = b.i AND a.bv = b.bv AND a.phash < b.phash
+    )
+    SELECT p1, p2,
+           CAST(bit_count(xor(p1, p2)) AS BIGINT) AS hamming,
+           g1.n_docs AS n_docs1, g2.n_docs AS n_docs2
+    FROM cand
+    JOIN groups g1 ON g1.phash = cand.p1
+    JOIN groups g2 ON g2.phash = cand.p2
+    WHERE bit_count(xor(p1, p2)) <= {_M14_HAM_MAX}
+    """,
+)
+def m14_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    raster = F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " ")
+    perturbed = F.concat(
+        F.substring(raster, 1, _IMG_N - 3),
+        F.lit("~"),
+        F.substring(raster, _IMG_N - 1, 2),
+    )
+    corpus = docs.select("doc_id", raster.alias("text")).unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + _M14_BASE).alias("doc_id"),
+            perturbed.alias("text"),
+        )
+    )
+    hashed = image_phash(build_ppm_media(corpus))
+    groups = hashed.groupBy("phash").agg(F.count(F.lit(1)).alias("n_docs"))
+    mask = (1 << _M14_BAND_BITS) - 1
+    bands = groups.select(
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(_M14_BANDS - 1))).alias("i"),
+    ).select(
+        "phash",
+        "i",
+        F.expr(f"shiftright(phash, {_M14_BAND_BITS} * i) & {mask}").alias("bv"),
+    )
+    a = bands.select(F.col("phash").alias("p1"), "i", "bv")
+    b = bands.select(F.col("phash").alias("p2"), "i", "bv")
+    cand = (
+        a.join(b, ["i", "bv"])
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    ham = F.expr("bit_count(p1 ^ p2)")
+    g1 = groups.select(F.col("phash").alias("p1"), F.col("n_docs").alias("n_docs1"))
+    g2 = groups.select(F.col("phash").alias("p2"), F.col("n_docs").alias("n_docs2"))
+    return (
+        cand.filter(ham <= _M14_HAM_MAX)
+        .select("p1", "p2", ham.cast("long").alias("hamming"))
+        .join(g1, "p1")
+        .join(g2, "p2")
+        .select("p1", "p2", "hamming", "n_docs1", "n_docs2")
+    )

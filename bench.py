@@ -134,6 +134,7 @@ HEADLINE = [
     "j18_skew_salted_join",
     "x56_ngram_novelty",
     "m14_phash_near_dup",
+    "a35_mad_outliers",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

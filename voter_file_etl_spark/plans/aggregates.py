@@ -860,3 +860,74 @@ def a34_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_bp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A35 — robust outlier screen (median absolute deviation): flag
+# account balances farther than 3 MADs from their segment median —
+# the robust alternative to z-scores (a14's mean/stddev are dragged
+# by the very outliers being hunted; the median/MAD pair is not).
+#
+# Exactness discipline: balances quantize to QUARTER-cents (x400) so
+# every median — the average of two central values — is an exact
+# even integer, deviations and the 3xMAD comparison stay pure int64,
+# and both engines' interpolating percentile agrees bit-for-bit.
+# Shape: two grouped exact percentiles with the O(segments) medians
+# broadcast back between them — the global-stats-then-map pattern,
+# no self-join of the fact.
+# ---------------------------------------------------------------------------
+@register(
+    "a35_mad_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 4 AS qc
+      FROM customer
+    ), m AS (
+      SELECT seg, CAST(floor(median(qc) + 0.5) AS BIGINT) AS med
+      FROM q GROUP BY seg
+    ), d AS (
+      SELECT q.seg, med, abs(qc - med) AS dev
+      FROM q JOIN m USING (seg)
+    ), md AS (
+      SELECT seg, CAST(floor(median(dev) + 0.5) AS BIGINT) AS mad
+      FROM d GROUP BY seg
+    )
+    SELECT d.seg AS c_mktsegment,
+           count(*) AS n_customers,
+           CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           max(med) AS median_qc,
+           max(mad) AS mad_qc
+    FROM d JOIN md USING (seg)
+    GROUP BY d.seg
+    """,
+)
+def a35_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)") * 4
+        ).alias("qc"),
+    )
+    m = q.groupBy("seg").agg(
+        F.expr("cast(floor(percentile(qc, 0.5d) + 0.5d) as bigint)").alias("med")
+    )
+    d = q.join(F.broadcast(m), "seg").select(
+        "seg", "med", F.abs(F.col("qc") - F.col("med")).alias("dev")
+    )
+    md = d.groupBy("seg").agg(
+        F.expr("cast(floor(percentile(dev, 0.5d) + 0.5d) as bigint)").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(md), "seg")
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.max("med").alias("median_qc"),
+            F.max("mad").alias("mad_qc"),
+        )
+    )

@@ -135,6 +135,7 @@ HEADLINE = [
     "x56_ngram_novelty",
     "m14_phash_near_dup",
     "a35_mad_outliers",
+    "x57_token_budget_fill",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

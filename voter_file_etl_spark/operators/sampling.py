@@ -496,3 +496,118 @@ def x54_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk", "doc_id")
         .limit(_X54_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# X57 — token-budget waterfill: given per-source token supplies and a
+# corpus-wide budget (here 50% of total tokens), allocate each source
+# min(its supply, a common cap c) where c is the waterfilling level
+# solving sum(min(s_i, c)) = budget — the standard fair-allocation
+# answer to "small sources keep everything, giants get capped" when
+# planning a training mixture (x25 fixes rates per domain; this
+# DERIVES them from a budget).
+#
+# Closed-form in one window pass, all integers: sort sources by
+# supply ascending; the smallest k* - 1 sources fit under an equal
+# share of what's left and are fully funded; k* is the first that
+# doesn't, and every source from k* on gets the integer cap
+# (budget - prefix) div (remaining). No iteration, no floats; with
+# O(sources) rows the windows are trivially cheap at any corpus size
+# (the heavy part — per-source token counts — is the usual map-side
+# partial aggregate).
+# ---------------------------------------------------------------------------
+@register(
+    "x57_token_budget_fill",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> '')))
+               AS BIGINT) AS supply
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(supply) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(supply) // 2 AS BIGINT) AS b
+      FROM d
+    ), r AS (
+      SELECT source, supply,
+             CAST(row_number() OVER (ORDER BY supply, source) AS BIGINT) AS k,
+             CAST(coalesce(sum(supply) OVER (ORDER BY supply, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prefix
+      FROM d
+    ), j AS (
+      SELECT r.*, tot.n, tot.b FROM r CROSS JOIN tot
+    ), c AS (
+      SELECT min(k) AS kstar FROM j WHERE supply * (n - k + 1) > b - prefix
+    ), cap AS (
+      SELECT CAST((j.b - j.prefix) // (j.n - j.k + 1) AS BIGINT) AS cap
+      FROM j JOIN c ON j.k = c.kstar
+    )
+    SELECT source, supply,
+           CAST(CASE WHEN c.kstar IS NULL OR j.k < c.kstar
+                     THEN supply ELSE cap.cap END AS BIGINT) AS alloc,
+           CAST(10000 * (CASE WHEN c.kstar IS NULL OR j.k < c.kstar
+                              THEN supply ELSE cap.cap END) // j.b AS BIGINT)
+             AS share_bp
+    FROM j CROSS JOIN c LEFT JOIN cap ON TRUE
+    """,
+)
+def x57_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.size(F.expr("filter(split(text, ' '), w -> w != '')"))
+            .cast("long")
+            .alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("supply"))
+    )
+    tot = d.agg(
+        F.sum("supply").alias("t"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(supply) div 2").alias("b"),
+    )
+    w = W.orderBy("supply", "source")
+    r = d.select(
+        "source",
+        "supply",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.coalesce(
+            F.sum("supply").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("prefix"),
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    c = j.filter(
+        F.col("supply") * (F.col("n") - F.col("k") + 1)
+        > F.col("b") - F.col("prefix")
+    ).agg(F.min("k").alias("kstar"))
+    cap = (
+        j.crossJoin(F.broadcast(c))
+        .filter(F.col("k") == F.col("kstar"))
+        .select(
+            F.expr("(b - prefix) div (n - k + 1)").cast("long").alias("cap")
+        )
+    )
+    funded = F.col("kstar").isNull() | (F.col("k") < F.col("kstar"))
+    alloc = F.when(funded, F.col("supply")).otherwise(F.col("cap"))
+    return (
+        j.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(cap))
+        .select(
+            "source",
+            "supply",
+            alloc.cast("long").alias("alloc"),
+            F.expr(
+                "cast(10000 * (case when kstar is null or k < kstar "
+                "then supply else cap end) div b as bigint)"
+            ).alias("share_bp"),
+        )
+    )

@@ -68,6 +68,7 @@ _BACKFILL = [
     "x54_reservoir_sample", "j17_knn_join", "g4_connected_components",
     "x55_embedding_outlier", "j18_skew_salted_join", "x56_ngram_novelty",
     "m14_phash_near_dup", "a35_mad_outliers", "x57_token_budget_fill",
+    "x58_diversity_sample",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

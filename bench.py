@@ -136,6 +136,7 @@ HEADLINE = [
     "m14_phash_near_dup",
     "a35_mad_outliers",
     "x57_token_budget_fill",
+    "x58_diversity_sample",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

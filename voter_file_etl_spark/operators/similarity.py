@@ -1027,3 +1027,73 @@ def x55_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _X55_TOP)
         .select("label", "vec_id", "score", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# X58 — cluster-balanced diversity sample: assign every vector to its
+# nearest codebook centroid (x30's map-side broadcast argmax), then
+# take m per cluster by content-stable hash rank — "cluster then
+# sample evenly" diversity selection (the embedding-space analog of
+# x14's stratified sample, with strata LEARNED from the data instead
+# of taken from a column). Guards a training mix against one dense
+# region of embedding space swamping the corpus share.
+#
+# Scale: assignment is zero-shuffle (O(cells) centroid broadcast +
+# per-vec argmax window keyed on vec_id); the per-cluster top-m is
+# one window over cluster-partitioned rows; the hash rank keeps the
+# draw deterministic and stable under corpus growth (same property
+# as x54's reservoir).
+# ---------------------------------------------------------------------------
+_X58_PER_CELL = 5
+
+
+def _x58_oracle() -> str:
+    cos0 = V.cosine_sql(V.dot_sql_duckdb("n.qv", "c.cqv"), "n.nq", "c.cnq")
+    return (
+        _CORPUS_SQL
+        + f"""
+    , cents0 AS (
+      SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
+      WHERE vec_id < {_N_CELLS}
+    ), a1 AS (
+      SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {cos0} DESC, c.cent_id) AS rn
+        FROM normed n CROSS JOIN cents0 c
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT cell, vec_id,
+             CAST(row_number() OVER (PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+      FROM a1
+    )
+    SELECT cell, vec_id, rn, cell_size
+    FROM ranked WHERE rn <= {_X58_PER_CELL}
+    """
+    )
+
+
+@register("x58_diversity_sample", oracle=_x58_oracle())
+def x58_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
+    cents = corpus.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qv").alias("cqv"),
+        F.col("nq").alias("cnq"),
+    )
+    a1 = _kmeans_assign(corpus, cents).select("vec_id", "cell")
+    w = W.partitionBy("cell")
+    ranked = a1.select(
+        "cell",
+        "vec_id",
+        F.row_number()
+        .over(w.orderBy(F.md5(F.col("vec_id").cast("string")), F.asc("vec_id")))
+        .cast("long")
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cell_size"),
+    )
+    return ranked.filter(F.col("rn") <= _X58_PER_CELL)

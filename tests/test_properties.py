@@ -136,6 +136,23 @@ def test_connected_components_matches_union_find(spark, seed):
     assert got == expected
 
 
+def test_connected_components_long_path_converges(spark):
+    # A 200-node path is the worst case for plain neighbor-min
+    # propagation (eccentricity 199 from the min node); the
+    # pointer-jump step must converge it within the default
+    # max_iter=20 (O(log diameter)). Regression gate for the
+    # round-4 rewrite of the iteration.
+    from voter_file_etl_spark.operators.graph import connected_components
+
+    n = 200
+    und = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    assert got == {(i, 0) for i in range(n)}
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_geohash_matches_bisection_reference(spark, seed):
     from pyspark.sql import functions as F

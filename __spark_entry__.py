@@ -68,7 +68,10 @@ _BACKFILL = [
     "x54_reservoir_sample", "j17_knn_join", "g4_connected_components",
     "x55_embedding_outlier", "j18_skew_salted_join", "x56_ngram_novelty",
     "m14_phash_near_dup", "a35_mad_outliers", "x57_token_budget_fill",
-    "x58_diversity_sample",
+    "x58_diversity_sample", "f7_ipv4_funcs", "t14_bitwise_funcs",
+    "sql10_qualify_topn", "w13_moving_median", "a36_ks_two_sample",
+    "x59_quantile_normalize", "x60_winsorize", "x61_shard_balance",
+    "j19_edit_distance_join", "d4_record_linkage", "g5_degree_distribution",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -137,6 +137,20 @@ HEADLINE = [
     "a35_mad_outliers",
     "x57_token_budget_fill",
     "x58_diversity_sample",
+    # round-4 second wave: network/bitwise scalar surfaces, QUALIFY
+    # top-n, robust window/stats, shard balance, FastSS lev-join,
+    # blocked record linkage, graph degree profile
+    "f7_ipv4_funcs",
+    "t14_bitwise_funcs",
+    "sql10_qualify_topn",
+    "w13_moving_median",
+    "a36_ks_two_sample",
+    "x59_quantile_normalize",
+    "x60_winsorize",
+    "x61_shard_balance",
+    "j19_edit_distance_join",
+    "d4_record_linkage",
+    "g5_degree_distribution",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

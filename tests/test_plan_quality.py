@@ -456,3 +456,56 @@ def test_interval_overlap_join_is_equi_on_months(spark, sf_dir):
     plan = _formatted_plan(spark, "j16_interval_overlap_join", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_edit_distance_join_is_deletion_key_equi(spark, sf_dir):
+    # j19's FastSS reduction must plan the pair generation as an
+    # equi-join on the deletion key — a BroadcastNestedLoop or
+    # CartesianProduct would mean the O(V^2) levenshtein scan the
+    # reduction exists to eliminate.
+    plan = _formatted_plan(spark, "j19_edit_distance_join", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_record_linkage_is_blocked_equi(spark, sf_dir):
+    # d4's candidate generation must stay the (nationkey, prefix)
+    # blocked equi-join; levenshtein may appear only as a post-join
+    # projection, never as a join condition driving a nested loop.
+    plan = _formatted_plan(spark, "d4_record_linkage", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_ks_cdf_has_no_global_raw_window(spark, sf_dir):
+    # a36's CDF is the two-level prefix sum: the only unpartitioned
+    # window runs over the O(buckets) table. If a global window ran
+    # over raw distinct values, the plan would show a Window whose
+    # required ordering is on 'v' with an Exchange SinglePartition
+    # directly feeding it from the un-bucketed aggregate. Cheap proxy:
+    # the plan must contain a PARTITIONED window (partition spec bkt).
+    plan = _formatted_plan(spark, "a36_ks_two_sample", sf_dir)
+    assert "bkt" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_winsorize_quantiles_broadcast(spark, sf_dir):
+    # x60 joins the O(langs) percentile table back onto the corpus —
+    # that side must broadcast (re-shuffling the corpus against a
+    # handful of rows is the 100 TB mistake).
+    plan = _formatted_plan(spark, "x60_winsorize", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_qualify_topn_window_is_partitioned(spark, sf_dir):
+    # sql10's rank must be computed per-customer (hash partition on
+    # o_custkey), never as a single global sort.
+    plan = _formatted_plan(spark, "sql10_qualify_topn", sf_dir)
+    assert "hashpartitioning(o_custkey" in plan, plan[:2000]
+
+
+def test_shard_balance_total_is_broadcast(spark, sf_dir):
+    # x61's grand total must ride along as a broadcast 1-row
+    # aggregate (in-plan scalar discipline, same as a33/a34).
+    plan = _formatted_plan(spark, "x61_shard_balance", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]

@@ -1283,3 +1283,119 @@ def x56_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D4 — probabilistic record linkage (Fellegi-Sunter-style weighted
+# field agreement): the voter-file core task — match an incoming
+# registration feed against the master list when no shared key
+# exists, using per-field agreement weights instead of exact
+# equality. The incoming feed is a deterministic perturbation of the
+# master (name typo on every 3rd record, account-balance drift, a
+# segment flip on every 5th), so ground truth is known and the score
+# distribution is reproducible at any sf.
+#
+# Scale: candidate generation is a BLOCKED equi-join on
+# (nationkey, name-prefix) — the standard linkage blocking that
+# bounds pair volume to sum of block sizes squared, never |A|x|B|;
+# the perturbation never touches the blocking prefix, so recall on
+# the planted truth is exactly 1. Scoring (levenshtein + integer
+# field comparisons) runs map-side on candidate pairs only.
+# Reference: the ETL upsert keyed on voter id (load.ts) — this is
+# what replaces it when the id is absent.
+# ---------------------------------------------------------------------------
+@register(
+    "d4_record_linkage",
+    oracle="""
+    WITH feed AS (
+      SELECT c_custkey AS f_id,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN substr(c_name, 1, len(c_name) - 1) || 'X'
+                  ELSE c_name END AS f_name,
+             c_nationkey AS f_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'FLIPPED'
+                  ELSE c_mktsegment END AS f_segment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               + (c_custkey % 7) * 100 AS f_bal_cents
+      FROM customer
+    ), cand AS (
+      SELECT c.c_custkey, f.f_id,
+             levenshtein(c.c_name, f.f_name) AS name_dist,
+             CASE WHEN c.c_mktsegment = f.f_segment THEN 1 ELSE 0 END AS seg_eq,
+             abs(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)
+                 - f.f_bal_cents) AS bal_diff
+      FROM customer c JOIN feed f
+        ON c.c_nationkey = f.f_nationkey
+       AND substr(c.c_name, 1, 12) = substr(f.f_name, 1, 12)
+    )
+    SELECT c_custkey, f_id,
+           CAST(CASE WHEN name_dist = 0 THEN 50
+                     WHEN name_dist <= 1 THEN 35 ELSE 0 END
+                + 30 * seg_eq
+                + CASE WHEN bal_diff <= 700 THEN 20 ELSE 0 END
+             AS BIGINT) AS score,
+           CAST(name_dist AS BIGINT) AS name_dist
+    FROM cand
+    WHERE CASE WHEN name_dist = 0 THEN 50
+               WHEN name_dist <= 1 THEN 35 ELSE 0 END
+          + 30 * seg_eq
+          + CASE WHEN bal_diff <= 700 THEN 20 ELSE 0 END >= 70
+    """,
+)
+def d4_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    feed = cust.select(
+        F.col("c_custkey").alias("f_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("f_name"),
+        F.col("c_nationkey").alias("f_nationkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("FLIPPED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("f_segment"),
+        (
+            F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
+            + (F.col("c_custkey") % 7) * 100
+        ).alias("f_bal_cents"),
+    )
+    cand = cust.join(
+        feed,
+        (cust.c_nationkey == feed.f_nationkey)
+        & (
+            F.expr("substr(c_name, 1, 12)")
+            == F.expr("substr(f_name, 1, 12)")
+        ),
+    ).select(
+        "c_custkey",
+        "f_id",
+        F.levenshtein("c_name", "f_name").alias("name_dist"),
+        F.when(F.col("c_mktsegment") == F.col("f_segment"), 1)
+        .otherwise(0)
+        .alias("seg_eq"),
+        F.abs(
+            F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
+            - F.col("f_bal_cents")
+        ).alias("bal_diff"),
+    )
+    score = (
+        F.when(F.col("name_dist") == 0, 50)
+        .when(F.col("name_dist") <= 1, 35)
+        .otherwise(0)
+        + 30 * F.col("seg_eq")
+        + F.when(F.col("bal_diff") <= 700, 20).otherwise(0)
+    )
+    return (
+        cand.withColumn("score", score.cast("long"))
+        .filter(F.col("score") >= 70)
+        .select(
+            "c_custkey",
+            "f_id",
+            "score",
+            F.col("name_dist").cast("long").alias("name_dist"),
+        )
+    )

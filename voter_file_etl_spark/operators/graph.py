@@ -406,3 +406,64 @@ def g4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         "node", F.col("component").cast("long").alias("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# G5 — degree distribution of the co-purchase graph (same support>=2
+# edge model as g2): the first diagnostic run on ANY large graph —
+# its shape (power law vs uniform) decides every downstream strategy
+# choice (salting for hub keys, frontier sizing for BFS, whether
+# triangle counting needs degree-ordered orientation). Two grouped
+# aggregations: per-node degree (undirected = count both endpoint
+# roles), then nodes-per-degree. Both shuffle on bounded key
+# domains; nothing is quadratic and nothing visits the driver.
+# ---------------------------------------------------------------------------
+@register(
+    "g5_degree_distribution",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT s AS node FROM e UNION ALL SELECT d FROM e
+      ) GROUP BY node
+    )
+    SELECT degree, count(*) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM deg GROUP BY degree
+    """,
+)
+def g5_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    deg = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+    )

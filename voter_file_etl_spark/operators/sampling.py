@@ -611,3 +611,188 @@ def x57_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X59 — quantile normalization: map each document's length to its
+# within-language quantile (basis points) so downstream quality
+# thresholds ("drop the shortest 5%") transfer across languages with
+# wildly different length distributions — the calibration step
+# before any cross-lingual length filter. rank-1 over n-1 is the
+# standard empirical-CDF estimator (percent_rank), computed here in
+# pure integer arithmetic: ties share a rank (ORDER BY value only),
+# so equal lengths get equal quantiles in both engines.
+#
+# Scale: one window per language partition — parallel across langs;
+# within a hot language the sort is the unavoidable cost of exact
+# ranks (approximate quantiles via a12's percentile_approx are the
+# escape hatch when exactness isn't required).
+# ---------------------------------------------------------------------------
+@register(
+    "x59_quantile_normalize",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(CASE WHEN n - 1 = 0 THEN 0
+                     ELSE (rnk - 1) * 10000 // (n - 1) END AS BIGINT)
+             AS len_quantile_bp
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             CAST(rank() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT)
+               AS rnk,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM documents
+    )
+    """,
+)
+def x59_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    wl = W.partitionBy("lang").orderBy("n_chars")
+    wn = W.partitionBy("lang")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.rank().over(wl).cast("long").alias("rnk"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.expr(
+                "cast(case when n - 1 = 0 then 0 "
+                "else (rnk - 1) * 10000 div (n - 1) end as bigint)"
+            ).alias("len_quantile_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X60 — winsorization: clip each language's document lengths at the
+# exact within-language p05/p95 before computing summary stats, the
+# robust alternative to dropping outliers (a35 flags them; this
+# bounds their influence while keeping the rows). percentile_disc is
+# used on BOTH engines (Spark WITHIN GROUP / DuckDB quantile_disc) —
+# discrete percentiles return an actual observed value, so every
+# number stays integer end-to-end.
+#
+# Scale: two passes over the corpus — a per-lang grouped percentile
+# (partial-aggregated; the sketch state is per-group, not per-row)
+# broadcast back onto the rows, then one map-side clip + grouped
+# sum. No window over raw rows at all.
+# ---------------------------------------------------------------------------
+@register(
+    "x60_winsorize",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             CAST(quantile_disc(n_chars, 0.05) AS BIGINT) AS p05,
+             CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, q.p05, q.p95,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN d.n_chars < q.p05 THEN 1
+                         WHEN d.n_chars > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped,
+           CAST(sum(least(greatest(d.n_chars, q.p05), q.p95)) AS BIGINT)
+             AS sum_winsorized
+    FROM documents d JOIN q ON d.lang = q.lang
+    GROUP BY d.lang, q.p05, q.p95
+    """,
+)
+def x60_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    q = (
+        docs.groupBy("lang")
+        .agg(
+            F.expr(
+                "cast(percentile_disc(0.05) within group (order by n_chars)"
+                " as bigint)"
+            ).alias("p05"),
+            F.expr(
+                "cast(percentile_disc(0.95) within group (order by n_chars)"
+                " as bigint)"
+            ).alias("p95"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(q), "lang")
+        .groupBy("lang", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") < F.col("p05"))
+                    | (F.col("n_chars") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+            F.sum(F.least(F.greatest("n_chars", "p05"), "p95"))
+            .cast("long")
+            .alias("sum_winsorized"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# X61 — training-shard assignment + balance audit: a tokenized
+# corpus ships to trainers as S hash-assigned shards, and the job
+# that writes them must prove the shards are balanced (a straggler
+# shard = a straggler data-loader for the whole cluster). Assignment
+# is a pure multiplicative hash (Knuth constant — engine-identical
+# integer arithmetic, unlike hash() whose algorithm differs between
+# Spark and DuckDB) — deterministic, stateless, no shuffle beyond the
+# per-shard rollup whose key domain is fixed at S. The audit emits
+# per-shard doc/token tallies plus each shard's deviation from the
+# ideal equal split in basis points — the number an SLO would gate.
+# ---------------------------------------------------------------------------
+_X61_SHARDS = 16
+
+
+@register(
+    "x61_shard_balance",
+    oracle=f"""
+    WITH d AS (
+      SELECT (doc_id * 2654435761) % {_X61_SHARDS} AS shard,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM d GROUP BY shard
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS t FROM s
+    )
+    SELECT s.shard, s.n_docs, s.tokens,
+           CAST(abs(s.tokens * {_X61_SHARDS} - tot.t) * 10000
+                // (tot.t) AS BIGINT) AS imbalance_bp
+    FROM s CROSS JOIN tot
+    """,
+)
+def x61_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") * 2654435761) % _X61_SHARDS).alias("shard"),
+        F.size(F.expr("filter(split(text, ' '), w -> w != '')")).alias(
+            "n_tokens"
+        ),
+    )
+    s = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+    )
+    tot = s.agg(F.sum("tokens").cast("long").alias("t"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "tokens",
+        F.expr(
+            f"cast(abs(tokens * {_X61_SHARDS} - t) * 10000 div t as bigint)"
+        ).alias("imbalance_bp"),
+    )

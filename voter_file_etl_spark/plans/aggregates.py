@@ -931,3 +931,125 @@ def a35_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mad").alias("mad_qc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A36 — two-sample Kolmogorov-Smirnov distance: the standard drift
+# test between two empirical distributions (here URGENT vs LOW order
+# prices — a data-quality guard that catches "the new feed's price
+# distribution shifted" where mean/stddev checks like a14/a32 miss
+# shape changes). KS = max_x |F1(x) - F2(x)|, and the max always
+# lands on an observed value, so it is exact over the distinct-value
+# table.
+#
+# Scale: the empirical CDF is a prefix sum over distinct values —
+# naively one global window = one reducer holding every distinct
+# price. Instead the scan is TWO-LEVEL, the distributed prefix-sum
+# pattern: per-value counts roll up to value-range buckets (bounded
+# row count), bucket totals get the only global window (O(buckets)
+# rows), and each value's CDF = its bucket's offset + a
+# WITHIN-BUCKET running sum (window PARTITIONED by bucket — fully
+# parallel). No single-partition pass ever sees more than one
+# bucket's distinct values. All integer: CDFs compare via the
+# cross-multiplied form |f1*n2 - f2*n1| so no division happens until
+# the final basis-point cast.
+# ---------------------------------------------------------------------------
+_A36_BUCKET = 65536  # cents per CDF bucket (~$655)
+
+
+@register(
+    "a36_ks_two_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS g2
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ), pv AS (
+      SELECT v, v // {_A36_BUCKET} AS bkt,
+             CAST(sum(g1) AS BIGINT) AS c1, CAST(sum(g2) AS BIGINT) AS c2
+      FROM s GROUP BY v
+    ), bk AS (
+      SELECT bkt,
+             CAST(coalesce(sum(sum(c1)) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS off1,
+             CAST(coalesce(sum(sum(c2)) OVER (ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS off2
+      FROM pv GROUP BY bkt
+    ), cdf AS (
+      SELECT pv.v,
+             bk.off1 + CAST(sum(pv.c1) OVER (PARTITION BY pv.bkt
+               ORDER BY pv.v) AS BIGINT) AS f1,
+             bk.off2 + CAST(sum(pv.c2) OVER (PARTITION BY pv.bkt
+               ORDER BY pv.v) AS BIGINT) AS f2
+      FROM pv JOIN bk ON pv.bkt = bk.bkt
+    ), tot AS (
+      SELECT CAST(sum(g1) AS BIGINT) AS n1, CAST(sum(g2) AS BIGINT) AS n2
+      FROM s
+    )
+    SELECT tot.n1, tot.n2,
+           CAST(max(abs(cdf.f1 * tot.n2 - cdf.f2 * tot.n1)) * 10000
+                // (tot.n1 * tot.n2) AS BIGINT) AS ks_bp
+    FROM cdf CROSS JOIN tot
+    GROUP BY tot.n1, tot.n2
+    """,
+)
+def a36_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    s = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias("v"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("g1"),
+            F.when(F.col("o_orderpriority") == "5-LOW", 1)
+            .otherwise(0)
+            .alias("g2"),
+        )
+    )
+    pv = (
+        s.groupBy("v")
+        .agg(
+            F.sum("g1").cast("long").alias("c1"),
+            F.sum("g2").cast("long").alias("c2"),
+        )
+        .withColumn("bkt", F.expr(f"v div {_A36_BUCKET}"))
+    )
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    bk = (
+        pv.groupBy("bkt")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("s1").over(wb), F.lit(0))
+            .cast("long")
+            .alias("off1"),
+            F.coalesce(F.sum("s2").over(wb), F.lit(0))
+            .cast("long")
+            .alias("off2"),
+        )
+    )
+    wv = W.partitionBy("bkt").orderBy("v")
+    cdf = pv.join(bk, "bkt").select(
+        "v",
+        (F.col("off1") + F.sum("c1").over(wv)).cast("long").alias("f1"),
+        (F.col("off2") + F.sum("c2").over(wv)).cast("long").alias("f2"),
+    )
+    tot = s.agg(
+        F.sum("g1").cast("long").alias("n1"),
+        F.sum("g2").cast("long").alias("n2"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.expr(
+                "cast(max(abs(f1 * n2 - f2 * n1)) * 10000 div (n1 * n2) as bigint)"
+            ).alias("ks_bp")
+        )
+    )

@@ -959,3 +959,79 @@ def j18_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J19 — edit-distance (Levenshtein <= 1) similarity join over the
+# corpus vocabulary: the spell-variant/typo clustering primitive
+# (OCR'd voter rolls, scraped web text) that naive engines run as an
+# O(V^2) nested loop with a levenshtein filter.
+#
+# Spark side is the EXACT FastSS/SymSpell reduction to an equi-join:
+# every word emits itself plus each single-character-deletion
+# variant as join keys; two words are within edit distance 1 iff
+# they share a key (equal words, insertion/deletion -> one's
+# deletion equals the other, substitution -> same-position deletions
+# coincide), with a final levenshtein verify to reject the
+# same-key-but-distance-2 collisions (deletions at DIFFERENT
+# positions can coincide, e.g. 'aab'/'aba' -> 'ab'... lev 2). Cost is
+# O(V * avg_len) emitted keys and one hash join — linear scale-out,
+# no quadratic block. The oracle is the brute-force O(V^2) definition,
+# proving the reduction exact. The vocabulary is augmented with
+# deterministic last-char-truncations so true lev-1 pairs exist at
+# every sf.
+# ---------------------------------------------------------------------------
+@register(
+    "j19_edit_distance_join",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT lower(w) AS w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE regexp_matches(lower(w), '^[a-z]{3,}$')
+    ), corpus AS (
+      SELECT w FROM tok
+      UNION
+      SELECT substr(w, 1, len(w) - 1) FROM tok WHERE len(w) >= 4
+    )
+    SELECT a.w AS w1, b.w AS w2,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+    FROM corpus a JOIN corpus b ON a.w < b.w
+    WHERE levenshtein(a.w, b.w) <= 1
+    """,
+)
+def j19_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
+    corpus = tok.unionByName(
+        tok.filter(F.length("w") >= 4).select(
+            F.expr("substr(w, 1, length(w) - 1)").alias("w")
+        )
+    ).distinct()
+    # Deletion neighborhood: the word itself (pos 0) plus each
+    # single-deletion variant, tagged so self-pairs can be dropped.
+    keyed = corpus.select(
+        "w",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(w)), i -> "
+                "case when i = 0 then w "
+                "else concat(substr(w, 1, i - 1), substr(w, i + 1)) end)"
+            )
+        ).alias("k"),
+    ).distinct()
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+        .filter(F.levenshtein("w1", "w2") <= 1)
+    )
+    return pairs.select(
+        "w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist")
+    )

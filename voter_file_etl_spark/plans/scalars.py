@@ -659,3 +659,139 @@ def f6_multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_roundtrip"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# F7 — IPv4 parse/format roundtrip + /16 subnet rollup: server-log
+# enrichment needs ip-string <-> integer conversion and subnet
+# bucketing (the reference's per-file provenance generalized to
+# network provenance). An IPv4 is synthesized deterministically per
+# user (Knuth multiplicative hash of user_id, so the address space is
+# well spread), formatted to dotted-quad with pure integer div/mod,
+# re-parsed via split + recompose (proving the inverse), and rolled
+# up to /16 subnets. Everything is map-side integer arithmetic in
+# whole-stage codegen; the only shuffle is the bounded /16 groupBy
+# (<= 65536 groups at ANY corpus size — the rollup key domain is
+# fixed, so this aggregates map-side-partial first and cannot skew
+# with data volume).
+# ---------------------------------------------------------------------------
+@register(
+    "f7_ipv4_funcs",
+    oracle="""
+    WITH ip AS (
+      SELECT user_id,
+             (user_id * 2654435761) % 4294967296 AS ip_int
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), fmt AS (
+      SELECT user_id, ip_int,
+             CAST(ip_int // 16777216 AS VARCHAR) || '.' ||
+             CAST((ip_int // 65536) % 256 AS VARCHAR) || '.' ||
+             CAST((ip_int // 256) % 256 AS VARCHAR) || '.' ||
+             CAST(ip_int % 256 AS VARCHAR) AS ip_str
+      FROM ip
+    ), parsed AS (
+      SELECT user_id, ip_int, ip_str,
+             CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216 +
+             CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536 +
+             CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256 +
+             CAST(string_split(ip_str, '.')[4] AS BIGINT) AS reparsed
+      FROM fmt
+    )
+    SELECT ip_int // 65536 AS subnet16,
+           CAST(min(ip_str) AS VARCHAR) AS sample_ip,
+           count(*) AS n_users,
+           count(CASE WHEN reparsed = ip_int THEN 1 END) AS n_roundtrip
+    FROM parsed
+    GROUP BY subnet16
+    HAVING count(*) >= 2
+    """,
+)
+def f7_ipv4_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ip = (
+        t(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            ((F.col("user_id") * 2654435761) % 4294967296).alias("ip_int"),
+        )
+    )
+    fmt = ip.select(
+        "user_id",
+        "ip_int",
+        F.concat_ws(
+            ".",
+            (F.col("ip_int") / 16777216).cast("long"),
+            ((F.col("ip_int") / 65536) % 256).cast("long"),
+            ((F.col("ip_int") / 256) % 256).cast("long"),
+            (F.col("ip_int") % 256).cast("long"),
+        ).alias("ip_str"),
+    )
+    oct_ = lambda i: F.split("ip_str", r"\.").getItem(i).cast("long")  # noqa: E731
+    parsed = fmt.select(
+        "user_id",
+        "ip_int",
+        "ip_str",
+        (
+            oct_(0) * 16777216 + oct_(1) * 65536 + oct_(2) * 256 + oct_(3)
+        ).alias("reparsed"),
+    )
+    return (
+        parsed.groupBy(
+            (F.col("ip_int") / 65536).cast("long").alias("subnet16")
+        )
+        .agg(
+            F.min("ip_str").alias("sample_ip"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.count(
+                F.when(F.col("reparsed") == F.col("ip_int"), 1)
+            ).alias("n_roundtrip"),
+        )
+        .filter(F.col("n_users") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# T14 — bitwise expression + aggregate surface: flag-packed columns
+# (permission masks, feature flags, bloom words) need &, |, ^,
+# shifts, popcount scalar-side and bit_and/bit_or/bit_xor
+# aggregate-side. Scalars run per-row in codegen; the aggregates are
+# algebraic (word-wise associative/commutative), so they combine
+# map-side-partial like any sum — shuffle volume is one 3-word state
+# per (group x partition) regardless of row count.
+# ---------------------------------------------------------------------------
+@register(
+    "t14_bitwise_funcs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           bit_and(user_id & 1023) AS flags_all,
+           bit_or(user_id & 1023) AS flags_any,
+           bit_xor(user_id & 1023) AS flags_parity,
+           CAST(sum(bit_count(CAST(user_id & 1023 AS BIGINT))) AS BIGINT)
+             AS popcount_sum,
+           CAST(sum(CASE WHEN (user_id & 7) = 0
+                         THEN (user_id << 2) % 1000003
+                         ELSE xor(user_id, 255) % 1000003 END) AS BIGINT)
+             AS mixed_expr
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def t14_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id").bitwiseAND(1023)).alias("flags"),
+        F.expr(
+            "case when (user_id & 7) = 0 then shiftleft(user_id, 2) % 1000003 "
+            "else (user_id ^ 255) % 1000003 end"
+        ).alias("mixed"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_and(flags)").alias("flags_all"),
+        F.expr("bit_or(flags)").alias("flags_any"),
+        F.expr("bit_xor(flags)").alias("flags_parity"),
+        F.sum(F.bit_count(F.col("flags").cast("long"))).alias("popcount_sum"),
+        F.sum("mixed").cast("long").alias("mixed_expr"),
+    )

@@ -311,3 +311,50 @@ def sql9_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ROLLUP(c_mktsegment, c_nationkey % 5)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL10 — QUALIFY-shaped per-group top-n: the window-filter idiom
+# ("keep each customer's 2 most expensive orders") that warehouse
+# SQL dialects spell QUALIFY. Spark has no QUALIFY keyword, so the
+# engine exposes the standard-SQL equivalent — a windowed rank in a
+# subquery filtered outside — which compiles to the identical plan a
+# native QUALIFY would: one hash-partitioned window on o_custkey
+# (rank within each customer's orders, partition-local sort only —
+# never a global sort) and a post-window filter. The oracle states
+# the same query with DuckDB's native QUALIFY, proving the surface
+# translation is semantics-preserving.
+# ---------------------------------------------------------------------------
+@register(
+    "sql10_qualify_topn",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+           ) AS BIGINT) AS rnk
+    FROM orders
+    QUALIFY rnk <= 2
+    """,
+)
+def sql10_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("sql10_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               o_orderkey,
+               cast(floor(o_totalprice * 100 + 0.5d) as bigint) AS price_cents,
+               cast(rnk as bigint) AS rnk
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                 ) AS rnk
+          FROM sql10_orders
+        )
+        WHERE rnk <= 2
+        """
+    )

@@ -485,3 +485,44 @@ def w12_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(run).cast("long").alias("distinct_users_to_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W13 — moving median over a row frame: the robust counterpart of
+# w3's moving average (one outlier order shouldn't drag a customer's
+# trailing-spend trend). Median is NOT algebraic — each frame must
+# rank its members — but over a bounded 5-row trailing frame the
+# per-row cost is O(frame log frame) inside the partition-local
+# window sort; the only shuffle is the hash partition on o_custkey.
+# Determinism: prices go through integer cents, the exact-percentile
+# median of <= 5 ints is either an int or an exact half, and both
+# engines emit 2*median as a lossless BIGINT — no float hashing.
+# ---------------------------------------------------------------------------
+@register(
+    "w13_moving_median",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(2 * median(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS med_cents_x2
+    FROM orders
+    """,
+)
+def w13_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            2
+            * F.expr("percentile(cast(floor(o_totalprice * 100 + 0.5d) as bigint), 0.5)").over(w)
+        )
+        .cast("long")
+        .alias("med_cents_x2"),
+    )

@@ -72,6 +72,8 @@ _BACKFILL = [
     "sql10_qualify_topn", "w13_moving_median", "a36_ks_two_sample",
     "x59_quantile_normalize", "x60_winsorize", "x61_shard_balance",
     "j19_edit_distance_join", "d4_record_linkage", "g5_degree_distribution",
+    "a37_chi_square", "a38_lag_autocovariance", "x62_langid_confusion",
+    "f8_hash_digest_funcs", "o5_nulls_ordering",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

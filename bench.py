@@ -151,6 +151,11 @@ HEADLINE = [
     "j19_edit_distance_join",
     "d4_record_linkage",
     "g5_degree_distribution",
+    "a37_chi_square",
+    "a38_lag_autocovariance",
+    "x62_langid_confusion",
+    "f8_hash_digest_funcs",
+    "o5_nulls_ordering",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -509,3 +509,44 @@ def test_shard_balance_total_is_broadcast(spark, sf_dir):
     # aggregate (in-plan scalar discipline, same as a33/a34).
     plan = _formatted_plan(spark, "x61_shard_balance", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_chi_square_marginals_broadcast(spark, sf_dir):
+    # a37's row/col marginal joins and the N scalar must all be
+    # broadcasts onto the O(cells) table — no shuffle after the
+    # contingency aggregate.
+    plan = _formatted_plan(spark, "a37_chi_square", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_lag_autocovariance_windows_on_daily(spark, sf_dir):
+    # a38's lag windows must run over the O(days) aggregate — the
+    # plan's Window node sits above a HashAggregate keyed on day,
+    # never over raw orders.
+    plan = _formatted_plan(spark, "a38_lag_autocovariance", sf_dir)
+    assert "Window" in plan and "HashAggregate" in plan, plan[:2000]
+
+
+def test_langid_confusion_row_totals_broadcast(spark, sf_dir):
+    # x62 joins the O(langs) row-total table back onto the O(langs^2)
+    # contingency — broadcast, not shuffle.
+    plan = _formatted_plan(spark, "x62_langid_confusion", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_digest_filter_is_pushed(spark, sf_dir):
+    # f8's 1-in-97 keyspace slice must reach the parquet scan as a
+    # pushed filter on doc_id, and the read schema must carry only
+    # doc_id + text.
+    plan = _formatted_plan(spark, "f8_hash_digest_funcs", sf_dir)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read and "source" not in read, read
+
+
+def test_nulls_ordering_plans_take_ordered(spark, sf_dir):
+    # o5's LIMIT 40 must plan TakeOrderedAndProject with the explicit
+    # NULLS FIRST comparator — never a global sort.
+    plan = _formatted_plan(spark, "o5_nulls_ordering", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "NULLS FIRST" in plan, plan[:2000]

@@ -1546,3 +1546,73 @@ def x50_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(masked, w -> w is not null)"), " "
         ).alias("target"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X62 — language-ID confusion matrix: the evaluation harness for x8's
+# stopword classifier against the corpus's ground-truth lang label
+# (same measure-the-measurer family as x38 minhash accuracy / x39
+# ANN recall — a data pipeline that can't audit its own classifiers
+# silently rots). Emits the (true, guessed) contingency with each
+# cell's share of its true-language row in basis points — the
+# per-class recall diagonal a release gate would read.
+#
+# Scale: reuses x8's grouped stopword-hit aggregate (partial+final,
+# no Python), then one O(langs^2)-key contingency groupBy and a
+# broadcast row-total join — nothing after the first aggregate is
+# corpus-sized.
+# ---------------------------------------------------------------------------
+@register(
+    "x62_langid_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN {_in_list('w', STOPWORDS_EN)} THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+        CAST(sum(CASE WHEN {_in_list('w', STOPWORDS_ES)} THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+        CAST(sum(CASE WHEN {_in_list('w', STOPWORDS_FR)} THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
+      FROM toks GROUP BY doc_id
+    ), guesses AS (
+      SELECT s.doc_id, d.lang AS true_lang,
+        CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+             WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+             WHEN fr_hits > 0 THEN 'fr'
+             ELSE 'und' END AS guess
+      FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+    ), cells AS (
+      SELECT true_lang, guess, CAST(count(*) AS BIGINT) AS n
+      FROM guesses GROUP BY true_lang, guess
+    ), rows_ AS (
+      SELECT true_lang, CAST(sum(n) AS BIGINT) AS row_n FROM cells
+      GROUP BY true_lang
+    )
+    SELECT cells.true_lang, cells.guess, cells.n,
+           CAST(cells.n * 10000 // rows_.row_n AS BIGINT) AS row_share_bp
+    FROM cells JOIN rows_ ON cells.true_lang = rows_.true_lang
+    """,
+)
+def x62_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    guesses = (
+        x8_lang_id(spark, sf_dir)
+        .select("doc_id", F.col("lang_guess").alias("guess"))
+        .join(docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+    )
+    cells = guesses.groupBy("true_lang", "guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows_ = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return (
+        cells.join(F.broadcast(rows_), "true_lang")
+        .select(
+            "true_lang",
+            "guess",
+            "n",
+            F.expr("cast(n * 10000 div row_n as bigint)").alias(
+                "row_share_bp"
+            ),
+        )
+    )

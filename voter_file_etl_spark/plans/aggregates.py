@@ -1053,3 +1053,171 @@ def a36_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_bp")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A37 — chi-square test of independence (mktsegment x nation bucket):
+# the categorical complement to a36's KS — "did the joint
+# distribution of two labels drift from independence". The statistic
+# is computed in the cross-multiplied integer form: each cell
+# contributes (o*N - r*c)^2 * 10000 div (N*r*c), i.e. chi2 scaled to
+# basis points, so no float crosses the engine boundary.
+#
+# Scale: one O(cells) contingency aggregate (partial+final over a
+# bounded R x C key domain), row/col marginals re-aggregated FROM the
+# cell table (no second corpus pass), and N as a broadcast 1-row
+# scalar. Nothing after the first aggregate touches corpus-sized
+# data.
+# ---------------------------------------------------------------------------
+@register(
+    "a37_chi_square",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS bkt,
+             CAST(count(*) AS BIGINT) AS o
+      FROM customer GROUP BY seg, bkt
+    ), rows_ AS (
+      SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY seg
+    ), cols_ AS (
+      SELECT bkt, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY bkt
+    ), tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT seg) AS BIGINT) AS nr,
+             CAST(count(DISTINCT bkt) AS BIGINT) AS nc
+      FROM cells
+    )
+    SELECT tot.nr * tot.nc AS n_cells,
+           (tot.nr - 1) * (tot.nc - 1) AS df,
+           CAST(sum((cells.o * tot.n - rows_.r * cols_.c)
+                    * (cells.o * tot.n - rows_.r * cols_.c) * 10000
+                    // (tot.n * rows_.r * cols_.c)) AS BIGINT) AS chi2_bp
+    FROM cells
+    JOIN rows_ ON cells.seg = rows_.seg
+    JOIN cols_ ON cells.bkt = cols_.bkt
+    CROSS JOIN tot
+    GROUP BY tot.nr, tot.nc
+    """,
+)
+def a37_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            (F.col("c_nationkey") % 5).alias("bkt"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows_ = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
+    cols_ = cells.groupBy("bkt").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("seg").cast("long").alias("nr"),
+        F.countDistinct("bkt").cast("long").alias("nc"),
+    )
+    return (
+        cells.join(F.broadcast(rows_), "seg")
+        .join(F.broadcast(cols_), "bkt")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nr", "nc")
+        .agg(
+            F.expr(
+                "cast(sum((o * n - r * c) * (o * n - r * c) * 10000 "
+                "div (n * r * c)) as bigint)"
+            ).alias("chi2_bp")
+        )
+        .select(
+            (F.col("nr") * F.col("nc")).alias("n_cells"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("df"),
+            "chi2_bp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A38 — lag-k autocovariance of the daily revenue series (k=1,2,3):
+# the seasonality probe behind forecasting features. Covariance is
+# emitted as the EXACT integer numerator n*Sxy - Sx*Sy over per-day
+# MEAN order value (whole dollars — cents would push n*Sxy past
+# 2^63: day-mean ~1.5e7 cents squared, summed over ~2.4k days, times
+# n again is ~1e21) — dollar means bound every product far under
+# 2^63 for any calendar-bounded day count, and no division/sqrt means
+# no float ever crosses engines (Pearson r needs a sqrt; the
+# numerator's sign+magnitude carries the same signal).
+#
+# Scale: the corpus collapses to an O(days) series in one grouped
+# aggregate; lags are windows over that bounded series (a few
+# thousand rows for any realistic date range — the window's
+# single-partition stage sees days, never orders).
+# ---------------------------------------------------------------------------
+@register(
+    "a38_lag_autocovariance",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                  // count(*) AS BIGINT) AS mean_usd
+      FROM orders GROUP BY day
+    ), lagged AS (
+      SELECT mean_usd AS x,
+             lag(mean_usd, 1) OVER (ORDER BY day) AS x1,
+             lag(mean_usd, 2) OVER (ORDER BY day) AS x2,
+             lag(mean_usd, 3) OVER (ORDER BY day) AS x3
+      FROM daily
+    )
+    SELECT k,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num
+    FROM (
+      SELECT 1 AS k, count(x1) AS n, sum(x * x1) AS sxy,
+             sum(CASE WHEN x1 IS NOT NULL THEN x END) AS sx, sum(x1) AS sy
+      FROM lagged
+      UNION ALL
+      SELECT 2, count(x2), sum(x * x2),
+             sum(CASE WHEN x2 IS NOT NULL THEN x END), sum(x2)
+      FROM lagged
+      UNION ALL
+      SELECT 3, count(x3), sum(x * x3),
+             sum(CASE WHEN x3 IS NOT NULL THEN x END), sum(x3)
+      FROM lagged
+    )
+    """,
+)
+def a38_lag_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(o_totalprice + 0.5d) as bigint))"
+                " div count(*) as bigint)"
+            ).alias("mean_usd")
+        )
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        F.col("mean_usd").alias("x"),
+        F.lag("mean_usd", 1).over(w).alias("x1"),
+        F.lag("mean_usd", 2).over(w).alias("x2"),
+        F.lag("mean_usd", 3).over(w).alias("x3"),
+    )
+
+    def one(k: int) -> DataFrame:
+        xk = F.col(f"x{k}")
+        return lagged.agg(
+            F.lit(k).cast("int").alias("k"),
+            F.count(xk).alias("n"),
+            F.sum(F.col("x") * xk).alias("sxy"),
+            F.sum(F.when(xk.isNotNull(), F.col("x"))).alias("sx"),
+            F.sum(xk).alias("sy"),
+        )
+
+    u = one(1).unionByName(one(2)).unionByName(one(3))
+    return u.select(
+        "k",
+        F.col("n").cast("long").alias("n_pairs"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("cov_num"),
+    )

@@ -795,3 +795,40 @@ def t14_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count(F.col("flags").cast("long"))).alias("popcount_sum"),
         F.sum("mixed").cast("long").alias("mixed_expr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F8 — cryptographic digest surface (md5 / sha-256): content
+# addressing is the backbone of exact dedup (x1 hashes text; this
+# key proves the raw digest primitives agree cross-engine,
+# lowercase-hex and all). Emits per-document digests for a
+# deterministic 1-in-97 keyspace slice (bounded output at any sf)
+# plus each digest's first nibble so the uniformity of the hash is
+# visible. Pure map-side expressions in codegen; the only plan nodes
+# are scan -> filter (pushed) -> project.
+# ---------------------------------------------------------------------------
+@register(
+    "f8_hash_digest_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           substr(md5(text), 1, 1) AS md5_nibble,
+           CAST(len(md5(text)) AS INTEGER) AS md5_len,
+           CAST(len(sha256(text)) AS INTEGER) AS sha256_len
+    FROM documents WHERE doc_id % 97 = 0
+    """,
+)
+def f8_hash_digest_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(
+            "doc_id",
+            F.md5("text").alias("md5_hex"),
+            F.sha2("text", 256).alias("sha256_hex"),
+            F.substring(F.md5("text"), 1, 1).alias("md5_nibble"),
+            F.length(F.md5("text")).alias("md5_len"),
+            F.length(F.sha2("text", 256)).alias("sha256_len"),
+        )
+    )

@@ -526,3 +526,40 @@ def w13_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("med_cents_x2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O5 — NULL-aware ordering semantics: ORDER BY with explicit NULLS
+# FIRST/LAST and mixed directions — the sort-surface contract that
+# differs silently between engines (Spark's default for DESC is
+# nulls-last, Postgres's is nulls-first; explicit modifiers are the
+# only portable spelling). A nullable key is derived in-plan
+# (priority gaps to NULL), then top-40 under "NULL priority first,
+# then price descending, orderkey tiebreak" — with LIMIT this plans
+# TakeOrderedAndProject, so the NULL ordering is exercised inside
+# the per-partition top-k comparator, not a full sort.
+# ---------------------------------------------------------------------------
+@register(
+    "o5_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderpriority, '5-LOW') AS prio,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    ORDER BY prio DESC NULLS FIRST, cents DESC, o_orderkey
+    LIMIT 40
+    """,
+)
+def o5_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("prio"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    return d.orderBy(
+        F.col("prio").desc_nulls_first(),
+        F.col("cents").desc(),
+        F.col("o_orderkey"),
+    ).limit(40)

@@ -232,3 +232,47 @@ def test_bounded_block_pairs_complete_vs_bruteforce(spark, seed, cap):
         .collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_fastss_lev1_pairs_match_bruteforce(spark, seed):
+    # The deletion-key equi-join must find EXACTLY the pairs a
+    # brute-force O(V^2) levenshtein scan finds — on adversarial
+    # vocab (tiny alphabet -> dense near-neighborhoods, repeated
+    # letters -> same-key distance-2 collisions like 'aab'/'aba').
+    from voter_file_etl_spark.plans.joins import fastss_lev1_pairs
+
+    rng = np.random.default_rng(seed)
+    vocab = sorted(
+        {
+            "".join(rng.choice(list("ab"), size=rng.integers(1, 5)))
+            for _ in range(60)
+        }
+        | {
+            "".join(rng.choice(list("abcde"), size=rng.integers(3, 7)))
+            for _ in range(60)
+        }
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (a, b)
+        for i, a in enumerate(vocab)
+        for b in vocab[i + 1 :]
+        if lev(a, b) <= 1
+    }
+    corpus = spark.createDataFrame([(w,) for w in vocab], ["w"])
+    got = {
+        (r["w1"], r["w2"]) for r in fastss_lev1_pairs(corpus).collect()
+    }
+    assert got == expected

@@ -959,6 +959,33 @@ def j18_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
     )
+def fastss_lev1_pairs(corpus: DataFrame) -> DataFrame:
+    """All (w1 < w2) pairs of ``corpus.w`` within levenshtein 1, via
+    the deletion-key equi-join (exact; see j19's header). Exposed as
+    a library function so the property suite can drive it against a
+    brute-force reference on arbitrary vocabularies."""
+    # Deletion neighborhood: the word itself (pos 0) plus each
+    # single-deletion variant, tagged so self-pairs can be dropped.
+    keyed = corpus.select(
+        "w",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(w)), i -> "
+                "case when i = 0 then w "
+                "else concat(substr(w, 1, i - 1), substr(w, i + 1)) end)"
+            )
+        ).alias("k"),
+    ).distinct()
+    return (
+        keyed.alias("a")
+        .join(keyed.alias("b"), F.col("a.k") == F.col("b.k"))
+        .filter(F.col("a.w") < F.col("b.w"))
+        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .distinct()
+        .filter(F.levenshtein("w1", "w2") <= 1)
+    )
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -1012,26 +1039,6 @@ def j19_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(w, 1, length(w) - 1)").alias("w")
         )
     ).distinct()
-    # Deletion neighborhood: the word itself (pos 0) plus each
-    # single-deletion variant, tagged so self-pairs can be dropped.
-    keyed = corpus.select(
-        "w",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(w)), i -> "
-                "case when i = 0 then w "
-                "else concat(substr(w, 1, i - 1), substr(w, i + 1)) end)"
-            )
-        ).alias("k"),
-    ).distinct()
-    pairs = (
-        keyed.alias("a")
-        .join(keyed.alias("b"), F.col("a.k") == F.col("b.k"))
-        .filter(F.col("a.w") < F.col("b.w"))
-        .select(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
-        .distinct()
-        .filter(F.levenshtein("w1", "w2") <= 1)
-    )
-    return pairs.select(
+    return fastss_lev1_pairs(corpus).select(
         "w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist")
     )

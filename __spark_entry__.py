@@ -73,7 +73,8 @@ _BACKFILL = [
     "x59_quantile_normalize", "x60_winsorize", "x61_shard_balance",
     "j19_edit_distance_join", "d4_record_linkage", "g5_degree_distribution",
     "a37_chi_square", "a38_lag_autocovariance", "x62_langid_confusion",
-    "f8_hash_digest_funcs", "o5_nulls_ordering",
+    "f8_hash_digest_funcs", "o5_nulls_ordering", "w14_drawdown",
+    "j20_star_denorm",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -156,6 +156,8 @@ HEADLINE = [
     "x62_langid_confusion",
     "f8_hash_digest_funcs",
     "o5_nulls_ordering",
+    "w14_drawdown",
+    "j20_star_denorm",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

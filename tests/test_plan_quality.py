@@ -550,3 +550,26 @@ def test_nulls_ordering_plans_take_ordered(spark, sf_dir):
     plan = _formatted_plan(spark, "o5_nulls_ordering", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "NULLS FIRST" in plan, plan[:2000]
+
+
+def test_star_denorm_dims_broadcast_fact_shuffles_once(spark, sf_dir):
+    # j20's three dimension joins must ALL be broadcasts chained onto
+    # the fact side; the only exchanges allowed are for the lineitem
+    # rollup + fact-rollup join. The region predicate must prune
+    # before the broadcast.
+    plan = _formatted_plan(spark, "j20_star_denorm", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:3000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "EqualTo(r_name,ASIA)" in plan or "r_name" in plan, plan[:2000]
+
+
+def test_drawdown_is_single_window_pass(spark, sf_dir):
+    # w14's peak and drawdown must come from ONE customer-partitioned
+    # window — no self-join, no second exchange.
+    plan = _formatted_plan(spark, "w14_drawdown", sf_dir)
+    # formatted explain prints each node twice (tree + detail): one
+    # Window node => exactly one "(N) Window" detail header.
+    assert plan.count(") Window") == 1, plan[:2000]
+    assert plan.count(") Exchange") == 1, plan[:2000]
+    assert "hashpartitioning(o_custkey" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]

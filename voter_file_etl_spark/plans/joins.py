@@ -1042,3 +1042,68 @@ def j19_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fastss_lev1_pairs(corpus).select(
         "w1", "w2", F.levenshtein("w1", "w2").cast("long").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# J20 — star-schema denormalization: materialize the wide flat table
+# (order grain + customer + nation + region attributes + a lineitem
+# rollup) that feature stores and training pipelines consume — the
+# "join once, scan forever" trade every 100 TB shop makes. The plan
+# is the canonical star shape: the fact table shuffles ONCE for the
+# lineitem rollup join; every dimension (customer, nation, region)
+# chains broadcast hash joins onto the map side — three dims cost
+# zero additional shuffles. Output is filtered to one region to show
+# the dim predicate pushing through the join chain.
+# ---------------------------------------------------------------------------
+@register(
+    "j20_star_denorm",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             count(*) AS n_items,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           c.c_mktsegment, n.n_name, r.r_name,
+           CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           li.n_items, li.qty
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN li ON o.o_orderkey = li.l_orderkey
+    WHERE r.r_name = 'ASIA'
+    """,
+)
+def j20_star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        )
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "c_mktsegment",
+            "n_name",
+            "r_name",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+                "cents"
+            ),
+            "n_items",
+            "qty",
+        )
+    )

@@ -563,3 +563,50 @@ def o5_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").desc(),
         F.col("o_orderkey"),
     ).limit(40)
+
+
+# ---------------------------------------------------------------------------
+# W14 — running peak + drawdown per customer: cummax over the order
+# history and the gap from it — the "how far below the best so far"
+# shape (equity drawdown, QPS-vs-peak, model-metric regression
+# tracking). One window partition per customer, running max is an
+# algebraic frame aggregate (O(1) per row over the growing frame);
+# no second pass, no self-join. Integer cents end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "w14_drawdown",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(max(cents) OVER w AS BIGINT) AS peak_cents,
+           CAST(max(cents) OVER w - cents AS BIGINT) AS drawdown_cents
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def w14_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        F.max("cents").over(w).cast("long").alias("peak_cents"),
+        (F.max("cents").over(w) - F.col("cents"))
+        .cast("long")
+        .alias("drawdown_cents"),
+    )

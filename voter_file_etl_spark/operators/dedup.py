@@ -1296,10 +1296,17 @@ def x56_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distribution is reproducible at any sf.
 #
 # Scale: candidate generation is a BLOCKED equi-join on
-# (nationkey, name-prefix) — the standard linkage blocking that
-# bounds pair volume to sum of block sizes squared, never |A|x|B|;
-# the perturbation never touches the blocking prefix, so recall on
-# the planted truth is exactly 1. Scoring (levenshtein + integer
+# (nationkey, name-digit-block) — the standard linkage blocking that
+# bounds pair volume to sum of block sizes squared, never |A|x|B|.
+# The block key is digits 1-6 of the 9-digit id (name positions
+# 10-15): it changes every 1000 consecutive ids, so block sizes stay
+# CONSTANT (~1000/nations rows) as the corpus grows — a prefix that
+# includes only the constant 'Customer#000' stem would silently
+# degenerate to nationkey-only blocking and go quadratic (measured:
+# 54 s at sf0.1 before this key was chosen). The perturbation only
+# ever touches the LAST name character, so the blocking digits are
+# invariant and candidate recall on the planted truth is exactly 1.
+# Scoring (levenshtein + integer
 # field comparisons) runs map-side on candidate pairs only.
 # Reference: the ETL upsert keyed on voter id (load.ts) — this is
 # what replaces it when the id is absent.
@@ -1326,7 +1333,7 @@ def x56_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - f.f_bal_cents) AS bal_diff
       FROM customer c JOIN feed f
         ON c.c_nationkey = f.f_nationkey
-       AND substr(c.c_name, 1, 12) = substr(f.f_name, 1, 12)
+       AND substr(c.c_name, 10, 6) = substr(f.f_name, 10, 6)
     )
     SELECT c_custkey, f_id,
            CAST(CASE WHEN name_dist = 0 THEN 50
@@ -1363,24 +1370,57 @@ def d4_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             + (F.col("c_custkey") % 7) * 100
         ).alias("f_bal_cents"),
     )
-    cand = cust.join(
-        feed,
-        (cust.c_nationkey == feed.f_nationkey)
-        & (
-            F.expr("substr(c_name, 1, 12)")
-            == F.expr("substr(f_name, 1, 12)")
-        ),
-    ).select(
-        "c_custkey",
-        "f_id",
-        F.levenshtein("c_name", "f_name").alias("name_dist"),
-        F.when(F.col("c_mktsegment") == F.col("f_segment"), 1)
-        .otherwise(0)
-        .alias("seg_eq"),
-        F.abs(
-            F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
-            - F.col("f_bal_cents")
-        ).alias("bal_diff"),
+    # Repartition the master on the block key with an EXPLICIT
+    # partition count: candidate scoring parallelism then equals the
+    # core count, not the number of input files (locally the 15k-row
+    # master is ONE parquet split — without this, every block's
+    # levenshtein work lands on a single task; measured 6.3 s at
+    # sf0.1). The explicit count matters: scoring is CPU-bound on
+    # small bytes, exactly the shape AQE's size-based coalescing
+    # mis-sizes, and a user-specified numPartitions is the documented
+    # way to opt out. On a cluster both sides of a linkage join
+    # co-partition on the block key anyway.
+    cand = (
+        cust.repartition(
+            cust.sparkSession.sparkContext.defaultParallelism,
+            F.col("c_nationkey"),
+            F.expr("substr(c_name, 10, 6)"),
+        )
+        .join(
+            feed,
+            (cust.c_nationkey == feed.f_nationkey)
+            & (
+                F.expr("substr(c_name, 10, 6)")
+                == F.expr("substr(f_name, 10, 6)")
+            ),
+        )
+        .select(
+            "c_custkey",
+            "f_id",
+            "c_mktsegment",
+            "f_segment",
+            "c_acctbal",
+            "f_bal_cents",
+            F.levenshtein("c_name", "f_name").alias("name_dist"),
+        )
+        # Any match needs the name: non-name fields score at most
+        # 30 + 20 = 50 < 70, so name_dist <= 1 is a NECESSARY
+        # condition — filtering on it first means the join condition
+        # evaluates ONE levenshtein per candidate pair and the
+        # remaining field comparisons run only on survivors.
+        .filter(F.col("name_dist") <= 1)
+        .select(
+            "c_custkey",
+            "f_id",
+            "name_dist",
+            F.when(F.col("c_mktsegment") == F.col("f_segment"), 1)
+            .otherwise(0)
+            .alias("seg_eq"),
+            F.abs(
+                F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
+                - F.col("f_bal_cents")
+            ).alias("bal_diff"),
+        )
     )
     score = (
         F.when(F.col("name_dist") == 0, 50)

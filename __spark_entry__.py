@@ -74,7 +74,9 @@ _BACKFILL = [
     "j19_edit_distance_join", "d4_record_linkage", "g5_degree_distribution",
     "a37_chi_square", "a38_lag_autocovariance", "x62_langid_confusion",
     "f8_hash_digest_funcs", "o5_nulls_ordering", "w14_drawdown",
-    "j20_star_denorm",
+    "j20_star_denorm", "w15_ewma", "a39_gini", "a40_conversion_lag",
+    "f9_url_parse", "t15_unicode_sanitize", "x63_bloom_prefilter",
+    "x64_token_shift", "s17_compressed_csv",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -158,6 +158,17 @@ HEADLINE = [
     "o5_nulls_ordering",
     "w14_drawdown",
     "j20_star_denorm",
+    # round-4 third wave: EWMA smoothing, Gini concentration,
+    # conversion latency, URL-parse surface, sanitizer, bloom
+    # prefilter calibration, token-shift drift, gzip CSV roundtrip
+    "w15_ewma",
+    "a39_gini",
+    "a40_conversion_lag",
+    "f9_url_parse",
+    "t15_unicode_sanitize",
+    "x63_bloom_prefilter",
+    "x64_token_shift",
+    "s17_compressed_csv",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -573,3 +573,49 @@ def test_drawdown_is_single_window_pass(spark, sf_dir):
     assert plan.count(") Exchange") == 1, plan[:2000]
     assert "hashpartitioning(o_custkey" in plan, plan[:2000]
     assert "Join" not in plan, plan[:2000]
+
+
+def test_bloom_bit_probes_are_broadcast(spark, sf_dir):
+    # x63's two bit-membership probes must be broadcast joins (the
+    # bit-set is <= 16384 rows); only the measurement harness's exact
+    # truth join may shuffle.
+    plan = _formatted_plan(spark, "x63_bloom_prefilter", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_token_shift_topk_is_take_ordered(spark, sf_dir):
+    # x64's global top-50 must plan as TakeOrderedAndProject, never a
+    # full sort of the token-count table.
+    plan = _formatted_plan(spark, "x64_token_shift", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Sort [ratio_ppm" not in plan
+
+
+def test_ewma_window_is_partitioned(spark, sf_dir):
+    # w15's lag chain must run per-customer (one shuffle on
+    # o_custkey), never as a global unpartitioned window.
+    plan = _formatted_plan(spark, "w15_ewma", sf_dir)
+    assert "hashpartitioning(o_custkey" in plan, plan[:2000]
+    # exactly one window exchange: no per-lag re-shuffles
+    assert plan.count("hashpartitioning(o_custkey") <= 2, plan[:2000]
+
+
+def test_gini_rank_window_is_per_segment(spark, sf_dir):
+    plan = _formatted_plan(spark, "a39_gini", sf_dir)
+    assert "hashpartitioning(c_mktsegment" in plan, plan[:2000]
+
+
+def test_conversion_lag_joins_on_user(spark, sf_dir):
+    # a40: no cartesian anywhere; the purchase-side join is keyed on
+    # user_id so AQE co-partitions it with the first-click aggregate.
+    plan = _formatted_plan(spark, "a40_conversion_lag", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(user_id" in plan, plan[:2000]
+
+
+def test_url_parse_stays_map_side(spark, sf_dir):
+    # f9: synthesis + parse_url are map-side expressions; the only
+    # exchange is the bounded per-host rollup.
+    plan = _formatted_plan(spark, "f9_url_parse", sf_dir)
+    assert "ParseUrlEvaluator" in plan or "parse_url" in plan
+    assert "Join" not in plan, plan[:2000]

@@ -1439,3 +1439,132 @@ def d4_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("name_dist").cast("long").alias("name_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X63 — Bloom-filter decontamination prefilter: before the exact
+# fingerprint anti-join (x22) runs across a 100 TB corpus, a compact
+# bit-set of the train-side fingerprints is broadcast and probes are
+# screened map-side — only bloom-positive rows pay the shuffle. This
+# key builds the bloom (m = 16384 bits, k = 2 hashes sliced from the
+# md5 fingerprint), probes it with the eval split PLUS planted true
+# members (every 40th train doc), and measures what the exact join
+# then confirms: true members, bloom positives, and the false-
+# positive rate in basis points — the calibration number that decides
+# m and k before a production run.
+#
+# Engine bridge: hex-slice -> integer is Spark conv(s,16,10) and
+# DuckDB CAST('0x'||s AS BIGINT) — both exact on 4 hex chars.
+# Scale: the bit-set is <= m rows (bounded, broadcast); probing is
+# two broadcast joins (map-side); ONLY the measurement harness's
+# exact-truth join shuffles on the fingerprint, and that join is the
+# very cost the bloom exists to avoid in production.
+# ---------------------------------------------------------------------------
+@register(
+    "x63_bloom_prefilter",
+    oracle="""
+    WITH train AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 < 8
+    ), probes AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT md5(text) AS fp FROM documents
+      WHERE doc_id % 10 < 8 AND doc_id % 40 = 0
+    ), bits AS (
+      SELECT DISTINCT b FROM (
+        SELECT CAST('0x' || substr(fp, 1, 4) AS BIGINT) % 16384 AS b FROM train
+        UNION ALL
+        SELECT CAST('0x' || substr(fp, 5, 4) AS BIGINT) % 16384 AS b FROM train
+      )
+    ), marked AS (
+      SELECT p.fp,
+             CASE WHEN b1.b IS NOT NULL AND b2.b IS NOT NULL
+                  THEN 1 ELSE 0 END AS bloom_pos,
+             CASE WHEN t.fp IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM probes p
+      LEFT JOIN bits b1
+        ON b1.b = CAST('0x' || substr(p.fp, 1, 4) AS BIGINT) % 16384
+      LEFT JOIN bits b2
+        ON b2.b = CAST('0x' || substr(p.fp, 5, 4) AS BIGINT) % 16384
+      LEFT JOIN (SELECT DISTINCT fp FROM train) t ON t.fp = p.fp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(sum(is_member) AS BIGINT) AS n_members,
+           CAST(sum(bloom_pos) AS BIGINT) AS n_bloom_pos,
+           CAST(sum(CASE WHEN bloom_pos = 1 AND is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0
+                    END) * 10000 // (count(*) - sum(is_member)) AS BIGINT)
+             AS fp_rate_bp
+    FROM marked
+    """,
+)
+def x63_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 < 8).select(
+        F.md5("text").alias("fp")
+    )
+    probes = (
+        docs.filter(F.col("doc_id") % 10 >= 8)
+        .select(F.md5("text").alias("fp"))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 10 < 8) & (F.col("doc_id") % 40 == 0)
+            ).select(F.md5("text").alias("fp"))
+        )
+    )
+
+    def slot(col: str, pos: int):
+        return (
+            F.conv(F.substring(col, pos, 4), 16, 10).cast("long") % 16384
+        )
+
+    bits = (
+        train.select(slot("fp", 1).alias("b"))
+        .unionByName(train.select(slot("fp", 5).alias("b")))
+        .distinct()
+    )
+    marked = (
+        probes.withColumn("b1", slot("fp", 1))
+        .withColumn("b2", slot("fp", 5))
+        .join(
+            F.broadcast(bits.withColumnRenamed("b", "b1")).withColumn(
+                "hit1", F.lit(1)
+            ),
+            "b1",
+            "left",
+        )
+        .join(
+            F.broadcast(bits.withColumnRenamed("b", "b2")).withColumn(
+                "hit2", F.lit(1)
+            ),
+            "b2",
+            "left",
+        )
+        .join(
+            train.distinct().withColumn("is_m", F.lit(1)), "fp", "left"
+        )
+        .select(
+            F.when(
+                F.col("hit1").isNotNull() & F.col("hit2").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("bloom_pos"),
+            F.coalesce("is_m", F.lit(0)).alias("is_member"),
+        )
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("bloom_pos").cast("long").alias("n_bloom_pos"),
+        F.sum(
+            F.when((F.col("bloom_pos") == 1) & (F.col("is_member") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.expr(
+            "cast(sum(case when bloom_pos = 1 and is_member = 0 then 1"
+            " else 0 end) * 10000 div (count(*) - sum(is_member)) as bigint)"
+        ).alias("fp_rate_bp"),
+    )

@@ -1616,3 +1616,130 @@ def x62_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T15 — unicode/whitespace sanitization: the first mechanical pass of
+# every crawl-ingest pipeline (strip control characters, collapse
+# whitespace runs, trim) — the hygiene step that runs BEFORE x8/x9
+# scoring so ratios aren't skewed by formatting noise. The corpus is
+# clean by construction, so dirt is INJECTED deterministically (a tab
+# prefix, doubled inter-word spaces, a trailing CR LF) and the
+# sanitizer must restore the original text exactly — a row-level
+# inverse check, like f9's construct-then-invert pattern.
+#
+# Scale: pure map-side regexp_replace/trim column expressions in
+# whole-stage codegen; the only shuffle is the final bounded rollup
+# per language. DuckDB regexp_replace needs the 'g' flag to match
+# Spark's replace-all semantics — that asymmetry is the one
+# engine-boundary trap here.
+# ---------------------------------------------------------------------------
+@register(
+    "t15_unicode_sanitize",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id, lang, text,
+             chr(9) || replace(text, ' ', '  ') || chr(13) || chr(10) AS raw
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, lang, text, raw,
+             trim(regexp_replace(regexp_replace(raw, '[\\x00-\\x1F]', ' ', 'g'),
+                                 ' +', ' ', 'g')) AS clean
+      FROM dirty
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(raw) - length(clean)) AS BIGINT) AS n_stripped,
+           CAST(sum(CASE WHEN clean = text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_restored
+    FROM cleaned GROUP BY lang
+    """,
+)
+def t15_unicode_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.expr("char(9)"),
+        F.regexp_replace("text", " ", "  "),
+        F.expr("char(13)"),
+        F.expr("char(10)"),
+    )
+    d = docs.select("doc_id", "lang", "text", raw.alias("raw"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace("raw", "[\\x00-\\x1F]", " "), " +", " "
+        )
+    )
+    c = d.withColumn("clean", clean)
+    return c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("raw") - F.length("clean"))
+        .cast("long")
+        .alias("n_stripped"),
+        F.sum(F.when(F.col("clean") == F.col("text"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_restored"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X64 — token distribution shift: the top distinctive tokens between
+# two corpus halves (sources src0-9 vs src10-19) ranked by smoothed
+# odds ratio — the drift report run when a crawl refresh lands or two
+# data vendors are compared, and the unigram sibling of a36's KS test
+# on numeric columns. Ranking uses add-one-smoothed count ratios
+# scaled to exact integer ppm, so ordering is engine-independent
+# (no log-odds floats); p_total/q_total scaling constants cancel in
+# the ranking and are intentionally omitted.
+#
+# Scale: one token-keyed aggregate (map-side partial over the
+# explode), then a global top-50 that Spark plans as
+# TakeOrderedAndProject — O(50) per partition, no full sort.
+# ---------------------------------------------------------------------------
+@register(
+    "x64_token_shift",
+    oracle="""
+    WITH toks AS (
+      SELECT CAST(substr(source, 4) AS INTEGER) < 10 AS in_a,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+      FROM documents
+    ), counts AS (
+      SELECT word,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS q_n
+      FROM toks WHERE word <> '' GROUP BY word
+    )
+    SELECT word, p_n, q_n,
+           CAST((p_n + 1) * 1000000 // (q_n + 1) AS BIGINT) AS ratio_ppm
+    FROM counts
+    ORDER BY ratio_ppm DESC, word LIMIT 50
+    """,
+)
+def x64_token_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = t(spark, sf_dir, "documents").select(
+        (F.substring("source", 4, 10).cast("int") < 10).alias("in_a"),
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+    )
+    counts = (
+        toks.filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("p_n"),
+            F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+            .cast("long")
+            .alias("q_n"),
+        )
+    )
+    return (
+        counts.select(
+            "word",
+            "p_n",
+            "q_n",
+            F.expr("cast((p_n + 1) * 1000000 div (q_n + 1) as bigint)").alias(
+                "ratio_ppm"
+            ),
+        )
+        .orderBy(F.desc("ratio_ppm"), "word")
+        .limit(50)
+    )

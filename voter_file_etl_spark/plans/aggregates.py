@@ -1221,3 +1221,74 @@ def a38_lag_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cov_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A39 — Gini concentration per segment: the inequality screen run on
+# any value distribution before sampling/weighting decisions (is this
+# segment's balance mass concentrated in a few whales?). Formula is
+# the rank form G = (2*sum(i*x_i) - (n+1)*sum(x_i)) / (n*sum(x_i))
+# over ascending-sorted x, computed on SHIFTED cents (+100000, since
+# acctbal can be negative and Gini needs a non-negative support);
+# emitted as exact integer basis points plus the raw numerator/
+# denominator pair.
+#
+# Exactness/overflow: all terms are int64. At sf0.1 the per-segment
+# numerator is ~1e13 and num*10000 ~1e17, comfortably inside 2^63;
+# the crossover is ~sf3 per segment, at which point the emitted
+# (gini_num, gini_den) columns are the overflow-proof form and the
+# *10000 step moves to DECIMAL(38,0) — noted here so the knob is
+# explicit.
+#
+# Scale: rank assignment is a per-segment window (parallel across
+# segments), then one grouped aggregate — two shuffles on the segment
+# key, no self-join, no global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "a39_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100000 AS sx,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT),
+                        c_custkey) AS i
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(2 * sum(i * sx) - (count(*) + 1) * sum(sx) AS BIGINT)
+             AS gini_num,
+           CAST(count(*) * sum(sx) AS BIGINT) AS gini_den,
+           CAST((2 * sum(i * sx) - (count(*) + 1) * sum(sx)) * 10000
+                // (count(*) * sum(sx)) AS BIGINT) AS gini_bp
+    FROM ranked GROUP BY c_mktsegment
+    """,
+)
+def a39_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cents = F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
+    ranked = t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        (cents + F.lit(100000)).alias("sx"),
+        F.row_number()
+        .over(W.partitionBy("c_mktsegment").orderBy(cents, F.col("c_custkey")))
+        .alias("i"),
+    )
+    g = ranked.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("i") * F.col("sx")).alias("six"),
+        F.sum("sx").alias("s"),
+    )
+    num = F.lit(2) * F.col("six") - (F.col("n") + 1) * F.col("s")
+    den = F.col("n") * F.col("s")
+    return g.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n"),
+        num.cast("long").alias("gini_num"),
+        den.cast("long").alias("gini_den"),
+        F.expr(
+            "cast((2 * six - (n + 1) * s) * 10000 div (n * s) as bigint)"
+        ).alias("gini_bp"),
+    )

@@ -453,3 +453,72 @@ def a33_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("wau"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A40 — conversion latency: a22 counts WHO converts; this measures
+# HOW LONG conversion takes — per weekly first-click cohort, the
+# time from a user's first click to their first purchase AFTER that
+# click. The canonical time-to-convert report (voter first-contact to
+# pledge latency in the reference's domain; signup-to-activation in
+# product analytics).
+#
+# Exactness: all latency math is int64 microseconds (unix_micros /
+# epoch_us); the cohort week is date_trunc('week'), ISO-Monday in
+# both engines; avg is an explicit integer division.
+#
+# Scale: two filtered groupBy(user_id) aggregates and one equi-join
+# on user_id — AQE co-partitions them so the join follows the first
+# shuffle without a re-partition; the final rollup is on the bounded
+# cohort-week key. No windows over raw events, no self-join of the
+# full stream.
+# ---------------------------------------------------------------------------
+@register(
+    "a40_conversion_lag",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, min(ts) AS fc
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), conv AS (
+      SELECT f.user_id, f.fc, min(e.ts) AS fp
+      FROM first_click f
+      JOIN events e ON e.user_id = f.user_id
+       AND e.event_type = 'purchase' AND e.ts > f.fc
+      GROUP BY f.user_id, f.fc
+    )
+    SELECT CAST(date_trunc('week', fc) AS DATE) AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(sum(epoch_us(fp) - epoch_us(fc))
+                // count(*) AS BIGINT) AS avg_lag_us,
+           CAST(max(epoch_us(fp) - epoch_us(fc)) AS BIGINT) AS max_lag_us
+    FROM conv GROUP BY 1
+    """,
+)
+def a40_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") > F.col("fc"))
+        .groupBy("user_id", "fc")
+        .agg(F.min("ts").alias("fp"))
+    )
+    lag_us = F.unix_micros("fp") - F.unix_micros("fc")
+    return (
+        conv.groupBy(
+            F.date_trunc("week", "fc").cast("date").alias("cohort_week")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.expr(
+                "cast(sum(unix_micros(fp) - unix_micros(fc))"
+                " div count(*) as bigint)"
+            ).alias("avg_lag_us"),
+            F.max(lag_us).cast("long").alias("max_lag_us"),
+        )
+    )

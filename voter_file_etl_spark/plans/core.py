@@ -868,3 +868,63 @@ def s16_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.sum("c_custkey").cast("long").alias("sum_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S17 — compressed-CSV roundtrip: the delimited-file path (s2/s11)
+# under a gzip codec, the wire format most vendor drops actually
+# arrive in (the reference's .tab feeds are shipped compressed;
+# load.ts hands the decompressed stream to COPY). Write forces the
+# codec via option("compression","gzip"); read auto-detects by the
+# .gz suffix. The aggregate proves payload integrity through the
+# compress/decompress boundary.
+#
+# Scale note: gzip files are NOT splittable — one file = one task.
+# The write keeps the source partitioning (many ~equal gz parts), so
+# the read side still parallelizes per file; that file-count knob is
+# the 100 TB posture for non-splittable codecs (or re-encode to zstd
+# parquet at the landing zone, which l6 compaction models).
+# ---------------------------------------------------------------------------
+@register(
+    "s17_compressed_csv",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s17_compressed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(
+        prefix="s17_gzcsv_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    path = os.path.join(out, "csv_gz")
+    src = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        "c_mktsegment",
+    )
+    (
+        src.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("header", "true")
+        .csv(path)
+    )
+    parsed = (
+        spark.read.option("header", "true")
+        .schema("c_custkey long, c_name string, cents long, c_mktsegment string")
+        .csv(path)
+    )
+    return parsed.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+    )

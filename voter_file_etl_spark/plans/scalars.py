@@ -832,3 +832,71 @@ def f8_hash_digest_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.sha2("text", 256)).alias("sha256_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F9 — URL parsing surface: host / path / per-key query-parameter
+# extraction, the click-log normalization step of every web-scale
+# pipeline (and the crawl-side sibling of x31's URL canonicalizer).
+# URLs are synthesized deterministically from document columns, then
+# the Spark side must INVERT the construction with the native
+# parse_url expression (JVM codegen, the fast path a regex UDF would
+# ruin); the oracle inverts it with RE2 regexps — two independent
+# decoders agreeing on every row is the check.
+#
+# Scale: pure map-side expression work, no shuffle except the final
+# per-host rollup on a bounded key domain (20 sources).
+# ---------------------------------------------------------------------------
+@register(
+    "f9_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/', lang, '/item/',
+                    doc_id, '?ref=', upper(source), '&page=',
+                    CAST(doc_id % 13 AS VARCHAR)) AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT regexp_extract(url, 'https://[^/]+(/[^?]*)', 1))
+                AS BIGINT) AS n_paths,
+           CAST(sum(CAST(regexp_extract(url, '[?&]page=([0-9]+)', 1)
+                         AS BIGINT)) AS BIGINT) AS sum_page,
+           min(regexp_extract(url, '[?&]ref=([^&]+)', 1)) AS min_ref
+    FROM u GROUP BY 1
+    """,
+)
+def f9_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/item/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref="),
+            F.upper("source"),
+            F.lit("&page="),
+            (F.col("doc_id") % 13).cast("string"),
+        ).alias("url"),
+    )
+    return (
+        u.select(
+            F.parse_url("url", F.lit("HOST")).alias("host"),
+            F.parse_url("url", F.lit("PATH")).alias("path"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("page"))
+            .cast("long")
+            .alias("page"),
+            F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("path").cast("long").alias("n_paths"),
+            F.sum("page").cast("long").alias("sum_page"),
+            F.min("ref").alias("min_ref"),
+        )
+    )

@@ -610,3 +610,70 @@ def w14_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drawdown_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W15 — EWMA smoothing with exact dyadic weights: the metric-smoothing
+# window every monitoring/curation dashboard runs (order-value trend
+# per customer here; loss curves and throughput gauges at scale).
+# A true infinite-memory EWMA is a linear recurrence Spark window
+# frames cannot express; the standard distributed spelling bounds the
+# memory to the last K points, where the dropped tail's weight is
+# 2^-K of the total (K=8 -> 0.4%, below any dashboard's resolution).
+#
+# Exactness discipline: alpha = 1/2 makes every weight a power of two
+# (2^(7-lag)), so numerator and denominator are pure int64 sums and
+# the final smoothed value is one integer division — bit-identical
+# across engines, no float accumulation order to disagree on.
+#
+# Scale: one shuffle on o_custkey; the lag-chain is partition-local
+# with O(K) state per row and stays inside WholeStageCodegen (plain
+# lag/coalesce expressions, no UDF). K is the memory/fidelity knob.
+# ---------------------------------------------------------------------------
+_W15_K = 8
+
+
+@register(
+    "w15_ewma",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, cents,
+           CAST((
+             {" + ".join(f"coalesce(lag(cents, {j}) OVER w, 0) * {2 ** (_W15_K - 1 - j)}" for j in range(_W15_K))}
+           ) // (
+             {" + ".join(f"CASE WHEN lag(cents, {j}) OVER w IS NULL THEN 0 ELSE {2 ** (_W15_K - 1 - j)} END" for j in range(_W15_K))}
+           ) AS BIGINT) AS ewma_cents
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w15_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(_W15_K):
+        weight = 2 ** (_W15_K - 1 - j)
+        lagged = F.lag("cents", j).over(w)
+        num = num + F.coalesce(lagged * F.lit(weight), F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(
+            F.lit(0)
+        )
+    return d.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        # integer division (x - x % y) / y keeps the result pure int64
+        # (matches the oracle's // floor-division on non-negative sums)
+        ((num - num % den) / den).cast("long").alias("ewma_cents"),
+    )

@@ -76,7 +76,8 @@ _BACKFILL = [
     "f8_hash_digest_funcs", "o5_nulls_ordering", "w14_drawdown",
     "j20_star_denorm", "w15_ewma", "a39_gini", "a40_conversion_lag",
     "f9_url_parse", "t15_unicode_sanitize", "x63_bloom_prefilter",
-    "x64_token_shift", "s17_compressed_csv",
+    "x64_token_shift", "s17_compressed_csv", "a41_ols_trend",
+    "t16_json_nested", "d5_golden_record", "x65_vocab_coverage",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

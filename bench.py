@@ -169,6 +169,10 @@ HEADLINE = [
     "x63_bloom_prefilter",
     "x64_token_shift",
     "s17_compressed_csv",
+    "a41_ols_trend",
+    "t16_json_nested",
+    "d5_golden_record",
+    "x65_vocab_coverage",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

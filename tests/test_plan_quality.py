@@ -619,3 +619,34 @@ def test_url_parse_stays_map_side(spark, sf_dir):
     plan = _formatted_plan(spark, "f9_url_parse", sf_dir)
     assert "ParseUrlEvaluator" in plan or "parse_url" in plan
     assert "Join" not in plan, plan[:2000]
+
+
+def test_ols_trend_has_no_raw_window(spark, sf_dir):
+    # a41 collapses to the daily series with plain aggregates; no
+    # Window operator (and no join) should appear anywhere.
+    plan = _formatted_plan(spark, "a41_ols_trend", sf_dir)
+    assert "Window" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_json_nested_is_map_side(spark, sf_dir):
+    # t16: synthesis + json-path extraction are projections; the only
+    # exchange is the bounded per-priority rollup.
+    plan = _formatted_plan(spark, "t16_json_nested", sf_dir)
+    assert "get_json_object" in plan or "GetJsonObject" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_golden_record_is_single_entity_shuffle(spark, sf_dir):
+    # d5: field-wise survivorship must be ONE conditional aggregation
+    # keyed on the entity (no per-field self-joins).
+    plan = _formatted_plan(spark, "d5_golden_record", sf_dir)
+    assert "Join" not in plan, plan[:2000]
+    assert "hashpartitioning(c_custkey" in plan, plan[:2000]
+
+
+def test_vocab_coverage_aggregates_before_window(spark, sf_dir):
+    # x65's global window must run over the collapsed token-count
+    # table (partial aggregation below the exchange), never raw rows.
+    plan = _formatted_plan(spark, "x65_vocab_coverage", sf_dir)
+    assert "partial_count" in plan, plan[:2000]

@@ -1568,3 +1568,120 @@ def x63_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else 0 end) * 10000 div (count(*) - sum(is_member)) as bigint)"
         ).alias("fp_rate_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D5 — golden-record construction (field-wise survivorship): x48
+# elects one whole ROW per cluster; real master-data merge is
+# per-FIELD — each attribute takes its value from the highest-
+# priority feed that has one. Two vendor feeds are derived
+# deterministically from customer (feed 'a': authoritative but
+# gappy — name missing on every 3rd key, segment on every 4th,
+# balance on every 5th; feed 'b': complete but lower quality —
+# lowercased names, UNKNOWN segments on even keys), and the golden
+# record coalesces a-then-b per field. Spelled as ONE conditional
+# aggregation per field over the unioned feeds — a single shuffle on
+# the entity key, the scale shape (never K self-joins for K fields).
+# ---------------------------------------------------------------------------
+@register(
+    "d5_golden_record",
+    oracle="""
+    WITH feeds AS (
+      SELECT 'a' AS src, c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS name,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE c_mktsegment END AS seg,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL
+                  ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM customer
+      UNION ALL
+      SELECT 'b' AS src, c_custkey, lower(c_name) AS name,
+             CASE WHEN c_custkey % 2 = 0 THEN 'UNKNOWN'
+                  ELSE c_mktsegment END AS seg,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ), golden AS (
+      SELECT c_custkey,
+             coalesce(max(CASE WHEN src = 'a' THEN name END),
+                      max(CASE WHEN src = 'b' THEN name END)) AS g_name,
+             coalesce(max(CASE WHEN src = 'a' THEN seg END),
+                      max(CASE WHEN src = 'b' THEN seg END)) AS g_seg,
+             coalesce(max(CASE WHEN src = 'a' THEN cents END),
+                      max(CASE WHEN src = 'b' THEN cents END)) AS g_cents,
+             CASE WHEN max(CASE WHEN src = 'a' THEN name END) IS NULL
+                  THEN 1 ELSE 0 END
+             + CASE WHEN max(CASE WHEN src = 'a' THEN seg END) IS NULL
+                    THEN 1 ELSE 0 END
+             + CASE WHEN max(CASE WHEN src = 'a' THEN cents END) IS NULL
+                    THEN 1 ELSE 0 END AS n_from_b
+      FROM feeds GROUP BY c_custkey
+    )
+    SELECT g_seg,
+           CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(sum(n_from_b) AS BIGINT) AS n_fields_from_b,
+           CAST(sum(g_cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN g_name = lower(g_name) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lowercase_names
+    FROM golden GROUP BY g_seg
+    """,
+)
+def d5_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cents = F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
+    feed_a = cust.select(
+        F.lit("a").alias("src"),
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, None)
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 4 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.when(F.col("c_custkey") % 5 == 0, None).otherwise(cents).alias(
+            "cents"
+        ),
+    )
+    feed_b = cust.select(
+        F.lit("b").alias("src"),
+        "c_custkey",
+        F.lower("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        cents.alias("cents"),
+    )
+
+    def pick(field: str):
+        return F.coalesce(
+            F.max(F.when(F.col("src") == "a", F.col(field))),
+            F.max(F.when(F.col("src") == "b", F.col(field))),
+        )
+
+    def miss_a(field: str):
+        return F.when(
+            F.max(F.when(F.col("src") == "a", F.col(field))).isNull(), 1
+        ).otherwise(0)
+
+    golden = (
+        feed_a.unionByName(feed_b)
+        .groupBy("c_custkey")
+        .agg(
+            pick("name").alias("g_name"),
+            pick("seg").alias("g_seg"),
+            pick("cents").alias("g_cents"),
+            (miss_a("name") + miss_a("seg") + miss_a("cents")).alias(
+                "n_from_b"
+            ),
+        )
+    )
+    return golden.groupBy("g_seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum("n_from_b").cast("long").alias("n_fields_from_b"),
+        F.sum("g_cents").cast("long").alias("sum_cents"),
+        F.sum(
+            F.when(F.col("g_name") == F.lower("g_name"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_lowercase_names"),
+    )

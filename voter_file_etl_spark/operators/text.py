@@ -1743,3 +1743,71 @@ def x64_token_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ratio_ppm"), "word")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# X65 — vocabulary coverage curve: what fraction of the corpus token
+# mass does a top-V frequency vocabulary cover? The sizing curve run
+# before fixing a tokenizer/embedding vocab (the OOV complement of
+# x36, which filters docs given a vocab; this picks the vocab). For
+# V in {10, 20, 40}: the cumulative token mass of the top-V words in
+# exact basis points.
+#
+# Scale: the corpus collapses to the token-count table first (one
+# map-side-partial aggregate); the ranking window then runs over
+# O(vocab) rows — bounded by distinct-token count, not corpus size,
+# the same bounded-table-window discipline as a38/a41. The corpus
+# total rides along by summing within the vocab table itself (the
+# vocab IS the full support, so no second corpus pass).
+# ---------------------------------------------------------------------------
+@register(
+    "x65_vocab_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+              AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), ranked AS (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rn,
+             sum(cnt) OVER (ORDER BY cnt DESC, word
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS total
+      FROM counts
+    )
+    SELECT CAST(rn AS BIGINT) AS vocab_size,
+           CAST(cum AS BIGINT) AS covered_tokens,
+           CAST(total AS BIGINT) AS total_tokens,
+           CAST(cum * 10000 // total AS BIGINT) AS coverage_bp
+    FROM ranked WHERE rn IN (10, 20, 40)
+    """,
+)
+def x65_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    counts = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    order = W.orderBy(F.desc("cnt"), "word")
+    ranked = counts.select(
+        "word",
+        "cnt",
+        F.row_number().over(order).alias("rn"),
+        F.sum("cnt")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    )
+    return ranked.filter(F.col("rn").isin(10, 20, 40)).select(
+        F.col("rn").cast("long").alias("vocab_size"),
+        F.col("cum").cast("long").alias("covered_tokens"),
+        F.col("total").cast("long").alias("total_tokens"),
+        F.expr("cast(cum * 10000 div total as bigint)").alias("coverage_bp"),
+    )

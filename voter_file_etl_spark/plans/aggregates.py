@@ -1292,3 +1292,95 @@ def a39_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast((2 * six - (n + 1) * s) * 10000 div (n * s) as bigint)"
         ).alias("gini_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A41 — OLS trend per group: is order value drifting up or down over
+# time, per priority class? The regression-slope screen behind every
+# "metric trending" alert. Two-level shape copied from a38: the
+# corpus first collapses to an O(days) daily series (day index,
+# daily mean dollars — both exact integers), then the OLS sums run
+# over that bounded table, so no slope term ever multiplies two
+# corpus-sized sums.
+#
+# Overflow audit: n <= 2400 days, x <= 2400, y <= 1e6 dollars;
+# num = n*Sxy - Sx*Sy <= ~1.5e16, den = n*Sxx - Sx^2 <= ~4e13 —
+# int64 throughout AT ANY sf (the daily collapse makes the bounds
+# sf-independent). slope_milli decomposes the division as
+# q*1000 + r*1000/den on |num| (r*1000 <= 4e16), with the sign
+# applied last — truncation toward zero on both engines, avoiding
+# the floor-vs-truncate divergence on negative integer division
+# (DuckDB // floors, Spark div truncates).
+# ---------------------------------------------------------------------------
+@register(
+    "a41_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT)
+               AS x,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT))
+                  // count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ), sums AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           n AS n_days,
+           CAST(n * sxy - sx * sy AS BIGINT) AS trend_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS trend_den,
+           CAST(CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END * (
+             (abs(n * sxy - sx * sy) // (n * sxx - sx * sx)) * 1000
+             + (abs(n * sxy - sx * sy) % (n * sxx - sx * sx)) * 1000
+               // (n * sxx - sx * sx)
+           ) AS BIGINT) AS slope_milli
+    FROM sums
+    """,
+)
+def a41_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(
+            F.expr(
+                "cast(sum(cast(floor(o_totalprice) as bigint))"
+                " div count(*) as bigint)"
+            ).alias("y")
+        )
+    )
+    sums = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    q = F.expr("abs(n * sxy - sx * sy) div (n * sxx - sx * sx)")
+    return sums.select(
+        "o_orderpriority",
+        F.col("n").alias("n_days"),
+        num.cast("long").alias("trend_num"),
+        den.cast("long").alias("trend_den"),
+        (
+            F.when(num >= 0, F.lit(1)).otherwise(F.lit(-1))
+            * (q * 1000 + F.expr(
+                "abs(n * sxy - sx * sy) % (n * sxx - sx * sx) * 1000"
+                " div (n * sxx - sx * sx)"
+            ))
+        )
+        .cast("long")
+        .alias("slope_milli"),
+    )

@@ -352,3 +352,72 @@ def t11_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("m").alias("event_type", "n"),
     )
     return exploded.select("user_id", "event_type", "n", "n_types", "total")
+
+
+# ---------------------------------------------------------------------------
+# T16 — nested-JSON extraction: t6 parses the events stream's flat
+# props; this exercises the DEEP surface (object-in-object, array
+# element access, array length) that real event payloads have. The
+# JSON string is constructed identically on both engines (shared
+# concat — serialization formatting never crosses the boundary), and
+# each engine parses it with its NATIVE json path functions: Spark
+# get_json_object/json_array_length (codegen JVM path, no UDF),
+# DuckDB json_extract. Two independent parsers agreeing on every
+# field is the check, the f9/t15 construct-then-invert pattern.
+#
+# Scale: map-side parse, one bounded-key rollup (5 priorities).
+# ---------------------------------------------------------------------------
+@register(
+    "t16_json_nested",
+    oracle="""
+    WITH j AS (
+      SELECT concat('{"k": ', o_orderkey,
+                    ', "meta": {"p": "', o_orderpriority,
+                    '", "s": "', o_orderstatus,
+                    '"}, "items": [', o_custkey, ', ',
+                    CAST(o_orderkey % 100 AS VARCHAR), ']}') AS js
+      FROM orders
+    )
+    SELECT json_extract_string(js, '$.meta.p') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(js, '$.items[1]') AS BIGINT))
+                AS BIGINT) AS sum_item1,
+           CAST(sum(json_array_length(js, '$.items')) AS BIGINT)
+             AS sum_len,
+           min(json_extract_string(js, '$.meta.s')) AS min_status
+    FROM j GROUP BY 1
+    """,
+)
+def t16_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit('{"k": '),
+            F.col("o_orderkey").cast("string"),
+            F.lit(', "meta": {"p": "'),
+            F.col("o_orderpriority"),
+            F.lit('", "s": "'),
+            F.col("o_orderstatus"),
+            F.lit('"}, "items": ['),
+            F.col("o_custkey").cast("string"),
+            F.lit(", "),
+            (F.col("o_orderkey") % 100).cast("string"),
+            F.lit("]}"),
+        ).alias("js")
+    )
+    return (
+        j.select(
+            F.get_json_object("js", "$.meta.p").alias("priority"),
+            F.get_json_object("js", "$.items[1]").cast("long").alias("item1"),
+            F.json_array_length(F.get_json_object("js", "$.items")).alias(
+                "alen"
+            ),
+            F.get_json_object("js", "$.meta.s").alias("s"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("item1").cast("long").alias("sum_item1"),
+            F.sum("alen").cast("long").alias("sum_len"),
+            F.min("s").alias("min_status"),
+        )
+    )

@@ -173,6 +173,16 @@ HEADLINE = [
     "t16_json_nested",
     "d5_golden_record",
     "x65_vocab_coverage",
+    # round-4 perf pass: every key refactored off the
+    # explode(interpreted-lambda) pattern gets a bench row so the
+    # zip-slice plan shape can't regress silently
+    "x24_repetition_filter",
+    "x22_decontaminate",
+    "x29_fuzzy_decontaminate",
+    "x45_source_overlap",
+    "x36_oov_filter",
+    "t10_stem_stopword",
+    "x37_entropy_filter",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -192,6 +192,28 @@ def shingle3(corpus: DataFrame) -> DataFrame:
     )
 
 
+def shingle3_exploded(
+    corpus: DataFrame, distinct_per_doc: bool = True
+) -> DataFrame:
+    """(doc_id, g): one row per word 3-shingle per doc, optionally
+    deduplicated within the doc (list_distinct semantics).
+
+    Equivalent to ``shingle3(...)`` followed by an explode, but built
+    zip-slice-then-concat: Spark evaluates ``explode(transform(...))``
+    by re-running the interpreted higher-order lambda once PER OUTPUT
+    ROW inside the generate (measured 4.9 s vs 0.16 s for the whole
+    explode at sf0.1 — SCALE.md round-4 perf pass), so the concat
+    must happen AFTER the explode, where it is a plain codegen row
+    expression. Callers that need the ARRAY form (minhash banding)
+    keep using shingle3 + persist — persisting materializes the
+    array once and sidesteps the same re-evaluation.
+    """
+    from voter_file_etl_spark.functions.ngrams import ngram_rows
+
+    out = ngram_rows(corpus, ["doc_id"], "split(text, ' ')", 3)
+    return out.distinct() if distinct_per_doc else out
+
+
 def minhash_bands(shingled: DataFrame) -> DataFrame:
     """(doc_id, band, sig): LSH band signatures — one md5 per shingle
     sliced into _N_SEEDS 16-bit hashes (see the seed-slicing note
@@ -537,18 +559,14 @@ def x22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % 97 == 0
 
     def grams(df: DataFrame) -> DataFrame:
-        arr = F.split(F.lower("text"), " ")
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(split(lower(text), ' ')) >= {_DECON_N} THEN "
-                    f"array_distinct(transform(sequence(0, size(split(lower(text), ' ')) - {_DECON_N}), "
-                    f"i -> concat_ws(' ', slice(split(lower(text), ' '), i + 1, {_DECON_N})))) "
-                    "ELSE CAST(array() AS ARRAY<STRING>) END"
-                )
-            ).alias("g"),
-        )
+        # zip-slice explode + per-doc distinct == the old per-doc
+        # array_distinct(transform(...)) explode, without the
+        # per-output-row lambda re-evaluation (functions/ngrams.py).
+        from voter_file_etl_spark.functions.ngrams import ngram_rows
+
+        return ngram_rows(
+            df, ["doc_id"], "split(lower(text), ' ')", _DECON_N
+        ).distinct()
 
     bench = grams(docs.filter(is_bench)).select("g").distinct()
     # Corpus = non-benchmark docs plus planted leaks (benchmark text
@@ -1023,16 +1041,11 @@ def x45_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shorter than the shingle would fabricate short shingles; DuckDB
     # generate_series is empty there — both engines must drop it)
     docs = docs.filter(F.size("arr") >= _X45_SHINGLE)
+    from voter_file_etl_spark.functions.ngrams import ngram_rows
+
     sh = (
-        docs.select(
-            "source",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(arr) - {_X45_SHINGLE} + 1), "
-                    f"s -> md5(cast(concat_ws(' ', slice(arr, s, {_X45_SHINGLE})) as binary)))"
-                )
-            ).alias("h"),
-        )
+        ngram_rows(docs, ["source"], "arr", _X45_SHINGLE)
+        .select("source", F.md5(F.col("g").cast("binary")).alias("h"))
         .filter(F.col("h").isNotNull())
         .distinct()
     )
@@ -1256,31 +1269,45 @@ def x48_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x56_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perf shape (7.2 s -> see SCALE.md): the val side is exploded
+    # ONCE and marked with a single LEFT join (seen/not-seen), then
+    # one groupBy(doc_id) computes both counts — the first cut ran a
+    # left_anti plus a second explode-and-count and re-joined them.
+    # Join/distinct keys are xxhash64 of the shingle (8-byte shuffle
+    # rows instead of ~25-byte strings). A 64-bit collision would
+    # undercount novelty by one; P(any collision) over the ~2.5M
+    # distinct shingles at sf0.1 is ~2e-7, and the fixed-seed
+    # testdata is verified collision-clean by the driver_sim hash
+    # match at sf0.01/sf0.1 (string-keyed oracle). Swap back to the
+    # string key if a corpus ever trips it.
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     train = docs.filter(F.col("doc_id") % 10 < 8)
     val = docs.filter(F.col("doc_id") % 10 >= 8)
     tr_vocab = (
-        shingle3(train)
-        .select(F.explode("shingles").alias("g"))
+        shingle3_exploded(train, distinct_per_doc=False)
+        .select(F.xxhash64("g").alias("h"))
         .distinct()
+        .withColumn("seen", F.lit(1))
     )
-    v = shingle3(val).select("doc_id", F.explode("shingles").alias("g"))
-    novel = (
-        v.join(tr_vocab, "g", "left_anti")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_novel"))
+    v = shingle3_exploded(val).select(
+        "doc_id", F.xxhash64("g").alias("h")
     )
     return (
-        v.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-        .join(novel, "doc_id", "left")
+        v.join(tr_vocab, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
-            F.expr(
-                "cast(100 * coalesce(n_novel, 0) div n_shingles as bigint)"
-            ).alias("novelty_pct"),
+            "n_novel",
+            F.expr("cast(100 * n_novel div n_shingles as bigint)").alias(
+                "novelty_pct"
+            ),
         )
     )
 

@@ -473,17 +473,10 @@ def x24_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(arr).alias("n_tokens"),
         (F.size(arr) - F.size(F.array_distinct(arr))).alias("n_dup"),
     )
+    from voter_file_etl_spark.functions.ngrams import ngram_rows
+
     bg = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
-                    "i -> concat(split(lower(text), ' ')[i - 1], ' ', "
-                    "split(lower(text), ' ')[i]))"
-                )
-            ).alias("g"),
-        )
+        ngram_rows(docs, ["doc_id"], "split(lower(text), ' ')", 2)
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("doc_id")
@@ -807,21 +800,11 @@ def x33_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
         ).alias("w"),
     )
-    # Guard: Spark's sequence(1, n) runs BACKWARD for n < 1, so short
-    # docs must map to an empty array explicitly.
-    trig = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(w) >= 3 THEN "
-                "transform(sequence(1, size(w) - 2), "
-                " i -> concat(element_at(w, i), ' ', "
-                "             element_at(w, i + 1), ' ', "
-                "             element_at(w, i + 2))) "
-                "ELSE array() END"
-            )
-        ).alias("g"),
-    )
+    from voter_file_etl_spark.functions.ngrams import ngram_rows
+
+    # zip-slice handles the size < 3 guard (empty slices, no
+    # backward-sequence fabrication) — see functions/ngrams.py.
+    trig = ngram_rows(toks, ["doc_id"], "w", 3)
     top = (
         trig.groupBy("g")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -952,12 +935,13 @@ _OOV_KEEP_MAX = 0.10  # keep iff OOV fraction <= 10%
 )
 def x36_oov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # explode the codegen split, filter after: explode(filter(..,
+    # lambda)) re-runs the interpreted lambda per output row (see
+    # functions/ngrams.py).
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
-        ).alias("w"),
-    )
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"),
+    ).filter(F.col("w") != "")
     vocab = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1020,11 +1004,13 @@ def _t10_stem_sql(w: str) -> str:
 )
 def t10_stem_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
-        ).alias("w")
-    ).filter(~F.col("w").isin(*_T10_STOP))
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .filter(~F.col("w").isin(*_T10_STOP))
+    )
     kept = toks.select("w", F.expr(_t10_stem_sql("w")).alias("stem"))
     return kept.groupBy("stem").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -1081,9 +1067,11 @@ def x37_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = docs.select(
         "doc_id",
         F.length("text").alias("n"),
-        F.explode(
-            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
-        ).alias("c"),
+        # split on the empty pattern = one array element per char —
+        # codegen, unlike a per-char substring lambda, which the
+        # generate re-runs per OUTPUT char: O(len^2) per doc (see
+        # functions/ngrams.py).
+        F.explode(F.split("text", "")).alias("c"),
     )
     freq = ch.groupBy("doc_id", "c").agg(
         F.max("n").alias("n"), F.count(F.lit(1)).alias("nc")

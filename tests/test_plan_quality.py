@@ -366,13 +366,18 @@ def test_targeted_salt_profile_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
 
 
-def test_ngram_novelty_is_anti_join(spark, sf_dir):
-    # x56's vocabulary check must plan as a (left anti / aggregated)
-    # equi-join keyed on the shingle — never a cartesian containment
-    # scan.
+def test_ngram_novelty_is_single_pass_mark_join(spark, sf_dir):
+    # x56's vocabulary check is ONE LeftOuter mark-join on the hashed
+    # shingle (8-byte keys), aggregated in the same pass — never a
+    # cartesian containment scan, and never the old two-pass
+    # anti-join + recount shape (round-4 perf pass, SCALE.md).
     plan = _formatted_plan(spark, "x56_ngram_novelty", sf_dir)
-    assert "LeftAnti" in plan, plan[:2000]
+    assert "LeftOuter" in plan, plan[:2000]
+    assert "xxhash64" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+    # one join total (formatted mode prints each node twice — tree
+    # line + detail block — so count the detail headers)
+    assert plan.count("Join type:") == 1, plan[:2000]
 
 
 def test_phash_near_dup_pairs_on_bands(spark, sf_dir):

@@ -946,11 +946,20 @@ def x44_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("arr"))
         .select(
             "doc_id",
-            F.expr(
-                f"inline(transform(sequence(1, size(arr), {_X44_LINE}), "
-                f"s -> named_struct("
-                f"'line_id', CAST((s - 1) div {_X44_LINE} AS BIGINT), "
-                f"'line', concat_ws(' ', slice(arr, s, {_X44_LINE})))))"
+            "arr",
+            F.explode(F.expr(f"sequence(1, size(arr), {_X44_LINE})")).alias(
+                "s"
+            ),
+        )
+        # slice/concat run once per line row, post-explode
+        # (functions/ngrams.py rationale)
+        .select(
+            "doc_id",
+            F.expr(f"CAST((s - 1) div {_X44_LINE} AS BIGINT)").alias(
+                "line_id"
+            ),
+            F.expr(f"concat_ws(' ', slice(arr, s, {_X44_LINE}))").alias(
+                "line"
             ),
         )
     )

@@ -796,9 +796,9 @@ def x33_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
-        ).alias("w"),
+        F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "").alias(
+            "w"
+        ),
     )
     from voter_file_etl_spark.functions.ngrams import ngram_rows
 
@@ -1237,16 +1237,32 @@ def x41_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents")
+    # array_remove, not filter(.., lambda): an interpreted lambda in
+    # the generate's collapsed input re-runs per OUTPUT row (measured
+    # 3.2 s -> 0.2 s for the shingle stage; functions/ngrams.py).
     arrs = docs.select(
         "doc_id",
-        F.expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')").alias("arr"),
+        F.array_remove(
+            F.split(F.lower("text"), "[^a-z0-9]+"), ""
+        ).alias("arr"),
     ).filter(F.size("arr") >= 8)
-    sh = arrs.select(
+    # positional zip-slice (functions/ngrams.py rationale): the
+    # generate consumes codegen arrays_zip slices; position comes from
+    # posexplode and the concat happens post-explode.
+    _m = "greatest(size(arr) - 7, 0)"
+    _zipped = ", ".join(f"slice(arr, {k + 1}, {_m})" for k in range(8))
+    # shingle identity travels as xxhash64 (8-byte shuffle/join keys
+    # instead of ~50-byte shingle strings — the x56 discipline; same
+    # collision audit: driver_sim strict-clean at sf0.01/sf0.1
+    # against the string-keyed oracle).
+    sh = arrs.selectExpr(
+        "doc_id", f"posexplode(arrays_zip({_zipped})) AS (pos, z)"
+    ).select(
         "doc_id",
-        F.expr(
-            "inline(transform(sequence(1, size(arr) - 7), "
-            "i -> named_struct('i', i, 'g', concat_ws(' ', slice(arr, i, 8)))))"
-        ),
+        (F.col("pos") + 1).alias("i"),
+        F.xxhash64(
+            F.concat_ws(" ", *[F.col(f"z.{k}") for k in range(8)])
+        ).alias("g"),
     )
     keep = (
         sh.groupBy("g")
@@ -1306,23 +1322,28 @@ _CHUNK, _STRIDE = 64, 48
 )
 def x42_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
+    # explode the codegen stride sequence; slice/concat run ONCE per
+    # chunk row after it (functions/ngrams.py rationale).
     return (
         docs.select("doc_id", F.split("text", " ").alias("arr"))
         .select(
             "doc_id",
-            F.expr(
-                f"inline(transform(sequence(1, size(arr), {_STRIDE}), "
-                f"s -> named_struct("
-                f"'chunk_idx', CAST((s - 1) div {_STRIDE} AS BIGINT), "
-                f"'n_tokens', CAST(size(slice(arr, s, {_CHUNK})) AS BIGINT), "
-                f"'chunk', concat_ws(' ', slice(arr, s, {_CHUNK})))))"
+            "arr",
+            F.explode(F.expr(f"sequence(1, size(arr), {_STRIDE})")).alias(
+                "s"
             ),
         )
         .select(
             "doc_id",
-            "chunk_idx",
-            "n_tokens",
-            F.md5(F.col("chunk").cast("binary")).alias("chunk_md5"),
+            F.expr(f"CAST((s - 1) div {_STRIDE} AS BIGINT)").alias(
+                "chunk_idx"
+            ),
+            F.expr(f"CAST(size(slice(arr, s, {_CHUNK})) AS BIGINT)").alias(
+                "n_tokens"
+            ),
+            F.md5(
+                F.expr(f"cast(concat_ws(' ', slice(arr, s, {_CHUNK})) as binary)")
+            ).alias("chunk_md5"),
         )
     )
 

@@ -183,6 +183,12 @@ HEADLINE = [
     "x36_oov_filter",
     "t10_stem_stopword",
     "x37_entropy_filter",
+    # round-4 fourth wave: PIVOT SQL clause, phonetic keying, HLL
+    # inclusion-exclusion overlap, tolerance as-of join
+    "sql11_pivot_syntax",
+    "f10_phonetic_key",
+    "a42_sketch_overlap",
+    "j21_asof_tolerance",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

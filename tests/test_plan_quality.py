@@ -655,3 +655,35 @@ def test_vocab_coverage_aggregates_before_window(spark, sf_dir):
     # table (partial aggregation below the exchange), never raw rows.
     plan = _formatted_plan(spark, "x65_vocab_coverage", sf_dir)
     assert "partial_count" in plan, plan[:2000]
+
+
+def test_pivot_syntax_lowers_to_aggregate(spark, sf_dir):
+    # sql11's PIVOT clause must lower to the same partial/final
+    # aggregate p8 plans — no Expand blowup, dim join broadcast.
+    plan = _formatted_plan(spark, "sql11_pivot_syntax", sf_dir)
+    assert "Expand" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_asof_tolerance_is_sort_not_join(spark, sf_dir):
+    # j21 is the union+last_value formulation: one partitioned sort,
+    # ZERO joins (the tolerance is a post-mask).
+    plan = _formatted_plan(spark, "j21_asof_tolerance", sf_dir)
+    assert "Join type:" not in plan, plan[:2000]
+    assert "Window" in plan, plan[:2000]
+
+
+def test_sketch_overlap_estimate_is_broadcast(spark, sf_dir):
+    # a42's three-estimate table is a 1-row broadcast next to the
+    # exact-truth intersect; the sketches themselves must aggregate
+    # partial/final (map-side HLL state).
+    plan = _formatted_plan(spark, "a42_sketch_overlap", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_hll_sketch_agg" in plan, plan[:2000]
+
+
+def test_phonetic_key_rollup_follows_distinct(spark, sf_dir):
+    # f10: the skeleton rollup must run on the distinct-vocab table
+    # (bounded), with the token dedup aggregated partial/final below.
+    plan = _formatted_plan(spark, "f10_phonetic_key", sf_dir)
+    assert plan.count("HashAggregate") >= 4, plan[:2000]

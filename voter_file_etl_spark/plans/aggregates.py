@@ -1384,3 +1384,68 @@ def a41_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A42 — sketch-based set-overlap estimate: how many customers are
+# active in BOTH of two date ranges, answered with HLL sketches and
+# inclusion-exclusion (|A and B| ~ est(A) + est(B) - est(A union B))
+# — the cross-source audience-overlap pattern where the sets live in
+# different partitions/systems and only O(sketch) state may move.
+# Union-of-sketches comes free (hll_union two 1-row aggregates), so
+# the intersection estimate costs three estimates and zero extra
+# scans. a28's oracle discipline: the registered result is the EXACT
+# overlap plus a flag that the estimate landed within 10% — HLL at
+# the default lgK=12 has sigma~1.6% per term, and the planted ranges
+# overlap heavily, so the flag is deterministic-in-practice (checked
+# by driver_sim at sf0.001/0.01/0.1).
+#
+# Scale: two sketch aggregates (map-side partial, O(sketch) merge),
+# one 1-row crossJoin, and the exact-truth intersect — which is the
+# measurement harness, not the production path (at 100 TB only the
+# sketches are computed).
+# ---------------------------------------------------------------------------
+@register(
+    "a42_sketch_overlap",
+    oracle="""
+    SELECT CAST((
+      SELECT count(*) FROM (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate < DATE '1998-01-01'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= DATE '1996-01-01'
+      )
+    ) AS BIGINT) AS n_exact_overlap, 1 AS est_ok
+    """,
+)
+def a42_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    in_a = F.col("o_orderdate") < "1998-01-01"
+    in_b = F.col("o_orderdate") >= "1996-01-01"
+    sk = orders.agg(
+        F.hll_sketch_agg(F.when(in_a, F.col("o_custkey"))).alias("ska"),
+        F.hll_sketch_agg(F.when(in_b, F.col("o_custkey"))).alias("skb"),
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("ska").alias("ea"),
+        F.hll_sketch_estimate("skb").alias("eb"),
+        F.hll_sketch_estimate(F.hll_union("ska", "skb")).alias("eu"),
+    ).select((F.col("ea") + F.col("eb") - F.col("eu")).alias("est_inter"))
+    exact = (
+        orders.filter(in_a)
+        .select("o_custkey")
+        .intersect(orders.filter(in_b).select("o_custkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_overlap"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact_overlap",
+        F.when(
+            F.abs(F.col("est_inter") - F.col("n_exact_overlap")) * 10
+            <= F.col("n_exact_overlap"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("est_ok"),
+    )

@@ -900,3 +900,66 @@ def f9_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ref").alias("min_ref"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — phonetic keying (consonant skeleton): the blocking/matching
+# aid d4's record linkage would use on real name fields — words that
+# differ only in vowels collapse to one key (a lightweight,
+# RE2-portable stand-in for Soundex, which needs back-references or
+# a 26-branch CASE to spell cross-engine). Key = first char + the
+# remainder with vowels removed; the report groups the DISTINCT
+# corpus vocabulary by key and surfaces collision groups (>= 2
+# surface forms) — exactly the words a phonetic matcher would
+# conflate.
+#
+# Scale: vocabulary is the distinct-token table (bounded); keying is
+# map-side regexp; the rollup keys on the skeleton. No corpus-sized
+# shuffle after the distinct.
+# ---------------------------------------------------------------------------
+@register(
+    "f10_phonetic_key",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT word FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+          AS word FROM documents)
+      WHERE word <> ''
+    ), keyed AS (
+      SELECT word,
+             substr(word, 1, 1) ||
+             regexp_replace(substr(word, 2), '[aeiou]', '', 'g') AS pkey
+      FROM vocab
+    )
+    SELECT pkey,
+           CAST(count(*) AS BIGINT) AS n_words,
+           min(word) AS first_word,
+           max(word) AS last_word
+    FROM keyed GROUP BY pkey HAVING count(*) >= 2
+    """,
+)
+def f10_phonetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    keyed = vocab.select(
+        "word",
+        F.concat(
+            F.substring("word", 1, 1),
+            F.regexp_replace(F.expr("substring(word, 2)"), "[aeiou]", ""),
+        ).alias("pkey"),
+    )
+    return (
+        keyed.groupBy("pkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.min("word").alias("first_word"),
+            F.max("word").alias("last_word"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )

@@ -358,3 +358,50 @@ def sql10_qualify_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rnk <= 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL11 — PIVOT clause surface: the SQL-syntax twin of p8's
+# DataFrame pivot. Spark parses the PIVOT clause natively (aliased
+# IN-list values become typed output columns); the oracle spells the
+# identical contract as portable conditional aggregation, which is
+# also exactly the plan Spark lowers PIVOT to — so the check proves
+# the syntax sugar changes nothing semantically. Cents stay integer;
+# segments x statuses is a bounded grid.
+# ---------------------------------------------------------------------------
+@register(
+    "sql11_pivot_syntax",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN cents END)
+                AS BIGINT) AS open_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN cents END)
+                AS BIGINT) AS filled_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN cents END)
+                AS BIGINT) AS partial_cents
+    FROM (
+      SELECT c_mktsegment, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def sql11_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t(spark, sf_dir, "orders").createOrReplaceTempView("sql11_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("sql11_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, open_cents, filled_cents, partial_cents
+        FROM (
+          SELECT c_mktsegment, o_orderstatus,
+                 CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT) AS cents
+          FROM sql11_orders JOIN sql11_customer ON o_custkey = c_custkey
+        )
+        PIVOT (
+          sum(cents)
+          FOR o_orderstatus IN ('O' AS open_cents, 'F' AS filled_cents,
+                                'P' AS partial_cents)
+        )
+        """
+    )

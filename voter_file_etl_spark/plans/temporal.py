@@ -421,3 +421,60 @@ def t16_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("s").alias("min_status"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J21 — as-of join with a tolerance: j6's point-in-time enrichment
+# plus the merge_asof(tolerance=...) contract — the nearest earlier
+# view counts only if it is within 3 days of the purchase, else the
+# enrichment is NULL (stale context is worse than none: the
+# attribution-window rule every touch-model applies). Same
+# union+sort last_value formulation as j6 — one partitioned sort,
+# no join — with the tolerance applied as a post-mask, which is also
+# exactly how the oracle spells it over DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+_J21_TOL_US = 3 * 24 * 3600 * 1000000
+
+
+@register(
+    "j21_asof_tolerance",
+    oracle=f"""
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= {_J21_TOL_US}
+                THEN epoch_us(v.ts) END AS view_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def j21_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    tagged = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+        F.when(F.col("event_type") == "view", F.unix_micros("ts")).alias(
+            "v_us"
+        ),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "is_p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_view_us", F.last("v_us", ignorenulls=True).over(w)
+    )
+    return enriched.filter(F.col("is_p")).select(
+        "event_id",
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.when(
+            F.col("us") - F.col("last_view_us") <= _J21_TOL_US,
+            F.col("last_view_us"),
+        ).alias("view_us"),
+    )

@@ -73,6 +73,21 @@ AUDIT = [
     ("a36_ks_two_sample", "two-level CDF prefix scan -> bucket offsets + partitioned windows"),
     ("x60_winsorize", "grouped percentile_disc -> broadcast clip bounds, two passes"),
     ("sql10_qualify_topn", "QUALIFY surface -> per-customer window + WindowGroupLimit"),
+    # round-4 third/fourth/fifth waves
+    ("w15_ewma", "dyadic-weight EWMA -> one o_custkey window exchange, codegen lag chain"),
+    ("a39_gini", "rank-form Gini -> per-segment window + grouped aggregate, int64"),
+    ("a40_conversion_lag", "first-click->first-purchase -> user-keyed aggregates, AQE co-partition"),
+    ("f9_url_parse", "native parse_url inversion -> map-side, bounded host rollup"),
+    ("x63_bloom_prefilter", "broadcast bit-set probes map-side; only truth-join shuffles"),
+    ("x64_token_shift", "token-keyed partial agg -> TakeOrderedAndProject top-50"),
+    ("a41_ols_trend", "daily-collapse OLS -> bounded sums, no window, no join"),
+    ("d5_golden_record", "field-wise survivorship -> ONE entity-keyed conditional aggregate"),
+    ("x65_vocab_coverage", "token counts partial/final -> bounded-vocab ranking window"),
+    ("x56_ngram_novelty", "zip-slice shingles -> single LeftOuter mark-join on xxhash64 keys"),
+    ("x41_substring_dedup", "positional zip-slice shingles -> hashed-key DF-capped self-join + diagonal islands"),
+    ("a42_sketch_overlap", "map-side HLL partials -> 1-row broadcast estimates + truth intersect"),
+    ("j21_asof_tolerance", "tolerance as-of -> union+last_value single sort, zero joins"),
+    ("sql11_pivot_syntax", "PIVOT clause -> partial/final aggregate, broadcast dim join"),
 ]
 
 

@@ -80,7 +80,8 @@ _BACKFILL = [
     "x64_token_shift", "s17_compressed_csv", "a41_ols_trend",
     "t16_json_nested", "d5_golden_record", "x65_vocab_coverage",
     "sql11_pivot_syntax", "f10_phonetic_key", "a42_sketch_overlap",
-    "j21_asof_tolerance",
+    "j21_asof_tolerance", "x66_tokenizer_fertility",
+    "x67_cluster_size_profile",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

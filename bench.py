@@ -189,6 +189,8 @@ HEADLINE = [
     "f10_phonetic_key",
     "a42_sketch_overlap",
     "j21_asof_tolerance",
+    "x66_tokenizer_fertility",
+    "x67_cluster_size_profile",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

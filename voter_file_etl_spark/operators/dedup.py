@@ -1721,3 +1721,41 @@ def d5_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_lowercase_names"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X67 — dedup cluster-size profile: the distribution that tells you
+# WHAT KIND of duplication a corpus has (a long tail of pairs = crawl
+# mirrors; a few giant clusters = boilerplate template farms) and
+# therefore which dedup strategy pays. Pure composition: x17's
+# connected-components clusters rolled up twice (component -> size,
+# size -> count), and the oracle wraps x17's recursive-CTE oracle the
+# same way — the composition itself is the parity check.
+#
+# Scale: inherits x17's blocked-edge/bounded-iteration posture; the
+# two rollups are on bounded keys (components, then sizes).
+# ---------------------------------------------------------------------------
+from voter_file_etl_spark.registry import ORACLE as _ORACLE_REG
+
+
+@register(
+    "x67_cluster_size_profile",
+    oracle=f"""
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+    FROM (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM ({_ORACLE_REG["x17_dedup_clusters"]}) base
+      GROUP BY component
+    ) sizes
+    GROUP BY cluster_size
+    """,
+)
+def x67_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = (
+        x17_dedup_clusters(spark, sf_dir)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )

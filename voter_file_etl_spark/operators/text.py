@@ -1820,3 +1820,56 @@ def x65_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("total_tokens"),
         F.expr("cast(cum * 10000 div total as bigint)").alias("coverage_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X66 — tokenizer fertility: subword tokens emitted per whitespace
+# word, per language — the tokenizer-efficiency diagnostic run before
+# committing a vocab (high-fertility languages burn context window;
+# the number drives per-language sampling weights and token-budget
+# math in x57/x25). Subword count uses x10's BPE-ish ceil(len/4)
+# proxy per word, summed exactly; fertility is emitted in exact
+# milli-tokens-per-word (integer division).
+#
+# Scale: one codegen explode + a bounded per-language rollup with
+# map-side partials; no Python, no joins.
+# ---------------------------------------------------------------------------
+@register(
+    "x66_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum((length(word) + 3) // 4) AS BIGINT) AS n_subtokens,
+           CAST(sum((length(word) + 3) // 4) * 1000 // count(*) AS BIGINT)
+             AS fertility_milli,
+           CAST(sum(length(word)) * 1000 // count(*) AS BIGINT)
+             AS chars_per_word_milli
+    FROM (
+      SELECT lang,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+      FROM documents
+    )
+    WHERE word <> '' GROUP BY lang
+    """,
+)
+def x66_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return words.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.expr("(length(word) + 3) div 4")).cast("long").alias(
+            "n_subtokens"
+        ),
+        F.expr(
+            "cast(sum((length(word) + 3) div 4) * 1000 div count(*) as bigint)"
+        ).alias("fertility_milli"),
+        F.expr(
+            "cast(sum(length(word)) * 1000 div count(*) as bigint)"
+        ).alias("chars_per_word_milli"),
+    )

@@ -81,7 +81,9 @@ _BACKFILL = [
     "t16_json_nested", "d5_golden_record", "x65_vocab_coverage",
     "sql11_pivot_syntax", "f10_phonetic_key", "a42_sketch_overlap",
     "j21_asof_tolerance", "x66_tokenizer_fertility",
-    "x67_cluster_size_profile",
+    "x67_cluster_size_profile", "f11_email_normalize", "w16_moving_slope",
+    "s18_multiline_json", "g6_common_neighbors", "m15_image_channel_stats",
+    "x68_mixture_upsample", "x69_range_shards",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -191,6 +191,15 @@ HEADLINE = [
     "j21_asof_tolerance",
     "x66_tokenizer_fertility",
     "x67_cluster_size_profile",
+    # round-4 seventh wave: email canonicalization, rolling OLS slope
+    # window, multiline-JSON landing source
+    "f11_email_normalize",
+    "w16_moving_slope",
+    "s18_multiline_json",
+    "g6_common_neighbors",
+    "m15_image_channel_stats",
+    "x68_mixture_upsample",
+    "x69_range_shards",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -467,3 +467,86 @@ def g5_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node").cast("long").alias("min_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G6 — common-neighbor link prediction over the g2 association graph
+# (parts co-ordered in >= 2 orders, canonical a<b edges): for every
+# NON-adjacent pair with >= 2 shared neighbors, how many wedges
+# connect them — the classic "customers also bought" candidate
+# generator, and the cheapest link-prediction baseline (Liben-Nowell
+# & Kleinberg 2003).
+#
+# Scale: wedge enumeration is the same two-hop equi-join as g2
+# (symmetrized edges joined on the MIDDLE node — per-node fan-out is
+# deg^2, bounded by the support threshold's sparsification); the
+# adjacency screen is a LEFT ANTI equi-join on the canonical pair.
+# No nested loop, no cartesian; everything shuffles on edge keys.
+# ---------------------------------------------------------------------------
+@register(
+    "g6_common_neighbors",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), sym AS (
+      SELECT s AS u, d AS v FROM e UNION ALL SELECT d AS u, s AS v FROM e
+    ), wedge AS (
+      SELECT w1.v AS a, w2.v AS c
+      FROM sym w1 JOIN sym w2 ON w1.u = w2.u AND w1.v < w2.v
+    ), cand AS (
+      SELECT a, c, CAST(count(*) AS BIGINT) AS n_common
+      FROM wedge GROUP BY a, c
+    )
+    SELECT cand.a AS part_a, cand.c AS part_b, cand.n_common
+    FROM cand LEFT JOIN e ON cand.a = e.s AND cand.c = e.d
+    WHERE e.s IS NULL AND cand.n_common >= 2
+    """,
+)
+def g6_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    sym = e.select(F.col("s").alias("u"), F.col("d").alias("v")).unionAll(
+        e.select(F.col("d").alias("u"), F.col("s").alias("v"))
+    )
+    cand = (
+        sym.alias("w1")
+        .join(
+            sym.alias("w2"),
+            (F.col("w1.u") == F.col("w2.u"))
+            & (F.col("w1.v") < F.col("w2.v")),
+        )
+        .groupBy(F.col("w1.v").alias("a"), F.col("w2.v").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    return cand.join(
+        e,
+        (cand["a"] == e["s"]) & (cand["c"] == e["d"]),
+        "left_anti",
+    ).select(
+        F.col("a").alias("part_a"),
+        F.col("c").alias("part_b"),
+        "n_common",
+    )

@@ -1023,3 +1023,100 @@ def m14_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(g2, "p2")
         .select("p1", "p2", "hamming", "n_docs1", "n_docs2")
     )
+
+
+# ---------------------------------------------------------------------------
+# M15 — per-channel image normalization stats: the mean-RGB constants
+# every vision preprocessing pipeline computes over its corpus before
+# training (the [0.485, 0.456, 0.406]-style numbers, here in exact
+# milli-units). The Spark side decodes the REAL PPM raster per image
+# (Arrow-batched mapInPandas, same decoder as m5/m7) and reduces each
+# to three channel sums map-side; the rollup then aggregates per
+# source. The oracle rebuilds the identical sums from the source text
+# with ascii() arithmetic (channel = (i-1) % 3 of the raster
+# position), so the decoder's H x W x C row-major layout is under
+# test channel-by-channel.
+#
+# Scale: decode is partition-preserving map work; the shuffle carries
+# ONE 3-sum row per image (not pixels), and the final rollup keys on
+# the bounded source domain. Integer milli-means use // on
+# non-negative sums (floor == truncate, engine-identical).
+# ---------------------------------------------------------------------------
+@register(
+    "m15_image_channel_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT source, (i - 1) % 3 AS ch,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}),
+                               {_IMG_N}, ' '),
+                          i, 1)) AS v
+      FROM documents, unnest(range(1, {_IMG_N + 1})) AS u(i)
+    )
+    SELECT source,
+           CAST(count(*) // {_IMG_N} AS BIGINT) AS n_images,
+           CAST(sum(v) FILTER (ch = 0) AS BIGINT) AS sum_r,
+           CAST(sum(v) FILTER (ch = 1) AS BIGINT) AS sum_g,
+           CAST(sum(v) FILTER (ch = 2) AS BIGINT) AS sum_b,
+           CAST(1000 * sum(v) FILTER (ch = 0)
+                // ((count(*) // 3)) AS BIGINT) AS mean_r_milli,
+           CAST(1000 * sum(v) FILTER (ch = 1)
+                // ((count(*) // 3)) AS BIGINT) AS mean_g_milli,
+           CAST(1000 * sum(v) FILTER (ch = 2)
+                // ((count(*) // 3)) AS BIGINT) AS mean_b_milli
+    FROM px GROUP BY source
+    """,
+)
+def m15_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    raster = F.encode(
+        F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " "), "utf-8"
+    )
+    media = docs.select(
+        "source", F.concat(F.lit(_PPM_HEADER), raster).alias("media")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, sr, sg, sb = [], [], [], []
+            for source, payload in zip(pdf["source"], pdf["media"]):
+                img = decode_image_bytes(payload)
+                sums = img.pixels.astype("int64").sum(axis=(0, 1))
+                srcs.append(source)
+                sr.append(int(sums[0]))
+                sg.append(int(sums[1]))
+                sb.append(int(sums[2]))
+            yield pd.DataFrame(
+                {"source": srcs, "sum_r": sr, "sum_g": sg, "sum_b": sb}
+            )
+
+    per_image = media.mapInPandas(
+        run, "source string, sum_r long, sum_g long, sum_b long"
+    )
+    px_per_channel = _IMG_N // 3
+    return (
+        per_image.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.sum("sum_r").cast("long").alias("sum_r"),
+            F.sum("sum_g").cast("long").alias("sum_g"),
+            F.sum("sum_b").cast("long").alias("sum_b"),
+        )
+        .select(
+            "source",
+            "n_images",
+            "sum_r",
+            "sum_g",
+            "sum_b",
+            # pure int64 div (non-negative: floor == truncate, matches
+            # the oracle's //) — no double round-trip on large sums
+            F.expr(
+                f"1000 * sum_r div (n_images * {px_per_channel})"
+            ).alias("mean_r_milli"),
+            F.expr(
+                f"1000 * sum_g div (n_images * {px_per_channel})"
+            ).alias("mean_g_milli"),
+            F.expr(
+                f"1000 * sum_b div (n_images * {px_per_channel})"
+            ).alias("mean_b_milli"),
+        )
+    )

@@ -796,3 +796,147 @@ def x61_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(abs(tokens * {_X61_SHARDS} - t) * 10000 div t as bigint)"
         ).alias("imbalance_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X68 — mixture upsampling (epoch replication): the OTHER half of
+# domain mixing. x25/x32 downsample overrepresented domains; real
+# recipes also REPLICATE small, high-value domains (wiki/books make
+# several epochs per training run while web makes <1). Target here
+# is the uniform mixture: every domain is replicated up to the
+# LARGEST domain's size — factor f = maxn/n in exact milli-units,
+# each doc materialized ceil-or-floor(f) times (integer part + one
+# extra copy for the hash-gated fractional remainder, so the
+# achieved count is within one doc of target per domain,
+# deterministically).
+#
+# The Spark side MATERIALIZES replicas with explode(sequence(1,
+# n_copies)) — the real pipeline output; the oracle pins the exact
+# multiplicity per doc in closed form (checksum weights each doc by
+# n*(n+1)/2, which only matches if the copy indices 1..n all
+# exist). Scale: the factor table is an O(domains) broadcast; the
+# explode is map-side with bounded fan-out (max factor = maxn/minn);
+# no shuffle except the final bounded rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "x68_mixture_upsample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DOMAIN_SQL} AS domain FROM documents
+    ), c AS (
+      SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
+    ), m AS (
+      SELECT max(n_docs) AS maxn FROM c
+    ), r AS (
+      SELECT domain, n_docs, 1000 * maxn // n_docs AS f_milli
+      FROM c, m
+    ), copies AS (
+      SELECT d.doc_id, d.domain, r.n_docs, r.f_milli,
+             f_milli // 1000
+             + CASE WHEN {_bucket_sql(
+                 "'ups:' || d.domain || ':' || CAST(d.doc_id AS VARCHAR)",
+                 1000)}
+                    < f_milli % 1000 THEN 1 ELSE 0 END AS n_copies
+      FROM d JOIN r ON d.domain = r.domain
+    )
+    SELECT domain,
+           CAST(max(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(f_milli) AS BIGINT) AS f_milli,
+           CAST(sum(n_copies) AS BIGINT) AS n_replicas,
+           CAST(sum((doc_id % 9973) * (n_copies * (n_copies + 1) // 2))
+                AS BIGINT) AS checksum
+    FROM copies GROUP BY domain
+    """,
+)
+def x68_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DOMAIN_SPARK).alias("domain")
+    )
+    counts = docs.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    maxn = counts.agg(F.max("n_docs").alias("maxn"))
+    factors = counts.crossJoin(F.broadcast(maxn)).select(
+        "domain",
+        "n_docs",
+        F.expr("1000 * maxn div n_docs").alias("f_milli"),
+    )
+    key = F.concat(
+        F.lit("ups:"), "domain", F.lit(":"), F.col("doc_id").cast("string")
+    )
+    with_copies = docs.join(F.broadcast(factors), "domain").select(
+        "doc_id",
+        "domain",
+        "n_docs",
+        "f_milli",
+        (
+            F.expr("f_milli div 1000")
+            + F.when(_bucket(key, 1000) < F.col("f_milli") % 1000, 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    replicas = with_copies.select(
+        "doc_id",
+        "domain",
+        "n_docs",
+        "f_milli",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    )
+    return replicas.groupBy("domain").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.max("f_milli").cast("long").alias("f_milli"),
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.sum((F.col("doc_id") % 9973) * F.col("copy_idx"))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X69 — range-sharded curation output: assign every document to one
+# of 16 GLOBALLY SORTED shards by (n_chars, doc_id) and report
+# per-shard row counts and value ranges — the "write the curated
+# corpus as N sorted files" finishing step (sorted-by-length shards
+# give training loaders near-constant batch padding). ntile is the
+# oracle-checkable assignment (total order -> deterministic in both
+# engines); the per-shard report proves ranges are disjoint and
+# sizes balanced within one row.
+#
+# Scale: ntile over an unpartitioned window is the PARITY
+# formulation only — at 100 TB the same assignment is
+# repartitionByRange(16, n_chars, doc_id) (sampled boundaries,
+# no global sort on one machine), and the report's min/max columns
+# are exactly the check that sampled boundaries produced disjoint
+# ranges. The output rollup is bounded (16 rows).
+# ---------------------------------------------------------------------------
+@register(
+    "x69_range_shards",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ntile(16) OVER (ORDER BY n_chars, doc_id) AS shard
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked GROUP BY shard
+    """,
+)
+def x69_range_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ranked = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.ntile(16)
+        .over(W.orderBy("n_chars", "doc_id"))
+        .alias("shard"),
+    )
+    return ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

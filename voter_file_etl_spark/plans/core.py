@@ -928,3 +928,71 @@ def s17_compressed_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.sum("c_custkey").cast("long").alias("sum_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S18 — multiline-JSON source: a single pretty-printed JSON ARRAY
+# per file (the shape REST exports and hand-edited config drops
+# arrive in), which line-delimited readers (s9) cannot parse. Spark
+# reads it with multiLine=true — one file = one record-batch parse,
+# NOT splittable, so the fixture is a bounded DIMENSION feed (nation,
+# 25 rows; the driver-side dump mirrors the reference's manifest
+# control flow on O(dim) rows, never fact data). The aggregate joins
+# the parsed feed back to region and proves field integrity.
+#
+# Scale: multiline JSON is the landing format, not the lake format —
+# at 100 TB the pipeline re-encodes to parquet on ingest (l6); facts
+# always arrive line-delimited (splittable) or parquet.
+# ---------------------------------------------------------------------------
+@register(
+    "s18_multiline_json",
+    oracle="""
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n.n_nationkey) AS BIGINT) AS sum_keys,
+           min(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def s18_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(
+        prefix="s18_mljson_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    path = os.path.join(out, "nations.json")
+    rows = [
+        {
+            "n_nationkey": r["n_nationkey"],
+            "n_name": r["n_name"],
+            "n_regionkey": r["n_regionkey"],
+        }
+        for r in t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()  # bounded: dimension table, O(25) rows
+    ]
+    rows.sort(key=lambda r: r["n_nationkey"])
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=2)
+
+    parsed = (
+        spark.read.option("multiLine", "true")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .json(path)
+    )
+    region = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        parsed.join(
+            F.broadcast(region),
+            parsed["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("sum_keys"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )

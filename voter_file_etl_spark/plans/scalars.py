@@ -963,3 +963,101 @@ def f10_phonetic_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_words") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# F11 — email normalization: the identity-resolution scalar every
+# contact-file ETL needs (the reference's voter rows key on email-like
+# contact fields; load.ts upserts would double-count 'A.B+tag@GMAIL'
+# vs 'ab@gmail.com' without it). Raw addresses are synthesized
+# deterministically from customer so adjacent custkey pairs share a
+# canonical address but differ in case, a '+tag' suffix, and (on
+# gmail-style domains) dots in the local part; normalization must
+# collapse each pair to ONE address: lowercase, strip '+tag...',
+# drop local-part dots on dot-insensitive domains only.
+#
+# Scale: pure map-side string expressions (codegen; no UDF), one
+# rollup on a 3-value domain key. The distinct-count is the dedup
+# proof: exactly half the raw addresses survive.
+# ---------------------------------------------------------------------------
+@register(
+    "f11_email_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0
+                  THEN upper('cust.' || CAST(c_custkey // 2 AS VARCHAR))
+                  ELSE 'cust.' || CAST(c_custkey // 2 AS VARCHAR)
+                       || '+promo' || CAST(c_custkey % 7 AS VARCHAR)
+             END || '@' ||
+             CASE (c_custkey // 2) % 3
+               WHEN 0 THEN 'gmail.com'
+               WHEN 1 THEN 'EXAMPLE.org'
+               ELSE 'Corp.example.com' END AS email
+      FROM customer
+    ), norm AS (
+      SELECT split_part(lower(email), '@', 2) AS domain,
+             regexp_replace(split_part(lower(email), '@', 1),
+                            '\\+.*$', '') AS local0
+      FROM raw
+    ), canon AS (
+      SELECT domain,
+             CASE WHEN domain = 'gmail.com'
+                  THEN replace(local0, '.', '') ELSE local0 END
+             || '@' || domain AS norm_email
+      FROM norm
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT norm_email) AS BIGINT) AS n_canonical,
+           min(norm_email) AS min_email,
+           max(norm_email) AS max_email
+    FROM canon GROUP BY domain
+    """,
+)
+def f11_email_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (F.col("c_custkey") - F.col("c_custkey") % 2) / 2
+    local_raw = F.concat(F.lit("cust."), base.cast("long").cast("string"))
+    raw = t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.when(F.col("c_custkey") % 2 == 0, F.upper(local_raw)).otherwise(
+                F.concat(
+                    local_raw,
+                    F.lit("+promo"),
+                    (F.col("c_custkey") % 7).cast("string"),
+                )
+            ),
+            F.lit("@"),
+            F.element_at(
+                F.array(
+                    F.lit("gmail.com"),
+                    F.lit("EXAMPLE.org"),
+                    F.lit("Corp.example.com"),
+                ),
+                (base.cast("long") % 3 + 1).cast("int"),
+            ),
+        ).alias("email")
+    )
+    norm = raw.select(
+        F.split(F.lower("email"), "@").getItem(1).alias("domain"),
+        F.regexp_replace(
+            F.split(F.lower("email"), "@").getItem(0), r"\+.*$", ""
+        ).alias("local0"),
+    )
+    canon = norm.select(
+        "domain",
+        F.concat(
+            F.when(
+                F.col("domain") == "gmail.com",
+                F.replace(F.col("local0"), F.lit("."), F.lit("")),
+            ).otherwise(F.col("local0")),
+            F.lit("@"),
+            F.col("domain"),
+        ).alias("norm_email"),
+    )
+    return canon.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.countDistinct("norm_email").cast("long").alias("n_canonical"),
+        F.min("norm_email").alias("min_email"),
+        F.max("norm_email").alias("max_email"),
+    )

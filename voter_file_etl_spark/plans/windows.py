@@ -677,3 +677,82 @@ def w15_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (matches the oracle's // floor-division on non-negative sums)
         ((num - num % den) / den).cast("long").alias("ewma_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W16 — rolling regression slope: the per-entity trend detector
+# (is this customer's spend rising?) as a windowed least-squares fit
+# over the last 5 orders. a41 fits ONE global OLS line; this is the
+# windowed sibling every monitoring dashboard actually plots.
+#
+# Exactness discipline: x is the order sequence number (row_number),
+# y is cents; the slope is emitted as its EXACT integer numerator /
+# denominator pair (n*Sxy - Sx*Sy, n*Sxx - Sx^2) instead of a float
+# quotient, so parity is pure int64 — no division, no rounding
+# policy, no floor-vs-truncate divergence.
+#
+# Scale: one shuffle on o_custkey serves BOTH window passes (the
+# rank and the frame sums share partitioning), then map-side
+# arithmetic. Frames are ROWS-bounded (5), so state per key is O(1).
+# ---------------------------------------------------------------------------
+@register(
+    "w16_moving_slope",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), s AS (
+      SELECT o_custkey, o_orderkey, cents,
+             count(*) OVER w AS n,
+             sum(rn) OVER w AS sx,
+             sum(cents) OVER w AS sy,
+             sum(rn * cents) OVER w AS sxy,
+             sum(rn * rn) OVER w AS sxx
+      FROM seq
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY rn
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey, cents,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM s WHERE n = 5
+    """,
+)
+def w16_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        F.row_number().over(_by_cust()).alias("rn"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("rn")
+        .rowsBetween(-4, W.currentRow)
+    )
+    s = seq.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("rn").over(w).alias("sx"),
+        F.sum("cents").over(w).alias("sy"),
+        F.sum(F.col("rn") * F.col("cents")).over(w).alias("sxy"),
+        F.sum(F.col("rn") * F.col("rn")).over(w).alias("sxx"),
+    )
+    return s.filter(F.col("n") == 5).select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("long")
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("slope_den"),
+    )

@@ -687,3 +687,72 @@ def test_phonetic_key_rollup_follows_distinct(spark, sf_dir):
     # (bounded), with the token dedup aggregated partial/final below.
     plan = _formatted_plan(spark, "f10_phonetic_key", sf_dir)
     assert plan.count("HashAggregate") >= 4, plan[:2000]
+
+
+def test_email_normalize_is_map_side_rollup(spark, sf_dir):
+    # f11: canonicalization is pure string expressions — no join
+    # anywhere; only the domain rollup (+ distinct-count phase)
+    # exchanges.
+    plan = _formatted_plan(spark, "f11_email_normalize", sf_dir)
+    assert "Join type:" not in plan, plan[:2000]
+
+
+def test_moving_slope_shares_one_exchange(spark, sf_dir):
+    # w16: the row_number pass and the ROWS-frame sums must reuse ONE
+    # shuffle on o_custkey — a second exchange between the two window
+    # passes would double the shuffle volume for no reason.
+    plan = _formatted_plan(spark, "w16_moving_slope", sf_dir)
+    assert plan.count("Window") >= 2, plan[:2000]
+    n_shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_shuffles == 1, plan[:2000]
+
+
+def test_multiline_json_region_join_broadcasts(spark, sf_dir):
+    plan = _formatted_plan(spark, "s18_multiline_json", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_common_neighbors_has_no_cartesian(spark, sf_dir):
+    # g6: wedge enumeration and the adjacency screen are equi-joins
+    # on edge keys — a nested loop here is quadratic in nodes.
+    plan = _formatted_plan(spark, "g6_common_neighbors", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_channel_stats_shuffles_sums_not_pixels(spark, sf_dir):
+    # m15: decode is Arrow map work; the exchange must carry the
+    # per-image 3-sum rows through a partial/final aggregate, and
+    # nothing may join.
+    plan = _formatted_plan(spark, "m15_image_channel_stats", sf_dir)
+    assert "MapInPandas" in plan, plan[:2000]
+    assert "Join type:" not in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_mixture_upsample_factors_broadcast(spark, sf_dir):
+    # x68: the O(domains) factor table rides a broadcast join; the
+    # replica explode is a map-side Generate — no shuffle of the
+    # replicated rows before the final bounded rollup.
+    plan = _formatted_plan(spark, "x68_mixture_upsample", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+
+
+def test_range_shards_is_one_sort_one_rollup(spark, sf_dir):
+    # x69: the parity formulation is ntile over ONE global sort plus
+    # a bounded rollup — any extra exchange means the assignment
+    # re-shuffled the corpus.
+    plan = _formatted_plan(spark, "x69_range_shards", sf_dir)
+    n_shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_shuffles == 1, plan[:2000]
+    assert "ntile(16)" in plan, plan[:2000]

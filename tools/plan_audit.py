@@ -88,6 +88,10 @@ AUDIT = [
     ("a42_sketch_overlap", "map-side HLL partials -> 1-row broadcast estimates + truth intersect"),
     ("j21_asof_tolerance", "tolerance as-of -> union+last_value single sort, zero joins"),
     ("sql11_pivot_syntax", "PIVOT clause -> partial/final aggregate, broadcast dim join"),
+    ("w16_moving_slope", "rolling OLS: rank + frame sums share ONE o_custkey exchange"),
+    ("g6_common_neighbors", "wedge equi-joins on middle node + LEFT ANTI screen, no nested loop"),
+    ("m15_image_channel_stats", "Arrow decode map-side; exchange carries 3-sum rows, not pixels"),
+    ("x68_mixture_upsample", "O(domains) factor broadcast -> map-side bounded explode -> rollup"),
 ]
 
 

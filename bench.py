@@ -200,6 +200,7 @@ HEADLINE = [
     "m15_image_channel_stats",
     "x68_mixture_upsample",
     "x69_range_shards",
+    "m16_audio_silence_runs",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings
@@ -212,6 +213,9 @@ HEADLINE = [
     # sink-writing round-3 late additions: the commit-log MERGE table
     # and the 4-batch watermark stream — both stage files + write
     "l7_txn_log_merge",
+    # deletion-vector merge-on-read delete over the same logtable
+    # fixture (copies the table + writes sidecars — tail group)
+    "l16_position_deletes",
     "st9_watermark_late_drop",
     # builds the same 4-merge logtable, then diffs each commit's
     # add/remove files — sink-writing, so it stays in the tail group

@@ -216,3 +216,55 @@ def test_stream_parallelism_restores_on_error(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == old
+
+
+def test_dv_delete_rewrites_nothing(spark, tmp_path):
+    # Merge-on-read: after delete_with_vectors every data file must be
+    # byte-identical; only a sidecar and a log entry may appear.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(64)]), work)
+    before = _file_hashes(table)
+
+    table.delete_with_vectors(_mk(spark, [(k, 0, "x") for k in range(0, 64, 4)]), work)
+    assert _file_hashes(table) == before, "DV delete rewrote a data file"
+    rows = {r["k"] for r in table.snapshot().collect()}
+    assert rows == {k for k in range(64) if k % 4 != 0}
+
+
+def test_dv_supersede_is_cumulative(spark, tmp_path):
+    # A second DV commit folds the first: exactly one active sidecar,
+    # masking the union of both delete sets.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(32)]), work)
+    table.delete_with_vectors(_mk(spark, [(1, 0, "x"), (2, 0, "x")]), work)
+    first_dv = table.active_dv()
+    table.delete_with_vectors(_mk(spark, [(3, 0, "x")]), work)
+    second_dv = table.active_dv()
+    assert first_dv != second_dv
+    rows = {r["k"] for r in table.snapshot().collect()}
+    assert rows == set(range(32)) - {1, 2, 3}
+
+
+def test_dv_time_travel_reads_unmasked_prefix(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    v0 = table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(16)]), work)
+    table.delete_with_vectors(_mk(spark, [(5, 0, "x")]), work)
+    assert {r["k"] for r in table.snapshot(v0).collect()} == set(range(16))
+    assert 5 not in {r["k"] for r in table.snapshot().collect()}
+
+
+def test_vacuum_keeps_active_dv(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(16)]), work)
+    table.delete_with_vectors(_mk(spark, [(5, 0, "x")]), work)
+    table.delete_with_vectors(_mk(spark, [(6, 0, "x")]), work)
+    removed = table.vacuum()
+    # the superseded first sidecar is dead; the active one survives
+    assert any("dv-v" in p for p in removed)
+    assert os.path.exists(os.path.join(table.root, table.active_dv()))
+    rows = {r["k"] for r in table.snapshot().collect()}
+    assert rows == set(range(16)) - {5, 6}

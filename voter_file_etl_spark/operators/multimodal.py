@@ -1120,3 +1120,94 @@ def m15_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_b_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M16 — audio silence-run detection (VAD preprocessing): find runs of
+# consecutive low-amplitude samples per clip — the
+# voice-activity-detection step that decides which segments of an
+# audio corpus are worth transcribing, and the run-length analysis
+# sibling of w10's gaps-and-islands on the decoded signal. A sample
+# is "quiet" when its centered amplitude v >= -16 (<-> source byte
+# >= 112; ASCII sources center below zero); a silence run is >= 2
+# consecutive quiet samples. Per clip: run count, longest run, and
+# samples inside runs (clips with no run produce no row).
+#
+# The Spark side decodes the REAL WAV (same chunk-walking decoder as
+# m6) and computes run lengths with numpy inside the SAME Arrow
+# batch — runs never cross the wire, only the 3-stat row per clip
+# does. The oracle rebuilds runs with the islands idiom
+# (i - row_number) over ascii positions, so the decoder's sample
+# ORDER is under test, not just its sums.
+#
+# Scale: decode + run-length is partition-preserving map work; no
+# shuffle at all until the driver-side result (the output is one row
+# per clip with runs). At 100 TB this is the pattern for any
+# per-asset signal analysis: keep the signal local to the batch,
+# ship only features.
+# ---------------------------------------------------------------------------
+@register(
+    "m16_audio_silence_runs",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, i,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_WAV_N}),
+                               {_WAV_N}, ' '),
+                          i, 1)) AS a
+      FROM documents, unnest(range(1, {_WAV_N + 1})) AS u(i)
+    ), sil AS (
+      SELECT doc_id, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM px WHERE a >= 112
+    ), runs AS (
+      SELECT doc_id, grp, count(*) AS len
+      FROM sil GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(len) AS BIGINT) AS max_run,
+           CAST(sum(len) AS BIGINT) AS silent_samples
+    FROM runs WHERE len >= 2 GROUP BY doc_id
+    """,
+)
+def m16_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from voter_file_etl_spark.functions.codecs import decode_wav_bytes
+
+    docs = t(spark, sf_dir, "documents")
+    media = build_wav_media(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_runs, max_runs, totals = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                audio = decode_wav_bytes(payload)
+                v = audio.samples[:, 0]
+                # quiet <=> centered amplitude v >= -16 (source byte
+                # >= 112; ASCII sources are always v < 0)
+                quiet = v >= -16
+                # run-length encode: boundaries where quiet flips
+                edges = np.flatnonzero(np.diff(quiet.astype(np.int8)))
+                bounds = np.concatenate(([0], edges + 1, [len(quiet)]))
+                lens = np.diff(bounds)
+                vals = quiet[bounds[:-1]]
+                runs = lens[vals & (lens >= 2)]
+                if len(runs) == 0:
+                    continue
+                ids.append(doc_id)
+                n_runs.append(len(runs))
+                max_runs.append(int(runs.max()))
+                totals.append(int(runs.sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_runs": n_runs,
+                    "max_run": max_runs,
+                    "silent_samples": totals,
+                }
+            )
+
+    return media.mapInPandas(
+        run, "doc_id long, n_runs long, max_run long, silent_samples long"
+    )

@@ -757,3 +757,54 @@ def l15_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1 if on_disk == active else 0).alias("disk_matches_active"),
         (F.col("n_keys") == F.lit(before)).cast("int").alias("snapshot_stable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L16 — deletion-vector delete (merge-on-read): the modern lakehouse
+# delete path (Delta deletion vectors / Iceberg v2 position
+# deletes). l9 ERASES by rewriting every touched bucket file — the
+# copy-on-write path, O(touched data) per delete. This key deletes
+# the same way production formats do when deletes are frequent and
+# small: matching rows are located by (file, row_index) from parquet
+# scan metadata and masked via a tiny position-delete sidecar; NO
+# data file is rewritten (tests/test_logtable.py asserts
+# byte-identity), and snapshot() applies the mask with a broadcast
+# anti-join. Two successive DV commits exercise the cumulative
+# supersede (second sidecar folds the first), and the aggregate
+# proves the masked snapshot equals the plain SQL filter.
+#
+# Scale: per-delete cost is O(touched files read + matches written)
+# — no rewrite amplification; read-side cost is one broadcast
+# anti-join of O(deleted positions). DV-heavy files fall back to the
+# rewrite path at compaction (l6), exactly Delta's documented model.
+# ---------------------------------------------------------------------------
+@register(
+    "l16_position_deletes",
+    oracle="""
+    SELECT event_type, count(*) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND user_id % 7 <> 2 AND user_id % 11 <> 5
+    GROUP BY event_type
+    """,
+)
+def l16_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l16_dv_")
+    table = _build_logtable(spark, sf_dir, work, mutable=True)
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    table.delete_with_vectors(
+        users.filter(F.col("user_id") % 7 == 2), work
+    )
+    table.delete_with_vectors(
+        users.filter(F.col("user_id") % 11 == 5), work
+    )
+    return table.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").alias("sum_last_id"),
+    )

@@ -112,9 +112,17 @@ class LogTable:
                 active[add["path"]] = add
         return sorted(active.values(), key=lambda a: a["path"])
 
-    def _commit(self, version: int, adds: list[dict], removes: list[str]) -> None:
+    def _commit(
+        self,
+        version: int,
+        adds: list[dict],
+        removes: list[str],
+        dv: str | None = None,
+    ) -> None:
         """Atomically publish one log entry via link(2); EEXIST = lost race."""
         entry = {"version": version, "adds": adds, "removes": removes}
+        if dv is not None:
+            entry["dv"] = dv
         tmp = self._entry_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f, indent=1, sort_keys=True)
@@ -125,15 +133,55 @@ class LogTable:
         finally:
             os.unlink(tmp)
 
+    def active_dv(self, version: int | None = None) -> str | None:
+        """The deletion-vector sidecar in force as of ``version``.
+
+        Each DV commit folds every prior position delete into its new
+        sidecar (cumulative supersede), so replay is "last dv wins";
+        versions before the first DV commit read unmasked — time
+        travel composes with merge-on-read for free.
+        """
+        if version is None:
+            version = self.latest_version()
+        dv = None
+        for v in range(version + 1):
+            entry = json.load(open(self._entry_path(v)))
+            if "dv" in entry:
+                dv = entry["dv"]
+        return dv
+
     # -- reads -------------------------------------------------------------
 
     def snapshot(self, version: int | None = None) -> DataFrame:
-        """The table as of ``version`` (latest when None) — time travel."""
+        """The table as of ``version`` (latest when None) — time travel.
+
+        When a deletion vector is active, the read is merge-on-read:
+        every row is tagged with its (file, row_index) identity from
+        parquet scan metadata and the masked positions are removed by
+        a broadcast LEFT ANTI join — O(deleted positions) extra state,
+        zero data files rewritten.
+        """
         files = self.active_files(version)
         if not files:
             raise ValueError("empty table has no snapshot schema")
-        return self.spark.read.parquet(
+        df = self.spark.read.parquet(
             *[os.path.join(self.root, f["path"]) for f in files]
+        )
+        dv = self.active_dv(version)
+        if dv is None:
+            return df
+        cols = df.columns
+        dv_df = self.spark.read.parquet(os.path.join(self.root, dv))
+        return (
+            df.select(
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
+                ).alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+                *cols,
+            )
+            .join(F.broadcast(dv_df), ["_file", "_pos"], "left_anti")
+            .select(*cols)
         )
 
     def changes(self, version: int) -> DataFrame:
@@ -317,6 +365,65 @@ class LogTable:
         self._commit(version, adds, [f["path"] for f in old])
         return version
 
+    def delete_with_vectors(self, keys: DataFrame, work_dir: str) -> int:
+        """Merge-on-read delete: publish a position-delete sidecar
+        (deletion vector) instead of rewriting any data file.
+
+        The modern lakehouse delete path (Delta deletion vectors /
+        Iceberg v2 position deletes): matching rows are located by
+        (file, row_index) via parquet scan metadata — reading ONLY
+        the touched buckets, planned from log metadata like merge —
+        and their positions land in one small parquet sidecar.
+        Every data file stays byte-identical (test-asserted); reads
+        apply the mask with a broadcast anti-join. Per-delete cost is
+        O(touched files + matches), vs ``delete``'s O(touched files)
+        read + REWRITE. The physical-erasure path for GDPR remains
+        ``delete`` + ``vacuum`` — a DV is a mask, not erasure; real
+        formats compact DV-heavy files back through the rewrite path
+        (l6's role here).
+        """
+        version = self.latest_version() + 1
+        keyed = (
+            keys.select(*self.key_cols)
+            .distinct()
+            .withColumn("_bucket", self._bucket_col())
+        )
+        touched = sorted(
+            r["_bucket"] for r in keyed.select("_bucket").distinct().collect()
+        )
+        old = [f for f in self.active_files() if f["bucket"] in touched]
+        hits = None
+        if old:
+            cur = self.spark.read.parquet(
+                *[os.path.join(self.root, f["path"]) for f in old]
+            ).select(
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
+                ).alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+                *self.key_cols,
+            )
+            hits = cur.join(
+                F.broadcast(keyed.drop("_bucket")), self.key_cols, "left_semi"
+            ).select("_file", "_pos")
+        prior = self.active_dv()
+        if prior is not None:
+            prior_df = self.spark.read.parquet(os.path.join(self.root, prior))
+            hits = prior_df if hits is None else hits.unionByName(prior_df)
+        if hits is None:
+            self._commit(version, [], [])
+            return version
+        rel = os.path.join(_DATA_DIR, f"dv-v{version:08d}.parquet")
+        stage = os.path.join(work_dir, f"dv_v{version:08d}")
+        hits.distinct().coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [
+            n for n in sorted(os.listdir(stage)) if n.endswith(".parquet")
+        ][0]
+        shutil.move(os.path.join(stage, part), os.path.join(self.root, rel))
+        shutil.rmtree(stage, ignore_errors=True)
+        self._commit(version, [], [], dv=rel)
+        return version
+
     def vacuum(self) -> list[str]:
         """Delete data files no longer referenced by the LATEST snapshot.
 
@@ -326,6 +433,9 @@ class LogTable:
         Delta table.)
         """
         live = {f["path"] for f in self.active_files()}
+        dv = self.active_dv()
+        if dv is not None:
+            live.add(dv)
         removed = []
         data_dir = os.path.join(self.root, _DATA_DIR)
         for name in sorted(os.listdir(data_dir)):

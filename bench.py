@@ -201,6 +201,7 @@ HEADLINE = [
     "x68_mixture_upsample",
     "x69_range_shards",
     "m16_audio_silence_runs",
+    "x70_boilerplate_scrub",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -1759,3 +1759,107 @@ def x67_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters")
     )
+
+
+# ---------------------------------------------------------------------------
+# X70 — boilerplate line scrub: remove every line that recurs across
+# >= 3 DISTINCT documents from ALL documents, then rebuild the text
+# — the CCNet/RefinedWeb boilerplate pass (headers, footers, cookie
+# banners repeat across a site's pages; x44 keeps the FIRST copy,
+# this treats cross-doc recurrence as template noise and keeps
+# NONE). Line model is x44's word-window line; the verdict per doc
+# is (n_lines, n_dropped, md5 of the rebuilt text), so the oracle
+# checks the reconstruction byte-for-byte, not just counts.
+#
+# Scale: global-stats-then-map — line frequencies are one partial/
+# final distinct-count keyed on the line, the scrub is an equi-join
+# of lines against the (small) boilerplate set, and the rebuild is
+# one groupBy(doc_id). Never all-pairs; the frequency table is the
+# only extra state and it shrinks with the >= 3 threshold.
+# ---------------------------------------------------------------------------
+@register(
+    "x70_boilerplate_scrub",
+    oracle=f"""
+    WITH lines AS (
+      SELECT doc_id,
+             CAST((s - 1) // {_X44_LINE} AS BIGINT) AS line_id,
+             array_to_string(
+               list_slice(str_split(text, ' '), s, s + {_X44_LINE} - 1),
+               ' ') AS line
+      FROM documents,
+           unnest(generate_series(
+             1, len(str_split(text, ' ')), {_X44_LINE})) AS u(s)
+    ), boiler AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY line
+      ) WHERE n_docs >= 3
+    ), kept AS (
+      SELECT l.doc_id, l.line_id, l.line
+      FROM lines l LEFT JOIN boiler b ON l.line = b.line
+      WHERE b.line IS NULL
+    ), rebuilt AS (
+      SELECT doc_id,
+             count(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY line_id) AS new_text
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines,
+           CAST(t.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           md5(coalesce(r.new_text, '')) AS new_md5
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def x70_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.tables import t as _t
+
+    lines = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("arr"))
+        .select(
+            "doc_id",
+            "arr",
+            F.explode(F.expr(f"sequence(1, size(arr), {_X44_LINE})")).alias(
+                "s"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((s - 1) div {_X44_LINE} AS BIGINT)").alias(
+                "line_id"
+            ),
+            F.expr(f"concat_ws(' ', slice(arr, s, {_X44_LINE}))").alias(
+                "line"
+            ),
+        )
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_id", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.md5(F.coalesce("new_text", F.lit("")).cast("binary")).alias(
+            "new_md5"
+        ),
+    )

@@ -84,7 +84,8 @@ _BACKFILL = [
     "x67_cluster_size_profile", "f11_email_normalize", "w16_moving_slope",
     "s18_multiline_json", "g6_common_neighbors", "m15_image_channel_stats",
     "x68_mixture_upsample", "x69_range_shards", "l16_position_deletes",
-    "m16_audio_silence_runs", "x70_boilerplate_scrub",
+    "m16_audio_silence_runs", "x70_boilerplate_scrub", "u6_union_by_name",
+    "a43_markov_transitions", "a44_path_pattern",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

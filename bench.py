@@ -202,6 +202,9 @@ HEADLINE = [
     "x69_range_shards",
     "m16_audio_silence_runs",
     "x70_boilerplate_scrub",
+    "u6_union_by_name",
+    "a43_markov_transitions",
+    "a44_path_pattern",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

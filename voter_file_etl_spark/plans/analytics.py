@@ -522,3 +522,144 @@ def a40_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(lag_us).cast("long").alias("max_lag_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A43 — Markov transition matrix over the event stream: for every
+# (from_type -> to_type) adjacent pair in each user's time-ordered
+# history, the transition count and probability (integer basis
+# points) — the behavioral model behind "what do users do after an
+# error?", and the first-order sibling of x18's token bigram LM.
+#
+# Exactness: ordering is the (ts, event_id) total order; the
+# probability is 10000 * n div row_total in pure int64 (both
+# engines floor the non-negative quotient identically).
+#
+# Scale: one shuffle on user_id for the lag window, then a rollup
+# on the bounded 5x5 type-pair domain; the row-total rides back on
+# a broadcast join of the 5-row from-state aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "a43_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, sum(n) AS row_total FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n,
+           CAST(10000 * p.n // t.row_total AS BIGINT) AS prob_bp
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    """,
+)
+def a43_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.unix_micros("ts"), "event_id"
+            )
+        )
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").alias("row_total")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("10000 * n div row_total").alias("prob_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A44 — event path-pattern matching (MATCH_RECOGNIZE-lite): collapse
+# each user's time-ordered history into a journey string (one char
+# per event type) and count CONSECUTIVE view->click->purchase and
+# view->click motifs — the sequence-pattern query warehouses spell
+# MATCH_RECOGNIZE and Spark lacks natively; the journey-string
+# formulation expresses it with collect+replace, no UDF, no
+# iterative state. Non-overlapping leftmost counting via the
+# replace-shrinkage trick ((len - len(replace)) / motif_len) is
+# engine-identical by definition; journey_md5 pins the ENTIRE
+# per-user order, so any shuffle nondeterminism would hash-mismatch.
+#
+# Scale: one shuffle on user_id; per-user state is the bounded
+# journey string (events per user, not corpus). At unbounded history
+# sizes the same motif counts fold incrementally (count transitions
+# with lag, a43's shape) — the string form is the audit-friendly
+# variant.
+# ---------------------------------------------------------------------------
+@register(
+    "a44_path_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY epoch_us(ts), event_id) AS s,
+             count(*) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST((len(s) - len(replace(s, 'vcp', ''))) // 3 AS BIGINT)
+             AS n_vcp,
+           CAST((len(s) - len(replace(s, 'vc', ''))) // 2 AS BIGINT)
+             AS n_vc,
+           md5(s) AS journey_md5
+    FROM seq
+    """,
+)
+def a44_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                "event_id",
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("ev")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("s"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "cast((length(s) - length(replace(s, 'vcp', ''))) div 3 as bigint)"
+        ).alias("n_vcp"),
+        F.expr(
+            "cast((length(s) - length(replace(s, 'vc', ''))) div 2 as bigint)"
+        ).alias("n_vc"),
+        F.md5(F.col("s").cast("binary")).alias("journey_md5"),
+    )

@@ -232,3 +232,60 @@ def d3_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U6 — union by NAME with missing columns: the schema-evolution
+# union (two vintages of a feed share some columns; the older one
+# lacks the new fields) — Spark's unionByName(allowMissingColumns=
+# True) vs positional UNION, which would silently misalign. Missing
+# fields must surface as NULLs, proven by per-side null counts over
+# the combined set. DuckDB spells the identical semantics UNION ALL
+# BY NAME.
+#
+# Scale: unions are metadata-only (no shuffle); the rollup keys on
+# the 2-value side marker.
+# ---------------------------------------------------------------------------
+@register(
+    "u6_union_by_name",
+    oracle="""
+    WITH u AS (
+      SELECT 'v1' AS side, c_custkey, c_name,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer WHERE c_custkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT 'v2' AS side, c_custkey, c_mktsegment
+      FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT side,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(c_name) AS BIGINT) AS n_name_null,
+           CAST(count(*) - count(c_mktsegment) AS BIGINT) AS n_seg_null,
+           CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents
+    FROM u GROUP BY side
+    """,
+)
+def u6_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    v1 = customer.filter(F.col("c_custkey") % 2 == 0).select(
+        F.lit("v1").alias("side"),
+        "c_custkey",
+        "c_name",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    v2 = customer.filter(F.col("c_custkey") % 2 == 1).select(
+        F.lit("v2").alias("side"), "c_custkey", "c_mktsegment"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("c_name")).cast("long").alias(
+            "n_name_null"
+        ),
+        (F.count(F.lit(1)) - F.count("c_mktsegment")).cast("long").alias(
+            "n_seg_null"
+        ),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("sum_cents"),
+    )

@@ -205,6 +205,8 @@ HEADLINE = [
     "u6_union_by_name",
     "a43_markov_transitions",
     "a44_path_pattern",
+    "t17_higher_order_funcs",
+    "s19_partition_discovery",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -756,3 +756,20 @@ def test_range_shards_is_one_sort_one_rollup(spark, sf_dir):
     )
     assert n_shuffles == 1, plan[:2000]
     assert "ntile(16)" in plan, plan[:2000]
+
+
+def test_higher_order_lambdas_stay_map_side(spark, sf_dir):
+    # t17: lambda evaluation is codegen expression work — no shuffle,
+    # no Python, no join anywhere in the plan.
+    plan = _formatted_plan(spark, "t17_higher_order_funcs", sf_dir)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join type:" not in plan, plan[:2000]
+
+
+def test_two_level_partition_pruning(spark, sf_dir):
+    # s19: BOTH discovered partition columns must appear in the
+    # scan's PartitionFilters — pruning to one leaf directory.
+    plan = _formatted_plan(spark, "s19_partition_discovery", sf_dir)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan[:2000]
+    assert "l_returnflag" in pf[0] and "l_linestatus" in pf[0], pf[0]

@@ -996,3 +996,47 @@ def s18_multiline_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_nation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S19 — multi-level partition discovery: the hive layout real lakes
+# use (dt=.../region=... — here l_returnflag/l_linestatus), written
+# two levels deep and read back with BOTH partition columns
+# recovered from directory names alone. The filter prunes on both
+# levels (the plan's PartitionFilters carries the conjunction —
+# tests/test_plan_quality.py gates it), so the scan opens only the
+# one matching leaf directory out of ~8.
+#
+# Scale: two-level pruning is the difference between reading one
+# (dt, region) leaf and listing the whole lake; at 100 TB the
+# directory listing itself is the cost to bound (partition counts in
+# the thousands, not millions — coarse outer level, finer inner).
+# ---------------------------------------------------------------------------
+@register(
+    "s19_partition_discovery",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def s19_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("l_quantity"),
+        "l_returnflag",
+        "l_linestatus",
+    )
+    path = _tmp_dir("s19_two_level")
+    li.write.mode("overwrite").partitionBy(
+        "l_returnflag", "l_linestatus"
+    ).parquet(path)
+    back = spark.read.parquet(path).filter(
+        (F.col("l_returnflag") == "A") & (F.col("l_linestatus") == "F")
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+    )

@@ -1061,3 +1061,60 @@ def f11_email_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm_email").alias("min_email"),
         F.max("norm_email").alias("max_email"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T17 — higher-order array lambdas: transform / filter / exists /
+# aggregate / zip_with over a per-row sequence — the Catalyst lambda
+# surface (SQL:2016 array functions) that t7's collect/sort/contains
+# does not touch, and the building block the engine's n-gram and
+# packing operators lean on. The oracle is the CLOSED FORM of each
+# lambda over arr = [1..n] (sum of squares, even count, triangular
+# dot product), so parity proves the lambda evaluation exact rather
+# than mirroring it with a second lambda engine.
+#
+# Scale: pure map-side codegen expressions; bounded fan-out (arrays
+# of <= 8 elements built per row, never materialized off-core).
+# ---------------------------------------------------------------------------
+@register(
+    "t17_higher_order_funcs",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_custkey % 7 + 1 AS n FROM customer
+    )
+    SELECT c_custkey,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * (n + 1) * (2 * n + 1) // 6 AS BIGINT) AS sum_sq,
+           CAST(n // 2 AS BIGINT) AS n_even,
+           n >= 3 AS has_div3,
+           CAST(n * (n + 1) * (n + 1) // 2
+                - n * (n + 1) * (2 * n + 1) // 6 AS BIGINT) AS dot_rev
+    FROM base
+    """,
+)
+def t17_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") % 7 + 1).cast("long").alias("n"),
+        F.sequence(F.lit(1).cast("long"), F.col("c_custkey") % 7 + 1).alias(
+            "arr"
+        ),
+    )
+    return base.select(
+        "c_custkey",
+        "n",
+        F.aggregate(
+            F.transform("arr", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_sq"),
+        F.size(F.filter("arr", lambda x: x % 2 == 0))
+        .cast("long")
+        .alias("n_even"),
+        F.exists("arr", lambda x: x % 3 == 0).alias("has_div3"),
+        F.aggregate(
+            F.zip_with("arr", F.reverse("arr"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("dot_rev"),
+    )

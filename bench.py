@@ -207,6 +207,8 @@ HEADLINE = [
     "a44_path_pattern",
     "t17_higher_order_funcs",
     "s19_partition_discovery",
+    "sql13_pipe_syntax",
+    "t18_variant_extract",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -773,3 +773,20 @@ def test_two_level_partition_pruning(spark, sf_dir):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, plan[:2000]
     assert "l_returnflag" in pf[0] and "l_linestatus" in pf[0], pf[0]
+
+
+def test_pipe_syntax_compiles_to_same_plan_shape(spark, sf_dir):
+    # sql13: the |> chain must produce the nested form's physical
+    # plan — broadcast dim join, partial/final agg, top-k as
+    # TakeOrderedAndProject (never a global sort).
+    plan = _formatted_plan(spark, "sql13_pipe_syntax", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_variant_extract_is_map_side(spark, sf_dir):
+    # t18: parse_json/variant_get are codegen expressions — no join,
+    # one exchange for the bounded rollup.
+    plan = _formatted_plan(spark, "t18_variant_extract", sf_dir)
+    assert "Join type:" not in plan, plan[:2000]
+    assert "variant_get" in plan, plan[:2000]

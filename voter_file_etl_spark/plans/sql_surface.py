@@ -405,3 +405,50 @@ def sql11_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL13 — SQL pipe syntax (Spark 4.0's |> operator chain, from
+# Google's "SQL Has Problems" pipe-syntax proposal): the same
+# join-filter-aggregate-having-topk shape as sql1/sql2 written as a
+# linear pipeline instead of inside-out nesting. Proves the modern
+# frontend surface compiles to the SAME Catalyst plan the nested
+# form produces (broadcast dim join, partial/final aggregate,
+# TakeOrderedAndProject — the sql1 gates apply unchanged).
+#
+# Scale: frontend syntax only; the physical plan is identical to the
+# nested formulation, which is the point under test.
+# ---------------------------------------------------------------------------
+@register(
+    "sql13_pipe_syntax",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_mktsegment
+    HAVING count(*) >= 10
+    ORDER BY sum_cents DESC, c_mktsegment
+    LIMIT 3
+    """,
+)
+def sql13_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        FROM orders o
+        |> WHERE o.o_orderstatus = 'O'
+        |> JOIN customer c ON o.o_custkey = c.c_custkey
+        |> AGGREGATE count(*) AS n_orders,
+                     sum(cast(floor(o_totalprice * 100 + 0.5d) as bigint))
+                       AS sum_cents
+           GROUP BY c.c_mktsegment
+        |> WHERE n_orders >= 10
+        |> ORDER BY sum_cents DESC, c_mktsegment
+        |> LIMIT 3
+        """
+    ).selectExpr(
+        "c_mktsegment", "cast(n_orders as bigint) n_orders", "sum_cents"
+    )

@@ -485,3 +485,74 @@ def j21_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("last_view_us"),
         ).alias("view_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T18 — VARIANT extraction (Spark 4.0's open semi-structured type,
+# the Delta/Iceberg-era answer to string-JSON columns): the same
+# deep payload as t16, but parsed ONCE into a VARIANT binary value
+# and read with typed variant_get paths. Versus t16's from_json,
+# VARIANT needs NO declared schema — the shredded binary encoding
+# keeps path reads cheap while tolerating heterogeneous payloads,
+# which is exactly the event-props situation (events.props carries
+# per-type fields). The oracle reads the identical paths with
+# DuckDB's JSON pointer functions — two independent semi-structured
+# engines agreeing field-by-field.
+#
+# Scale: parse_json + variant_get are map-side codegen; one bounded
+# rollup (5 priorities). At 100 TB the VARIANT column is what lands
+# in parquet (shredding keeps scans pruned), not the raw string.
+# ---------------------------------------------------------------------------
+@register(
+    "t18_variant_extract",
+    oracle="""
+    WITH j AS (
+      SELECT concat('{"k": ', o_orderkey,
+                    ', "meta": {"p": "', o_orderpriority,
+                    '", "s": "', o_orderstatus,
+                    '"}, "items": [', o_custkey, ', ',
+                    CAST(o_orderkey % 100 AS VARCHAR), ']}') AS js
+      FROM orders
+    )
+    SELECT json_extract_string(js, '$.meta.p') AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract(js, '$.items[1]') AS BIGINT))
+                AS BIGINT) AS sum_item1,
+           CAST(sum(CAST(json_extract(js, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           min(json_extract_string(js, '$.meta.s')) AS min_status
+    FROM j GROUP BY 1
+    """,
+)
+def t18_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit('{"k": '),
+            F.col("o_orderkey").cast("string"),
+            F.lit(', "meta": {"p": "'),
+            F.col("o_orderpriority"),
+            F.lit('", "s": "'),
+            F.col("o_orderstatus"),
+            F.lit('"}, "items": ['),
+            F.col("o_custkey").cast("string"),
+            F.lit(", "),
+            (F.col("o_orderkey") % 100).cast("string"),
+            F.lit("]}"),
+        ).alias("js")
+    )
+    v = j.select(F.parse_json("js").alias("v"))
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.meta.p', 'string')").alias("priority"),
+            F.expr("variant_get(v, '$.items[1]', 'long')").alias("item1"),
+            F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+            F.expr("variant_get(v, '$.meta.s', 'string')").alias("s"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("item1").cast("long").alias("sum_item1"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("s").alias("min_status"),
+        )
+    )

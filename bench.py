@@ -209,6 +209,7 @@ HEADLINE = [
     "s19_partition_discovery",
     "sql13_pipe_syntax",
     "t18_variant_extract",
+    "sql14_parameterized",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -790,3 +790,11 @@ def test_variant_extract_is_map_side(spark, sf_dir):
     plan = _formatted_plan(spark, "t18_variant_extract", sf_dir)
     assert "Join type:" not in plan, plan[:2000]
     assert "variant_get" in plan, plan[:2000]
+
+
+def test_parameterized_sql_pushes_bound_predicates(spark, sf_dir):
+    # sql14: named-parameter binding happens at parse time, so the
+    # scan must show the bound segment filter pushed down exactly
+    # like an inline literal.
+    plan = _formatted_plan(spark, "sql14_parameterized", sf_dir)
+    assert "EqualTo(c_mktsegment,MACHINERY)" in plan, plan[:2000]

@@ -452,3 +452,44 @@ def sql13_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "c_mktsegment", "cast(n_orders as bigint) n_orders", "sum_cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL14 — parameterized SQL (named :param markers, Spark 3.4+): the
+# injection-safe way to template the reference's per-state /
+# per-segment query routing ($executeRawUnsafe's string splicing is
+# the anti-pattern this replaces — parameters bind as LITERALS in
+# the parser, they can never re-shape the statement). The segment
+# and cutoff arrive as args; the plan must still push both
+# predicates to the scan exactly as if they were inline literals.
+#
+# Scale: binding happens at parse time, so Catalyst sees constant
+# predicates — pushdown, pruning, and AQE behave identically to the
+# hand-inlined query (the gate asserts the pushed filter).
+# ---------------------------------------------------------------------------
+@register(
+    "sql14_parameterized",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM customer
+    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal >= 0.0
+    GROUP BY c_nationkey
+    """,
+)
+def sql14_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               cast(count(*) as bigint) AS n_custs,
+               cast(sum(cast(floor(c_acctbal * 100 + 0.5d) as bigint))
+                    as bigint) AS sum_cents
+        FROM customer
+        WHERE c_mktsegment = :segment AND c_acctbal >= :min_bal
+        GROUP BY c_nationkey
+        """,
+        args={"segment": "MACHINERY", "min_bal": 0.0},
+    )

@@ -798,3 +798,17 @@ def test_parameterized_sql_pushes_bound_predicates(spark, sf_dir):
     # like an inline literal.
     plan = _formatted_plan(spark, "sql14_parameterized", sf_dir)
     assert "EqualTo(c_mktsegment,MACHINERY)" in plan, plan[:2000]
+
+
+def test_media_pipeline_decodes_once(spark, sf_dir):
+    # e2: ONE Arrow decode pass emits phash + channel sums — a second
+    # MapInPandas or a media re-join would shuffle raster payloads
+    # (measured 4.7 s -> 2.8 s when folded).
+    plan = _formatted_plan(spark, "e2_media_pipeline", sf_dir)
+    n_decodes = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") MapInPandas" in ln
+    )
+    assert n_decodes == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]

@@ -1211,3 +1211,170 @@ def m16_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         run, "doc_id long, n_runs long, max_run long, silent_samples long"
     )
+
+
+# ---------------------------------------------------------------------------
+# E2 — end-to-end media curation pipeline: the multimodal composite
+# (m5 decode -> m7 perceptual-hash dedup -> m15 channel stats) run
+# as ONE pipeline, the way a real vision-corpus ingest chains them:
+# plant known duplicates, hash every decoded image, keep one
+# canonical copy per phash, then compute the training-normalization
+# channel means over the SURVIVORS only. Per source: corpus-in,
+# kept, dropped, and the three milli-means — so the oracle checks
+# the dedup's effect ON a downstream aggregate, not just the dedup.
+# Planted ids use the negative range (-doc_id - 1), out-of-band at
+# any scale factor.
+#
+# Scale: ONE Arrow decode pass emits phash AND channel sums per
+# image (decode once, never re-join the binary payload — a
+# hash-to-media equi-join would shuffle every raster; folding the
+# two extractors into one mapInPandas halved the measured time);
+# the dedup is one window keyed on the 24-bit phash over 4-int
+# feature rows, and the rollup keys on the bounded source domain.
+# Pixels never cross a shuffle boundary.
+# ---------------------------------------------------------------------------
+@register(
+    "e2_media_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1 AS doc_id, source, text FROM documents
+      WHERE doc_id % 25 = 0
+    ), padded AS (
+      SELECT doc_id, source,
+             rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}), {_IMG_N}, ' ')
+               AS t
+      FROM corpus
+    ), hashed AS (
+      SELECT doc_id, source, t, {_phash_bits_sql()} AS phash FROM padded
+    ), surv AS (
+      SELECT doc_id, source, t FROM (
+        SELECT doc_id, source, t,
+               row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS rn
+        FROM hashed
+      ) WHERE rn = 1
+    ), px AS (
+      SELECT source, (i - 1) % 3 AS ch, ascii(substr(t, i, 1)) AS v
+      FROM surv, unnest(range(1, {_IMG_N + 1})) AS u(i)
+    ), stats AS (
+      SELECT source,
+             CAST(count(*) // {_IMG_N} AS BIGINT) AS n_kept,
+             CAST(1000 * sum(v) FILTER (ch = 0)
+                  // (count(*) // 3) AS BIGINT) AS mean_r_milli,
+             CAST(1000 * sum(v) FILTER (ch = 1)
+                  // (count(*) // 3) AS BIGINT) AS mean_g_milli,
+             CAST(1000 * sum(v) FILTER (ch = 2)
+                  // (count(*) // 3) AS BIGINT) AS mean_b_milli
+      FROM px GROUP BY source
+    ), ins AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_in
+      FROM corpus GROUP BY source
+    )
+    SELECT s.source, i.n_in, s.n_kept,
+           CAST(i.n_in - s.n_kept AS BIGINT) AS n_dropped,
+           s.mean_r_milli, s.mean_g_milli, s.mean_b_milli
+    FROM stats s JOIN ins i ON s.source = i.source
+    """,
+)
+def e2_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (-F.col("doc_id") - 1).alias("doc_id"), "source", "text"
+    )
+    corpus = docs.unionByName(planted)
+    raster = F.encode(
+        F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " "), "utf-8"
+    )
+    media = corpus.select(
+        "doc_id",
+        "source",
+        F.concat(F.lit(_PPM_HEADER), raster).alias("media"),
+    )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srcs, phs, sr, sg, sb = [], [], [], [], [], []
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["media"]
+            ):
+                img = decode_image_bytes(payload)
+                g = img.pixels.astype("int64").sum(axis=2)
+                bits, k = 0, 0
+                for r in range(img.height):
+                    for c in range(img.width - 1):
+                        if g[r, c] < g[r, c + 1]:
+                            bits |= 1 << k
+                        k += 1
+                for r in range(img.height - 1):
+                    for c in range(img.width):
+                        if g[r, c] < g[r + 1, c]:
+                            bits |= 1 << k
+                        k += 1
+                sums = img.pixels.astype("int64").sum(axis=(0, 1))
+                ids.append(doc_id)
+                srcs.append(source)
+                phs.append(bits)
+                sr.append(int(sums[0]))
+                sg.append(int(sums[1]))
+                sb.append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "source": srcs,
+                    "phash": phs,
+                    "sum_r": sr,
+                    "sum_g": sg,
+                    "sum_b": sb,
+                }
+            )
+
+    per_image = media.mapInPandas(
+        run,
+        "doc_id long, source string, phash long, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+    surv = (
+        per_image.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("phash").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", "sum_r", "sum_g", "sum_b")
+    )
+    px_per_channel = _IMG_N // 3
+    stats = (
+        surv.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("sum_r").alias("sr"),
+            F.sum("sum_g").alias("sg"),
+            F.sum("sum_b").alias("sb"),
+        )
+        .select(
+            "source",
+            "n_kept",
+            F.expr(f"1000 * sr div (n_kept * {px_per_channel})").alias(
+                "mean_r_milli"
+            ),
+            F.expr(f"1000 * sg div (n_kept * {px_per_channel})").alias(
+                "mean_g_milli"
+            ),
+            F.expr(f"1000 * sb div (n_kept * {px_per_channel})").alias(
+                "mean_b_milli"
+            ),
+        )
+    )
+    ins = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in")
+    )
+    return stats.join(F.broadcast(ins), "source").select(
+        "source",
+        "n_in",
+        "n_kept",
+        (F.col("n_in") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        "mean_r_milli",
+        "mean_g_milli",
+        "mean_b_milli",
+    )

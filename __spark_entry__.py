@@ -87,7 +87,7 @@ _BACKFILL = [
     "m16_audio_silence_runs", "x70_boilerplate_scrub", "u6_union_by_name",
     "a43_markov_transitions", "a44_path_pattern", "t17_higher_order_funcs",
     "s19_partition_discovery", "sql13_pipe_syntax", "t18_variant_extract",
-    "sql14_parameterized", "e2_media_pipeline",
+    "sql14_parameterized", "e2_media_pipeline", "a45_window_funnel",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -663,3 +663,109 @@ def a44_path_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_vc"),
         F.md5(F.col("s").cast("binary")).alias("journey_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A45 — windowed funnel (ClickHouse windowFunnel semantics): the
+# deepest view -> click -> purchase level each user reaches with ALL
+# steps inside a 7-day window anchored at the first step — a22's
+# funnel counts ordered steps ever; real conversion analysis expires
+# the journey (a view from January does not "convert" in June).
+# Level rule: 3 if some view has a later click and that click a
+# later purchase, purchase within 7 days of the view; 2 if some
+# view has a later click within 7 days; 1 if any view; 0 otherwise.
+# Output is the bounded level histogram.
+#
+# Scale: each level is a user-keyed equi-join with a time-band
+# predicate (pair volume bounded by per-user event counts, the j16
+# interval discipline), folded to per-user booleans by EXISTS-style
+# semi-joins — never a per-user explode of all triples into the
+# output. One rollup on the 4-value level domain.
+# ---------------------------------------------------------------------------
+_A45_WIN_US = 7 * 24 * 3600 * 1000000
+
+
+@register(
+    "a45_window_funnel",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), users AS (
+      SELECT DISTINCT user_id FROM ev
+    ), l1 AS (
+      SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'
+    ), l2 AS (
+      SELECT DISTINCT v.user_id
+      FROM ev v JOIN ev c
+        ON c.user_id = v.user_id AND c.event_type = 'click'
+       AND c.us > v.us AND c.us <= v.us + {_A45_WIN_US}
+      WHERE v.event_type = 'view'
+    ), l3 AS (
+      SELECT DISTINCT v.user_id
+      FROM ev v
+      JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
+              AND c.us > v.us AND c.us <= v.us + {_A45_WIN_US}
+      JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+              AND p.us > c.us AND p.us <= v.us + {_A45_WIN_US}
+      WHERE v.event_type = 'view'
+    ), lev AS (
+      SELECT u.user_id,
+             CASE WHEN l3.user_id IS NOT NULL THEN 3
+                  WHEN l2.user_id IS NOT NULL THEN 2
+                  WHEN l1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS level
+      FROM users u
+      LEFT JOIN l1 ON u.user_id = l1.user_id
+      LEFT JOIN l2 ON u.user_id = l2.user_id
+      LEFT JOIN l3 ON u.user_id = l3.user_id
+    )
+    SELECT level, CAST(count(*) AS BIGINT) AS n_users
+    FROM lev GROUP BY level
+    """,
+)
+def a45_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    users = ev.select("user_id").distinct()
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("v_us")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("p_us")
+    )
+    l1 = views.select("user_id").distinct().withColumn("has1", F.lit(1))
+    vc = views.join(clicks, "user_id").filter(
+        (F.col("c_us") > F.col("v_us"))
+        & (F.col("c_us") <= F.col("v_us") + F.lit(_A45_WIN_US))
+    )
+    l2 = vc.select("user_id").distinct().withColumn("has2", F.lit(1))
+    l3 = (
+        vc.join(purchases, "user_id")
+        .filter(
+            (F.col("p_us") > F.col("c_us"))
+            & (F.col("p_us") <= F.col("v_us") + F.lit(_A45_WIN_US))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("has3", F.lit(1))
+    )
+    lev = (
+        users.join(l1, "user_id", "left")
+        .join(l2, "user_id", "left")
+        .join(l3, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("has3").isNotNull(), 3)
+            .when(F.col("has2").isNotNull(), 2)
+            .when(F.col("has1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level"),
+        )
+    )
+    return lev.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

@@ -64,8 +64,9 @@ _BACKFILL = [
     "t10_stem_stopword", "t12_hash_encode", "t13_date_arith",
     "j12_full_outer_join",
     # -- registered in round 4, never driver-checked (with the 16
-    # above: 60 total; round 5 fronts the first 50 of this backlog in
-    # order, round 6 the residual 10 + round-5 additions) --
+    # above: 82 total at end of round 4; round 5 fronts the first 50
+    # of this backlog in order, round 6 the residual 32 + round-5
+    # additions) --
     "x54_reservoir_sample", "j17_knn_join", "g4_connected_components",
     "x55_embedding_outlier", "j18_skew_salted_join", "x56_ngram_novelty",
     "m14_phash_near_dup", "a35_mad_outliers", "x57_token_budget_fill",
@@ -88,6 +89,7 @@ _BACKFILL = [
     "a43_markov_transitions", "a44_path_pattern", "t17_higher_order_funcs",
     "s19_partition_discovery", "sql13_pipe_syntax", "t18_variant_extract",
     "sql14_parameterized", "e2_media_pipeline", "a45_window_funnel",
+    "a46_dow_seasonality",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

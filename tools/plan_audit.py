@@ -92,6 +92,14 @@ AUDIT = [
     ("g6_common_neighbors", "wedge equi-joins on middle node + LEFT ANTI screen, no nested loop"),
     ("m15_image_channel_stats", "Arrow decode map-side; exchange carries 3-sum rows, not pixels"),
     ("x68_mixture_upsample", "O(domains) factor broadcast -> map-side bounded explode -> rollup"),
+    ("x70_boilerplate_scrub", "line freq distinct-count -> LEFT ANTI scrub -> one rebuild groupBy"),
+    ("m16_audio_silence_runs", "WAV decode + run-length inside one Arrow batch; zero shuffles"),
+    ("a44_path_pattern", "journey strings built in one user_id shuffle; motif counts map-side"),
+    ("a45_window_funnel", "level semi-joins with time-band predicates; bounded 4-value rollup"),
+    ("t16_json_nested", "ONE from_json parse feeds all fields; bounded-priority rollup"),
+    ("t18_variant_extract", "parse_json once -> typed variant_get paths; map-side"),
+    ("sql13_pipe_syntax", "|> chain lowers to broadcast join + TakeOrderedAndProject"),
+    ("e2_media_pipeline", "one Arrow decode emits phash+sums; dedup window on 4-int rows"),
 ]
 
 

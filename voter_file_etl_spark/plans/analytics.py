@@ -769,3 +769,51 @@ def a45_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lev.groupBy("level").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# A46 — day-of-week seasonality index: per (event_type, weekday),
+# activity relative to that type's overall daily average, in integer
+# basis points — the seasonal profile behind staffing/alerting
+# baselines ("is Tuesday's error volume actually anomalous?").
+# Cross-engine exactness: the index is the pure-int64 identity
+# 10000 * n_dow * 7 div n_total (counts only — no float averages),
+# and weekday numbering is pinned to ISO (1=Mon..7=Sun) on both
+# sides: Spark dayofweek() is 1=Sun..7=Sat, so it is remapped.
+#
+# Scale: one partial/final rollup on the bounded 5x7 domain; the
+# per-type totals ride a broadcast join back.
+# ---------------------------------------------------------------------------
+@register(
+    "a46_dow_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, isodow(ts) AS dow FROM events
+    ), c AS (
+      SELECT event_type, dow, count(*) AS n_dow
+      FROM d GROUP BY event_type, dow
+    ), tot AS (
+      SELECT event_type, sum(n_dow) AS n_total FROM c GROUP BY event_type
+    )
+    SELECT c.event_type, CAST(c.dow AS BIGINT) AS dow,
+           CAST(c.n_dow AS BIGINT) AS n_dow,
+           CAST(10000 * c.n_dow * 7 // t.n_total AS BIGINT) AS index_bp
+    FROM c JOIN tot t ON c.event_type = t.event_type
+    """,
+)
+def a46_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+    iso_dow = F.expr("((dayofweek(ts) + 5) % 7) + 1")
+    c = (
+        t(spark, sf_dir, "events")
+        .select("event_type", iso_dow.alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_dow"))
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n_dow").alias("n_total"))
+    return c.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.col("dow").cast("long").alias("dow"),
+        F.col("n_dow").cast("long").alias("n_dow"),
+        F.expr("10000 * n_dow * 7 div n_total").alias("index_bp"),
+    )

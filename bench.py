@@ -213,6 +213,7 @@ HEADLINE = [
     "e2_media_pipeline",
     "a45_window_funnel",
     "a46_dow_seasonality",
+    "f12_money_parse",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -1118,3 +1118,80 @@ def t17_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("dot_rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F12 — money parsing: invert display-formatted currency strings
+# ("$1,234.56", "(89.10)" accounting negatives) back to exact
+# integer cents — the vendor-feed cleanup sibling of f4 (phones) and
+# f6 (dates); every finance export arrives this way. The formatted
+# string is CONSTRUCTED from o_totalprice with printf-style
+# grouping on both engines, then each engine must strip symbols,
+# grouping commas, and accounting parentheses independently —
+# construct-then-invert, two independent normalizers agreeing row
+# by row. Every 7th amount renders as an accounting negative.
+#
+# Scale: pure map-side regexp/string codegen; one bounded rollup
+# (order-priority domain) proves the parse with exact sums.
+# ---------------------------------------------------------------------------
+@register(
+    "f12_money_parse",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ), disp AS (
+      SELECT o_orderkey, o_orderpriority, c,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN '($' || format('{:,}', c // 100) || '.'
+                       || lpad(CAST(c % 100 AS VARCHAR), 2, '0') || ')'
+                  ELSE '$' || format('{:,}', c // 100) || '.'
+                       || lpad(CAST(c % 100 AS VARCHAR), 2, '0')
+             END AS s
+      FROM cents
+    ), parsed AS (
+      SELECT o_orderpriority,
+             CASE WHEN s LIKE '(%' THEN -1 ELSE 1 END
+             * CAST(replace(regexp_replace(s, '[^0-9.]', '', 'g'), '.', '')
+                    AS BIGINT) AS parsed_cents
+      FROM disp
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(parsed_cents) AS BIGINT) AS sum_cents,
+           CAST(min(parsed_cents) AS BIGINT) AS min_cents
+    FROM parsed GROUP BY o_orderpriority
+    """,
+)
+def f12_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias("c"),
+    )
+    whole = F.format_number(F.expr("c div 100"), 0)
+    frac = F.lpad((F.col("c") % 100).cast("string"), 2, "0")
+    disp = cents.select(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.concat(F.lit("($"), whole, F.lit("."), frac, F.lit(")")),
+        )
+        .otherwise(F.concat(F.lit("$"), whole, F.lit("."), frac))
+        .alias("s"),
+    )
+    parsed = disp.select(
+        "o_orderpriority",
+        (
+            F.when(F.col("s").startswith("("), F.lit(-1)).otherwise(F.lit(1))
+            * F.replace(
+                F.regexp_replace("s", "[^0-9.]", ""), F.lit("."), F.lit("")
+            ).cast("bigint")
+        ).alias("parsed_cents"),
+    )
+    return parsed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("parsed_cents").cast("long").alias("sum_cents"),
+        F.min("parsed_cents").cast("long").alias("min_cents"),
+    )

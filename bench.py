@@ -227,8 +227,10 @@ HEADLINE = [
     # and the 4-batch watermark stream — both stage files + write
     "l7_txn_log_merge",
     # deletion-vector merge-on-read delete over the same logtable
-    # fixture (copies the table + writes sidecars — tail group)
+    # fixture (copies the table + writes sidecars — tail group), and
+    # the purge that applies+retires the mask
     "l16_position_deletes",
+    "l17_dv_purge",
     "st9_watermark_late_drop",
     # builds the same 4-merge logtable, then diffs each commit's
     # add/remove files — sink-writing, so it stays in the tail group

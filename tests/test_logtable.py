@@ -268,3 +268,32 @@ def test_vacuum_keeps_active_dv(spark, tmp_path):
     assert os.path.exists(os.path.join(table.root, table.active_dv()))
     rows = {r["k"] for r in table.snapshot().collect()}
     assert rows == set(range(16)) - {5, 6}
+
+
+def test_purge_applies_and_retires_dv(spark, tmp_path):
+    # REORG-style purge: masked rows physically leave the files, the
+    # sidecar retires ("dv": null commit), unmasked files stay
+    # byte-identical, and reads return to the mask-free path.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(64)]), work)
+    table.delete_with_vectors(_mk(spark, [(4, 0, "x"), (5, 0, "x")]), work)
+    masked_files = {
+        r["_file"]
+        for r in spark.read.parquet(
+            os.path.join(table.root, table.active_dv())
+        ).select("_file").distinct().collect()
+    }
+    before = _file_hashes(table)
+    table.purge_deletes(work)
+    assert table.active_dv() is None
+    after = _file_hashes(table)
+    for path, h in before.items():
+        if os.path.basename(path) not in masked_files and path in after:
+            assert after[path] == h, f"unmasked file {path} was rewritten"
+    rows = {r["k"] for r in table.snapshot().collect()}
+    assert rows == set(range(64)) - {4, 5}
+    # a second DV delete starts a fresh mask on the purged table
+    table.delete_with_vectors(_mk(spark, [(6, 0, "x")]), work)
+    rows = {r["k"] for r in table.snapshot().collect()}
+    assert rows == set(range(64)) - {4, 5, 6}

@@ -808,3 +808,44 @@ def l16_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("event_id").alias("sum_last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L17 — deletion-vector purge (Delta's REORG TABLE ... APPLY
+# (PURGE)): the maintenance half of l16's merge-on-read lifecycle.
+# Frequent small deletes accumulate as cheap position masks; ONE
+# purge rewrites only the masked files without those rows, retires
+# the sidecar ("dv": null commit), and returns reads to the
+# mask-free fast path — O(masked files) rewrite paying for ALL
+# accumulated deletes at once, with unmasked files byte-identical
+# (tests/test_logtable.py::test_purge_applies_and_retires_dv).
+# The aggregate proves the purged table equals the plain SQL filter
+# AND that a vacuum after purge leaves exactly the mask-free state.
+# ---------------------------------------------------------------------------
+@register(
+    "l17_dv_purge",
+    oracle="""
+    SELECT event_type, count(*) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND user_id % 9 <> 4
+    GROUP BY event_type
+    """,
+)
+def l17_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l17_purge_")
+    table = _build_logtable(spark, sf_dir, work, mutable=True)
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    table.delete_with_vectors(users.filter(F.col("user_id") % 9 == 4), work)
+    table.purge_deletes(work)
+    table.vacuum()
+    return table.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").alias("sum_last_id"),
+    )

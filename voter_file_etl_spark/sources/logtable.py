@@ -112,16 +112,24 @@ class LogTable:
                 active[add["path"]] = add
         return sorted(active.values(), key=lambda a: a["path"])
 
+    _DV_UNCHANGED = object()  # sentinel: this commit does not touch the DV
+
     def _commit(
         self,
         version: int,
         adds: list[dict],
         removes: list[str],
-        dv: str | None = None,
+        dv: "str | None | object" = _DV_UNCHANGED,
     ) -> None:
-        """Atomically publish one log entry via link(2); EEXIST = lost race."""
+        """Atomically publish one log entry via link(2); EEXIST = lost race.
+
+        ``dv`` set to a path publishes a new deletion-vector sidecar;
+        explicitly passing None RETIRES the active sidecar (the entry
+        carries ``"dv": null`` — the purge commit); leaving the
+        default means the commit does not touch DV state.
+        """
         entry = {"version": version, "adds": adds, "removes": removes}
-        if dv is not None:
+        if dv is not LogTable._DV_UNCHANGED:
             entry["dv"] = dv
         tmp = self._entry_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -422,6 +430,79 @@ class LogTable:
         shutil.move(os.path.join(stage, part), os.path.join(self.root, rel))
         shutil.rmtree(stage, ignore_errors=True)
         self._commit(version, [], [], dv=rel)
+        return version
+
+    def purge_deletes(self, work_dir: str) -> int:
+        """Physically apply the active deletion vector and retire it —
+        Delta's REORG TABLE ... APPLY (PURGE): every ACTIVE file with
+        masked positions is rewritten without those rows, the commit
+        removes the old files and publishes ``"dv": null``, and reads
+        return to the mask-free fast path. This is the maintenance
+        half of the DV lifecycle: frequent small deletes accumulate
+        as cheap masks (delete_with_vectors), then one purge pays the
+        rewrite for all of them — O(masked files), not O(deletes).
+        Positions referencing files already rewritten by later merges
+        are dead entries and simply retire with the sidecar.
+        """
+        version = self.latest_version() + 1
+        dv = self.active_dv()
+        if dv is None:
+            self._commit(version, [], [])
+            return version
+        dv_df = self.spark.read.parquet(os.path.join(self.root, dv))
+        masked = {
+            r["_file"] for r in dv_df.select("_file").distinct().collect()
+        }  # bounded collect: file names, O(active files)
+        old = [
+            f
+            for f in self.active_files()
+            if os.path.basename(f["path"]) in masked
+        ]
+        adds: list[dict] = []
+        if old:
+            cols = self.spark.read.parquet(
+                os.path.join(self.root, old[0]["path"])
+            ).columns
+            cur = self.spark.read.parquet(
+                *[os.path.join(self.root, f["path"]) for f in old]
+            ).select(
+                F.substring_index(
+                    F.col("_metadata.file_path"), "/", -1
+                ).alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+                *cols,
+            )
+            remaining = (
+                cur.join(F.broadcast(dv_df), ["_file", "_pos"], "left_anti")
+                .select(*cols)
+                .withColumn("_bucket", self._bucket_col())
+            )
+            buckets = sorted({f["bucket"] for f in old})
+            stage = os.path.join(work_dir, f"purge_v{version:08d}")
+            (
+                remaining.repartition(max(len(buckets), 1), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(stage)
+            )
+            for bucket in buckets:
+                part_dir = os.path.join(stage, f"_bucket={bucket}")
+                if not os.path.isdir(part_dir):
+                    continue  # every surviving row left this bucket
+                for i, name in enumerate(sorted(os.listdir(part_dir))):
+                    if not name.endswith(".parquet"):
+                        continue
+                    rel = os.path.join(
+                        _DATA_DIR,
+                        f"v{version:08d}-b{bucket:05d}-{i:03d}.parquet",
+                    )
+                    shutil.move(
+                        os.path.join(part_dir, name),
+                        os.path.join(self.root, rel),
+                    )
+                    adds.append({"path": rel, "bucket": bucket})
+            shutil.rmtree(stage, ignore_errors=True)
+        self._commit(version, adds, [f["path"] for f in old], dv=None)
         return version
 
     def vacuum(self) -> list[str]:

@@ -315,3 +315,65 @@ def e1_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("Residence_Addresses_City").alias("city"),
         F.col(GEOHASH_COLUMN).alias("geohash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E3 — observation metrics as a first-class surface: run ONE scan of
+# the fact table and collect pipeline health metrics (row count,
+# null count, value bounds) as df.observe() side-channel accumulators
+# on that same scan — the reference's A3 running counters
+# (load.ts's processed/skipped tallies) done without a second pass.
+# The observed values are returned as a one-row DataFrame; the
+# oracle recomputes them with plain aggregates, so the check proves
+# observe()'s accumulator path agrees with the aggregation path.
+#
+# Scale: metrics piggyback on the existing action (zero extra scans,
+# zero extra shuffles — accumulator merge is driver-side O(tasks)).
+# This is the pattern for per-job data-quality telemetry at 100 TB:
+# never a second aggregation job over the same input.
+# ---------------------------------------------------------------------------
+@register(
+    "e3_observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT)
+             AS n_urgent,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def e3_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.tables import t
+
+    obs = Observation("e3_metrics")
+    observed = t(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("n_urgent"),
+        F.sum(
+            F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+        ).alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    # One action drives the scan; the metrics ride it as accumulators.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_urgent"] or 0),
+                int(m["sum_cents"]),
+                int(m["min_key"]),
+                int(m["max_key"]),
+            )
+        ],
+        "n_rows long, n_urgent long, sum_cents long, "
+        "min_key long, max_key long",
+    )

@@ -63,10 +63,10 @@ _BACKFILL = [
     "w10_gaps_islands", "w11_resample_ffill", "w12_cumulative_distinct",
     "t10_stem_stopword", "t12_hash_encode", "t13_date_arith",
     "j12_full_outer_join",
-    # -- registered in round 4, never driver-checked (with the 16
-    # above: 82 total at end of round 4; round 5 fronts the first 50
-    # of this backlog in order, round 6 the residual 32 + round-5
-    # additions) --
+    # -- registered in round 4, never driver-checked; with the 16
+    # above these head the backlog in registration order. Round 5
+    # fronts the first 50, round 6 the residue + round-5 additions
+    # (tests/test_rotation.py keeps the partition exact) --
     "x54_reservoir_sample", "j17_knn_join", "g4_connected_components",
     "x55_embedding_outlier", "j18_skew_salted_join", "x56_ngram_novelty",
     "m14_phash_near_dup", "a35_mad_outliers", "x57_token_budget_fill",

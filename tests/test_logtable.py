@@ -297,3 +297,30 @@ def test_purge_applies_and_retires_dv(spark, tmp_path):
     table.delete_with_vectors(_mk(spark, [(6, 0, "x")]), work)
     rows = {r["k"] for r in table.snapshot().collect()}
     assert rows == set(range(64)) - {4, 5, 6}
+
+
+def test_restore_rolls_back_without_rewrite(spark, tmp_path):
+    # RESTORE: the head becomes version k's file set via one log
+    # entry — no data file is written, moved, or rewritten; history
+    # stays append-only; a DV in force at k is restored with it.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    v0 = table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(16)]), work)
+    table.delete_with_vectors(_mk(spark, [(3, 0, "x")]), work)
+    v2 = table.merge(_mk(spark, [(k, 2, f"v2-{k}") for k in range(4)]), work)
+    data_before = _file_hashes(table)
+    table.restore(v0)
+    assert {r["k"]: r["payload"] for r in table.snapshot().collect()} == {
+        k: f"v1-{k}" for k in range(16)
+    }
+    assert table.active_dv() is None  # v0 predates the DV
+    # restore to the DV-masked middle state
+    table.restore(v2 - 1)
+    rows = {r["k"] for r in table.snapshot().collect()}
+    assert rows == set(range(16)) - {3}
+    # no data file was touched by either restore
+    for path, h in data_before.items():
+        full = os.path.join(table.root, path)
+        if os.path.exists(full):
+            with open(full, "rb") as fh:
+                assert hashlib.md5(fh.read()).hexdigest() == h

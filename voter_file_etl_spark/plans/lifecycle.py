@@ -849,3 +849,43 @@ def l17_dv_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("event_id").alias("sum_last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L18 — RESTORE to a prior version (Delta's RESTORE TABLE ... TO
+# VERSION AS OF): the bad-deploy undo. l8 time travel READS an old
+# version; restore makes it the HEAD again with one append-only log
+# entry and ZERO data movement — the later commits stay replayable
+# (auditable), and DV state as of the target version is restored
+# with it (tests/test_logtable.py::
+# test_restore_rolls_back_without_rewrite proves no file is
+# touched). Here the table takes all four merges, then restores to
+# the version holding only the first two batches; the aggregate
+# must equal the argmax over exactly those batches.
+# ---------------------------------------------------------------------------
+@register(
+    "l18_restore",
+    oracle=f"""
+    SELECT event_type, count(*) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events WHERE event_id % {_L7_N_BATCHES} <= 1
+    )
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def l18_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l18_restore_")
+    table = _build_logtable(spark, sf_dir, work, mutable=True)
+    # versions 0..3 are the four batch merges; version 1 holds
+    # batches {0, 1}
+    table.restore(1)
+    return table.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").alias("sum_last_id"),
+    )

@@ -505,6 +505,22 @@ class LogTable:
         self._commit(version, adds, [f["path"] for f in old], dv=None)
         return version
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (Delta's
+        RESTORE TABLE ... TO VERSION AS OF): the head becomes the old
+        file set again, but history is append-only — the bad commits
+        stay replayable, and the restore itself is one log entry with
+        ZERO data movement (files are re-referenced, not rewritten).
+        The DV state as of ``version`` is restored with it.
+        """
+        new_version = self.latest_version() + 1
+        target = {f["path"]: f for f in self.active_files(version)}
+        current = {f["path"]: f for f in self.active_files()}
+        adds = [f for p, f in sorted(target.items()) if p not in current]
+        removes = [p for p in sorted(current) if p not in target]
+        self._commit(new_version, adds, removes, dv=self.active_dv(version))
+        return new_version
+
     def vacuum(self) -> list[str]:
         """Delete data files no longer referenced by the LATEST snapshot.
 

@@ -756,3 +756,86 @@ def w16_moving_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("slope_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W17 — rolling median + MAD (robust rolling statistics): the
+# outlier-resistant alternative to w3's rolling mean for per-entity
+# monitoring — one wild order does not drag a 5-order median, and
+# the MAD gives the robust spread that flags the NEXT wild order
+# (a35 computes the global MAD screen; this is its windowed
+# sibling). Frame values ride a bounded collect_list(5) per row;
+# median and MAD are exact int64 element picks (sorted[2] of 5) —
+# no interpolation, no floats, engine-identical by construction.
+#
+# Scale: one shuffle on o_custkey shared by the sequence rank and
+# the ROWS frame; per-row state is the 5-element frame array —
+# O(frame), never O(history).
+# ---------------------------------------------------------------------------
+@register(
+    "w17_rolling_mad",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), framed AS (
+      SELECT o_custkey, o_orderkey, cents, rn,
+             list(cents) OVER (PARTITION BY o_custkey ORDER BY rn
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS arr
+      FROM seq
+    ), med AS (
+      SELECT o_custkey, o_orderkey, cents,
+             list_sort(arr)[3] AS med5, arr
+      FROM framed WHERE rn >= 5
+    )
+    SELECT o_custkey, o_orderkey, cents,
+           CAST(med5 AS BIGINT) AS med5,
+           CAST(list_sort(list_transform(arr, x -> abs(x - med5)))[3]
+                AS BIGINT) AS mad5
+    FROM med
+    """,
+)
+def w17_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        F.row_number().over(_by_cust()).alias("rn"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("rn")
+        .rowsBetween(-4, W.currentRow)
+    )
+    framed = seq.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        "rn",
+        F.collect_list("cents").over(w).alias("arr"),
+    ).filter(F.col("rn") >= 5)
+    med = framed.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        "arr",
+        F.element_at(F.array_sort("arr"), 3).alias("med5"),
+    )
+    return med.select(
+        "o_custkey",
+        "o_orderkey",
+        "cents",
+        F.col("med5").cast("long").alias("med5"),
+        F.element_at(
+            F.array_sort(F.transform("arr", lambda x: F.abs(x - F.col("med5")))),
+            3,
+        )
+        .cast("long")
+        .alias("mad5"),
+    )

@@ -940,3 +940,87 @@ def x69_range_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X71 — importance-weighted data selection (integer DSIR shape, Xie
+# et al. 2023's "select raw data that looks like the target domain"
+# — here with exact integer affinity ratios instead of float
+# log-likelihoods, so the score is engine-exact): score every
+# non-wiki document by how much its vocabulary matches the wiki
+# (target) unigram distribution. Per token w:
+# affinity(w) = 10000 * n_wiki(w) div n_raw(w); doc score = mean
+# affinity over its token OCCURRENCES (integer div). The report
+# buckets scores per domain — the acceptance-curve view a curation
+# run uses to pick its cut.
+#
+# Scale: two bounded vocab aggregates (global-stats-then-map), the
+# affinity table joins token occurrences on the token hash (shuffle
+# keyed on vocab, linear in corpus tokens), one doc rollup, one
+# bounded bucket rollup. Never all-pairs; the target table is the
+# only extra state.
+# ---------------------------------------------------------------------------
+@register(
+    "x71_importance_weights",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DOMAIN_SQL} AS domain,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, domain, unnest(w) AS tk FROM d
+    ), wiki AS (
+      SELECT tk, count(*) AS n_wiki FROM tok WHERE domain = 'wiki'
+      GROUP BY tk
+    ), raw AS (
+      SELECT tk, count(*) AS n_raw FROM tok GROUP BY tk
+    ), aff AS (
+      SELECT r.tk, 10000 * coalesce(w.n_wiki, 0) // r.n_raw AS a
+      FROM raw r LEFT JOIN wiki w ON r.tk = w.tk
+    ), scored AS (
+      SELECT t.doc_id, t.domain,
+             CAST(sum(a) // count(*) AS BIGINT) AS score_bp
+      FROM tok t JOIN aff ON t.tk = aff.tk
+      WHERE t.domain <> 'wiki'
+      GROUP BY t.doc_id, t.domain
+    )
+    SELECT domain, CAST(score_bp // 500 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(score_bp) AS BIGINT) AS min_bp,
+           CAST(max(score_bp) AS BIGINT) AS max_bp
+    FROM scored GROUP BY domain, score_bp // 500
+    """,
+)
+def x71_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_DOMAIN_SPARK).alias("domain"),
+        F.filter(
+            F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    tok = d.select("doc_id", "domain", F.explode("w").alias("tk"))
+    wiki = (
+        tok.filter(F.col("domain") == "wiki")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).alias("n_wiki"))
+    )
+    raw = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("n_raw"))
+    aff = raw.join(wiki, "tk", "left").select(
+        "tk",
+        F.expr("10000 * coalesce(n_wiki, 0) div n_raw").alias("a"),
+    )
+    scored = (
+        tok.filter(F.col("domain") != "wiki")
+        .join(aff, "tk")
+        .groupBy("doc_id", "domain")
+        .agg(F.expr("sum(a) div count(*)").alias("score_bp"))
+    )
+    return scored.groupBy(
+        "domain", F.expr("score_bp div 500").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("score_bp").cast("long").alias("min_bp"),
+        F.max("score_bp").cast("long").alias("max_bp"),
+    )

@@ -217,6 +217,7 @@ HEADLINE = [
     "e3_observe_metrics",
     "w17_rolling_mad",
     "x71_importance_weights",
+    "g7_k_core",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

@@ -276,3 +276,14 @@ def test_fastss_lev1_pairs_match_bruteforce(spark, seed):
         (r["w1"], r["w2"]) for r in fastss_lev1_pairs(corpus).collect()
     }
     assert got == expected
+
+
+def test_k_core_reaches_fixpoint_within_bound(spark, sf_dir):
+    # g7 runs a FIXED 4 peel rounds; the bounded unroll equals the
+    # true 2-core only if the peel has converged — assert no
+    # surviving node has degree < 2 (a 5th round would be a no-op).
+    from voter_file_etl_spark import registry
+
+    registry.load_all()
+    out = registry.QUERIES["g7_k_core"](spark, sf_dir)
+    assert out.filter(out.core_degree < 2).count() == 0

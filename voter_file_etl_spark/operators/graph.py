@@ -550,3 +550,107 @@ def g6_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("part_b"),
         "n_common",
     )
+
+
+# ---------------------------------------------------------------------------
+# G7 — k-core decomposition (k=2, bounded peeling): iteratively
+# remove nodes with degree < 2 until stable — the standard
+# "strip the hairs off the graph" preprocessing that isolates the
+# dense co-purchase core (triangle counting, community detection,
+# and embedding training all run on the core, not the full graph).
+# The operator runs a FIXED 4 peel rounds; tests assert the peel
+# reaches its fixpoint within that bound on the fixture graph at
+# both driver scale factors, so the bounded unroll IS the true
+# 2-core there, and the oracle unrolls the identical 4 rounds in
+# SQL. Output: surviving nodes with their core degree.
+#
+# Scale: each round is one degree aggregate + one semi-join edge
+# restriction (shuffles keyed on node/edge ids, linear per round);
+# rounds are bounded by construction. For unbounded graphs the same
+# loop gates on a convergence count like connected_components.
+# ---------------------------------------------------------------------------
+def _g7_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e0 = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+    return e0
+
+
+_G7_ROUNDS = 4
+
+
+def _g7_oracle() -> str:
+    base = """
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e0 AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )"""
+    prev = "e0"
+    parts = [base]
+    for r in range(1, _G7_ROUNDS + 1):
+        parts.append(f""", k{r} AS (
+      SELECT node FROM (
+        SELECT node, count(*) AS deg FROM (
+          SELECT s AS node FROM {prev}
+          UNION ALL SELECT d FROM {prev}
+        ) GROUP BY node
+      ) WHERE deg >= 2
+    ), e{r} AS (
+      SELECT e.s, e.d FROM {prev} e
+      JOIN k{r} a ON e.s = a.node
+      JOIN k{r} b ON e.d = b.node
+    )""")
+        prev = f"e{r}"
+    parts.append(f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (SELECT s AS node FROM {prev} UNION ALL SELECT d FROM {prev})
+    GROUP BY node
+    """)
+    return "".join(parts)
+
+
+@register("g7_k_core", oracle=_g7_oracle())
+def g7_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.session import iter_checkpoint
+
+    edges = _g7_edges(spark, sf_dir).persist()
+    for _ in range(_G7_ROUNDS):
+        deg = (
+            edges.select(F.col("s").alias("node"))
+            .unionAll(edges.select(F.col("d").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 2)
+            .select("node")
+        )
+        edges = iter_checkpoint(
+            edges.join(deg, edges.s == deg.node, "left_semi").join(
+                deg, edges.d == deg.node, "left_semi"
+            )
+        )
+    return (
+        edges.select(F.col("s").alias("node"))
+        .unionAll(edges.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )

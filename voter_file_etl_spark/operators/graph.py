@@ -596,10 +596,16 @@ _G7_ROUNDS = 4
 
 
 def _g7_oracle() -> str:
+    # Every CTE is AS MATERIALIZED: each e{r} is referenced twice
+    # (by k{r+1} and e{r+1}), and DuckDB's default CTE INLINING would
+    # expand the 4-round unroll into 2^4 copies of the base self-join
+    # — observed spilling past 80 GB of temp at sf0.1. Materializing
+    # evaluates each round once, mirroring Spark's per-round
+    # checkpoint.
     base = """
-    WITH pp AS (
+    WITH pp AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e0 AS (
+    ), e0 AS MATERIALIZED (
       SELECT a.l_partkey AS s, b.l_partkey AS d
       FROM pp a JOIN pp b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -608,14 +614,14 @@ def _g7_oracle() -> str:
     prev = "e0"
     parts = [base]
     for r in range(1, _G7_ROUNDS + 1):
-        parts.append(f""", k{r} AS (
+        parts.append(f""", k{r} AS MATERIALIZED (
       SELECT node FROM (
         SELECT node, count(*) AS deg FROM (
           SELECT s AS node FROM {prev}
           UNION ALL SELECT d FROM {prev}
         ) GROUP BY node
       ) WHERE deg >= 2
-    ), e{r} AS (
+    ), e{r} AS MATERIALIZED (
       SELECT e.s, e.d FROM {prev} e
       JOIN k{r} a ON e.s = a.node
       JOIN k{r} b ON e.d = b.node

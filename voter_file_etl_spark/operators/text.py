@@ -235,8 +235,13 @@ def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates (per-doc-term counts, per-doc lengths, per-term doc
 # frequencies) joined back — every one partial+final, shuffles keyed
 # on doc_id / term. tf is an exact int ratio; idf's ln() is the one
-# libm call in the engine, so it (and the product) are rounded to 6
-# decimals on both sides of the oracle boundary.
+# libm call in the engine. Quantization: idf and the tfidf product
+# are emitted as BIGINT micro-units via floor(x*1e6 + 0.5) — the
+# repo's engine-identical rule. The first cut used round(x, 6),
+# whose Spark (decimal-string HALF_UP) vs DuckDB (binary) semantics
+# diverge near 6th-decimal ties: green at sf0.01, one boundary row
+# at sf0.1 (found by the full sf0.1 driver replay). floor(+0.5) on
+# the identical IEEE product has no such tie neighborhood.
 # ---------------------------------------------------------------------------
 @register(
     "x16_tfidf",
@@ -258,9 +263,11 @@ def x11_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tfc.doc_id, tfc.w AS term,
            CAST(tf_count AS DOUBLE) / doc_len AS tf,
-           round(ln((n_docs + 1.0) / (df + 1.0)), 6) AS idf,
-           round((CAST(tf_count AS DOUBLE) / doc_len)
-                 * round(ln((n_docs + 1.0) / (df + 1.0)), 6), 6) AS tfidf
+           CAST(floor(ln((n_docs + 1.0) / (df + 1.0)) * 1000000 + 0.5)
+                AS BIGINT) AS idf_micro,
+           CAST(floor((CAST(tf_count AS DOUBLE) / doc_len)
+                 * floor(ln((n_docs + 1.0) / (df + 1.0)) * 1000000 + 0.5)
+                 + 0.5) AS BIGINT) AS tfidf_micro
     FROM tfc
     JOIN dlen ON tfc.doc_id = dlen.doc_id
     JOIN dfw ON tfc.w = dfw.w
@@ -283,7 +290,9 @@ def x16_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     tf = F.col("tf_count").cast("double") / F.col("doc_len")
-    idf = F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)
+    idf_micro = F.floor(
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) * 1000000 + 0.5
+    ).cast("bigint")
     return (
         tfc.join(dlen, "doc_id")
         .join(dfw, "w")
@@ -293,8 +302,10 @@ def x16_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("w").alias("term"),
             tf.alias("tf"),
-            idf.alias("idf"),
-            F.round(tf * idf, 6).alias("tfidf"),
+            idf_micro.alias("idf_micro"),
+            F.floor(tf * idf_micro + 0.5).cast("bigint").alias(
+                "tfidf_micro"
+            ),
         )
     )
 

@@ -218,6 +218,8 @@ HEADLINE = [
     "w17_rolling_mad",
     "x71_importance_weights",
     "g7_k_core",
+    "m17_bmp_decode",
+    "a47_ratio_to_report",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

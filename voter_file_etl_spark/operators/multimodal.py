@@ -1378,3 +1378,95 @@ def e2_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_g_milli",
         "mean_b_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# M17 — REAL BMP decode, oracle-checked: the second image codec
+# (m5 covers PPM). BMP stores rows BOTTOM-UP and channels as BGR,
+# so the oracle's ascii arithmetic maps every decoded value through
+# BOTH transforms: decoded channel R sums the file's k=2 bytes
+# (BGR -> RGB swap), and the decoded TOP row sums the file's LAST
+# 12-byte row (bottom-up reversal) — a decoder that forgot either
+# transform hash-mismatches. 4x4 @ 24 bpp keeps the 12-byte rows
+# 4-byte aligned (no padding), isolating the layout semantics under
+# test; the padded-row path is covered by unit tests
+# (tests/test_codecs.py).
+#
+# Scale: same Arrow map posture as m5/m15 — decode batches
+# partition-local, one 3-sum row per image crosses the shuffle.
+# ---------------------------------------------------------------------------
+_BMP_HEADER = (
+    b"BM"
+    + (54 + _IMG_N).to_bytes(4, "little")   # file size
+    + b"\x00\x00\x00\x00"
+    + (54).to_bytes(4, "little")            # pixel data offset
+    + (40).to_bytes(4, "little")            # BITMAPINFOHEADER
+    + _IMG_W.to_bytes(4, "little")
+    + _IMG_H.to_bytes(4, "little")          # positive height: bottom-up
+    + (1).to_bytes(2, "little")
+    + (24).to_bytes(2, "little")            # 24 bpp
+    + (0).to_bytes(4, "little")             # BI_RGB
+    + _IMG_N.to_bytes(4, "little")
+    + b"\x00" * 16
+)
+
+
+def build_bmp_media(docs: DataFrame) -> DataFrame:
+    raster = F.encode(
+        F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " "), "utf-8"
+    )
+    return docs.select(
+        "doc_id", F.concat(F.lit(_BMP_HEADER), raster).alias("media")
+    )
+
+
+@register(
+    "m17_bmp_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, i,
+             (i - 1) % 3 AS k,
+             (i - 1) // {_IMG_W * 3} AS file_row,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}),
+                               {_IMG_N}, ' '),
+                          i, 1)) AS v
+      FROM documents, unnest(range(1, {_IMG_N + 1})) AS u(i)
+    )
+    SELECT doc_id,
+           {_IMG_W} AS width, {_IMG_H} AS height, 'bmp' AS format,
+           CAST(sum(v) FILTER (k = 2) AS BIGINT) AS sum_r,
+           CAST(sum(v) FILTER (k = 1) AS BIGINT) AS sum_g,
+           CAST(sum(v) FILTER (k = 0) AS BIGINT) AS sum_b,
+           CAST(sum(v) FILTER (file_row = {_IMG_H - 1}) AS BIGINT)
+             AS top_row_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def m17_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = build_bmp_media(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "format": [],
+                "sum_r": [], "sum_g": [], "sum_b": [], "top_row_sum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                img = decode_image_bytes(payload)
+                s = img.pixels.astype("int64")
+                out["doc_id"].append(doc_id)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["format"].append(img.format)
+                out["sum_r"].append(int(s[:, :, 0].sum()))
+                out["sum_g"].append(int(s[:, :, 1].sum()))
+                out["sum_b"].append(int(s[:, :, 2].sum()))
+                out["top_row_sum"].append(int(s[0].sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, width int, height int, format string, "
+        "sum_r long, sum_g long, sum_b long, top_row_sum long",
+    )

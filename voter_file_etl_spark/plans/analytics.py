@@ -817,3 +817,73 @@ def a46_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dow").cast("long").alias("n_dow"),
         F.expr("10000 * n_dow * 7 div n_total").alias("index_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A47 — ratio-to-report (contribution analysis): each nation's share
+# of its region's customer account mass, and each region's share of
+# the world total, in integer basis points — the percent-of-total
+# window (Oracle's RATIO_TO_REPORT) every revenue dashboard leads
+# with. Two levels prove the nesting: the inner window partitions
+# by region, the outer is the global total.
+#
+# Exactness: shares are 10000 * part div total on NON-NEGATIVE cent
+# sums (balances can be negative; the mass uses greatest(bal, 0)
+# cents so the ratio denominator is monotone and both engines'
+# integer floor agrees).
+#
+# Scale: one partial/final rollup to nation grain (25 rows), then
+# window sums over the BOUNDED rollup — the fact table is touched
+# once; no window ever runs over raw rows.
+# ---------------------------------------------------------------------------
+@register(
+    "a47_ratio_to_report",
+    oracle="""
+    WITH n AS (
+      SELECT c.c_nationkey AS nationkey, nt.n_regionkey AS regionkey,
+             sum(CAST(floor(greatest(c.c_acctbal, 0) * 100 + 0.5)
+                      AS BIGINT)) AS cents
+      FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nationkey, regionkey, CAST(cents AS BIGINT) AS cents,
+           CAST(10000 * cents //
+                sum(cents) OVER (PARTITION BY regionkey) AS BIGINT)
+             AS share_of_region_bp,
+           CAST(10000 * sum(cents) OVER (PARTITION BY regionkey) //
+                sum(cents) OVER () AS BIGINT) AS region_share_bp
+    FROM n
+    """,
+)
+def a47_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_regionkey").alias("regionkey"),
+    )
+    n = (
+        cust.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.expr(
+                "cast(floor(greatest(c_acctbal, 0d) * 100 + 0.5d) as bigint)"
+            ).alias("cents"),
+        )
+        .groupBy("nationkey")
+        .agg(F.sum("cents").alias("cents"))
+        .join(F.broadcast(nat), "nationkey")
+    )
+    w_region = W.partitionBy("regionkey")
+    w_all = W.partitionBy()
+    return n.select(
+        "nationkey",
+        "regionkey",
+        F.col("cents").cast("long").alias("cents"),
+        F.sum("cents").over(w_region).alias("_rsum"),
+        F.sum("cents").over(w_all).alias("_gsum"),
+    ).select(
+        "nationkey",
+        "regionkey",
+        "cents",
+        F.expr("10000 * cents div _rsum").alias("share_of_region_bp"),
+        F.expr("10000 * _rsum div _gsum").alias("region_share_bp"),
+    )

@@ -92,7 +92,7 @@ _BACKFILL = [
     "a46_dow_seasonality", "f12_money_parse", "l17_dv_purge",
     "e3_observe_metrics", "l18_restore", "w17_rolling_mad",
     "x71_importance_weights", "g7_k_core", "m17_bmp_decode",
-    "a47_ratio_to_report",
+    "a47_ratio_to_report", "w18_resample_bfill", "d6_blocking_recall",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -1863,3 +1863,150 @@ def x70_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_md5"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# D6 — blocking-strategy evaluation (pair completeness + candidate
+# volume): the record-linkage design audit d4 presupposes. For each
+# candidate-generation strategy, two numbers decide everything:
+# what fraction of TRUE matches survive the blocking (recall /
+# pair completeness — lose them here and no scorer gets them back),
+# and how many candidate pairs it generates (the cost). Evaluated
+# against d4's planted truth (feed row f_id == master c_custkey)
+# for d4's production blocking (nationkey + name digits 10-15,
+# invariant under the planted last-char typo) and the naive
+# segment blocking (provably loses every 5th record to the planted
+# segment flip).
+#
+# Scale: recall is ONE linear equi-join of truth pairs to their
+# block keys; candidate volume is the closed form sum(n_master *
+# n_feed) over per-block counts — the quadratic pair set is NEVER
+# materialized (counting it costs two bounded rollups + one
+# equi-join on block keys).
+# ---------------------------------------------------------------------------
+@register(
+    "d6_blocking_recall",
+    oracle="""
+    WITH feed AS (
+      SELECT c_custkey AS f_id,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN substr(c_name, 1, len(c_name) - 1) || 'X'
+                  ELSE c_name END AS f_name,
+             c_nationkey AS f_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'FLIPPED'
+                  ELSE c_mktsegment END AS f_segment
+      FROM customer
+    ), truth AS (
+      SELECT c.c_custkey,
+             CASE WHEN c.c_nationkey = f.f_nationkey
+                   AND substr(c.c_name, 10, 6) = substr(f.f_name, 10, 6)
+                  THEN 1 ELSE 0 END AS kept1,
+             CASE WHEN c.c_mktsegment = f.f_segment
+                  THEN 1 ELSE 0 END AS kept2
+      FROM customer c JOIN feed f ON f.f_id = c.c_custkey
+    ), m1 AS (
+      SELECT c_nationkey AS k1, substr(c_name, 10, 6) AS k2,
+             count(*) AS n FROM customer GROUP BY 1, 2
+    ), f1 AS (
+      SELECT f_nationkey AS k1, substr(f_name, 10, 6) AS k2,
+             count(*) AS n FROM feed GROUP BY 1, 2
+    ), m2 AS (
+      SELECT c_mktsegment AS k, count(*) AS n FROM customer GROUP BY 1
+    ), f2 AS (
+      SELECT f_segment AS k, count(*) AS n FROM feed GROUP BY 1
+    )
+    SELECT 'nation_name' AS strategy,
+           CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT sum(kept1) FROM truth) AS BIGINT) AS n_truth_kept,
+           CAST((SELECT 10000 * sum(kept1) // count(*) FROM truth)
+                AS BIGINT) AS recall_bp,
+           CAST((SELECT sum(m1.n * f1.n) FROM m1
+                 JOIN f1 ON m1.k1 = f1.k1 AND m1.k2 = f1.k2)
+                AS BIGINT) AS n_candidates
+    UNION ALL
+    SELECT 'segment',
+           CAST((SELECT count(*) FROM truth) AS BIGINT),
+           CAST((SELECT sum(kept2) FROM truth) AS BIGINT),
+           CAST((SELECT 10000 * sum(kept2) // count(*) FROM truth)
+                AS BIGINT),
+           CAST((SELECT sum(m2.n * f2.n) FROM m2
+                 JOIN f2 ON m2.k = f2.k) AS BIGINT)
+    """,
+)
+def d6_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    feed = cust.select(
+        F.col("c_custkey").alias("f_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("f_name"),
+        F.col("c_nationkey").alias("f_nationkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("FLIPPED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("f_segment"),
+    )
+    truth = cust.join(feed, feed.f_id == cust.c_custkey).select(
+        F.when(
+            (F.col("c_nationkey") == F.col("f_nationkey"))
+            & (
+                F.expr("substr(c_name, 10, 6)")
+                == F.expr("substr(f_name, 10, 6)")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("kept1"),
+        F.when(F.col("c_mktsegment") == F.col("f_segment"), 1)
+        .otherwise(0)
+        .alias("kept2"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum("kept1").alias("k1"),
+        F.sum("kept2").alias("k2"),
+    )
+    m1 = cust.groupBy(
+        F.col("c_nationkey").alias("k1"),
+        F.expr("substr(c_name, 10, 6)").alias("k2"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    f1 = feed.groupBy(
+        F.col("f_nationkey").alias("k1"),
+        F.expr("substr(f_name, 10, 6)").alias("k2"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    cand1 = m1.join(f1, ["k1", "k2"]).agg(
+        F.sum(m1["n"] * f1["n"]).alias("n_candidates")
+    )
+    m2 = cust.groupBy(F.col("c_mktsegment").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    f2 = feed.groupBy(F.col("f_segment").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cand2 = m2.join(f2, "k").agg(
+        F.sum(m2["n"] * f2["n"]).alias("n_candidates")
+    )
+    row1 = (
+        truth.crossJoin(F.broadcast(cand1))
+        .select(
+            F.lit("nation_name").alias("strategy"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("k1").cast("long").alias("n_truth_kept"),
+            F.expr("10000 * k1 div n_truth").alias("recall_bp"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+    )
+    row2 = (
+        truth.crossJoin(F.broadcast(cand2))
+        .select(
+            F.lit("segment").alias("strategy"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("k2").cast("long").alias("n_truth_kept"),
+            F.expr("10000 * k2 div n_truth").alias("recall_bp"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+    )
+    return row1.unionByName(row2)

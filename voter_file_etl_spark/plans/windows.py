@@ -839,3 +839,95 @@ def w17_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mad5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W18 — resample + BACKWARD fill: w11's mirror — gaps take the NEXT
+# known observation (the imputation for backfilled corrections and
+# "effective from" reference data, where the later record governs
+# the gap before it), plus the days_to_next staleness column a
+# freshness SLA reports on. Same daily spine; the fill window is
+# (CURRENT ROW .. UNBOUNDED FOLLOWING) with first_value IGNORE
+# NULLS.
+#
+# Scale: identical posture to w11 — spine explode bounded by the
+# per-user day span, one user_id shuffle shared by the fill and
+# staleness windows.
+# ---------------------------------------------------------------------------
+@register(
+    "w18_resample_bfill",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, epoch_us(ts) // {_W11_DAY_US} AS day_idx,
+             epoch_us(ts) AS us, event_id, value
+      FROM events
+    ), lp AS (
+      SELECT user_id, day_idx, value FROM (
+        SELECT user_id, day_idx, value,
+               row_number() OVER (PARTITION BY user_id, day_idx
+                 ORDER BY us DESC, event_id DESC) AS rn
+        FROM d) WHERE rn = 1
+    ), b AS (
+      SELECT user_id, min(day_idx) AS mn, max(day_idx) AS mx
+      FROM d GROUP BY user_id
+    ), sp AS (
+      SELECT user_id, unnest(generate_series(mn, mx)) AS day_idx FROM b
+    ), j AS (
+      SELECT sp.user_id, sp.day_idx, lp.value
+      FROM sp LEFT JOIN lp
+        ON sp.user_id = lp.user_id AND sp.day_idx = lp.day_idx
+    )
+    SELECT user_id, day_idx,
+           first_value(value IGNORE NULLS) OVER w AS bfilled_value,
+           CAST(first_value(CASE WHEN value IS NOT NULL THEN day_idx END
+                            IGNORE NULLS) OVER w - day_idx AS BIGINT)
+             AS days_to_next,
+           value IS NOT NULL AS has_event
+    FROM j
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    """,
+)
+def w18_resample_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_W11_DAY_US}").alias("day_idx"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    day_w = W.partitionBy("user_id", "day_idx").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    last_per_day = (
+        ev.withColumn("rn", F.row_number().over(day_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day_idx", "value")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("day_idx").alias("mn"), F.max("day_idx").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day_idx"),
+        )
+    )
+    bfill = (
+        W.partitionBy("user_id")
+        .orderBy("day_idx")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    j = spine.join(last_per_day, ["user_id", "day_idx"], "left")
+    next_day = F.first(
+        F.when(F.col("value").isNotNull(), F.col("day_idx")),
+        ignorenulls=True,
+    ).over(bfill)
+    return j.select(
+        "user_id",
+        "day_idx",
+        F.first("value", ignorenulls=True).over(bfill).alias(
+            "bfilled_value"
+        ),
+        (next_day - F.col("day_idx")).cast("long").alias("days_to_next"),
+        F.col("value").isNotNull().alias("has_event"),
+    )

@@ -1470,3 +1470,63 @@ def m17_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, format string, "
         "sum_r long, sum_g long, sum_b long, top_row_sum long",
     )
+
+
+# ---------------------------------------------------------------------------
+# M18 — audio decimation (sample-rate conversion, the /2 naive
+# variant): decode the WAV and keep every 2nd frame — the
+# resampling step every speech pipeline runs before feature
+# extraction (16 kHz models over 44.1 kHz sources; the proper
+# anti-alias filter would slot into the same loop). Outputs pin the
+# STRIDE semantics: kept-frame count, the centered sum over kept
+# frames only (odd file positions), and the new nominal rate —
+# an off-by-one in the stride start or an off-by-half count
+# hash-mismatches against the oracle's position arithmetic.
+#
+# Scale: decode + slice inside one Arrow batch; one stats row per
+# clip crosses the shuffle (m6/m16 posture).
+# ---------------------------------------------------------------------------
+@register(
+    "m18_wav_decimate",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, i,
+             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_WAV_N}),
+                               {_WAV_N}, ' '),
+                          i, 1)) - 128 AS v
+      FROM documents, unnest(range(1, {_WAV_N + 1})) AS u(i)
+      WHERE i % 2 = 1
+    )
+    SELECT doc_id,
+           {_WAV_RATE // 2} AS out_rate,
+           CAST(count(*) AS BIGINT) AS n_frames_out,
+           CAST(sum(v) AS BIGINT) AS sum_amp_out,
+           CAST(min(v) AS BIGINT) AS min_amp_out
+    FROM px GROUP BY doc_id
+    """,
+)
+def m18_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    media = build_wav_media(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "out_rate": [], "n_frames_out": [],
+                "sum_amp_out": [], "min_amp_out": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                audio = decode_wav_bytes(payload)
+                kept = audio.samples[::2, 0]  # file positions 1,3,5,...
+                out["doc_id"].append(doc_id)
+                out["out_rate"].append(audio.sample_rate // 2)
+                out["n_frames_out"].append(len(kept))
+                out["sum_amp_out"].append(int(kept.sum()))
+                out["min_amp_out"].append(int(kept.min()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run,
+        "doc_id long, out_rate int, n_frames_out long, "
+        "sum_amp_out long, min_amp_out long",
+    )

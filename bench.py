@@ -223,6 +223,7 @@ HEADLINE = [
     "w18_resample_bfill",
     "d6_blocking_recall",
     "m18_wav_decimate",
+    "st16_stream_distinct_users",
     # round-2 new flagship operators; sink-writing queries (j9 table
     # build via its cached fixture, st7 file staging + checkpoints)
     # stay LAST so their IO can't pollute earlier timings

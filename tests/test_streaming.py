@@ -186,3 +186,25 @@ def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_distinct_users_stream_matches_batch(spark, sf_dir, tmp_path):
+    from voter_file_etl_spark.streaming.windows import (
+        run_distinct_stream,
+        st16_stream_distinct_users,
+    )
+
+    # The stream emits (window_start, n_users) — n_events needs
+    # pre-dedup rows and rides the batch plan only.
+    batch = {
+        (r["window_start"], r["n_users"])
+        for r in st16_stream_distinct_users(spark, sf_dir).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in run_distinct_stream(
+            spark, sf_dir, str(tmp_path / "ckpt_st16")
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0

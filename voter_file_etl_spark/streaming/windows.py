@@ -325,3 +325,128 @@ def st9_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("n_events").alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ST16 — windowed distinct users on the stream: exact
+# count-distinct per tumbling hour (the "unique visitors per window"
+# number every traffic dashboard leads with). st1 counts events —
+# distinct users is the harder streaming aggregate because its
+# state is a per-window SET, not a counter; the watermark bounds
+# that state to active windows exactly as §6 requires. Registered
+# key is the batch form (same logical plan); run_distinct_stream
+# executes it as a real AvailableNow stream, and the suite asserts
+# stream == batch == oracle.
+#
+# Scale note: exact per-window distinct state is O(users-per-window)
+# — the right default at dashboard grain; when windows get too hot,
+# swap countDistinct for approx_count_distinct (HLL state, a28's
+# sketch contract) in the SAME plan.
+# ---------------------------------------------------------------------------
+def _distinct_windowed(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_users",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "st16_stream_distinct_users",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def st16_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _distinct_windowed(t(spark, sf_dir, "events"))
+
+
+def run_distinct_stream(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """st16 as a real stream. Streaming forbids countDistinct, so the
+    stream runs the SCALABLE formulation: dropDuplicates on
+    (user_id, hour) — state evicted by the watermark because the
+    hour timestamp is a dedup key — chained into a windowed count
+    (multiple stateful operators, append mode). Two far-future
+    sentinel files (user_id = -1, filtered after the dedup) advance
+    the watermark so every real window flushes before AvailableNow
+    stops — the st11/st13 staging pattern. The n_events column needs
+    pre-dedup rows, so the stream emits n_users and the events count
+    rides the batch plan; the suite compares n_users stream==batch.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from voter_file_etl_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(
+        prefix="st16_distinct_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("mx")).collect()[0]["mx"]
+    day_us = 86_400_000_000
+    sent = spark.createDataFrame(
+        [(-1, mx + 10 * day_us), (-2, mx + 20 * day_us)],
+        "user_id long, us long",
+    )
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = time.time()
+    batches = [("00_data", ev.select("user_id", "us")), ("01_flush", sent)]
+    for i, (name, df) in enumerate(batches):
+        stage = os.path.join(work, f"stage_{name}")
+        df.repartition(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in sorted(os.listdir(stage)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.move(os.path.join(stage, part), dst)
+        mtime = now - 100 + 10 * i
+        os.utime(dst, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("user_id long, us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("hour_ts", F.date_trunc("hour", F.timestamp_micros("us")))
+        .withWatermark("hour_ts", "1 hour")
+        .dropDuplicates(["user_id", "hour_ts"])
+        .filter(F.col("user_id") >= 0)
+        .groupBy(F.window("hour_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_users",
+        )
+    )
+    query = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st16_stream_out")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.sql("SELECT * FROM st16_stream_out")

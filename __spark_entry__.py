@@ -93,7 +93,7 @@ _BACKFILL = [
     "e3_observe_metrics", "l18_restore", "w17_rolling_mad",
     "x71_importance_weights", "g7_k_core", "m17_bmp_decode",
     "a47_ratio_to_report", "w18_resample_bfill", "d6_blocking_recall",
-    "m18_wav_decimate", "st16_stream_distinct_users",
+    "m18_wav_decimate", "st16_stream_distinct_users", "l19_shallow_clone",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -242,6 +242,7 @@ HEADLINE = [
     "l16_position_deletes",
     "l17_dv_purge",
     "l18_restore",
+    "l19_shallow_clone",
     "st9_watermark_late_drop",
     # builds the same 4-merge logtable, then diffs each commit's
     # add/remove files — sink-writing, so it stays in the tail group

@@ -324,3 +324,25 @@ def test_restore_rolls_back_without_rewrite(spark, tmp_path):
         if os.path.exists(full):
             with open(full, "rb") as fh:
                 assert hashlib.md5(fh.read()).hexdigest() == h
+
+
+def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(32)]), work)
+    src_before = _file_hashes(table)
+
+    clone = table.clone_to(str(tmp_path / "clone"))
+    # zero-copy: every clone data file shares its inode with the source
+    for f in clone.active_files():
+        st = os.stat(os.path.join(clone.root, f["path"]))
+        assert st.st_nlink >= 2, f["path"]
+    assert {tuple(r) for r in clone.snapshot().collect()} == {
+        tuple(r) for r in table.snapshot().collect()
+    }
+    # divergent write in the clone leaves the source untouched
+    clone.delete(_mk(spark, [(k, 0, "x") for k in range(0, 32, 2)]),
+                 str(tmp_path / "cwork"))
+    assert _file_hashes(table) == src_before
+    assert {r["k"] for r in table.snapshot().collect()} == set(range(32))
+    assert {r["k"] for r in clone.snapshot().collect()} == set(range(1, 32, 2))

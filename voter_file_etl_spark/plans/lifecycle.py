@@ -889,3 +889,43 @@ def l18_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("event_id").alias("sum_last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L19 — shallow clone (Delta's CREATE TABLE ... SHALLOW CLONE): a
+# zero-copy sandbox over the production table — the clone's log is a
+# copy, its data files are hardlinks to the same inodes, and writes
+# after the clone diverge freely (tests/test_logtable.py::
+# test_shallow_clone_is_zero_copy_and_independent proves inode
+# sharing AND source isolation). Here the fixture is cloned, a
+# GDPR-style delete runs IN THE CLONE (the dev/test rehearsal that
+# motivates clones), and the registered output is the clone's
+# snapshot — while the shared pristine fixture stays byte-identical
+# for every other key (the cache-isolation test covers that).
+# ---------------------------------------------------------------------------
+@register(
+    "l19_shallow_clone",
+    oracle="""
+    SELECT event_type, count(*) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND user_id % 13 <> 6
+    GROUP BY event_type
+    """,
+)
+def l19_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l19_clone_")
+    source = _build_logtable(spark, sf_dir, work)  # shared pristine build
+    clone = source.clone_to(os.path.join(work, "clone"))
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    clone.delete(users.filter(F.col("user_id") % 13 == 6), work)
+    return clone.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("event_id").alias("sum_last_id"),
+    )

@@ -432,6 +432,40 @@ class LogTable:
         self._commit(version, [], [], dv=rel)
         return version
 
+    def clone_to(self, dest_root: str) -> "LogTable":
+        """Zero-copy SHALLOW CLONE: a new table whose log is a copy of
+        this one's and whose data files are HARDLINKS to the same
+        inodes (the POSIX equivalent of Delta's absolute-path file
+        references; on object stores the same op is a metadata-only
+        manifest copy). Writes after the clone diverge freely — a
+        rewrite in either table breaks the link for that file only;
+        the other table keeps its inode. The practical uses are
+        Delta's: dev/test sandboxes over production data and
+        pre-migration backups, at metadata cost.
+
+        Caveat (same as Delta): VACUUM on either table unlinks only
+        its own directory entries, so shared inodes survive until
+        every referencing table drops them — hardlink refcounts give
+        that for free locally, where a naive absolute-path design
+        would need cross-table GC.
+        """
+        clone = LogTable(
+            self.spark,
+            dest_root,
+            key_cols=self.key_cols,
+            order_cols=self.order_cols,
+            n_buckets=self.n_buckets,
+        )
+        for v in range(self.latest_version() + 1):
+            shutil.copy2(self._entry_path(v), clone._entry_path(v))
+        src_data = os.path.join(self.root, _DATA_DIR)
+        dst_data = os.path.join(dest_root, _DATA_DIR)
+        for name in sorted(os.listdir(src_data)):
+            os.link(
+                os.path.join(src_data, name), os.path.join(dst_data, name)
+            )
+        return clone
+
     def purge_deletes(self, work_dir: str) -> int:
         """Physically apply the active deletion vector and retire it —
         Delta's REORG TABLE ... APPLY (PURGE): every ACTIVE file with

@@ -94,6 +94,9 @@ _BACKFILL = [
     "x71_importance_weights", "g7_k_core", "m17_bmp_decode",
     "a47_ratio_to_report", "w18_resample_bfill", "d6_blocking_recall",
     "m18_wav_decimate", "st16_stream_distinct_users", "l19_shallow_clone",
+    "w19_interval_union", "a49_market_basket", "a48_string_agg",
+    "sql15_unpivot_syntax", "x72_length_bucket_pack", "x73_calibration_curve",
+    "l20_write_audit_publish", "w20_cusum_drift", "f13_luhn_checksum",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

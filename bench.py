@@ -248,6 +248,17 @@ HEADLINE = [
     # add/remove files — sink-writing, so it stays in the tail group
     "l11_change_feed",
     # CDC-folded aggregate view and the stateful sessionizer — both
+    # session-2 wave: interval union, market basket, ordered
+    # listagg, UNPIVOT surface, padding audit, calibration curve
+    "w19_interval_union",
+    "a49_market_basket",
+    "a48_string_agg",
+    "sql15_unpivot_syntax",
+    "x72_length_bucket_pack",
+    "x73_calibration_curve",
+    "l20_write_audit_publish",
+    "w20_cusum_drift",
+    "f13_luhn_checksum",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -815,3 +815,101 @@ def test_media_pipeline_decodes_once(spark, sf_dir):
     )
     assert n_decodes == 1, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_interval_union_is_one_user_exchange(spark, sf_dir):
+    # w19: both windows and both rollups key on user_id — one hash
+    # exchange must serve all four (HashPartitioning(user_id)
+    # satisfies the (user_id, island_id) grouping too); no join.
+    plan = _formatted_plan(spark, "w19_interval_union", sf_dir)
+    n_shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_shuffles == 1, plan[:2000]
+    assert "Join type:" not in plan, plan[:2000]
+
+
+def test_market_basket_pairs_by_orderkey_only(spark, sf_dir):
+    # a49: pair generation is an equi-join on orderkey (bounded
+    # per-order fanout) — never a cartesian over brands; the brand
+    # marginals and the 1-row total ride broadcasts.
+    plan = _formatted_plan(spark, "a49_market_basket", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+def test_string_agg_is_ordered_listagg(spark, sf_dir):
+    # a48: the ordered aggregate must lower to listagg (sort-based
+    # aggregate over the 25-row rollup), with the region dim
+    # broadcast; the customer count aggregates before the join.
+    plan = _formatted_plan(spark, "a48_string_agg", sf_dir)
+    assert "listagg" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_unpivot_expands_after_preaggregation(spark, sf_dir):
+    # sql15: UNPIVOT lowers to a map-side Expand; customer/supplier
+    # counts must aggregate per nation BEFORE joining the dimension
+    # spine (no customers-x-suppliers fanout).
+    plan = _formatted_plan(spark, "sql15_unpivot_syntax", sf_dir)
+    assert "Expand" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
+
+
+def test_length_buckets_are_map_side_then_bounded_rollup(spark, sf_dir):
+    # x72: tokenize + bucket id are codegen expressions; ONE
+    # exchange for the bounded bucket rollup; no Python, no join.
+    plan = _formatted_plan(spark, "x72_length_bucket_pack", sf_dir)
+    n_shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_shuffles == 1, plan[:2000]
+    assert "Join type:" not in plan, plan[:2000]
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_calibration_curve_is_map_side_then_bounded_rollup(spark, sf_dir):
+    # x73: score + label are map-side Column math; ONE exchange for
+    # the 10-bin rollup; no Python, no join.
+    plan = _formatted_plan(spark, "x73_calibration_curve", sf_dir)
+    n_shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_shuffles == 1, plan[:2000]
+    assert "Join type:" not in plan, plan[:2000]
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_cusum_recurrence_runs_on_bounded_rollup(spark, sf_dir):
+    # w20: the sequential recurrence (FlatMapGroupsInPandas) must sit
+    # ABOVE the weekly aggregate — Python sees O(weeks) rows per key,
+    # never raw orders.
+    plan = _formatted_plan(spark, "w20_cusum_drift", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    # The tree prints root-first, so the recurrence node must appear
+    # BEFORE its aggregate input in the text (= executes after it).
+    assert plan.index("FlatMapGroupsInPandas") < plan.index(
+        "HashAggregate"
+    ), plan[:3000]
+
+
+def test_luhn_is_codegen_lambda_not_explode(spark, sf_dir):
+    # f13: the checksum is transform/aggregate lambda arithmetic —
+    # no Generate (explode), no Python, one bounded rollup exchange.
+    plan = _formatted_plan(spark, "f13_luhn_checksum", sf_dir)
+    assert "Generate" not in plan, plan[:2000]
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]
+    n_shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    )
+    assert n_shuffles == 1, plan[:2000]

@@ -1024,3 +1024,70 @@ def x71_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score_bp").cast("long").alias("min_bp"),
         F.max("score_bp").cast("long").alias("max_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X72 — sequence-length bucket packing audit: assign every document
+# to a padded-length bucket (next multiple of 64 tokens — the
+# fixed-shape batches a training loader pads to) and report, per
+# bucket, the document count, real token mass, padding waste, and
+# waste in basis points. This is the standard padding-efficiency
+# audit run before choosing bucket boundaries for batch packing
+# (x21_context_packing is the packer; this is the planner that
+# sizes its bins). Token count is the x10 whitespace/regex
+# tokenizer, so the bucket boundary is engine-identical integer
+# arithmetic.
+#
+# Scale: one map-side projection (tokenize + bucket id, codegen'd,
+# no Python) and ONE groupBy on a bounded key (buckets are
+# ceil(max_tokens/64) distinct values) with map-side combine — the
+# same shape as a4_groupby_count, linear at any corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "x72_length_bucket_pack",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             ((n_tokens + 63) // 64) * 64 AS bucket_len
+      FROM tok WHERE n_tokens > 0
+    )
+    SELECT bucket_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(bucket_len * count(*) - sum(n_tokens) AS BIGINT) AS pad_tokens,
+           CAST(10000 * (bucket_len * count(*) - sum(n_tokens)) //
+                (bucket_len * count(*)) AS BIGINT) AS waste_bp
+    FROM b GROUP BY bucket_len
+    """,
+)
+def x72_length_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    b = tok.select(
+        "n_tokens",
+        F.expr("(n_tokens + 63) div 64 * 64").alias("bucket_len"),
+    )
+    return b.groupBy("bucket_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        (F.col("bucket_len") * F.count(F.lit(1)) - F.sum("n_tokens"))
+        .cast("long")
+        .alias("pad_tokens"),
+        F.expr(
+            "10000 * (bucket_len * count(1) - sum(n_tokens))"
+            " div (bucket_len * count(1))"
+        ).alias("waste_bp"),
+    )

@@ -1884,3 +1884,104 @@ def x66_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(length(word)) * 1000 div count(*) as bigint)"
         ).alias("chars_per_word_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X73 — classifier calibration curve: bin x34's quality-classifier
+# score (score_micro, 0..1e6) into ten equal-width bins and compare,
+# per bin, the MEAN PREDICTED score against the OBSERVED positive
+# rate of an independent ground-truth label (here: the document's
+# length lies in the in-distribution band [200, 1500] chars — the
+# band the z-feature was tuned on). The per-bin |observed −
+# predicted| gap is the Expected Calibration Error contribution;
+# curation pipelines run exactly this audit before trusting a
+# quality classifier's threshold (reliability diagrams in basis
+# points, no floats crossing the engine boundary).
+#
+# Scale: the score is x34's pure map-side Column arithmetic; the
+# audit adds ONE groupBy on a 10-value key with map-side combine.
+# Linear, shuffle of 10 groups, no Python.
+# ---------------------------------------------------------------------------
+@register(
+    "x73_calibration_curve",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS BIGINT) AS n_words,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x = 'a' OR x = 'the')) AS BIGINT) AS n_stop,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ), z AS (
+      SELECT doc_id, n_chars,
+             round(3.0 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   + 0.5 * (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE))
+                   - 0.002 * CAST(n_chars AS DOUBLE)
+                   - 1.5, 6) AS z
+      FROM f WHERE n_words > 0
+    ), scored AS (
+      SELECT doc_id,
+             CAST(round((0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000, 0)
+                  AS BIGINT) AS score_micro,
+             CASE WHEN n_chars BETWEEN 200 AND 1500 THEN 1 ELSE 0 END AS label
+      FROM z
+    )
+    SELECT least(score_micro // 100000, 9) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(10000 * sum(label) // count(*) AS BIGINT) AS obs_rate_bp,
+           CAST(sum(score_micro) // (100 * count(*)) AS BIGINT)
+             AS mean_pred_bp,
+           CAST(abs(10000 * sum(label) // count(*) -
+                    sum(score_micro) // (100 * count(*))) AS BIGINT)
+             AS gap_bp
+    FROM scored GROUP BY 1
+    """,
+)
+def x73_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != "")
+    feats = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.size(F.filter(words, lambda x: (x == "a") | (x == "the")))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_alpha"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).filter(F.col("n_words") > 0)
+    z = F.round(
+        F.lit(3.0) * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
+        + F.lit(0.5) * (F.col("n_alpha").cast("double") / F.col("n_words").cast("double"))
+        - F.lit(0.002) * F.col("n_chars").cast("double")
+        - F.lit(1.5),
+        6,
+    )
+    scored = feats.select("n_chars", z.alias("z")).select(
+        F.round(
+            (F.lit(0.5) + F.lit(0.5) * F.col("z") / (F.lit(1.0) + F.abs("z")))
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("score_micro"),
+        F.when(F.col("n_chars").between(200, 1500), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+    )
+    return scored.groupBy(
+        F.least(F.expr("score_micro div 100000"), F.lit(9).cast("bigint")).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.expr("10000 * sum(label) div count(1)").alias("obs_rate_bp"),
+        F.expr("sum(score_micro) div (100 * count(1))").alias("mean_pred_bp"),
+        F.expr(
+            "abs(10000 * sum(label) div count(1)"
+            " - sum(score_micro) div (100 * count(1)))"
+        ).alias("gap_bp"),
+    )

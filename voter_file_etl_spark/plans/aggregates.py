@@ -1449,3 +1449,72 @@ def a42_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("est_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A48 — ordered string aggregation (Spark 4's listagg WITHIN GROUP ≡
+# DuckDB's string_agg ORDER BY): the reference renders per-region
+# roll-up reports as delimited name lists (SURVEY.md §2.6 report
+# surface); this is that shape as a first-class ordered aggregate,
+# including a computed "name:count" list that rides a pre-aggregated
+# customer rollup.
+#
+# Scale: the ordered list is only safe because the group payload is
+# bounded (25 nations / 5 regions); at 100 TB the same plan holds for
+# any bounded-cardinality dimension rollup — the customer count
+# aggregates FIRST (map-side combine on c_nationkey), and only the
+# 25-row result carries strings into the listagg.
+# ---------------------------------------------------------------------------
+@register(
+    "a48_string_agg",
+    oracle="""
+    WITH cc AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs
+      FROM customer GROUP BY c_nationkey
+    ), n2 AS (
+      SELECT n.n_regionkey, n.n_name,
+             coalesce(cc.n_custs, 0) AS n_custs
+      FROM nation n LEFT JOIN cc ON cc.c_nationkey = n.n_nationkey
+    )
+    SELECT r.r_name,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           string_agg(n2.n_name, '|' ORDER BY n2.n_name) AS nation_list,
+           string_agg(n2.n_name || ':' || CAST(n2.n_custs AS VARCHAR),
+                      '|' ORDER BY n2.n_name) AS nation_custs
+    FROM n2 JOIN region r ON r.r_regionkey = n2.n_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    cc = cust.groupBy(F.col("c_nationkey").alias("n_nationkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs")
+    )
+    n2 = (
+        nat.join(cc, "n_nationkey", "left")
+        .select(
+            "n_regionkey",
+            "n_name",
+            F.coalesce("n_custs", F.lit(0)).alias("n_custs"),
+        )
+        .join(
+            F.broadcast(
+                reg.select(
+                    F.col("r_regionkey").alias("n_regionkey"), "r_name"
+                )
+            ),
+            "n_regionkey",
+        )
+    )
+    return n2.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.expr(
+            "listagg(n_name, '|') within group (order by n_name)"
+        ).alias("nation_list"),
+        F.expr(
+            "listagg(n_name || ':' || cast(n_custs as string), '|')"
+            " within group (order by n_name)"
+        ).alias("nation_custs"),
+    )

@@ -887,3 +887,284 @@ def a47_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * cents div _rsum").alias("share_of_region_bp"),
         F.expr("10000 * _rsum div _gsum").alias("region_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W19 — interval union (merged coverage): each event opens an
+# activity interval [ts, ts + (1 + event_id % 600) s]; overlapping /
+# touching intervals per user merge into islands and the output is
+# per-user total covered microseconds. The canonical "union of
+# intervals" sweep (uptime/SLA coverage, contact-session coverage
+# over the reference's voter-contact events — SURVEY.md §2.6):
+# prev-max-end via a window, island id as a running sum of gap
+# flags, one rollup per island, one per user. Duration is pure
+# integer arithmetic off event_id, so both engines agree bit-exactly.
+#
+# Scale: ONE shuffle on user_id serves both windows and the island
+# rollup (same partitioning); per-user ordering only — no global
+# sort. Island count is data-bounded (<= events per user).
+# ---------------------------------------------------------------------------
+@register(
+    "w19_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + (1 + event_id % 600) * 1000000 AS e_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s_us, e_us,
+             CASE WHEN max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) >= s_us THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island_id
+      FROM flagged
+    ), merged AS (
+      SELECT user_id, island_id,
+             min(s_us) AS s_us, max(e_us) AS e_us,
+             CAST(count(*) AS BIGINT) AS n_intervals
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(e_us - s_us) AS BIGINT) AS covered_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def w19_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + (F.lit(1) + F.col("event_id") % 600) * F.lit(1000000)
+        ).alias("e_us"),
+    )
+    order = [F.col("s_us"), F.col("e_us"), F.col("event_id")]
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        "event_id",
+        F.when(F.max("e_us").over(w_prev) >= F.col("s_us"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s_us", "e_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.sum("new_island").over(w_run).alias("island_id"),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s_us").alias("s_us"),
+        F.max("e_us").alias("e_us"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("e_us") - F.col("s_us")).cast("long").alias("covered_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A49 — market-basket brand affinity: for every pair of part brands
+# bought in the same order, support (co-occurring orders),
+# conditional confidence, and lift — the association-rule triple in
+# integer basis points. Top-20 pairs by support with a full
+# deterministic ordering.
+#
+# Scale: the (order, brand) table is a lineitem->part equi-join plus
+# a distinct; the pair generator self-joins it ON ORDERKEY ONLY, so
+# fanout per order is bounded by C(distinct brands per order, 2) —
+# <= C(7,2) = 21 for TPC-H's <=7 lines/order, NEVER all brand pairs
+# globally. Brand marginals (25 rows) and the order total (1 row)
+# attach as broadcasts. 10000 * support * N fits bigint up to ~10^14
+# orders.
+# ---------------------------------------------------------------------------
+@register(
+    "a49_market_basket",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS orderkey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), tot AS (
+      SELECT CAST(count(DISTINCT orderkey) AS BIGINT) AS n_orders FROM ob
+    ), bs AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_brand FROM ob GROUP BY brand
+    ), pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM ob a JOIN ob b
+        ON a.orderkey = b.orderkey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b, p.support,
+           sa.n_brand AS supp_a, sb.n_brand AS supp_b,
+           CAST(10000 * p.support // sa.n_brand AS BIGINT) AS conf_ab_bp,
+           CAST(10000 * p.support * t.n_orders //
+                (sa.n_brand * sb.n_brand) AS BIGINT) AS lift_bp
+    FROM pairs p
+    JOIN bs sa ON sa.brand = p.brand_a
+    JOIN bs sb ON sb.brand = p.brand_b
+    CROSS JOIN tot t
+    ORDER BY p.support DESC, p.brand_a, p.brand_b
+    LIMIT 20
+    """,
+)
+def a49_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"), "l_partkey"
+    )
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    ob = li.join(part, "l_partkey").select("orderkey", "brand").distinct()
+    tot = ob.agg(F.countDistinct("orderkey").cast("long").alias("n_orders"))
+    bs = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_brand"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.orderkey") == F.col("b.orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    sa = F.broadcast(bs.select(F.col("brand").alias("brand_a"), F.col("n_brand").alias("supp_a")))
+    sb = F.broadcast(bs.select(F.col("brand").alias("brand_b"), F.col("n_brand").alias("supp_b")))
+    return (
+        pairs.join(sa, "brand_a")
+        .join(sb, "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            "supp_a",
+            "supp_b",
+            F.expr("10000 * support div supp_a").alias("conf_ab_bp"),
+            F.expr("10000 * support * n_orders div (supp_a * supp_b)").alias(
+                "lift_bp"
+            ),
+        )
+        .orderBy(F.col("support").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W20 — CUSUM drift detection over the weekly order-volume series
+# per priority: S_t = max(0, S_{t-1} + n·x_t − Σx) — the page-style
+# cumulative-sum changepoint statistic, kept in exact integers by
+# scaling deviations by the series length instead of dividing by it
+# (dev_t = n·x_t − total ≡ n·(x_t − mean)). Alarm when S_t exceeds
+# 2·total. The max(0, ·) reflection makes this a genuinely
+# SEQUENTIAL recurrence — not window-expressible — so the series
+# runs through applyInPandas per key while the oracle unrolls the
+# identical recurrence as a recursive CTE.
+#
+# Scale: the recurrence runs on the BOUNDED weekly rollup (O(weeks)
+# rows per key, ~320 here), never raw orders — the groupBy
+# aggregates with map-side combine first, and Python sees only the
+# rollup. One shuffle on priority; each group is a single Arrow
+# batch.
+# ---------------------------------------------------------------------------
+@register(
+    "w20_cusum_drift",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT o_orderpriority AS priority,
+             date_trunc('week', o_orderdate) AS wk,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ), idx AS (
+      SELECT priority, x,
+             row_number() OVER (PARTITION BY priority ORDER BY wk) AS i,
+             count(*) OVER (PARTITION BY priority) AS n,
+             sum(x) OVER (PARTITION BY priority) AS total
+      FROM w
+    ), rec AS (
+      SELECT priority, i, n, total,
+             greatest(0, n * x - total) AS s
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT b.priority, b.i, b.n, b.total,
+             greatest(0, r.s + b.n * b.x - b.total)
+      FROM rec r JOIN idx b ON b.priority = r.priority AND b.i = r.i + 1
+    )
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS n_weeks,
+           CAST(sum(CASE WHEN s > 2 * total THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(max(s) AS BIGINT) AS max_s,
+           CAST(coalesce(min(CASE WHEN s > 2 * total THEN i END), 0)
+                AS BIGINT) AS first_alarm_week
+    FROM rec GROUP BY priority
+    """,
+)
+def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    schema = (
+        "priority string, n_weeks bigint, n_alarms bigint,"
+        " max_s bigint, first_alarm_week bigint"
+    )
+
+    def cusum(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("wk").reset_index(drop=True)
+        n = len(pdf)
+        total = int(pdf["x"].sum())
+        thr = 2 * total
+        s = mx = alarms = first = 0
+        for i, x in enumerate(pdf["x"].astype("int64"), start=1):
+            s = max(0, s + n * int(x) - total)
+            if s > mx:
+                mx = s
+            if s > thr:
+                alarms += 1
+                if first == 0:
+                    first = i
+        return pd.DataFrame(
+            [
+                {
+                    "priority": pdf["priority"].iloc[0],
+                    "n_weeks": n,
+                    "n_alarms": alarms,
+                    "max_s": mx,
+                    "first_alarm_week": first,
+                }
+            ]
+        )
+
+    return weekly.groupBy("priority").applyInPandas(cusum, schema)

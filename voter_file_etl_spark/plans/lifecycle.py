@@ -929,3 +929,96 @@ def l19_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("event_id").alias("sum_last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L20 — write-audit-publish (WAP): every batch lands in a STAGING
+# directory, a data-quality audit runs against the staged files
+# only, and exactly the batches that pass are atomically promoted
+# into the published table (a same-filesystem rename — the POSIX
+# form of Iceberg's branch-commit / Delta's staged-commit WAP
+# pattern). The reference's per-file load loop (load.ts:256-308)
+# trusts its input; this is the gate a production voter-file load
+# puts in front of publish. Batch 1 here carries injected negative
+# totals, so its audit fails and the published table provably never
+# contains it — the report's published_total column is READ BACK
+# from the published directory after each decision, not inferred.
+#
+# Scale: the audit is one filter+count over the staged batch (scan
+# of just-written files, map-side combine); publish is a metadata
+# rename, O(1) data movement. The report is O(batches) driver rows.
+# ---------------------------------------------------------------------------
+_L20_N_BATCHES = 3
+
+
+@register(
+    "l20_write_audit_publish",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey % 3 AS batch_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_orderkey % 3 = 1 AND o_orderkey % 7 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+      FROM orders GROUP BY 1
+    )
+    SELECT batch_id, n_rows, n_bad, n_bad = 0 AS published,
+           CAST(sum(CASE WHEN n_bad = 0 THEN n_rows ELSE 0 END)
+                OVER (ORDER BY batch_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS published_total
+    FROM r
+    """,
+)
+def l20_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l20_wap_")
+    staging = os.path.join(work, "staging")
+    published = os.path.join(work, "published")
+    os.makedirs(published, exist_ok=True)
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    report = []
+    for i in range(_L20_N_BATCHES):
+        batch = orders.filter(F.col("o_orderkey") % _L20_N_BATCHES == i)
+        if i == 1:
+            # Simulated upstream corruption: some totals arrive negated.
+            batch = batch.select(
+                "o_orderkey",
+                F.when(
+                    F.col("o_orderkey") % 7 == 0, -F.col("o_totalprice")
+                )
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+            )
+        stage_dir = os.path.join(staging, f"batch={i}")
+        batch.write.mode("overwrite").parquet(stage_dir)
+        staged = spark.read.parquet(stage_dir)
+        audit = staged.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice").isNull()
+                    | (F.col("o_totalprice") <= 0)
+                    | F.col("o_orderkey").isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bad"),
+        ).collect()[0]
+        ok = audit["n_bad"] == 0
+        if ok:
+            # Atomic publish: same-filesystem rename of the staged
+            # batch directory into the published table.
+            os.rename(stage_dir, os.path.join(published, f"batch={i}"))
+        # Read back what a consumer of the published table sees NOW.
+        if os.listdir(published):
+            visible = spark.read.parquet(
+                os.path.join(published, "batch=*")
+            ).count()
+        else:
+            visible = 0
+        report.append((i, audit["n_rows"], audit["n_bad"], ok, visible))
+    return spark.createDataFrame(
+        report,
+        "batch_id bigint, n_rows bigint, n_bad bigint,"
+        " published boolean, published_total bigint",
+    )

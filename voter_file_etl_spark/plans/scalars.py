@@ -1195,3 +1195,83 @@ def f12_money_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("parsed_cents").cast("long").alias("sum_cents"),
         F.min("parsed_cents").cast("long").alias("min_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F13 — Luhn checksum validation over phone digit strings: the
+# mod-10 check digit scheme (card numbers, IMEIs, many national ID
+# formats) as a pure higher-order Column expression — reverse the
+# digit string, double every second digit from the right (mapping
+# >9 to its digit sum), and test the running total mod 10. The
+# reference's utils.ts normalizes identifiers but never validates
+# them; a production voter-file load runs exactly this class of
+# checksum gate on imported IDs. Rolled up per nation.
+#
+# Scale: the whole checksum is codegen'd transform/aggregate lambda
+# arithmetic — no explode, no Python, no shuffle until the bounded
+# 25-row rollup (map-side combined). The oracle unnests positions
+# per row because DuckDB's list lambdas lack an index parameter —
+# the Spark side must NOT copy that shape.
+# ---------------------------------------------------------------------------
+@register(
+    "f13_luhn_checksum",
+    oracle="""
+    WITH d AS (
+      SELECT c_custkey, c_nationkey,
+             concat(lpad(CAST(200 + c_custkey % 700 AS VARCHAR), 3, '0'),
+                    '555',
+                    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS ds
+      FROM customer
+    ), e AS (
+      SELECT c_custkey, c_nationkey,
+             sum(CASE WHEN (i - 1) % 2 = 1
+                      THEN CASE WHEN 2 * dig > 9 THEN 2 * dig - 9
+                           ELSE 2 * dig END
+                      ELSE dig END) AS luhn_sum
+      FROM (
+        SELECT c_custkey, c_nationkey,
+               CAST(substr(reverse(ds), i, 1) AS BIGINT) AS dig, i
+        FROM d, unnest(generate_series(1, length(ds))) AS u(i)
+      ) GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           CAST(10000 * sum(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS valid_bp
+    FROM e GROUP BY c_nationkey
+    """,
+)
+def f13_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    luhn_sum = F.expr(
+        """
+        aggregate(
+          transform(
+            filter(split(reverse(concat(
+                     lpad(cast(200 + c_custkey % 700 as string), 3, '0'),
+                     '555',
+                     lpad(cast(c_custkey % 10000 as string), 4, '0'))), ''),
+                   d -> d != ''),
+            (d, i) -> case
+              when i % 2 = 1 then
+                if(2 * cast(d as int) > 9,
+                   2 * cast(d as int) - 9,
+                   2 * cast(d as int))
+              else cast(d as int) end
+          ),
+          0, (acc, x) -> acc + x
+        )
+        """
+    )
+    scored = cust.select(
+        "c_nationkey", (luhn_sum % 10 == 0).alias("ok")
+    )
+    return scored.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_custs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.expr(
+            "10000 * sum(case when ok then 1 else 0 end) div count(1)"
+        ).alias("valid_bp"),
+    )

@@ -493,3 +493,61 @@ def sql14_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"segment": "MACHINERY", "min_bal": 0.0},
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL15 — the UNPIVOT clause (Spark 3.4+ SQL syntax, mirroring
+# p9_unpivot's stack()-based form): a wide per-region rollup of
+# three measures turned into (region, measure, v) rows entirely in
+# the SQL parser. The oracle states the identical relation as ANSI
+# UNION ALL so DuckDB needs no dialect-specific clause.
+#
+# Scale: UNPIVOT is a local map-side expansion (x3 rows per input
+# row, no shuffle); the rollup beneath it aggregates first, so the
+# expansion runs over 5 rows regardless of input size. Customer and
+# supplier counts aggregate PER NATION in their own subqueries
+# before touching the dimension join — joining both fact tables to
+# nation directly would fan out customers x suppliers per nation
+# (count(DISTINCT) would still be correct, but the intermediate is
+# quadratic; the pre-aggregate keeps it linear with map-side
+# combine). NULL measures would be DROPPED by UNPIVOT's default
+# INCLUDE NULLS = false — counts here are never null, and the
+# oracle's UNION ALL matches that contract exactly.
+# ---------------------------------------------------------------------------
+_SQL15_AGG = """
+SELECT r.r_name,
+       CAST(count(*) AS BIGINT) AS n_nations,
+       CAST(sum(coalesce(cc.n, 0)) AS BIGINT) AS n_custs,
+       CAST(sum(coalesce(ss.n, 0)) AS BIGINT) AS n_supps
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+LEFT JOIN (SELECT c_nationkey, count(*) AS n
+           FROM customer GROUP BY c_nationkey) cc
+  ON cc.c_nationkey = n.n_nationkey
+LEFT JOIN (SELECT s_nationkey, count(*) AS n
+           FROM supplier GROUP BY s_nationkey) ss
+  ON ss.s_nationkey = n.n_nationkey
+GROUP BY r.r_name
+"""
+
+
+@register(
+    "sql15_unpivot_syntax",
+    oracle=f"""
+    WITH agg AS ({_SQL15_AGG})
+    SELECT r_name, 'n_nations' AS measure, n_nations AS v FROM agg
+    UNION ALL
+    SELECT r_name, 'n_custs' AS measure, n_custs AS v FROM agg
+    UNION ALL
+    SELECT r_name, 'n_supps' AS measure, n_supps AS v FROM agg
+    """,
+)
+def sql15_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "region", "nation", "customer", "supplier")
+    return spark.sql(
+        f"""
+        SELECT r_name, measure, v
+        FROM ({_SQL15_AGG})
+        UNPIVOT (v FOR measure IN (n_nations, n_custs, n_supps))
+        """
+    )

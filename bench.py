@@ -259,6 +259,9 @@ HEADLINE = [
     "l20_write_audit_publish",
     "w20_cusum_drift",
     "f13_luhn_checksum",
+    "x74_source_js_divergence",
+    "l21_concurrent_merge_retry",
+    "s20_bloom_filter_pointread",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -346,3 +346,52 @@ def test_shallow_clone_is_zero_copy_and_independent(spark, tmp_path):
     assert _file_hashes(table) == src_before
     assert {r["k"] for r in table.snapshot().collect()} == set(range(32))
     assert {r["k"] for r in clone.snapshot().collect()} == set(range(1, 32, 2))
+
+
+def test_losing_writer_cannot_clobber_committed_data(spark, tmp_path):
+    # Two writers race for the same version: the loser stages and
+    # MOVES its data files into the table root before its commit
+    # fails. Without writer-unique file names those moves overwrite
+    # the winner's already-committed files (same (version, bucket, i)
+    # triple) — silent corruption the link(2) race never sees. The
+    # loser must (1) raise CommitConflict, (2) leave the winner's
+    # files byte-identical, (3) clean up its own orphans, and (4)
+    # succeed on retry with the sequential-merge result.
+    import unittest.mock as mock
+
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, "base") for k in range(32)]), work)
+    base_version = table.latest_version()
+
+    # Writer A wins the next version.
+    table.merge(_mk(spark, [(k, 2, "A") for k in range(0, 32, 2)]), work)
+    winner_hashes = _file_hashes(table)
+
+    # Writer B raced A: it read the log BEFORE A committed, so its
+    # merge targets the same version A just took.
+    with mock.patch.object(
+        LogTable, "latest_version", return_value=base_version
+    ):
+        with pytest.raises(CommitConflict):
+            table.merge(_mk(spark, [(k, 3, "B") for k in range(1, 32, 2)]), work)
+
+    # Winner's committed bytes are untouched, and the loser left no
+    # orphans: every file on disk is referenced by SOME log version
+    # (dead-but-historical files legitimately remain for time travel).
+    assert _file_hashes(table) == winner_hashes
+    data_dir = os.path.join(table.root, "data")
+    referenced = {
+        os.path.basename(a["path"])
+        for e in table.history()
+        for a in e["adds"]
+    }
+    assert set(os.listdir(data_dir)) == referenced
+
+    # Loser retries on the fresh base and lands cleanly.
+    table.merge(_mk(spark, [(k, 3, "B") for k in range(1, 32, 2)]), work)
+    rows = {
+        r["k"]: r["payload"] for r in table.snapshot().collect()
+    }
+    assert all(rows[k] == "A" for k in range(0, 32, 2))
+    assert all(rows[k] == "B" for k in range(1, 32, 2))

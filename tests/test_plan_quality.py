@@ -913,3 +913,20 @@ def test_luhn_is_codegen_lambda_not_explode(spark, sf_dir):
         if ln.strip().startswith("(") and ") Exchange" in ln
     )
     assert n_shuffles == 1, plan[:2000]
+
+
+def test_js_divergence_pair_expansion_is_equi_join(spark, sf_dir):
+    # x74: the O(S^2) pair fan-out must ride equi-joins against the
+    # tiny pair table (broadcast), never an IN-condition nested loop
+    # over the counts table.
+    plan = _formatted_plan(spark, "x74_source_js_divergence", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_bloom_pointread_pushes_in_list(spark, sf_dir):
+    # s20: the IN-list must reach the parquet scan so the reader can
+    # consult row-group bloom filters.
+    plan = _formatted_plan(spark, "s20_bloom_filter_pointread", sf_dir)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "In(user_id" in pushed[-1], pushed or plan[:2000]

@@ -1985,3 +1985,133 @@ def x73_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - sum(score_micro) div (100 * count(1)))"
         ).alias("gap_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X74 — pairwise Jensen-Shannon divergence between the token
+# distributions of document sources: the standard corpus-drift /
+# domain-shift statistic a curation pipeline computes before mixing
+# sources (x25/x32 choose mix rates; this measures how different
+# the ingredients actually are). For each unordered source pair,
+# JS(p,q) = [KL(p||m) + KL(q||m)]/2 with m=(p+q)/2; each per-word
+# log term ln(2·ca·Nb / (ca·Nb + cb·Na)) is computed from EXACT
+# integer products (only the final ratio is a double), quantized to
+# micro-nats with the engine-identical floor(x·1e6 + 0.5), and
+# accumulated as integer sums — the x27 quantize-then-sum
+# discipline. Absent words contribute via the other side's ln 2
+# term, which is exact and identical in both engines.
+#
+# Scale: per-(source, word) counts aggregate first (map-side
+# combine); the O(S²) pair expansion joins counts to the tiny pair
+# table with TWO EQUI-JOINS (as-left, as-right) + union — never an
+# IN-condition nested loop — so the work is Θ(vocab · S²) with S
+# bounded (curated domain lists are tens, not thousands). Totals
+# attach as broadcasts.
+# ---------------------------------------------------------------------------
+@register(
+    "x74_source_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               w -> w <> '')) AS w
+      FROM documents
+    ), counts AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    ), totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb
+      FROM totals a, totals b WHERE a.source < b.source
+    ), sides AS (
+      SELECT p.sa, p.sb, c.w, c.c AS ca, CAST(0 AS BIGINT) AS cb
+      FROM counts c JOIN pairs p ON c.source = p.sa
+      UNION ALL
+      SELECT p.sa, p.sb, c.w, CAST(0 AS BIGINT) AS ca, c.c AS cb
+      FROM counts c JOIN pairs p ON c.source = p.sb
+    ), terms AS (
+      SELECT sa, sb, w, sum(ca) AS ca, sum(cb) AS cb
+      FROM sides GROUP BY sa, sb, w
+    ), scored AS (
+      SELECT t.sa, t.sb, t.ca, t.cb, na.n AS na, nb.n AS nb,
+             CASE WHEN t.ca > 0 THEN t.ca * CAST(floor(
+               ln(2.0 * t.ca * nb.n / (t.ca * nb.n + t.cb * na.n))
+               * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS pa_micro,
+             CASE WHEN t.cb > 0 THEN t.cb * CAST(floor(
+               ln(2.0 * t.cb * na.n / (t.cb * na.n + t.ca * nb.n))
+               * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS pb_micro
+      FROM terms t
+      JOIN totals na ON na.source = t.sa
+      JOIN totals nb ON nb.source = t.sb
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(pa_micro) AS BIGINT) AS sum_a_micro,
+           CAST(sum(pb_micro) AS BIGINT) AS sum_b_micro,
+           CAST(floor((CAST(sum(pa_micro) AS DOUBLE) / max(na)
+                       + CAST(sum(pb_micro) AS DOUBLE) / max(nb)) / 2
+                      + 0.5) AS BIGINT) AS js_micro
+    FROM scored GROUP BY sa, sb
+    """,
+)
+def x74_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    counts = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = totals.select(F.col("source").alias("sa"))
+    b = totals.select(F.col("source").alias("sb"))
+    pairs = a.crossJoin(b).filter(F.col("sa") < F.col("sb"))
+    left = counts.join(
+        F.broadcast(pairs), counts["source"] == pairs["sa"]
+    ).select("sa", "sb", "w", F.col("c").alias("ca"), F.lit(0).cast("long").alias("cb"))
+    right = counts.join(
+        F.broadcast(pairs), counts["source"] == pairs["sb"]
+    ).select("sa", "sb", "w", F.lit(0).cast("long").alias("ca"), F.col("c").alias("cb"))
+    terms = (
+        left.unionByName(right)
+        .groupBy("sa", "sb", "w")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    na = F.broadcast(totals.select(F.col("source").alias("sa"), F.col("n").alias("na")))
+    nb = F.broadcast(totals.select(F.col("source").alias("sb"), F.col("n").alias("nb")))
+    scored = (
+        terms.join(na, "sa")
+        .join(nb, "sb")
+        .select(
+            "sa",
+            "sb",
+            F.expr(
+                "case when ca > 0 then ca * cast(floor("
+                "ln(2.0d * ca * nb / (ca * nb + cb * na))"
+                " * 1000000 + 0.5d) as bigint) else 0 end"
+            ).alias("pa_micro"),
+            F.expr(
+                "case when cb > 0 then cb * cast(floor("
+                "ln(2.0d * cb * na / (cb * na + ca * nb))"
+                " * 1000000 + 0.5d) as bigint) else 0 end"
+            ).alias("pb_micro"),
+            "na",
+            "nb",
+        )
+    )
+    return scored.groupBy(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("pa_micro").cast("long").alias("sum_a_micro"),
+        F.sum("pb_micro").cast("long").alias("sum_b_micro"),
+        F.expr(
+            "cast(floor((cast(sum(pa_micro) as double) / max(na)"
+            " + cast(sum(pb_micro) as double) / max(nb)) / 2"
+            " + 0.5d) as bigint)"
+        ).alias("js_micro"),
+    )

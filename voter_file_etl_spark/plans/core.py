@@ -1040,3 +1040,61 @@ def s19_partition_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("l_quantity").cast("bigint").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S20 — parquet bloom filters for point lookups: write the events
+# table with a bloom filter on user_id (parquet.bloom.filter.enabled
+# — a file-format structure, below partitioning and zorder in the
+# skipping stack), clustered by repartitionByRange + sortWithinPartitions
+# so row groups hold disjoint user ranges, then serve an IN-list
+# point lookup. On a 100 TB table the reader consults the bloom
+# sidecar per row group and skips groups that provably lack the
+# keys — the needle-in-haystack path (voter-id lookups on the full
+# file) where min/max stats alone are too coarse once keys
+# interleave. The predicate must reach the scan (plan-gated
+# PushedFilters); results are byte-equal to the direct query, which
+# is exactly what the oracle checks.
+#
+# Scale: one range-partitioned write (a sort shuffle), then O(1)
+# lookups; the bloom filter trades ~1 byte/key of file space for
+# row-group skips no statistic can give on high-cardinality keys.
+# ---------------------------------------------------------------------------
+@register(
+    "s20_bloom_filter_pointread",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    WHERE user_id IN (11, 108, 205, 302, 399, 496, 593, 690)
+    GROUP BY user_id
+    """,
+)
+def s20_bloom_filter_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(
+        prefix="s20_bloom_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "100000")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("user_id").isin(11, 108, 205, 302, 399, 496, 593, 690)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.expr("cast(floor(value * 100 + 0.5d) as bigint)"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )

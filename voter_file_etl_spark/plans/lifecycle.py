@@ -1022,3 +1022,88 @@ def l20_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id bigint, n_rows bigint, n_bad bigint,"
         " published boolean, published_total bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# L21 — concurrent writers with optimistic-commit retry: two writers
+# MERGE disjoint event batches into the same LogTable at the same
+# time from two threads. Whoever loses the link(2) version race gets
+# CommitConflict, re-reads the log, and retries on the fresh base —
+# the Delta/Iceberg optimistic-concurrency loop. Because
+# last-writer-wins is a TOTAL order ((us, event_id) descending), the
+# final snapshot is independent of which writer lands first, so the
+# racing table equals the oracle's global argmax no matter how the
+# race resolves. Writer-unique data-file names make the loser's
+# pre-commit file moves harmless (see logtable.py merge; regression:
+# tests/test_logtable.py::test_losing_writer_cannot_clobber_committed_data).
+# n_commits is read back from the log — both writers land exactly
+# once (retries never double-commit).
+#
+# Scale: each merge still touches only its batch's buckets; the
+# conflict loop costs one log re-read + one re-stage per collision,
+# never an O(table) rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "l21_concurrent_merge_retry",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(3 AS BIGINT) AS n_commits
+    FROM w WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def l21_concurrent_merge_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.sources.logtable import CommitConflict, LogTable
+
+    work = _tmpdir("l21_race_")
+    events = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    table = LogTable(
+        spark,
+        os.path.join(work, "table"),
+        key_cols=["user_id"],
+        order_cols=["us", "event_id"],
+        n_buckets=8,
+    )
+    table.merge(events.filter(F.col("event_id") % 3 == 0), os.path.join(work, "w0"))
+
+    def writer(tag: str, batch) -> None:
+        for _ in range(8):  # optimistic loop: re-read log, re-merge
+            try:
+                table.merge(batch, os.path.join(work, f"w_{tag}"))
+                return
+            except CommitConflict:
+                continue
+        raise RuntimeError("writer starved past 8 retries")
+
+    threads = [
+        threading.Thread(
+            target=writer, args=(tag, events.filter(F.col("event_id") % 3 == m))
+        )
+        for tag, m in (("a", 1), ("b", 2))
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    n_commits = table.latest_version() + 1
+    return table.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5d) as bigint)"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.lit(n_commits).cast("long").alias("n_commits"),
+    )

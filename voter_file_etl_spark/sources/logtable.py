@@ -38,6 +38,7 @@ size.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -293,7 +294,16 @@ class LogTable:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        stage = os.path.join(work_dir, f"stage_v{version:08d}")
+        # The per-writer token makes BOTH the staging dir and the
+        # published data-file names unique: two writers racing for the
+        # same version otherwise stage into the same directory and
+        # move files for identical (version, bucket, i) triples — the
+        # loser would silently OVERWRITE the winner's already-committed
+        # data files before the link(2) race even resolves. With
+        # unique names the loser's files are mere orphans (vacuum
+        # reclaims them; the conflict handler below cleans eagerly).
+        token = uuid.uuid4().hex[:8]
+        stage = os.path.join(work_dir, f"stage_v{version:08d}-{token}")
         (
             deduped.repartition(max(len(touched), 1), "_bucket")
             .write.mode("overwrite")
@@ -309,14 +319,22 @@ class LogTable:
                 if not name.endswith(".parquet"):
                     continue
                 rel = os.path.join(
-                    _DATA_DIR, f"v{version:08d}-b{bucket:05d}-{i:03d}.parquet"
+                    _DATA_DIR,
+                    f"v{version:08d}-b{bucket:05d}-{i:03d}-{token}.parquet",
                 )
                 shutil.move(
                     os.path.join(part_dir, name), os.path.join(self.root, rel)
                 )
                 adds.append({"path": rel, "bucket": bucket})
-        self._commit(version, adds, [f["path"] for f in old])
-        shutil.rmtree(stage, ignore_errors=True)
+        try:
+            self._commit(version, adds, [f["path"] for f in old])
+        except CommitConflict:
+            for a in adds:  # undo the moves; caller re-merges on a fresh base
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(os.path.join(self.root, a["path"]))
+            raise
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
         return version
 
     def delete(self, keys: DataFrame, work_dir: str) -> int:
@@ -348,7 +366,8 @@ class LogTable:
             remaining = cur.join(
                 F.broadcast(keyed.drop("_bucket")), self.key_cols, "left_anti"
             )
-            stage = os.path.join(work_dir, f"stage_v{version:08d}")
+            token = uuid.uuid4().hex[:8]  # writer-unique: see merge()
+            stage = os.path.join(work_dir, f"stage_v{version:08d}-{token}")
             (
                 remaining.repartition(max(len(touched), 1), "_bucket")
                 .write.mode("overwrite")
@@ -363,14 +382,21 @@ class LogTable:
                     if not name.endswith(".parquet"):
                         continue
                     rel = os.path.join(
-                        _DATA_DIR, f"v{version:08d}-b{bucket:05d}-{i:03d}.parquet"
+                        _DATA_DIR,
+                        f"v{version:08d}-b{bucket:05d}-{i:03d}-{token}.parquet",
                     )
                     shutil.move(
                         os.path.join(part_dir, name), os.path.join(self.root, rel)
                     )
                     adds.append({"path": rel, "bucket": bucket})
             shutil.rmtree(stage, ignore_errors=True)
-        self._commit(version, adds, [f["path"] for f in old])
+        try:
+            self._commit(version, adds, [f["path"] for f in old])
+        except CommitConflict:
+            for a in adds:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(os.path.join(self.root, a["path"]))
+            raise
         return version
 
     def delete_with_vectors(self, keys: DataFrame, work_dir: str) -> int:
@@ -421,15 +447,21 @@ class LogTable:
         if hits is None:
             self._commit(version, [], [])
             return version
-        rel = os.path.join(_DATA_DIR, f"dv-v{version:08d}.parquet")
-        stage = os.path.join(work_dir, f"dv_v{version:08d}")
+        token = uuid.uuid4().hex[:8]  # writer-unique: see merge()
+        rel = os.path.join(_DATA_DIR, f"dv-v{version:08d}-{token}.parquet")
+        stage = os.path.join(work_dir, f"dv_v{version:08d}-{token}")
         hits.distinct().coalesce(1).write.mode("overwrite").parquet(stage)
         part = [
             n for n in sorted(os.listdir(stage)) if n.endswith(".parquet")
         ][0]
         shutil.move(os.path.join(stage, part), os.path.join(self.root, rel))
         shutil.rmtree(stage, ignore_errors=True)
-        self._commit(version, [], [], dv=rel)
+        try:
+            self._commit(version, [], [], dv=rel)
+        except CommitConflict:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(os.path.join(self.root, rel))
+            raise
         return version
 
     def clone_to(self, dest_root: str) -> "LogTable":

@@ -262,6 +262,9 @@ HEADLINE = [
     "x74_source_js_divergence",
     "l21_concurrent_merge_retry",
     "s20_bloom_filter_pointread",
+    "a50_rfm_segmentation",
+    "x75_code_data_filter",
+    "sql16_join_hints",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -930,3 +930,50 @@ def test_bloom_pointread_pushes_in_list(spark, sf_dir):
     plan = _formatted_plan(spark, "s20_bloom_filter_pointread", sf_dir)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "In(user_id" in pushed[-1], pushed or plan[:2000]
+
+
+def test_join_hints_change_strategy(spark, sf_dir):
+    # sql16: the BROADCAST hint must plan a broadcast join; the
+    # SHUFFLE_MERGE hint on the same query must plan a sort-merge —
+    # proving the hint, not the size estimate, picked the strategy.
+    from voter_file_etl_spark.plans.sql_surface import sql16_with_hint
+
+    bcast = (
+        sql16_with_hint(spark, sf_dir, "BROADCAST")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    merge = (
+        sql16_with_hint(spark, sf_dir, "SHUFFLE_MERGE")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BroadcastHashJoin" in bcast, bcast[:2000]
+    assert "SortMergeJoin" in merge, merge[:2000]
+
+
+def test_rfm_windows_run_on_customer_rollup(spark, sf_dir):
+    # a50: the three ntile windows must sit above the per-customer
+    # aggregate (window input = customers, not orders) and the max
+    # order date must attach as a broadcast, not a driver constant.
+    plan = _formatted_plan(spark, "a50_rfm_segmentation", sf_dir)
+    assert "Window" in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
+    assert plan.index("Window") < plan.index("HashAggregate") or plan.count(
+        "HashAggregate"
+    ) >= 4, plan[:2000]
+
+
+def test_code_filter_is_map_side_rollup(spark, sf_dir):
+    # x75: regexp features are codegen'd; one bounded source rollup.
+    plan = _formatted_plan(spark, "x75_code_data_filter", sf_dir)
+    assert "Join type:" not in plan, plan[:2000]
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]

@@ -2115,3 +2115,73 @@ def x74_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 0.5d) as bigint)"
         ).alias("js_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X75 — code-vs-prose filtering: score every document on integer
+# syntax-density features (brace/bracket/semicolon characters,
+# assignment operators, digit density) and report the per-source
+# code fraction — the pretraining-curation split that routes
+# documents to code vs natural-language pipelines before
+# language-specific cleaning (x8's lang-ID is the NL analogue; this
+# is its code-side sibling). Every feature is a regexp_count /
+# length expression in basis points — no floats, no tokenizer.
+#
+# Scale: pure map-side Column arithmetic in whole-stage codegen plus
+# ONE bounded rollup on source — a4's shape over documents.
+# ---------------------------------------------------------------------------
+@register(
+    "x75_code_data_filter",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[{}()\\[\\];]')) AS BIGINT)
+               AS n_braces,
+             CAST(len(regexp_extract_all(text, '=')) AS BIGINT) AS n_eq,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+      FROM documents
+    ), scored AS (
+      SELECT source, n_braces,
+             (n_braces * 50 + n_eq * 30 + n_digits * 5) * 10000
+               // greatest(n_chars, 1) AS score_bp
+      FROM f
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score_bp >= 150 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_code,
+           CAST(10000 * sum(CASE WHEN score_bp >= 150 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS code_bp,
+           CAST(sum(n_braces) AS BIGINT) AS sum_braces
+    FROM scored GROUP BY source
+    """,
+)
+def x75_code_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr("regexp_count(text, '[{}()\\\\[\\\\];]')").cast("long").alias("n_braces"),
+        F.expr("regexp_count(text, '=')").cast("long").alias("n_eq"),
+        F.expr("regexp_count(text, '[0-9]')").cast("long").alias("n_digits"),
+    )
+    scored = f.select(
+        "source",
+        "n_braces",
+        F.expr(
+            "(n_braces * 50 + n_eq * 30 + n_digits * 5) * 10000"
+            " div greatest(n_chars, 1L)"
+        ).alias("score_bp"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score_bp") >= 150, 1).otherwise(0))
+        .cast("long")
+        .alias("n_code"),
+        F.expr(
+            "10000 * sum(case when score_bp >= 150 then 1 else 0 end)"
+            " div count(1)"
+        ).alias("code_bp"),
+        F.sum("n_braces").cast("long").alias("sum_braces"),
+    )

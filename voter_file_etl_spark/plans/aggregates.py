@@ -1518,3 +1518,99 @@ def a48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " within group (order by n_name)"
         ).alias("nation_custs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A50 — RFM segmentation: recency / frequency / monetary quintiles
+# per customer, folded into a 3-digit segment code, reported as the
+# segment-size distribution with per-segment averages. The canonical
+# CRM / voter-engagement scoring rollup (the reference's per-person
+# activity rollups feed exactly this kind of outreach tiering).
+# Recency is integer days from the corpus max order date (an in-plan
+# 1-row broadcast, not a driver-side constant); quintiles are
+# ntile(5) windows over the bounded per-customer rollup.
+#
+# Scale: one groupBy(custkey) with map-side combine builds the RFM
+# triple; the three ntile windows run over that rollup (rows =
+# customers, not orders); the final segment rollup is bounded (125
+# codes). ntile ties resolve by the window's full deterministic
+# ORDER BY (metric, custkey). An unpartitioned ntile funnels the
+# customer rollup through one task — fine while customers fit one
+# executor's sort spill; past that, swap to the broadcast-cutpoint
+# form (percentile_approx quintile boundaries as a 1-row broadcast,
+# then a map-side CASE bucket — value-boundary quantiles instead of
+# ntile's equal-count buckets, the trade RFM tooling accepts).
+# ---------------------------------------------------------------------------
+@register(
+    "a50_rfm_segmentation",
+    oracle="""
+    WITH mx AS (
+      SELECT max(o_orderdate) AS maxd FROM orders
+    ), rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT maxd FROM mx))
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m,
+             recency_days, frequency, monetary_cents
+      FROM rfm
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(recency_days) AS BIGINT) AS sum_recency_days,
+           CAST(sum(frequency) AS BIGINT) AS sum_orders,
+           CAST(sum(monetary_cents) AS BIGINT) AS sum_cents
+    FROM scored GROUP BY 1
+    """,
+)
+def a50_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "lastd").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = rfm.select(
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).alias("r"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary_cents"), "o_custkey"))
+        .alias("m"),
+    )
+    return scored.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("long")
+        .alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("recency_days").cast("long").alias("sum_recency_days"),
+        F.sum("frequency").cast("long").alias("sum_orders"),
+        F.sum("monetary_cents").cast("long").alias("sum_cents"),
+    )

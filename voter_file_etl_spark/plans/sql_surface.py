@@ -551,3 +551,46 @@ def sql15_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (v FOR measure IN (n_nations, n_custs, n_supps))
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL16 — join-strategy hints: the /*+ BROADCAST */ and
+# /*+ SHUFFLE_MERGE */ comment hints that let a SQL user pin a join
+# strategy when the optimizer's estimate is wrong (the escape hatch
+# for the 100 TB case where a "small" side's stats lie). The
+# registered query broadcasts the nation dim by HINT rather than by
+# size estimate; the plan gate asserts the hint actually changed
+# planning (broadcast under the hint, sort-merge under the opposite
+# hint — test_join_hints_change_strategy). Results are identical
+# either way, which is exactly what the oracle checks.
+# ---------------------------------------------------------------------------
+_SQL16 = """
+SELECT /*+ {hint}(n) */ n.n_name,
+       cast(count(*) as bigint) AS n_custs,
+       cast(sum(cast(floor(c.c_acctbal * 100 + 0.5{d}) as bigint))
+            as bigint) AS sum_cents
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "sql16_join_hints",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql16_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "nation")
+    return spark.sql(_SQL16.format(hint="BROADCAST", d="d"))
+
+
+def sql16_with_hint(spark: SparkSession, sf_dir: str, hint: str) -> DataFrame:
+    """The same query under an explicit strategy hint (for the gate)."""
+    _views(spark, sf_dir, "customer", "nation")
+    return spark.sql(_SQL16.format(hint=hint, d="d"))

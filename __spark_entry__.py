@@ -99,7 +99,8 @@ _BACKFILL = [
     "l20_write_audit_publish", "w20_cusum_drift", "f13_luhn_checksum",
     "x74_source_js_divergence", "l21_concurrent_merge_retry",
     "s20_bloom_filter_pointread", "a50_rfm_segmentation",
-    "x75_code_data_filter", "sql16_join_hints",
+    "x75_code_data_filter", "sql16_join_hints", "l22_log_checkpoint",
+    "w21_rolling_corr", "f14_timezone_localize",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

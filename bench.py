@@ -265,6 +265,9 @@ HEADLINE = [
     "a50_rfm_segmentation",
     "x75_code_data_filter",
     "sql16_join_hints",
+    "l22_log_checkpoint",
+    "w21_rolling_corr",
+    "f14_timezone_localize",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

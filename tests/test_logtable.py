@@ -395,3 +395,45 @@ def test_losing_writer_cannot_clobber_committed_data(spark, tmp_path):
     }
     assert all(rows[k] == "A" for k in range(0, 32, 2))
     assert all(rows[k] == "B" for k in range(1, 32, 2))
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_path):
+    # After checkpoint(), snapshot/active_files must read ONLY the
+    # checkpoint file plus tail entries — not the full log prefix —
+    # and produce byte-identical state to the full replay.
+    import unittest.mock as mock
+
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    for seq in range(6):  # versions 0..5
+        table.merge(
+            _mk(spark, [(k, seq, f"s{seq}") for k in range(seq, 32, 3)]), work
+        )
+    full = table.active_files()
+    ck = table.checkpoint()
+    assert ck == 5
+    table.merge(_mk(spark, [(k, 9, "post") for k in range(0, 8)]), work)  # v6
+
+    reads: list[str] = []
+    real = LogTable._read_json
+
+    def counting(self, path):
+        reads.append(os.path.basename(path))
+        return real(self, path)
+
+    with mock.patch.object(LogTable, "_read_json", counting):
+        files = table.active_files()
+    assert any(n.startswith("checkpoint-") for n in reads), reads
+    # tail-only: checkpoint + v6 entry (+ nothing from v0..v5)
+    assert "00000000.json" not in reads and "00000005.json" not in reads, reads
+
+    # state correctness: checkpointed replay == logical expectation
+    with mock.patch.object(
+        LogTable, "latest_checkpoint", return_value=None
+    ):
+        unchecked = table.active_files()
+    assert files == unchecked
+    # pre-checkpoint time travel still replays from entries alone
+    assert table.active_files(3) is not None
+    rows = {r["k"]: r["payload"] for r in table.snapshot().collect()}
+    assert all(rows[k] == "post" for k in range(8))

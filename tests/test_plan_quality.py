@@ -977,3 +977,20 @@ def test_code_filter_is_map_side_rollup(spark, sf_dir):
     plan = _formatted_plan(spark, "x75_code_data_filter", sf_dir)
     assert "Join type:" not in plan, plan[:2000]
     assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_rolling_corr_shares_one_window(spark, sf_dir):
+    # w21: all six sufficient statistics must evaluate in ONE Window
+    # node over one (priority, day-ordered) sort — six separate
+    # windows would be six sorts.
+    plan = _formatted_plan(spark, "w21_rolling_corr", sf_dir)
+    assert plan.count(") Window") == 1, plan[:2000]
+    assert "Join type:" not in plan, plan[:2000]
+
+
+def test_timezone_localize_is_map_side(spark, sf_dir):
+    # f14: from_utc_timestamp is codegen'd expression work — no join,
+    # no Python anywhere.
+    plan = _formatted_plan(spark, "f14_timezone_localize", sf_dir)
+    assert "Join type:" not in plan, plan[:2000]
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]

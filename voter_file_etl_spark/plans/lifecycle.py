@@ -1107,3 +1107,62 @@ def l21_concurrent_merge_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.lit(n_commits).cast("long").alias("n_commits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L22 — log checkpointing: fold the commit-log prefix into one
+# checkpoint file (Delta's _last_checkpoint role) so replay walks
+# checkpoint + tail instead of every entry — the bound on SCALE.md's
+# documented "driver-side O(versions) bookkeeping" caveat. This key
+# checkpoints the shared 4-merge table (on a mutable copy), lands
+# one MORE merge on top, and reads the head THROUGH the checkpointed
+# replay path; the oracle is the global argmax over all events, so a
+# checkpoint that froze stale state, dropped a tail entry, or leaked
+# a removed file hash-mismatches at row level.
+# tests/test_logtable.py::test_checkpoint_bounds_log_replay proves
+# the replay reads ONLY checkpoint + tail (instrumented read count)
+# and that pre-checkpoint time travel still works.
+#
+# Scale: checkpoint write is O(active files) driver JSON, done once
+# per N commits; every subsequent read is O(tail). Data files are
+# untouched.
+# ---------------------------------------------------------------------------
+@register(
+    "l22_log_checkpoint",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id,
+           CAST(5 AS BIGINT) AS n_commits
+    FROM w WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def l22_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l22_ckpt_")
+    table = _build_logtable(spark, sf_dir, work, mutable=True)
+    table.checkpoint()  # folds versions 0..3
+    events = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    # One more merge AFTER the checkpoint: the head read must combine
+    # checkpointed state with the tail entry. Re-merging a subset of
+    # already-present rows is idempotent under total-order LWW, so
+    # the head equals the global argmax the oracle computes.
+    table.merge(events.filter(F.col("event_id") % 5 == 0), work)
+    n_commits = table.latest_version() + 1
+    return table.snapshot().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("event_id").cast("long").alias("sum_last_id"),
+        F.lit(n_commits).cast("long").alias("n_commits"),
+    )

@@ -1275,3 +1275,44 @@ def f13_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "10000 * sum(case when ok then 1 else 0 end) div count(1)"
         ).alias("valid_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F14 — timezone localization: convert the UTC event stream to
+# America/New_York wall-clock and histogram by local hour — the
+# "when do voters actually answer" rollup every outreach scheduler
+# runs (the reference stores naive UTC; wall-clock analytics need
+# the IANA conversion, DST shifts included). The 2024 event range
+# crosses both DST transitions (Mar 10 spring-forward, Nov 3
+# fall-back), so a conversion that applied a fixed offset — or an
+# engine pinned to a different tzdata — mismatches row counts at
+# the transition hours. Both engines resolve the same IANA zone db.
+#
+# Scale: pure map-side timestamp arithmetic (codegen'd
+# from_utc_timestamp) + one bounded 24-row rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "f14_timezone_localize",
+    oracle="""
+    SELECT CAST(hour(ts::TIMESTAMP AT TIME ZONE 'UTC'
+                     AT TIME ZONE 'America/New_York') AS BIGINT) AS local_hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def f14_timezone_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.hour(F.from_utc_timestamp("ts", "America/New_York"))
+            .cast("long")
+            .alias("local_hour"),
+            "user_id",
+        )
+        .groupBy("local_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -931,3 +931,87 @@ def w18_resample_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         (next_day - F.col("day_idx")).cast("long").alias("days_to_next"),
         F.col("value").isNotNull().alias("has_event"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W21 — rolling correlation between two daily series (order count vs
+# order dollars) over a 14-day frame per priority: the bivariate
+# rolling statistic behind "is volume decoupling from revenue"
+# monitoring. All six sufficient statistics (n, Σx, Σy, Σx², Σy²,
+# Σxy) are EXACT bigint window sums sharing one frame; only the
+# final Pearson ratio touches doubles — num/√dx/√dy with IEEE
+# correctly-rounded /,*,sqrt, so the identical expression text is
+# bit-equal across engines, then floor(·1e4 + 0.5) quantizes to bp.
+# Dollars (floor of totalprice) keep n·Σy² inside int64 through
+# ~sf1; larger corpora would rescale y (the comment is the contract).
+#
+# Scale: the daily rollup aggregates first (map-side combine; rows =
+# days × priorities, bounded); all six window sums share ONE
+# exchange + sort on priority. Degenerate frames (zero variance)
+# emit 0 by the guarded CASE.
+# ---------------------------------------------------------------------------
+@register(
+    "w21_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT priority, day, x, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY priority ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT priority, CAST(day AS DATE) AS day, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(floor(
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                  * 10000 + 0.5) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS corr_bp
+    FROM s
+    """,
+)
+def w21_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.expr("cast(floor(o_totalprice) as bigint)"))
+        .cast("long")
+        .alias("y"),
+    )
+    w = W.partitionBy("priority").orderBy("day").rowsBetween(-13, 0)
+    s = daily.select(
+        "priority",
+        "day",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    return s.select(
+        "priority",
+        F.col("day").cast("date").alias("day"),
+        "n",
+        F.expr(
+            "case when n * sxx - sx * sx > 0 and n * syy - sy * sy > 0"
+            " then cast(floor("
+            "cast(n * sxy - sx * sy as double)"
+            " / sqrt(cast(n * sxx - sx * sx as double))"
+            " / sqrt(cast(n * syy - sy * sy as double))"
+            " * 10000 + 0.5d) as bigint)"
+            " else 0L end"
+        ).alias("corr_bp"),
+    )

@@ -85,28 +85,83 @@ class LogTable:
     def _entry_path(self, version: int) -> str:
         return os.path.join(self.root, _LOG_DIR, f"{version:08d}.json")
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(
+            self.root, _LOG_DIR, f"checkpoint-{version:08d}.json"
+        )
+
+    def _read_json(self, path: str) -> dict:
+        with open(path) as f:
+            return json.load(f)
+
     def latest_version(self) -> int:
         """Highest committed version, or -1 for an empty table."""
         names = [
             n
             for n in os.listdir(os.path.join(self.root, _LOG_DIR))
-            if n.endswith(".json")
+            if n.endswith(".json") and n[:-5].isdigit()
         ]
         return max((int(n[:-5]) for n in names), default=-1)
 
+    def latest_checkpoint(self, version: int | None = None) -> int | None:
+        """Highest checkpoint version <= ``version`` (None if none)."""
+        if version is None:
+            version = self.latest_version()
+        cands = [
+            int(n[len("checkpoint-"):-5])
+            for n in os.listdir(os.path.join(self.root, _LOG_DIR))
+            if n.startswith("checkpoint-") and n.endswith(".json")
+        ]
+        cands = [v for v in cands if v <= version]
+        return max(cands, default=None)
+
+    def checkpoint(self) -> int:
+        """Fold the log prefix into one checkpoint file (Delta's
+        _last_checkpoint role): the full active-file set and DV state
+        as of the latest version, published atomically. Replays then
+        start from the checkpoint and walk only the tail entries, so
+        driver-side log bookkeeping is O(commits since checkpoint)
+        instead of O(all commits). Log entries stay in place —
+        history() and pre-checkpoint time travel still work.
+        """
+        version = self.latest_version()
+        state = {
+            "version": version,
+            "files": self.active_files(version),
+            "dv": self.active_dv(version),
+        }
+        path = self._checkpoint_path(version)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1, sort_keys=True)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            pass  # identical by construction: same version, same replay
+        finally:
+            os.unlink(tmp)
+        return version
+
     def history(self) -> list[dict]:
         return [
-            json.load(open(self._entry_path(v)))
+            self._read_json(self._entry_path(v))
             for v in range(self.latest_version() + 1)
         ]
 
     def active_files(self, version: int | None = None) -> list[dict]:
-        """Replay log entries 0..version -> the live file descriptors."""
+        """Live file descriptors as of ``version``: replay from the
+        newest checkpoint at or below it (tail-only), else from 0."""
         if version is None:
             version = self.latest_version()
         active: dict[str, dict] = {}
-        for v in range(version + 1):
-            entry = json.load(open(self._entry_path(v)))
+        start = 0
+        ckpt = self.latest_checkpoint(version)
+        if ckpt is not None:
+            state = self._read_json(self._checkpoint_path(ckpt))
+            active = {f["path"]: f for f in state["files"]}
+            start = ckpt + 1
+        for v in range(start, version + 1):
+            entry = self._read_json(self._entry_path(v))
             for path in entry["removes"]:
                 active.pop(path, None)
             for add in entry["adds"]:
@@ -153,8 +208,13 @@ class LogTable:
         if version is None:
             version = self.latest_version()
         dv = None
-        for v in range(version + 1):
-            entry = json.load(open(self._entry_path(v)))
+        start = 0
+        ckpt = self.latest_checkpoint(version)
+        if ckpt is not None:
+            dv = self._read_json(self._checkpoint_path(ckpt)).get("dv")
+            start = ckpt + 1
+        for v in range(start, version + 1):
+            entry = self._read_json(self._entry_path(v))
             if "dv" in entry:
                 dv = entry["dv"]
         return dv

@@ -100,7 +100,8 @@ _BACKFILL = [
     "x74_source_js_divergence", "l21_concurrent_merge_retry",
     "s20_bloom_filter_pointread", "a50_rfm_segmentation",
     "x75_code_data_filter", "sql16_join_hints", "l22_log_checkpoint",
-    "w21_rolling_corr", "f14_timezone_localize",
+    "w21_rolling_corr", "f14_timezone_localize", "x77_dp_noisy_release",
+    "sql17_group_by_all", "x78_bm25_scoring",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -268,6 +268,9 @@ HEADLINE = [
     "l22_log_checkpoint",
     "w21_rolling_corr",
     "f14_timezone_localize",
+    "x77_dp_noisy_release",
+    "sql17_group_by_all",
+    "x78_bm25_scoring",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

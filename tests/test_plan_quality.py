@@ -994,3 +994,29 @@ def test_timezone_localize_is_map_side(spark, sf_dir):
     plan = _formatted_plan(spark, "f14_timezone_localize", sf_dir)
     assert "Join type:" not in plan, plan[:2000]
     assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_dp_release_noise_is_per_cell(spark, sf_dir):
+    # x77: the Laplace draw must be expression math on the bounded
+    # release rollup — no join, no Python, one aggregate exchange.
+    plan = _formatted_plan(spark, "x77_dp_noisy_release", sf_dir)
+    assert "Join type:" not in plan, plan[:2000]
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_group_by_all_lowers_to_partial_final(spark, sf_dir):
+    # sql17: inferred grouping keys must still plan the ordinary
+    # map-side partial + final aggregate.
+    plan = _formatted_plan(spark, "sql17_group_by_all", sf_dir)
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+
+
+def test_bm25_probe_filter_reaches_scan(spark, sf_dir):
+    # x78: the probe-subset predicate must push into the tf branch's
+    # parquet scan (the df/dlen branches legitimately read all docs);
+    # corpus stats ride a broadcast; no cartesian.
+    plan = _formatted_plan(spark, "x78_bm25_scoring", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("doc_id" in ln for ln in pushed), pushed or plan[:2000]

@@ -1091,3 +1091,77 @@ def x72_length_bucket_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (bucket_len * count(1))"
         ).alias("waste_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X77 — differentially-private noisy release: per-nation customer
+# counts released through the Laplace mechanism (sensitivity 1,
+# eps = 0.5 -> scale b = 2). Voter-file statistics are exactly the
+# release surface DP was built for; this key demonstrates the
+# mechanism with SEEDED determinism — the uniform draw is the
+# md5-hex of (group key, release tag) mapped to (0,1), so the same
+# release is reproducible on every engine and run (a production
+# release rotates the tag per publication). The inverse-CDF Laplace
+# transform is the identical expression text on both sides (IEEE
+# /,*,abs,ln), quantized to an integer perturbation; released
+# counts clamp at zero.
+#
+# Scale: one map-side-combined groupBy + per-row expression math on
+# the bounded release rows. The noise is drawn PER RELEASED CELL,
+# never per input row.
+# ---------------------------------------------------------------------------
+@register(
+    "x77_dp_noisy_release",
+    oracle=f"""
+    WITH agg AS (
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_true
+      FROM customer GROUP BY c_nationkey
+    ), u AS (
+      SELECT c_nationkey, n_true,
+             (CAST({_bucket_sql("concat('dp-v1-', CAST(c_nationkey AS VARCHAR))", 4294967296)} AS DOUBLE)
+              + 0.5) / 4294967296.0 AS uni
+      FROM agg
+    )
+    SELECT c_nationkey, n_true,
+           CAST(greatest(0, n_true + CAST(floor(
+             -2.0 * (CASE WHEN uni >= 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1.0 - 2.0 * abs(uni - 0.5)) + 0.5) AS BIGINT))
+             AS BIGINT) AS noisy_n
+    FROM u
+    """,
+)
+def x77_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    agg = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    u32 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dp-v1-"), F.col("c_nationkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(4294967296)
+    )
+    uni = (u32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    with_u = agg.select("c_nationkey", "n_true", uni.alias("uni"))
+    return with_u.select(
+        "c_nationkey",
+        "n_true",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("n_true")
+            + F.floor(
+                F.lit(-2.0)
+                * F.when(F.col("uni") >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+                * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(F.col("uni") - F.lit(0.5)))
+                + F.lit(0.5)
+            ).cast("bigint"),
+        )
+        .cast("long")
+        .alias("noisy_n"),
+    )

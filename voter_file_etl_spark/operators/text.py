@@ -2185,3 +2185,103 @@ def x75_code_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_bp"),
         F.sum("n_braces").cast("long").alias("sum_braces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X78 — BM25 term scoring: the retrieval-ranking scorer (Okapi BM25,
+# k1=1.2, b=0.75) over the document corpus — x16's TF-IDF sibling
+# with saturation and length normalization, the function every
+# retrieval-augmented pipeline ranks candidate passages with. The
+# corpus statistics (N, total length) ride a 1-row broadcast;
+# df joins on the term key. The probe subset (doc_id % 50 = 0)
+# bounds the emitted rows exactly like x16. Quantization: idf and
+# the final score are floor(x*1e6 + 0.5) micro-units built from the
+# identical expression text on both engines; tf, dl, df, N, and
+# total length are exact integers throughout.
+#
+# Scale: two token aggregates (map-side combined) + one equi-join on
+# the term key + one broadcast — linear in corpus tokens; no
+# Python, no cartesian.
+# ---------------------------------------------------------------------------
+@register(
+    "x78_bm25_scoring",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ), tfc AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, w
+    ), dlen AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), dfw AS (
+      SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY w
+    ), corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dlen
+    )
+    SELECT tfc.doc_id, tfc.w AS term, tf, dl, df,
+           CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                      * 1000000 + 0.5) AS BIGINT) AS idf_micro,
+           CAST(floor(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * (CAST(tf AS DOUBLE) * 2.2)
+             / (CAST(tf AS DOUBLE) + 1.2 *
+                (0.25 + 0.75 * CAST(dl AS DOUBLE) * n_docs / total_len))
+             * 1000000 + 0.5) AS BIGINT) AS bm25_micro
+    FROM tfc
+    JOIN dlen ON tfc.doc_id = dlen.doc_id
+    JOIN dfw ON tfc.w = dfw.w
+    CROSS JOIN corpus
+    WHERE tfc.doc_id % 50 = 0
+    """,
+)
+def x78_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w")
+    ).filter(F.col("w") != "")
+    tfc = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    dfw = (
+        toks.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    corpus = dlen.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    return (
+        tfc.filter(F.col("doc_id") % 50 == 0)
+        .join(dlen, "doc_id")
+        .join(dfw, "w")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "dl",
+            "df",
+            F.expr(
+                "cast(floor(ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d))"
+                " * 1000000 + 0.5d) as bigint)"
+            ).alias("idf_micro"),
+            F.expr(
+                "cast(floor("
+                "ln(1.0d + (n_docs - df + 0.5d) / (df + 0.5d))"
+                " * (cast(tf as double) * 2.2d)"
+                " / (cast(tf as double) + 1.2d *"
+                " (0.25d + 0.75d * cast(dl as double) * n_docs / total_len))"
+                " * 1000000 + 0.5d) as bigint)"
+            ).alias("bm25_micro"),
+        )
+    )

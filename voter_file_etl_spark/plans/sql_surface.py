@@ -594,3 +594,30 @@ def sql16_with_hint(spark: SparkSession, sf_dir: str, hint: str) -> DataFrame:
     """The same query under an explicit strategy hint (for the gate)."""
     _views(spark, sf_dir, "customer", "nation")
     return spark.sql(_SQL16.format(hint=hint, d="d"))
+
+
+# ---------------------------------------------------------------------------
+# SQL17 — GROUP BY ALL / ORDER BY ALL: the analyst-ergonomics syntax
+# (DuckDB popularized it; Spark 3.4+ adopted it) where the grouping
+# key list is inferred from the non-aggregate select items. ONE SQL
+# string runs VERBATIM on both engines — the strongest form of the
+# frontend-parity claim (every other sql* key needs at least alias
+# or cast dialect tweaks; this one is byte-identical). Lowered plan
+# is the ordinary partial+final aggregate.
+# ---------------------------------------------------------------------------
+_SQL17 = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register("sql17_group_by_all", oracle=_SQL17)
+def sql17_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL17)

@@ -101,7 +101,8 @@ _BACKFILL = [
     "s20_bloom_filter_pointread", "a50_rfm_segmentation",
     "x75_code_data_filter", "sql16_join_hints", "l22_log_checkpoint",
     "w21_rolling_corr", "f14_timezone_localize", "x77_dp_noisy_release",
-    "sql17_group_by_all", "x78_bm25_scoring",
+    "sql17_group_by_all", "x78_bm25_scoring", "a52_kaplan_meier",
+    "a53_holt_forecast",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

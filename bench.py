@@ -271,6 +271,8 @@ HEADLINE = [
     "x77_dp_noisy_release",
     "sql17_group_by_all",
     "x78_bm25_scoring",
+    "a52_kaplan_meier",
+    "a53_holt_forecast",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1020,3 +1020,24 @@ def test_bm25_probe_filter_reaches_scan(spark, sf_dir):
     assert "Broadcast" in plan, plan[:2000]
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("doc_id" in ln for ln in pushed), pushed or plan[:2000]
+
+
+def test_kaplan_meier_windows_run_on_duration_rollup(spark, sf_dir):
+    # a52: the risk-set and log-survival windows must sit above the
+    # bounded duration rollup (two Window nodes total), with the
+    # anchor date broadcast and no Python anywhere.
+    plan = _formatted_plan(spark, "a52_kaplan_meier", sf_dir)
+    assert plan.count(") Window") == 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan, plan[:2000]
+
+
+def test_holt_recurrence_runs_on_bounded_rollup(spark, sf_dir):
+    # a53: same contract as w20 — the sequential smoother
+    # (FlatMapGroupsInPandas) sees only the weekly rollup.
+    plan = _formatted_plan(spark, "a53_holt_forecast", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert plan.index("FlatMapGroupsInPandas") < plan.index(
+        "HashAggregate"
+    ), plan[:3000]

@@ -1181,3 +1181,196 @@ def w20_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return weekly.groupBy("priority").applyInPandas(cusum, schema)
+
+
+# ---------------------------------------------------------------------------
+# A52 — Kaplan-Meier survival curve over user lifetimes: duration =
+# days between a user's first and last event; a user whose last
+# event falls on the corpus's final day is CENSORED (still active),
+# everyone else is a churn event at their duration. The KM estimator
+# S(t) = prod(1 - d_t/n_t) is emitted in log-space as an exact
+# integer cumulative sum of floor(ln((n-d)/n)*1e6 + 0.5) micro-nat
+# terms (the x27 quantize-then-sum discipline — no cross-engine
+# product of floats). Rows where the entire remaining risk set
+# churns (n_t = d_t, log S = -inf) are excluded on both sides; the
+# curve is reported to the last finite level, the standard plotting
+# convention. Churn/retention survival is the canonical lifecycle
+# statistic for contact lists (does a voter stay reachable?).
+#
+# Scale: ONE user rollup (map-side combined) then all counts and
+# windows run over the BOUNDED duration rollup (<= days in the
+# corpus window); no joins, no Python.
+# ---------------------------------------------------------------------------
+@register(
+    "a52_kaplan_meier",
+    oracle="""
+    WITH mx AS (
+      SELECT max(CAST(ts AS DATE)) AS maxd FROM events
+    ), life AS (
+      SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS dur,
+             CASE WHEN max(CAST(ts AS DATE)) < (SELECT maxd FROM mx)
+                  THEN 1 ELSE 0 END AS churned
+      FROM events GROUP BY user_id
+    ), byd AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+             CAST(sum(churned) AS BIGINT) AS d_t
+      FROM life GROUP BY dur
+    ), risk AS (
+      SELECT dur, d_t,
+             sum(n_at) OVER (ORDER BY dur DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_t
+      FROM byd
+    ), terms AS (
+      SELECT dur, CAST(n_t AS BIGINT) AS at_risk, d_t,
+             CAST(floor(ln(CAST(n_t - d_t AS DOUBLE) / n_t) * 1000000 + 0.5)
+                  AS BIGINT) AS term_micro
+      FROM risk WHERE d_t > 0 AND n_t > d_t
+    )
+    SELECT dur AS duration_days, at_risk, d_t AS n_events,
+           CAST(sum(term_micro) OVER (ORDER BY dur
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_log_surv_micro
+    FROM terms
+    """,
+)
+def a52_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    mx = ev.agg(F.max("d").alias("maxd"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(F.min("d").alias("first_d"), F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("last_d", "first_d").alias("dur"),
+            F.when(F.col("last_d") < F.col("maxd"), 1).otherwise(0).alias(
+                "churned"
+            ),
+        )
+    )
+    byd = life.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("churned").cast("long").alias("d_t"),
+    )
+    w_desc = (
+        W.orderBy(F.col("dur").desc()).rowsBetween(W.unboundedPreceding, 0)
+    )
+    risk = byd.select(
+        "dur", "d_t", F.sum("n_at").over(w_desc).cast("long").alias("n_t")
+    )
+    terms = risk.filter(
+        (F.col("d_t") > 0) & (F.col("n_t") > F.col("d_t"))
+    ).select(
+        "dur",
+        F.col("n_t").alias("at_risk"),
+        "d_t",
+        F.expr(
+            "cast(floor(ln(cast(n_t - d_t as double) / n_t)"
+            " * 1000000 + 0.5d) as bigint)"
+        ).alias("term_micro"),
+    )
+    w_asc = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    return terms.select(
+        F.col("dur").alias("duration_days"),
+        "at_risk",
+        F.col("d_t").alias("n_events"),
+        F.sum("term_micro").over(w_asc).cast("long").alias("cum_log_surv_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A53 — Holt linear-trend forecast of weekly order volume per
+# priority: the two coupled exponential-smoothing recurrences
+#   l_t = 0.5·x_t + 0.5·(l_{t-1} + b_{t-1})
+#   b_t = 0.5·(l_t − l_{t-1}) + 0.5·b_{t-1}
+# (α = β = 0.5 — exactly-representable doubles) with h-step-ahead
+# forecasts l_n + h·b_n for h = 1..4. Like w20, the recurrence is
+# genuinely sequential (not window-expressible): Python runs it via
+# applyInPandas on the bounded weekly rollup while the oracle
+# unrolls the IDENTICAL operation sequence as a recursive CTE —
+# IEEE doubles with the same op order are bit-equal across engines,
+# and outputs quantize to cents only at the boundary.
+#
+# Scale: identical posture to w20 — map-side-combined weekly
+# aggregate first, recurrence over O(weeks) rows per key, one
+# shuffle on priority.
+# ---------------------------------------------------------------------------
+@register(
+    "a53_holt_forecast",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT o_orderpriority AS priority,
+             date_trunc('week', o_orderdate) AS wk,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ), idx AS (
+      SELECT priority, CAST(x AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY priority ORDER BY wk) AS i,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM w
+    ), rec AS (
+      SELECT priority, i, n, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT v.priority, v.i, v.n,
+             0.5 * v.x + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * v.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN idx v ON v.priority = r.priority AND v.i = r.i + 1
+    )
+    SELECT priority,
+           CAST(n AS BIGINT) AS n_weeks,
+           CAST(floor(l * 100 + 0.5) AS BIGINT) AS level_c,
+           CAST(floor(b * 100 + 0.5) AS BIGINT) AS trend_c,
+           CAST(floor((l + 1 * b) * 100 + 0.5) AS BIGINT) AS f1_c,
+           CAST(floor((l + 2 * b) * 100 + 0.5) AS BIGINT) AS f2_c,
+           CAST(floor((l + 3 * b) * 100 + 0.5) AS BIGINT) AS f3_c,
+           CAST(floor((l + 4 * b) * 100 + 0.5) AS BIGINT) AS f4_c
+    FROM rec WHERE i = n
+    """,
+)
+def a53_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    orders = t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    schema = (
+        "priority string, n_weeks bigint, level_c bigint, trend_c bigint,"
+        " f1_c bigint, f2_c bigint, f3_c bigint, f4_c bigint"
+    )
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("wk").reset_index(drop=True)
+        xs = [float(v) for v in pdf["x"]]
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            # Same op order as the oracle's recursive CTE: IEEE
+            # doubles make the trajectories bit-equal across engines.
+            l_new = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        q = lambda v: int(math.floor(v * 100 + 0.5))  # noqa: E731
+        return pd.DataFrame(
+            [
+                {
+                    "priority": pdf["priority"].iloc[0],
+                    "n_weeks": len(xs),
+                    "level_c": q(l),
+                    "trend_c": q(b),
+                    "f1_c": q(l + 1 * b),
+                    "f2_c": q(l + 2 * b),
+                    "f3_c": q(l + 3 * b),
+                    "f4_c": q(l + 4 * b),
+                }
+            ]
+        )
+
+    return weekly.groupBy("priority").applyInPandas(holt, schema)

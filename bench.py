@@ -273,6 +273,8 @@ HEADLINE = [
     "x78_bm25_scoring",
     "a52_kaplan_meier",
     "a53_holt_forecast",
+    "s21_corrupt_file_recovery",
+    "a54_referential_audit",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1041,3 +1041,12 @@ def test_holt_recurrence_runs_on_bounded_rollup(spark, sf_dir):
     assert plan.index("FlatMapGroupsInPandas") < plan.index(
         "HashAggregate"
     ), plan[:3000]
+
+
+def test_referential_audit_uses_anti_joins(spark, sf_dir):
+    # a54: every integrity check must plan as a left-anti join on
+    # key-only projections — no NOT IN null-aware nested loops, no
+    # cartesian.
+    plan = _formatted_plan(spark, "a54_referential_audit", sf_dir)
+    assert plan.count("LeftAnti") >= 4, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

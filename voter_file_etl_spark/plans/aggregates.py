@@ -1614,3 +1614,107 @@ def a50_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frequency").cast("long").alias("sum_orders"),
         F.sum("monetary_cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A54 — referential-integrity audit: the warehouse health report a
+# nightly load runs before publishing — orphaned facts (lineitems
+# whose order vanished), childless parents (orders with no lines),
+# customers with no orders, and orders pointing at missing
+# customers. Every check is an ANTI-JOIN count (the scalable
+# spelling — never NOT IN with its null traps, never a driver-side
+# diff) plus the denominator, reported in basis points. The
+# reference loads per-state files with no cross-file integrity
+# gate; this is that gate.
+#
+# Scale: four left-anti joins, each on the natural key its check
+# audits; key-only projections mean the shuffles carry join keys,
+# not payloads. AQE handles the fact-fact sizes.
+# ---------------------------------------------------------------------------
+@register(
+    "a54_referential_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orphan_lineitems' AS check_name,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_violations,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_total
+      UNION ALL
+      SELECT 'orders_without_lines',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                WHERE l.l_orderkey = o.o_orderkey)),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders)
+      UNION ALL
+      SELECT 'customers_without_orders',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey)),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer)
+      UNION ALL
+      SELECT 'orders_orphan_customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders)
+    )
+    SELECT check_name, n_violations, n_total,
+           CAST(10000 * n_violations // n_total AS BIGINT) AS violation_bp
+    FROM checks
+    """,
+)
+def a54_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+
+    def check(name, violations, total_df):
+        v = violations.agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        n = total_df.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        return v.crossJoin(F.broadcast(n)).select(
+            F.lit(name).alias("check_name"),
+            "n_violations",
+            "n_total",
+            F.expr("10000 * n_violations div n_total").alias("violation_bp"),
+        )
+
+    rows = [
+        check(
+            "orphan_lineitems",
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == orders["o_orderkey"],
+                "left_anti",
+            ),
+            li,
+        ),
+        check(
+            "orders_without_lines",
+            orders.join(
+                li, orders["o_orderkey"] == li["l_orderkey"], "left_anti"
+            ),
+            orders,
+        ),
+        check(
+            "customers_without_orders",
+            cust.join(
+                orders.select("o_custkey"),
+                cust["c_custkey"] == orders["o_custkey"],
+                "left_anti",
+            ),
+            cust,
+        ),
+        check(
+            "orders_orphan_customer",
+            orders.join(
+                cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+            ),
+            orders,
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

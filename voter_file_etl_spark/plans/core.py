@@ -1098,3 +1098,72 @@ def s20_bloom_filter_pointread(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# S21 — corrupt-file recovery: a landing directory where one
+# partition's parquet file has a destroyed footer (truncated upload
+# — the failure mode object-store ingestion actually produces). A
+# strict read fails the whole job; with
+# spark.sql.files.ignoreCorruptFiles the scan skips exactly the
+# unreadable file and every healthy partition survives — s10's
+# permissive-CSV posture lifted to the binary format. The key
+# corrupts the single file of partition p=3 (repartition(1) per
+# partition makes the blast radius deterministic) and returns the
+# recovered per-partition rollup; the oracle states what recovery
+# MUST yield: all rows except partition 3's.
+#
+# Scale: recovery is a scan-level skip — no retry storms, no driver
+# listing beyond the normal file index; the conf is scoped to this
+# read and restored.
+# ---------------------------------------------------------------------------
+@register(
+    "s21_corrupt_file_recovery",
+    oracle="""
+    SELECT o_orderkey % 4 AS p,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders WHERE o_orderkey % 4 <> 3
+    GROUP BY 1
+    """,
+)
+def s21_corrupt_file_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    out = tempfile.mkdtemp(
+        prefix="s21_corrupt_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 4).alias("p"),
+    )
+    (
+        orders.repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .parquet(out)
+    )
+    victim = sorted(glob.glob(os.path.join(out, "p=3", "*.parquet")))[0]
+    with open(victim, "r+b") as f:
+        f.truncate(100)  # destroy the footer: unreadable file
+    old = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        back = spark.read.parquet(out)
+        result = (
+            back.groupBy(F.col("p").cast("bigint").alias("p"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+                )
+                .cast("long")
+                .alias("sum_cents"),
+            )
+            .localCheckpoint()  # materialize under the scoped conf
+        )
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
+    return result

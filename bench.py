@@ -275,6 +275,7 @@ HEADLINE = [
     "a53_holt_forecast",
     "s21_corrupt_file_recovery",
     "a54_referential_audit",
+    "st17_stream_cusum",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

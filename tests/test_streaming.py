@@ -208,3 +208,28 @@ def test_distinct_users_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_cusum_state_carries_across_batches(spark, sf_dir):
+    # st17: the recurrence must genuinely span micro-batches — every
+    # key emits once per batch with a strictly growing processed-row
+    # index, and the final index equals the key's full series length
+    # (nothing reprocessed, nothing dropped).
+    from voter_file_etl_spark.streaming import stateful as st
+
+    st.st17_stream_cusum(spark, sf_dir).collect()
+    emissions = (
+        spark.table("st17_stream_out")
+        .select("event_type", "idx", "n_days")
+        .collect()
+    )
+    by_key: dict = {}
+    for r in emissions:
+        by_key.setdefault(r["event_type"], []).append(r["idx"])
+    for etype, idxs in by_key.items():
+        assert len(idxs) >= 2, f"{etype}: state never crossed a batch"
+        s = sorted(idxs)
+        assert s == sorted(set(s)) and s[-1] > s[0], (etype, idxs)
+    n_days = {r["event_type"]: r["n_days"] for r in emissions}
+    final = {k: max(v) for k, v in by_key.items()}
+    assert final == n_days, (final, n_days)

@@ -534,3 +534,202 @@ def st15_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "sum_cents", "max_us")).alias("s"))
         .select("user_id", "event_type", "s.n_events", "s.sum_cents", "s.max_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST17 — streaming CUSUM drift detection (w20's monitor as a REAL
+# stream): the daily per-type revenue rollup arrives in three
+# chronological micro-batches and a per-key numeric accumulator
+# (S, max, alarm count, first-alarm index) carries ACROSS batch
+# boundaries — the third state shape in the suite after first-seen
+# dedup (st4, monoid fold) and sessionization (st13, timeout
+# eviction): a sequential recurrence where arrival order matters
+# and state is the only thing connecting batches. Reference
+# parameters (series length, total) are baked into the feed by the
+# upstream batch job — the offline-reference/online-detector split
+# every production monitor uses. The max(0, ·) reflection is w20's
+# exact-integer form, so the streamed final states equal the batch
+# recursive-CTE oracle row for row.
+#
+# Determinism engineering: batches split on day-value terciles
+# (chronology holds per key across batches), mtime-ordered files,
+# maxFilesPerTrigger=1, in-batch rows sorted by day; update-mode
+# emissions resolve to each key's LAST batch via max_by(idx).
+#
+# Scale: state is five int64s per key; the detector sees the
+# BOUNDED daily rollup, never raw events.
+# ---------------------------------------------------------------------------
+_ST17_OUT = (
+    "event_type string, idx long, n_days long, s long, mx long,"
+    " alarms long, first_alarm long"
+)
+_ST17_STATE = "idx long, s long, mx long, alarms long, first_alarm long"
+
+
+def _cusum_state(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    etype = key[0]
+    parts = [p for p in pdfs if len(p)]
+    pdf = pd.concat(parts).sort_values("day_idx")
+    idx, s, mx, alarms, first = state.get if state.exists else (0, 0, 0, 0, 0)
+    n = int(pdf["n_days"].iloc[0])
+    total = int(pdf["total_cents"].iloc[0])
+    thr = 2 * total
+    for cents in pdf["cents"].astype("int64"):
+        idx += 1
+        s = max(0, s + n * int(cents) - total)
+        if s > mx:
+            mx = s
+        if s > thr:
+            alarms += 1
+            if first == 0:
+                first = idx
+    state.update((idx, s, mx, alarms, first))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": etype,
+                "idx": idx,
+                "n_days": n,
+                "s": s,
+                "mx": mx,
+                "alarms": alarms,
+                "first_alarm": first,
+            }
+        ]
+    )
+
+
+@register(
+    "st17_stream_cusum",
+    oracle="""
+    WITH RECURSIVE d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(cents) OVER (PARTITION BY event_type) AS total
+      FROM d
+    ), rec AS (
+      SELECT event_type, i, n, total,
+             greatest(0, n * cents - total) AS s
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT b.event_type, b.i, b.n, b.total,
+             greatest(0, r.s + b.n * b.cents - b.total)
+      FROM rec r JOIN idx b
+        ON b.event_type = r.event_type AND b.i = r.i + 1
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN s > 2 * total THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms,
+           CAST(max(s) AS BIGINT) AS max_s,
+           CAST(coalesce(min(CASE WHEN s > 2 * total THEN i END), 0)
+                AS BIGINT) AS first_alarm
+    FROM rec GROUP BY event_type
+    """,
+)
+def st17_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import time as _time
+
+    from pyspark.sql.window import Window as W
+
+    from voter_file_etl_spark.tables import t
+
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(prefix="st17_cusum_")
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.expr("cast(floor(value * 100 + 0.5d) as bigint)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w_key = W.partitionBy("event_type")
+    feed = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("day_idx"),
+        F.count(F.lit(1)).over(w_key).cast("long").alias("n_days"),
+        F.sum("cents").over(w_key).cast("long").alias("total_cents"),
+    )
+    # Tercile split on day VALUE: chronology holds per key across
+    # batches (batch 0's days all precede batch 1's for every key).
+    days = daily.select("day").distinct()
+    d_stats = days.agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    ).collect()[0]
+    span = (d_stats["mx"] - d_stats["mn"]).days + 1
+    staged = feed.withColumn(
+        "q",
+        F.least(
+            F.lit(2),
+            (F.datediff("day", F.lit(d_stats["mn"])) * 3 / span).cast("int"),
+        ),
+    )
+    stage = os.path.join(work, "stage")
+    staged.repartition(1).write.partitionBy("q").parquet(stage)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    now = _time.time()
+    moved = []
+    for i in range(3):
+        qdir = os.path.join(stage, f"q={i}")
+        if not os.path.isdir(qdir):
+            continue
+        part = next(
+            p for p in sorted(os.listdir(qdir)) if p.endswith(".parquet")
+        )
+        name = f"0{i}_days.parquet"
+        shutil.move(os.path.join(qdir, part), os.path.join(src, name))
+        moved.append(name)
+    for i, name in enumerate(moved):
+        mtime = now - 100 + 10 * i
+        os.utime(os.path.join(src, name), (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, day date, cents long, day_idx long,"
+            " n_days long, total_cents long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    states = stream.groupBy("event_type").applyInPandasWithState(
+        _cusum_state,
+        _ST17_OUT,
+        _ST17_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    with stream_parallelism(spark):
+        query = (
+            states.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st17_stream_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    out = spark.table("st17_stream_out")
+    return out.groupBy("event_type").agg(
+        F.max_by(F.col("n_days"), F.col("idx")).alias("n_days"),
+        F.max_by(F.col("alarms"), F.col("idx")).alias("n_alarms"),
+        F.max_by(F.col("mx"), F.col("idx")).alias("max_s"),
+        F.max_by(F.col("first_alarm"), F.col("idx")).alias("first_alarm"),
+    )

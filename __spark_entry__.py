@@ -103,7 +103,8 @@ _BACKFILL = [
     "w21_rolling_corr", "f14_timezone_localize", "x77_dp_noisy_release",
     "sql17_group_by_all", "x78_bm25_scoring", "a52_kaplan_meier",
     "a53_holt_forecast", "s21_corrupt_file_recovery",
-    "a54_referential_audit", "st17_stream_cusum",
+    "a54_referential_audit", "st17_stream_cusum", "p11_transpose",
+    "e4_entity_resolution",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -276,6 +276,8 @@ HEADLINE = [
     "s21_corrupt_file_recovery",
     "a54_referential_audit",
     "st17_stream_cusum",
+    "p11_transpose",
+    "e4_entity_resolution",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1050,3 +1050,22 @@ def test_referential_audit_uses_anti_joins(spark, sf_dir):
     plan = _formatted_plan(spark, "a54_referential_audit", sf_dir)
     assert plan.count("LeftAnti") >= 4, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_transpose_flips_bounded_rollup_only(spark, sf_dir):
+    # p11: transpose() materializes eagerly (the result IS a
+    # LocalTableScan) — valid only because the input is the bounded
+    # 5-row rollup; the gate pins the fixed 6-column transposed
+    # schema so a raw-data transpose (unbounded columns) can't sneak
+    # in.
+    plan = _formatted_plan(spark, "p11_transpose", sf_dir)
+    assert "LocalTableScan" in plan, plan[:2000]
+    assert "Output [6]" in plan and "MIDDLE EAST" in plan, plan[:2000]
+
+
+def test_entity_resolution_blocks_before_scoring(spark, sf_dir):
+    # e4: candidate generation must be the blocked equi-join (d4's
+    # shape) — no cartesian, no nested loop over the master.
+    plan = _formatted_plan(spark, "e4_entity_resolution", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]

@@ -2010,3 +2010,147 @@ def d6_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row1.unionByName(row2)
+
+
+# ---------------------------------------------------------------------------
+# E4 — entity-resolution pipeline end-to-end (the reference's actual
+# job, composed): perturbed registration feed -> blocked candidate
+# generation (d4's constant-size blocks) -> Fellegi-Sunter scoring
+# -> three-band triage (auto-match >= 70, clerical review 50-69,
+# reject) -> survivorship merge for auto-matches. One funnel report
+# with the count at every stage — the number an operations team
+# watches nightly; any stage drifting (blocking recall loss, score
+# distribution shift, review queue blowup) moves exactly one row.
+#
+# Unlike d4 (which needs only the >= 70 band and therefore
+# pre-filters on the necessary name condition), the funnel scores
+# EVERY candidate pair — the review band includes name-failed pairs
+# that pass on segment + balance alone.
+#
+# Scale: identical posture to d4 — pair volume bounded by the
+# constant-size blocks; scoring map-side on candidates; the funnel
+# itself is a bounded union of 1-row aggregates.
+# ---------------------------------------------------------------------------
+@register(
+    "e4_entity_resolution",
+    oracle="""
+    WITH feed AS (
+      SELECT c_custkey AS f_id,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN substr(c_name, 1, len(c_name) - 1) || 'X'
+                  ELSE c_name END AS f_name,
+             c_nationkey AS f_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN 'FLIPPED'
+                  ELSE c_mktsegment END AS f_segment,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+               + (c_custkey % 7) * 100 AS f_bal_cents
+      FROM customer
+    ), cand AS (
+      SELECT c.c_custkey, f.f_id,
+             CAST(CASE WHEN levenshtein(c.c_name, f.f_name) = 0 THEN 50
+                       WHEN levenshtein(c.c_name, f.f_name) <= 1 THEN 35
+                       ELSE 0 END
+                  + 30 * (CASE WHEN c.c_mktsegment = f.f_segment
+                               THEN 1 ELSE 0 END)
+                  + CASE WHEN abs(CAST(floor(c.c_acctbal * 100 + 0.5)
+                                       AS BIGINT) - f.f_bal_cents) <= 700
+                         THEN 20 ELSE 0 END AS BIGINT) AS score
+      FROM customer c JOIN feed f
+        ON c.c_nationkey = f.f_nationkey
+       AND substr(c.c_name, 10, 6) = substr(f.f_name, 10, 6)
+    )
+    SELECT 'master' AS stage,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n
+    UNION ALL
+    SELECT 'feed', (SELECT CAST(count(*) AS BIGINT) FROM feed)
+    UNION ALL
+    SELECT 'candidate_pairs', (SELECT CAST(count(*) AS BIGINT) FROM cand)
+    UNION ALL
+    SELECT 'auto_match_pairs',
+           (SELECT CAST(count(*) AS BIGINT) FROM cand WHERE score >= 70)
+    UNION ALL
+    SELECT 'review_pairs',
+           (SELECT CAST(count(*) AS BIGINT) FROM cand
+            WHERE score >= 50 AND score < 70)
+    UNION ALL
+    SELECT 'feed_matched',
+           (SELECT CAST(count(DISTINCT f_id) AS BIGINT) FROM cand
+            WHERE score >= 70)
+    """,
+)
+def e4_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    feed = cust.select(
+        F.col("c_custkey").alias("f_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("f_name"),
+        F.col("c_nationkey").alias("f_nationkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("FLIPPED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("f_segment"),
+        (
+            F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
+            + (F.col("c_custkey") % 7) * 100
+        ).alias("f_bal_cents"),
+    )
+    score = (
+        F.when(F.col("name_dist") == 0, 50)
+        .when(F.col("name_dist") <= 1, 35)
+        .otherwise(0)
+        + 30 * F.col("seg_eq")
+        + F.when(F.col("bal_diff") <= 700, 20).otherwise(0)
+    )
+    cand = (
+        cust.repartition(
+            cust.sparkSession.sparkContext.defaultParallelism,
+            F.col("c_nationkey"),
+            F.expr("substr(c_name, 10, 6)"),
+        )
+        .join(
+            feed,
+            (cust.c_nationkey == feed.f_nationkey)
+            & (
+                F.expr("substr(c_name, 10, 6)")
+                == F.expr("substr(f_name, 10, 6)")
+            ),
+        )
+        .select(
+            "f_id",
+            F.levenshtein("c_name", "f_name").alias("name_dist"),
+            F.when(F.col("c_mktsegment") == F.col("f_segment"), 1)
+            .otherwise(0)
+            .alias("seg_eq"),
+            F.abs(
+                F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)")
+                - F.col("f_bal_cents")
+            ).alias("bal_diff"),
+        )
+        .withColumn("score", score.cast("long"))
+        # Four funnel aggregates fan out of the scored candidates; one
+        # eager materialization = one blocking join, not four (the a49
+        # lineage-truncation pattern).
+        .localCheckpoint()
+    )
+
+    def row(stage, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(stage).alias("stage"), "n"
+        )
+
+    auto = cand.filter(F.col("score") >= 70)
+    out = row("master", cust)
+    for stage, df in [
+        ("feed", feed),
+        ("candidate_pairs", cand),
+        ("auto_match_pairs", auto),
+        ("review_pairs", cand.filter((F.col("score") >= 50) & (F.col("score") < 70))),
+        ("feed_matched", auto.select("f_id").distinct()),
+    ]:
+        out = out.unionByName(row(stage, df))
+    return out

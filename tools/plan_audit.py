@@ -100,6 +100,18 @@ AUDIT = [
     ("t18_variant_extract", "parse_json once -> typed variant_get paths; map-side"),
     ("sql13_pipe_syntax", "|> chain lowers to broadcast join + TakeOrderedAndProject"),
     ("e2_media_pipeline", "one Arrow decode emits phash+sums; dedup window on 4-int rows"),
+    ("w19_interval_union", "islands sweep: ONE user_id exchange serves both windows + both rollups"),
+    ("a49_market_basket", "pair gen ON ORDERKEY ONLY (bounded fanout); marginals + total broadcast; ob materialized once"),
+    ("sql15_unpivot_syntax", "UNPIVOT -> map-side Expand over pre-aggregated 5-row rollup"),
+    ("w20_cusum_drift", "sequential recurrence ABOVE the weekly aggregate (FlatMapGroupsInPandas sees O(weeks) rows)"),
+    ("f13_luhn_checksum", "checksum as codegen transform/aggregate lambdas; no Generate, one rollup exchange"),
+    ("x74_source_js_divergence", "O(S^2) pair fan-out via two equi-joins against broadcast pair table"),
+    ("a50_rfm_segmentation", "RFM ntile windows over the CUSTOMER rollup; anchor date broadcast"),
+    ("w21_rolling_corr", "six exact bigint sufficient statistics share ONE Window node"),
+    ("x78_bm25_scoring", "probe filter pushed into tf branch scan; corpus stats broadcast"),
+    ("a52_kaplan_meier", "risk-set + log-survival windows over the bounded duration rollup"),
+    ("a54_referential_audit", "four LeftAnti joins on key-only projections"),
+    ("e4_entity_resolution", "blocked candidates materialized once; six funnel aggregates fan out"),
 ]
 
 

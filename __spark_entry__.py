@@ -104,7 +104,7 @@ _BACKFILL = [
     "sql17_group_by_all", "x78_bm25_scoring", "a52_kaplan_meier",
     "a53_holt_forecast", "s21_corrupt_file_recovery",
     "a54_referential_audit", "st17_stream_cusum", "p11_transpose",
-    "e4_entity_resolution",
+    "e4_entity_resolution", "u7_intersect_all", "x79_dataset_card",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

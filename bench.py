@@ -278,6 +278,8 @@ HEADLINE = [
     "st17_stream_cusum",
     "p11_transpose",
     "e4_entity_resolution",
+    "u7_intersect_all",
+    "x79_dataset_card",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2285,3 +2285,108 @@ def x78_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bm25_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X79 — dataset card: the per-source "datasheet for datasets"
+# rollup a corpus release ships with — document count, token mass,
+# mean length, language mix (count + entropy in milli-nats), and
+# the within-source exact-duplicate rate in basis points. One
+# governance table that summarizes what x8/x10/x1 measure
+# individually; every statistic is integer or quantized with the
+# x27 ln discipline.
+#
+# Scale: a doc-grain projection (tokenize + md5, map-side) feeding
+# three bounded rollups — (source), (source, lang), (source, hash)
+# — each with map-side combine; the dup count never materializes
+# pair joins (count-minus-distinct on the hash rollup).
+# ---------------------------------------------------------------------------
+@register(
+    "x79_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, md5(text) AS h,
+             CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z0-9]+'),
+                                  w -> w <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), per_lang AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS nl
+      FROM d GROUP BY source, lang
+    ), shares AS (
+      SELECT source, nl,
+             sum(nl) OVER (PARTITION BY source) AS tot
+      FROM per_lang
+    ), lang_mix AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(CAST(floor(
+               -1000.0 * (CAST(nl AS DOUBLE) / tot)
+               * ln(CAST(nl AS DOUBLE) / tot)
+               + 0.5) AS BIGINT)) AS BIGINT) AS lang_entropy_milli
+      FROM shares GROUP BY source
+    ), dup AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dupes,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      FROM d GROUP BY source
+    )
+    SELECT dup.source, dup.n_docs, dup.sum_tokens,
+           CAST(dup.sum_tokens // dup.n_docs AS BIGINT) AS mean_tokens,
+           lang_mix.n_langs, lang_mix.lang_entropy_milli,
+           CAST(10000 * dup.n_dupes // dup.n_docs AS BIGINT) AS dup_bp
+    FROM dup JOIN lang_mix ON dup.source = lang_mix.source
+    """,
+)
+def x79_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    per_lang = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nl")
+    )
+    from pyspark.sql.window import Window as W
+
+    w_src = W.partitionBy("source")
+    lang_mix = (
+        per_lang.select(
+            "source",
+            "nl",
+            F.sum("nl").over(w_src).alias("tot"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum(
+                F.expr(
+                    "cast(floor(-1000.0d * (cast(nl as double) / tot)"
+                    " * ln(cast(nl as double) / tot) + 0.5d) as bigint)"
+                )
+            )
+            .cast("long")
+            .alias("lang_entropy_milli"),
+        )
+    )
+    dup = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).cast("long").alias("n_dupes"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+    return dup.join(lang_mix, "source").select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        F.expr("sum_tokens div n_docs").alias("mean_tokens"),
+        "n_langs",
+        "lang_entropy_milli",
+        F.expr("10000 * n_dupes div n_docs").alias("dup_bp"),
+    )

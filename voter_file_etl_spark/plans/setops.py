@@ -289,3 +289,35 @@ def u6_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U7 — INTERSECT ALL: bag-semantics intersection (per-value
+# multiplicity = min of the two sides), the set-op family's last
+# member (u2 is distinct-INTERSECT, u5 is EXCEPT ALL). Spark lowers
+# intersectAll to a counted left-semi shape, not a distinct — the
+# multiplicities prove it.
+#
+# Scale: one shuffle per side on the compared columns, like every
+# set op; the rollup certifies the min-multiplicity contract
+# without emitting duplicate rows.
+# ---------------------------------------------------------------------------
+@register(
+    "u7_intersect_all",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 <> 0
+      INTERSECT ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+    ) GROUP BY o_orderpriority
+    """,
+)
+def u7_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 3 != 0).select("o_orderpriority")
+    b = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderpriority")
+    return (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

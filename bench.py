@@ -280,6 +280,7 @@ HEADLINE = [
     "e4_entity_resolution",
     "u7_intersect_all",
     "x79_dataset_card",
+    "a55_pareto_share",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

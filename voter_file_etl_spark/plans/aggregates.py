@@ -1718,3 +1718,77 @@ def a54_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# A55 — Pareto concentration curve: rank customers by lifetime
+# revenue, cut into deciles, and report each decile's share of total
+# revenue in basis points plus the cumulative share — the "what
+# fraction of donors produce 80% of funds" curve (a39's Gini is the
+# scalar summary; this is the curve itself). Exact integer cents
+# end to end; decile boundaries are ntile over the customer rollup
+# with the custkey tiebreak.
+#
+# Scale: same posture as a50 — the revenue triple aggregates first
+# (map-side combine), the single global ntile runs over customers
+# (broadcast-cutpoint escape documented at a50), and the output is
+# a bounded 10-row rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a55_pareto_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM rev
+    ), tot AS (
+      SELECT sum(cents) AS total FROM rev
+    ), byd AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, cents,
+           CAST(10000 * cents // t.total AS BIGINT) AS share_bp,
+           CAST(10000 * sum(cents) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                // t.total AS BIGINT) AS cum_share_bp
+    FROM byd CROSS JOIN tot t
+    """,
+)
+def a55_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = rev.select(
+        "cents",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("cents"), "o_custkey"))
+        .alias("decile"),
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    byd = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    return (
+        byd.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "n_customers",
+            "cents",
+            F.expr("10000 * cents div total").alias("share_bp"),
+            F.expr("10000 * sum(cents) over (order by decile"
+                   " rows between unbounded preceding and current row)"
+                   " div total").alias("cum_share_bp"),
+        )
+    )

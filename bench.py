@@ -281,6 +281,7 @@ HEADLINE = [
     "u7_intersect_all",
     "x79_dataset_card",
     "a55_pareto_share",
+    "l23_retention_vacuum",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -437,3 +437,23 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
     assert table.active_files(3) is not None
     rows = {r["k"]: r["payload"] for r in table.snapshot().collect()}
     assert all(rows[k] == "post" for k in range(8))
+
+
+def test_retention_vacuum_keeps_window_versions_readable(spark, tmp_path):
+    # vacuum(retain_last=2): the newest two snapshots stay fully
+    # readable (time travel inside the window survives GC); files
+    # referenced ONLY by older versions are reclaimed.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    for seq in range(4):  # versions 0..3
+        table.merge(
+            _mk(spark, [(k, seq, f"s{seq}") for k in range(16)]), work
+        )
+    removed = table.vacuum(retain_last=2)
+    assert removed  # v0/v1-only files reclaimed
+    # head and head-1 replay cleanly...
+    assert table.snapshot(3).count() == 16
+    assert {r["payload"] for r in table.snapshot(2).collect()} == {"s2"}
+    # ...and a pre-window replay now references deleted files.
+    with pytest.raises(Exception):
+        table.snapshot(0).count()

@@ -1166,3 +1166,55 @@ def l22_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("long").alias("sum_last_id"),
         F.lit(n_commits).cast("long").alias("n_commits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L23 — retention-window vacuum: GC with ``retain_last=2`` keeps the
+# newest two snapshots fully readable — the production retention
+# posture (Delta retains by hours; versions are this format's
+# clock), closing the documented "head-only vacuum kills all time
+# travel" caveat. The key vacuums the shared 4-merge table (mutable
+# copy), then reads BOTH retained versions through the post-GC log
+# and fingerprints them — a replay that touched a reclaimed file
+# would throw, a wrong retention set would hash-mismatch.
+# tests/test_logtable.py::test_retention_vacuum_keeps_window_versions_readable
+# additionally proves pre-window replays now fail and files
+# referenced only by expired versions were reclaimed.
+#
+# Scale: GC work is O(files on disk) name-set arithmetic over the
+# retained versions' manifests — no data reads.
+# ---------------------------------------------------------------------------
+@register(
+    "l23_retention_vacuum",
+    oracle="""
+    WITH w AS (
+      SELECT g.v, e.user_id, e.event_id,
+             row_number() OVER (
+               PARTITION BY g.v, e.user_id
+               ORDER BY epoch_us(e.ts) DESC, e.event_id DESC) AS rn
+      FROM events e
+      JOIN (VALUES (2), (3)) AS g(v) ON e.event_id % 4 <= g.v
+    )
+    SELECT CAST(v + 1 AS BIGINT) AS n_batches,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM w WHERE rn = 1
+    GROUP BY v
+    """,
+)
+def l23_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l23_retain_")
+    table = _build_logtable(spark, sf_dir, work, mutable=True)
+    table.vacuum(retain_last=2)
+    out = None
+    for v in (2, 3):
+        snap = table.snapshot(v).agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("event_id").cast("long").alias("sum_last_id"),
+        ).select(
+            F.lit(v + 1).cast("long").alias("n_batches"),
+            "n_keys",
+            "sum_last_id",
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out

@@ -647,18 +647,24 @@ class LogTable:
         self._commit(new_version, adds, removes, dv=self.active_dv(version))
         return new_version
 
-    def vacuum(self) -> list[str]:
-        """Delete data files no longer referenced by the LATEST snapshot.
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete data files referenced by NO retained snapshot.
 
-        (Production table formats retain files while older versions are
-        inside the retention window; this demo keeps only the head —
-        time travel works until vacuum, as on an aggressively-vacuumed
-        Delta table.)
+        ``retain_last`` is the retention window in versions (Delta's
+        retention is in hours; versions are this demo's clock): the
+        newest ``retain_last`` snapshots — their data files and DV
+        sidecars — stay fully readable, so time travel keeps working
+        inside the window after GC. The default (1) is the
+        aggressive head-only vacuum.
         """
-        live = {f["path"] for f in self.active_files()}
-        dv = self.active_dv()
-        if dv is not None:
-            live.add(dv)
+        head = self.latest_version()
+        lo = max(0, head - max(retain_last, 1) + 1)
+        live: set = set()
+        for v in range(lo, head + 1):
+            live |= {f["path"] for f in self.active_files(v)}
+            dv = self.active_dv(v)
+            if dv is not None:
+                live.add(dv)
         removed = []
         data_dir = os.path.join(self.root, _DATA_DIR)
         for name in sorted(os.listdir(data_dir)):

@@ -282,6 +282,7 @@ HEADLINE = [
     "x79_dataset_card",
     "a55_pareto_share",
     "l23_retention_vacuum",
+    "w22_sigma_anomaly_days",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1015,3 +1015,75 @@ def w21_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else 0L end"
         ).alias("corr_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W22 — 3-sigma anomaly days, integer-exact: flag days whose order
+# count deviates from the priority's mean by more than three
+# standard deviations WITHOUT ever computing a float mean or sd —
+# the test  n·(n·x − Σx)² > 9·(n·Σx² − (Σx)²)·n  is the 3-sigma
+# rule with both sides multiplied through by n³ (population
+# variance), so both engines compare exact int64/int128-free
+# products. The alerting shape ops teams bolt onto a46/w21's
+# monitors; CUSUM (w20) catches drifts, this catches spikes.
+#
+# Scale: one map-side-combined daily rollup; the per-priority
+# moments attach as a broadcast (bounded 5-row aggregate); the flag
+# is map-side arithmetic.
+# ---------------------------------------------------------------------------
+@register(
+    "w22_sigma_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ), mom AS (
+      SELECT priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY priority
+    )
+    SELECT d.priority,
+           CAST(max(m.n) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN m.n * (m.n * d.x - m.sx) * (m.n * d.x - m.sx)
+                              > 9 * (m.n * m.sxx - m.sx * m.sx) * m.n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           CAST(max((m.n * d.x - m.sx) * (m.n * d.x - m.sx) //
+                    greatest(m.n, 1)) AS BIGINT) AS max_dev_sq_scaled
+    FROM daily d JOIN mom m ON d.priority = m.priority
+    GROUP BY d.priority
+    """,
+)
+def w22_sigma_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mom = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    joined = daily.join(F.broadcast(mom), "priority")
+    return joined.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("n")
+                * (F.col("n") * F.col("x") - F.col("sx"))
+                * (F.col("n") * F.col("x") - F.col("sx"))
+                > 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.col("n"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_anomalies"),
+        F.max(
+            F.expr("(n * x - sx) * (n * x - sx) div greatest(n, 1L)")
+        )
+        .cast("long")
+        .alias("max_dev_sq_scaled"),
+    )

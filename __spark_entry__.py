@@ -54,9 +54,12 @@ _CHECK_FIRST = [
     "g1_pagerank", "g3_bfs_levels",
 ]
 _BACKFILL = [
-    # -- ROUND-5 FRONT BLOCK: the 16 never-driver-checked keys left
-    # after round 4's 50-key window; move these into _CHECK_FIRST next
-    # round (cumulative driver coverage then = 214/214) --
+    # -- ROUND-5 FRONT BLOCK: _BACKFILL's head already lists every
+    # never-driver-checked key in priority order — the 16 left from
+    # round 3's backlog first, then all round-4 registrations in
+    # registration order. Round 5's window = move the FIRST 50
+    # entries below into _CHECK_FIRST; rounds 6-7 continue down the
+    # list (tests/test_rotation.py keeps the partition exact) --
     "g2_triangle_count", "a19_bool_bit_agg", "a21_column_profile",
     "a22_funnel", "a23_retention_cohorts", "a24_sweepline_concurrency",
     "a27_key_skew_profile", "a28_hll_sketch_merge", "w9_nth_value",

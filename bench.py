@@ -283,6 +283,7 @@ HEADLINE = [
     "a55_pareto_share",
     "l23_retention_vacuum",
     "w22_sigma_anomaly_days",
+    "w23_mom_change",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

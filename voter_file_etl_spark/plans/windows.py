@@ -1087,3 +1087,61 @@ def w22_sigma_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_dev_sq_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W23 — month-over-month change: monthly revenue per priority with
+# the delta and percent change vs the prior month in integer basis
+# points (lag over the bounded monthly rollup) — the first chart of
+# every BI dashboard, complementing w15 (smoothing), a41 (trend),
+# and a46 (seasonality). date_trunc('month') is engine-identical;
+# cents are exact integers; the first month of each series reports
+# 0 deltas by COALESCE on both sides.
+#
+# Scale: map-side-combined monthly rollup, then ONE window exchange
+# partitioned by priority over O(months) rows.
+# ---------------------------------------------------------------------------
+@register(
+    "w23_mom_change",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, month, cents,
+           CAST(cents - coalesce(lag(cents) OVER w, cents) AS BIGINT)
+             AS delta_cents,
+           CAST(10000 * (cents - coalesce(lag(cents) OVER w, cents))
+                // coalesce(lag(cents) OVER w, cents) AS BIGINT)
+             AS mom_bp
+    FROM m
+    WINDOW w AS (PARTITION BY priority ORDER BY month)
+    """,
+)
+def w23_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = W.partitionBy("priority").orderBy("month")
+    prev = F.coalesce(F.lag("cents").over(w), F.col("cents"))
+    return m.select(
+        "priority",
+        "month",
+        "cents",
+        (F.col("cents") - prev).cast("long").alias("delta_cents"),
+        F.expr(
+            "10000 * (cents - coalesce(lag(cents) over"
+            " (partition by priority order by month), cents))"
+            " div coalesce(lag(cents) over"
+            " (partition by priority order by month), cents)"
+        ).alias("mom_bp"),
+    )

@@ -284,6 +284,7 @@ HEADLINE = [
     "l23_retention_vacuum",
     "w22_sigma_anomaly_days",
     "w23_mom_change",
+    "a57_new_vs_returning",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1374,3 +1374,46 @@ def a53_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return weekly.groupBy("priority").applyInPandas(holt, schema)
+
+
+# ---------------------------------------------------------------------------
+# A57 — new vs returning customers by month: each order is NEW when
+# it is the customer's first-ever order (row_number over the
+# customer's order history with the orderkey tiebreak), rolled up
+# monthly with the new-share in basis points — the growth metric
+# behind every acquisition dashboard (first-time vs repeat voter
+# contact in the reference's terms). Exact integers end to end.
+#
+# Scale: ONE window exchange on o_custkey (per-customer ordering
+# only), then a bounded monthly rollup with map-side combine.
+# ---------------------------------------------------------------------------
+@register(
+    "a57_new_vs_returning",
+    oracle="""
+    WITH flagged AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CASE WHEN row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) = 1
+             THEN 1 ELSE 0 END AS is_new
+      FROM orders
+    )
+    SELECT month,
+           CAST(sum(is_new) AS BIGINT) AS n_new,
+           CAST(count(*) - sum(is_new) AS BIGINT) AS n_returning,
+           CAST(10000 * sum(is_new) // count(*) AS BIGINT) AS new_share_bp
+    FROM flagged GROUP BY month
+    """,
+)
+def a57_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("is_new"),
+    )
+    return flagged.groupBy("month").agg(
+        F.sum("is_new").cast("long").alias("n_new"),
+        (F.count(F.lit(1)) - F.sum("is_new")).cast("long").alias("n_returning"),
+        F.expr("10000 * sum(is_new) div count(1)").alias("new_share_bp"),
+    )

@@ -285,6 +285,7 @@ HEADLINE = [
     "w22_sigma_anomaly_days",
     "w23_mom_change",
     "a57_new_vs_returning",
+    "x81_embedding_norm_audit",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

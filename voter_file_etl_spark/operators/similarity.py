@@ -1097,3 +1097,60 @@ def x58_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("cell_size"),
     )
     return ranked.filter(F.col("rn") <= _X58_PER_CELL)
+
+
+# ---------------------------------------------------------------------------
+# X81 — embedding norm audit: per-label distribution of vector L2
+# norms — the health screen that catches broken embedding batches
+# (all-zero rows from a failed encoder, exploding norms from a
+# missing normalization) before they poison similarity search.
+# Elements quantize to milli-units FIRST (floor(e*1000 + 0.5),
+# engine-identical), so the squared-norm sums are exact int64
+# lambda arithmetic; per label we report count, zero-vector count,
+# and min/mean/max of the quantized squared norm.
+#
+# Scale: pure codegen transform/aggregate lambda per row (no
+# explode, no Python) + one bounded label rollup — x10's shape over
+# embeddings.
+# ---------------------------------------------------------------------------
+@register(
+    "x81_embedding_norm_audit",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             list_sum(list_transform(embedding,
+               e -> CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+                    * CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT)))
+               AS normsq
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN normsq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           CAST(min(normsq) AS BIGINT) AS min_normsq,
+           CAST(sum(normsq) // count(*) AS BIGINT) AS mean_normsq,
+           CAST(max(normsq) AS BIGINT) AS max_normsq
+    FROM q GROUP BY label
+    """,
+)
+def x81_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.expr(
+            "aggregate(transform(embedding,"
+            " e -> cast(floor(cast(e as double) * 1000 + 0.5d) as bigint)"
+            " * cast(floor(cast(e as double) * 1000 + 0.5d) as bigint)),"
+            " 0L, (acc, x) -> acc + x)"
+        ).alias("normsq"),
+    )
+    return q.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("normsq") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.min("normsq").cast("long").alias("min_normsq"),
+        F.expr("sum(normsq) div count(1)").alias("mean_normsq"),
+        F.max("normsq").cast("long").alias("max_normsq"),
+    )

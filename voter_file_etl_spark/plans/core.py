@@ -1167,3 +1167,60 @@ def s21_corrupt_file_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)
     return result
+
+
+# ---------------------------------------------------------------------------
+# S22 — recursive lookup + glob-filtered scans: a landing tree with
+# nested vendor directories holding parquet batches MIXED with
+# sidecar noise (.json manifests, _SUCCESS markers, .csv rejects).
+# recursiveFileLookup walks the whole tree (ignoring the
+# partition-discovery convention) and pathGlobFilter admits ONLY
+# *.parquet — the reference's load loop does this with hand-rolled
+# fs.readdir + extension checks (load.ts); here it is two reader
+# options and the scan plans only the matching files. The oracle
+# pins exactly which batches must survive the filter.
+#
+# Scale: filtering happens in the driver-side file index BEFORE any
+# task launches — noise files cost a list entry, never a task or a
+# read.
+# ---------------------------------------------------------------------------
+@register(
+    "s22_glob_recursive_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders WHERE o_orderkey % 4 < 2
+    GROUP BY o_orderpriority
+    """,
+)
+def s22_glob_recursive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(
+        prefix="s22_glob_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    # Two vendor subtrees get one parquet batch each (the keys the
+    # oracle expects) ...
+    for i, vendor in enumerate(["vendor_a/2024", "vendor_b/2024/06"]):
+        (
+            orders.filter(F.col("o_orderkey") % 4 == i)
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, vendor))
+        )
+    # ... plus sidecar noise a naive reader would trip on.
+    with open(os.path.join(out, "vendor_a", "manifest.json"), "w") as f:
+        f.write('{"batch": "2024"}')
+    with open(os.path.join(out, "vendor_b", "rejects.csv"), "w") as f:
+        f.write("o_orderkey,who\n-1,bad\n")
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+    )

@@ -287,6 +287,7 @@ HEADLINE = [
     "a57_new_vs_returning",
     "x81_embedding_norm_audit",
     "s22_glob_recursive_scan",
+    "w24_rank_migration",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

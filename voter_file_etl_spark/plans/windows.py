@@ -1145,3 +1145,75 @@ def w23_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (partition by priority order by month), cents)"
         ).alias("mom_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W24 — rank migration (leaderboard deltas): nations ranked by
+# yearly customer-order revenue, with each nation's rank change vs
+# the prior year — the "who moved up" report (precinct turnout
+# leaderboards in the reference's terms). Two window families
+# compose: rank() within year (full tiebreak on the key), then
+# lag() across years per nation; first-year rows report delta 0 via
+# COALESCE on both sides. Exact integer cents.
+#
+# Scale: the year×nation rollup is bounded (7 years × 25 nations),
+# so both windows run over ~175 rows after one map-side-combined
+# aggregate of the join; the customer->nation attach is a broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "w24_rank_migration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT nation, yr, cents,
+             CAST(rank() OVER (PARTITION BY yr
+                               ORDER BY cents DESC, nation) AS BIGINT) AS rnk
+      FROM rev
+    )
+    SELECT nation, yr, cents, rnk,
+           CAST(coalesce(lag(rnk) OVER (PARTITION BY nation ORDER BY yr)
+                         - rnk, 0) AS BIGINT) AS rank_delta
+    FROM ranked
+    """,
+)
+def w24_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), "c_nationkey")
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("yr")
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_rank = W.partitionBy("yr").orderBy(F.desc("cents"), "nation")
+    w_lag = W.partitionBy("nation").orderBy("yr")
+    ranked = rev.select(
+        "nation", "yr", "cents", F.rank().over(w_rank).cast("long").alias("rnk")
+    )
+    return ranked.select(
+        "nation",
+        "yr",
+        "cents",
+        "rnk",
+        F.coalesce(F.lag("rnk").over(w_lag) - F.col("rnk"), F.lit(0))
+        .cast("long")
+        .alias("rank_delta"),
+    )

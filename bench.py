@@ -288,6 +288,7 @@ HEADLINE = [
     "x81_embedding_norm_audit",
     "s22_glob_recursive_scan",
     "w24_rank_migration",
+    "a58_repeat_intervals",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1417,3 +1417,65 @@ def a57_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("is_new")).cast("long").alias("n_returning"),
         F.expr("10000 * sum(is_new) div count(1)").alias("new_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A58 — repeat-purchase intervals: per market segment, the gaps (in
+# days) between a customer's consecutive orders — repeat-engagement
+# cadence (how often a reachable voter re-engages). lag() per
+# customer produces the gaps; the segment rollup reports repeat
+# customers, gap count, and min/mean/max gap — exact integers (mean
+# by integer division).
+#
+# Scale: ONE window exchange on o_custkey; the segment attach is a
+# broadcast of the customer projection... which is itself large, so
+# it joins on the shuffle key instead — the join and the window
+# SHARE the o_custkey partitioning (AQE reuses it), then a bounded
+# 5-row rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a58_repeat_intervals",
+    oracle="""
+    WITH gaps AS (
+      SELECT c.c_mktsegment AS segment,
+             date_diff('day',
+               lag(o.o_orderdate) OVER (
+                 PARTITION BY o.o_custkey
+                 ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(sum(gap_days) // count(*) AS BIGINT) AS mean_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY segment
+    """,
+)
+def a58_repeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.join(cust, "o_custkey")
+        .select(
+            "segment",
+            F.datediff(
+                "o_orderdate", F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.expr("sum(gap_days) div count(1)").alias("mean_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )

@@ -289,6 +289,7 @@ HEADLINE = [
     "s22_glob_recursive_scan",
     "w24_rank_migration",
     "a58_repeat_intervals",
+    "x80_zipf_check",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2390,3 +2390,80 @@ def x79_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_entropy_milli",
         F.expr("10000 * n_dupes div n_docs").alias("dup_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X80 — Zipf-law vocabulary check: the OLS slope of ln(frequency)
+# against ln(rank) over the top-200 tokens — natural corpora sit
+# near slope −1, and a corpus that drifts (templated spam, code
+# dumps, synthetic loops) shows up as a slope break before any
+# per-document filter fires. Frequencies and ranks are exact
+# integers; each ln quantizes to micro-nats (floor(x·1e6 + 0.5),
+# identical text both engines), and the OLS closed form runs over
+# those INTEGER micro-values — sums, products, and one final
+# integer division, the a41 discipline with x27's quantization.
+#
+# Scale: one token count (map-side combined), one bounded top-k
+# (200 rows via the full-order window), then driver-free closed-form
+# OLS in a 1-row aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "x80_zipf_check",
+    oracle="""
+    WITH freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+          x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY w
+    ), ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+      FROM freq
+    ), top AS (
+      SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS lr,
+             CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS lf
+      FROM ranked WHERE r <= 200
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST((count(*) * sum(lr * lf) - sum(lr) * sum(lf)) * 10000 //
+                (count(*) * sum(lr * lr) - sum(lr) * sum(lr))
+                AS BIGINT) AS slope_bp
+    FROM top
+    """,
+)
+def x80_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != ""
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    ranked = freq.select(
+        "f", F.row_number().over(W.orderBy(F.desc("f"), "w")).alias("r")
+    ).filter(F.col("r") <= 200)
+    top = ranked.select(
+        F.expr(
+            "cast(floor(ln(cast(r as double)) * 1000000 + 0.5d) as bigint)"
+        ).alias("lr"),
+        F.expr(
+            "cast(floor(ln(cast(f as double)) * 1000000 + 0.5d) as bigint)"
+        ).alias("lf"),
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.expr(
+            "(count(1) * sum(lr * lf) - sum(lr) * sum(lf)) * 10000"
+            " div (count(1) * sum(lr * lr) - sum(lr) * sum(lr))"
+        ).alias("slope_bp"),
+    )

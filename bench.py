@@ -290,6 +290,7 @@ HEADLINE = [
     "w24_rank_migration",
     "a58_repeat_intervals",
     "x80_zipf_check",
+    "j22_bracket_lookup",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1107,3 +1107,66 @@ def j20_star_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J22 — bracket lookup (broadcast range join against a literal tier
+# table): customers fall into balance tiers defined by [lo, hi)
+# bounds — the tax-bracket / score-band lookup every enrichment
+# pipeline runs. The tier table is a 4-row inline relation, so the
+# non-equi join is a BroadcastNestedLoopJoin over a broadcast of
+# FOUR rows — the one place a nested-loop join is exactly right
+# (j7/j13 handle the fact-fact range case with binning; a bounded
+# literal dimension needs none of that). Cents are exact integers;
+# bounds are half-open so ties are unambiguous.
+#
+# Scale: map-side probe of a 4-row broadcast per row + bounded
+# rollup — linear, no shuffle before the 4-group aggregate.
+# ---------------------------------------------------------------------------
+_J22_TIERS = [
+    ("subzero", -100000000, 0),
+    ("low", 0, 300000),
+    ("mid", 300000, 700000),
+    ("high", 700000, 100000000),
+]
+
+
+@register(
+    "j22_bracket_lookup",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (VALUES
+      ('subzero', -100000000, 0),
+      ('low', 0, 300000),
+      ('mid', 300000, 700000),
+      ('high', 700000, 100000000)
+    ), c AS (
+      SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    )
+    SELECT t.tier,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(c.cents) AS BIGINT) AS sum_cents
+    FROM c JOIN tiers t ON c.cents >= t.lo AND c.cents < t.hi
+    GROUP BY t.tier
+    """,
+)
+def j22_bracket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)").alias("cents")
+    )
+    tiers = F.broadcast(
+        cust.sparkSession.createDataFrame(
+            _J22_TIERS, "tier string, lo long, hi long"
+        )
+    )
+    return (
+        cust.join(
+            tiers,
+            (F.col("cents") >= F.col("lo")) & (F.col("cents") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

@@ -291,6 +291,7 @@ HEADLINE = [
     "a58_repeat_intervals",
     "x80_zipf_check",
     "j22_bracket_lookup",
+    "a56_abc_analysis",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1792,3 +1792,76 @@ def a55_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " div total").alias("cum_share_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A56 — ABC analysis: parts classified by cumulative revenue share
+# (A = the head of the curve to 80%, B = to 95%, C = the tail) —
+# the inventory-management canon, a55's curve turned into a
+# per-item classification. The class boundary uses the cumulative
+# share INCLUDING the current part (ties broken by partkey), so
+# assignment is deterministic; all shares are integer bp off exact
+# cents.
+#
+# Scale: revenue per part aggregates map-side; the ranking/cumsum
+# windows run over the part rollup (the a50 ntile caveat and its
+# broadcast-cutpoint escape apply at extreme part counts); the
+# report is a bounded 3-row rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a56_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT sum(cents) AS total FROM rev
+    ), ranked AS (
+      SELECT cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev
+    ), classed AS (
+      SELECT cents,
+             CASE WHEN 100 * cum <= 80 * t.total THEN 'A'
+                  WHEN 100 * cum <= 95 * t.total THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked CROSS JOIN tot t
+    )
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(10000 * sum(cents) // (SELECT total FROM tot) AS BIGINT)
+             AS share_bp
+    FROM classed GROUP BY abc
+    """,
+)
+def a56_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("cast(floor(l_extendedprice * 100 + 0.5d) as bigint)"))
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").alias("total"))
+    w_cum = W.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "cents", F.sum("cents").over(w_cum).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    classed = ranked.select(
+        "cents",
+        "total",
+        F.when(100 * F.col("cum") <= 80 * F.col("total"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.expr("10000 * sum(cents) div max(total)").alias("share_bp"),
+    )

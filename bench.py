@@ -292,6 +292,7 @@ HEADLINE = [
     "x80_zipf_check",
     "j22_bracket_lookup",
     "a56_abc_analysis",
+    "g8_degree_assortativity",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -660,3 +660,113 @@ def g7_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+# ---------------------------------------------------------------------------
+# G8 — degree assortativity of the co-purchase graph (g2/g5's edge
+# model): the Pearson correlation between the degrees at the two
+# ends of every edge — positive means hubs attach to hubs
+# (assortative mixing), the single number that predicts whether
+# hub-salting (j8/j18) will matter downstream. Both edge directions
+# enter the sums (the undirected convention), all six sufficient
+# statistics are exact integer sums (w21's discipline), and only
+# the final ratio touches doubles — identical expression text, then
+# floor-quantized to basis points.
+#
+# Scale: degrees are g5's bounded rollup; attaching them to edges
+# is two equi-joins on the node key; the moment sums collapse in
+# ONE 1-row aggregate. Nothing quadratic beyond the bounded
+# same-order pair generator the whole family shares.
+# ---------------------------------------------------------------------------
+@register(
+    "g8_degree_assortativity",
+    oracle="""
+    WITH pp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS d
+      FROM pp a JOIN pp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT s AS node FROM e UNION ALL SELECT d FROM e
+      ) GROUP BY node
+    ), both_dirs AS (
+      SELECT ds.degree AS x, dd.degree AS y
+      FROM e JOIN deg ds ON ds.node = e.s JOIN deg dd ON dd.node = e.d
+      UNION ALL
+      SELECT dd.degree AS x, ds.degree AS y
+      FROM e JOIN deg ds ON ds.node = e.s JOIN deg dd ON dd.node = e.d
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM both_dirs
+    )
+    SELECT n AS n_edge_ends,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(floor(
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                  * 10000 + 0.5) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS assortativity_bp
+    FROM mom
+    """,
+)
+def g8_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        pp.alias("a")
+        .join(
+            pp.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("s", "d")
+        .localCheckpoint()  # edges feed degree rollup AND two joins
+    )
+    deg = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    ds = deg.select(F.col("node").alias("s"), F.col("degree").alias("xs"))
+    dd = deg.select(F.col("node").alias("d"), F.col("degree").alias("yd"))
+    pairs = e.join(ds, "s").join(dd, "d")
+    both = pairs.select(
+        F.col("xs").alias("x"), F.col("yd").alias("y")
+    ).unionAll(pairs.select(F.col("yd").alias("x"), F.col("xs").alias("y")))
+    mom = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return mom.select(
+        F.col("n").alias("n_edge_ends"),
+        F.expr(
+            "case when n * sxx - sx * sx > 0 and n * syy - sy * sy > 0"
+            " then cast(floor("
+            "cast(n * sxy - sx * sy as double)"
+            " / sqrt(cast(n * sxx - sx * sx as double))"
+            " / sqrt(cast(n * syy - sy * sy as double))"
+            " * 10000 + 0.5d) as bigint)"
+            " else 0L end"
+        ).alias("assortativity_bp"),
+    )

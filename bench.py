@@ -293,6 +293,8 @@ HEADLINE = [
     "j22_bracket_lookup",
     "a56_abc_analysis",
     "g8_degree_assortativity",
+    "x82_prefix_reuse",
+    "w25_local_peaks",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2467,3 +2467,69 @@ def x80_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (count(1) * sum(lr * lr) - sum(lr) * sum(lr))"
         ).alias("slope_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X82 — prefix-reuse analysis: how much of the corpus shares its
+# first 64 characters with at least one other document — the
+# planning number behind prompt-prefix caching and radix-tree KV
+# reuse in serving (and, in curation, a cheap template detector:
+# heavy prefix reuse = boilerplate openings x33/x70 should see).
+# Groups on md5 of the fixed-length prefix; reports per-source
+# document count, documents in a shared-prefix group, distinct
+# shared groups, reuse in bp, and the token mass such a cache would
+# deduplicate (estimated at 16 tokens per shared 64-char prefix
+# occurrence beyond the first).
+#
+# Scale: one map-side projection + two bounded rollups (prefix
+# groups then source) — no joins, no pair enumeration.
+# ---------------------------------------------------------------------------
+@register(
+    "x82_prefix_reuse",
+    oracle="""
+    WITH p AS (
+      SELECT source, md5(substr(text, 1, 64)) AS ph
+      FROM documents
+    ), g AS (
+      SELECT source, ph, CAST(count(*) AS BIGINT) AS n
+      FROM p GROUP BY source, ph
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS BIGINT)
+             AS n_shared_docs,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_groups,
+           CAST(10000 * sum(CASE WHEN n >= 2 THEN n ELSE 0 END) // sum(n)
+                AS BIGINT) AS reuse_bp,
+           CAST(16 * sum(CASE WHEN n >= 2 THEN n - 1 ELSE 0 END) AS BIGINT)
+             AS cacheable_tokens_est
+    FROM g GROUP BY source
+    """,
+)
+def x82_prefix_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "source", F.md5(F.substring("text", 1, 64)).alias("ph")
+        )
+        .groupBy("source", "ph")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    shared = F.when(F.col("n") >= 2, F.col("n")).otherwise(0)
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(shared).cast("long").alias("n_shared_docs"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_groups"),
+        F.expr(
+            "10000 * sum(case when n >= 2 then n else 0 end) div sum(n)"
+        ).alias("reuse_bp"),
+        (
+            F.lit(16)
+            * F.sum(F.when(F.col("n") >= 2, F.col("n") - 1).otherwise(0))
+        )
+        .cast("long")
+        .alias("cacheable_tokens_est"),
+    )

@@ -1217,3 +1217,60 @@ def w24_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rank_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W25 — local peak detection: days whose revenue strictly exceeds
+# every day in the surrounding ±3-row neighborhood — the discrete
+# local-maxima sweep behind spike annotation on monitoring charts
+# (w22 flags statistical outliers; this finds shape extrema
+# regardless of magnitude). The neighborhood maxima come from two
+# frames over ONE sort (preceding-3 and following-3); strict >
+# against both makes peaks unambiguous under ties.
+#
+# Scale: bounded daily rollup per priority, one exchange, two
+# frames sharing the sort; output is peaks only.
+# ---------------------------------------------------------------------------
+@register(
+    "w25_local_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), n AS (
+      SELECT priority, day, cents,
+             max(cents) OVER (PARTITION BY priority ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev_max,
+             max(cents) OVER (PARTITION BY priority ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS next_max
+      FROM daily
+    )
+    SELECT priority, CAST(day AS DATE) AS day, cents
+    FROM n
+    WHERE cents > coalesce(prev_max, -1) AND cents > coalesce(next_max, -1)
+    """,
+)
+def w25_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = W.partitionBy("priority").orderBy("day")
+    n = daily.select(
+        "priority",
+        "day",
+        "cents",
+        F.max("cents").over(w.rowsBetween(-3, -1)).alias("prev_max"),
+        F.max("cents").over(w.rowsBetween(1, 3)).alias("next_max"),
+    )
+    return n.filter(
+        (F.col("cents") > F.coalesce("prev_max", F.lit(-1)))
+        & (F.col("cents") > F.coalesce("next_max", F.lit(-1)))
+    ).select("priority", F.col("day").cast("date").alias("day"), "cents")

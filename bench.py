@@ -295,6 +295,7 @@ HEADLINE = [
     "g8_degree_assortativity",
     "x82_prefix_reuse",
     "w25_local_peaks",
+    "x83_term_burstiness",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

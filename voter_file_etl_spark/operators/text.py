@@ -2533,3 +2533,82 @@ def x82_prefix_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cacheable_tokens_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X83 — term burstiness: the variance-to-mean ratio (Fisher
+# dispersion) of per-document occurrence counts for the 100 most
+# frequent terms — function words occur evenly (VMR near 1),
+# topical/bursty terms clump (VMR >> 1), so this is the statistic
+# behind data-driven stopword lists (t10 uses a fixed list; this is
+# how you'd derive one from the corpus itself). Zero-occurrence
+# documents COUNT toward the moments (n is the corpus size, not the
+# term's document frequency) — computed via sum-of-squares over
+# occurrences plus the known n, never by materializing zeros. VMR
+# is emitted in exact milli-units: 1000·(n·Σc² − (Σc)²) // (n·Σc).
+#
+# Scale: one (term, doc) count, one bounded top-k, moments as
+# integer sums joined to the 1-row corpus size — no zero-filling,
+# no pair joins.
+# ---------------------------------------------------------------------------
+@register(
+    "x83_term_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        w -> w <> '')) AS w
+      FROM documents
+    ), tc AS (
+      SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY w, doc_id
+    ), term AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc,
+             CAST(count(*) AS BIGINT) AS df
+      FROM tc GROUP BY w
+    ), top AS (
+      SELECT w, sc, scc, df,
+             row_number() OVER (ORDER BY sc DESC, w) AS r
+      FROM term
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    )
+    SELECT w AS term, sc AS n_occurrences, df AS doc_freq,
+           CAST(1000 * (nd.n * scc - sc * sc) // (nd.n * sc) AS BIGINT)
+             AS vmr_milli
+    FROM top CROSS JOIN nd WHERE r <= 100
+    """,
+)
+def x83_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    tc = tok.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    term = tc.groupBy("w").agg(
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    top = term.select(
+        "w",
+        "sc",
+        "scc",
+        "df",
+        F.row_number().over(W.orderBy(F.desc("sc"), "w")).alias("r"),
+    ).filter(F.col("r") <= 100)
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return top.crossJoin(F.broadcast(nd)).select(
+        F.col("w").alias("term"),
+        F.col("sc").alias("n_occurrences"),
+        F.col("df").alias("doc_freq"),
+        F.expr("1000 * (n * scc - sc * sc) div (n * sc)").alias("vmr_milli"),
+    )

@@ -296,6 +296,7 @@ HEADLINE = [
     "x82_prefix_reuse",
     "w25_local_peaks",
     "x83_term_burstiness",
+    "x84_reshard_stability",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1165,3 +1165,69 @@ def x77_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X84 — reshard stability: when a corpus grows from 8 to 10 shards,
+# what fraction of documents MOVE under (a) mod-N hashing vs (b)
+# range partitioning of the hash space? The scale-ops lesson as a
+# measured table: mod resharding scrambles almost everything (every
+# residue class re-maps), range resharding moves only the documents
+# whose hash falls in a shifted boundary span (~1 − 8/10 of the
+# space) — why x69's range shards and consistent-hash rings exist.
+# Both strategies derive from the SAME 32-bit md5 key, so the
+# comparison is exact integer arithmetic per row.
+#
+# Scale: pure map-side classification + a 2-row rollup; no joins.
+# ---------------------------------------------------------------------------
+@register(
+    "x84_reshard_stability",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST({_bucket_sql("CAST(doc_id AS VARCHAR)", 4294967296)}
+                  AS BIGINT) AS u
+      FROM documents
+    )
+    SELECT 'mod' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN u % 8 <> u % 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST(10000 * sum(CASE WHEN u % 8 <> u % 10 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS moved_bp
+    FROM h
+    UNION ALL
+    SELECT 'range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN u * 8 // 4294967296 <> u * 10 // 4294967296
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(10000 * sum(CASE WHEN u * 8 // 4294967296
+                                      <> u * 10 // 4294967296
+                            THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+    FROM h
+    """,
+)
+def x84_reshard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % F.lit(4294967296)
+    )
+    h = docs.select(u.alias("u"))
+
+    def strat(name, moved_sql):
+        return h.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr(
+                f"cast(sum(case when {moved_sql} then 1 else 0 end)"
+                " as bigint)"
+            ).alias("n_moved"),
+            F.expr(
+                f"10000 * sum(case when {moved_sql} then 1 else 0 end)"
+                " div count(1)"
+            ).alias("moved_bp"),
+        ).select(F.lit(name).alias("strategy"), "n_docs", "n_moved", "moved_bp")
+
+    return strat("mod", "u % 8 != u % 10").unionByName(
+        strat("range", "u * 8 div 4294967296 != u * 10 div 4294967296")
+    )

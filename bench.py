@@ -297,6 +297,7 @@ HEADLINE = [
     "w25_local_peaks",
     "x83_term_burstiness",
     "x84_reshard_stability",
+    "x85_sample_bias_audit",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1231,3 +1231,60 @@ def x84_reshard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat("mod", "u % 8 != u % 10").unionByName(
         strat("range", "u * 8 div 4294967296 != u * 10 div 4294967296")
     )
+
+
+# ---------------------------------------------------------------------------
+# X85 — sampling bias audit: does the deterministic 10% hash sample
+# (x13's bucket) preserve the corpus's language mix? Per language:
+# full-corpus share vs in-sample share (bp) and the absolute gap;
+# plus the half-L1 total-variation distance folded per row so the
+# whole audit stays one bounded rollup. The QA step every sampled
+# eval set should pass before anyone trusts metrics computed on it.
+#
+# Scale: two map-side-combined lang rollups (full + sample) joined
+# on the bounded lang key, totals broadcast; no second pass over
+# text.
+# ---------------------------------------------------------------------------
+@register(
+    "x85_sample_bias_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_full,
+             CAST(sum(CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)")} < 10
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_samp
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(sum(n_full) AS BIGINT) AS tf,
+             CAST(sum(n_samp) AS BIGINT) AS ts
+      FROM base
+    )
+    SELECT b.lang, b.n_full, b.n_samp,
+           CAST(10000 * b.n_full // t.tf AS BIGINT) AS full_share_bp,
+           CAST(10000 * b.n_samp // t.ts AS BIGINT) AS samp_share_bp,
+           CAST(abs(10000 * b.n_full // t.tf - 10000 * b.n_samp // t.ts)
+                AS BIGINT) AS gap_bp
+    FROM base b CROSS JOIN tot t
+    """,
+)
+def x85_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    in_samp = _bucket(F.col("doc_id").cast("string")) < 10
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        F.sum(F.when(in_samp, 1).otherwise(0)).cast("long").alias("n_samp"),
+    )
+    tot = base.agg(
+        F.sum("n_full").cast("long").alias("tf"),
+        F.sum("n_samp").cast("long").alias("ts"),
+    )
+    return base.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_full",
+        "n_samp",
+        F.expr("10000 * n_full div tf").alias("full_share_bp"),
+        F.expr("10000 * n_samp div ts").alias("samp_share_bp"),
+        F.expr(
+            "abs(10000 * n_full div tf - 10000 * n_samp div ts)"
+        ).alias("gap_bp"),
+    )

@@ -298,6 +298,7 @@ HEADLINE = [
     "x83_term_burstiness",
     "x84_reshard_stability",
     "x85_sample_bias_audit",
+    "st18_stream_topk",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -319,3 +319,86 @@ def st14_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_once()  # restart: same checkpoint, must ingest ONLY the new file
 
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# ST18 — streaming top-k leaderboard via foreachBatch: maintain the
+# global top-20 events by value across micro-batches by merging
+# each batch's LOCAL top-20 with the stored leaderboard and keeping
+# the top-20 of the union. Correct because max-based top-k is a
+# merge-safe (idempotent, commutative, associative) operation:
+# topk(A ∪ B) = topk(topk(A) ∪ topk(B)) — the algebra that makes
+# per-batch candidate pruning exact, unlike sum-based rankings
+# which need full upsert state (st7's job). The stored state is k
+# rows, the per-batch work is one TakeOrderedAndProject.
+#
+# Determinism: ordering is (cents DESC, event_id ASC) — a total
+# order — so the final leaderboard is batch-split-invariant, which
+# is exactly what the batch oracle checks.
+# ---------------------------------------------------------------------------
+_ST18_K = 20
+
+
+@register(
+    "st18_stream_topk",
+    oracle="""
+    SELECT event_id, user_id, cents FROM (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (
+               ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC,
+                        event_id) AS rn
+      FROM events
+    ) WHERE rn <= 20
+    """,
+)
+def st18_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_session_confs(spark)
+    work = tempfile.mkdtemp(
+        prefix="st18_topk_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    src_dir = os.path.join(work, "src")
+    (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("cast(floor(value * 100 + 0.5d) as bigint)").alias("cents"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    board = os.path.join(work, "board")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        cand = batch_df.orderBy(
+            F.desc("cents"), F.asc("event_id")
+        ).limit(_ST18_K)
+        if os.path.isdir(board):
+            cand = cand.unionByName(spark.read.parquet(board))
+        new_board = cand.orderBy(F.desc("cents"), F.asc("event_id")).limit(
+            _ST18_K
+        )
+        stage = os.path.join(work, f"stage_b{batch_id}")
+        new_board.write.mode("overwrite").parquet(stage)
+        (
+            spark.read.parquet(stage)
+            .write.mode("overwrite")
+            .parquet(board)
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, cents long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    with stream_parallelism(spark):
+        query = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.read.parquet(board).select("event_id", "user_id", "cents")

@@ -299,6 +299,7 @@ HEADLINE = [
     "x84_reshard_stability",
     "x85_sample_bias_audit",
     "st18_stream_topk",
+    "m19_media_sniff",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1530,3 +1530,72 @@ def m18_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, out_rate int, n_frames_out long, "
         "sum_amp_out long, min_amp_out long",
     )
+
+
+# ---------------------------------------------------------------------------
+# M19 — media-type sniffing by magic bytes: a mixed landing column
+# where every payload carries one of the suite's real container
+# headers (P6 PPM, RIFF WAV, BM BMP, PNG signature, VID0) ahead of
+# its body, classified JVM-SIDE by binary-prefix comparison — the
+# router that decides which codec (m5/m6/m17/m9/m8) a payload goes
+# to, and the first thing an ingest pipeline does to a BYTEA column
+# (m10 quarantines what this cannot classify). No Python anywhere:
+# construction and classification are both binary Column
+# expressions. The oracle pins the expected type distribution AND
+# per-type byte totals, so a sniffer that misroutes any class
+# mismatches.
+#
+# Scale: pure map-side binary expressions + bounded rollup.
+# ---------------------------------------------------------------------------
+_M19_HDR = {
+    # magic-byte prefix (hex) per synthesized container class
+    "ppm": "50360A",        # "P6\n"
+    "wav": "52494646",      # "RIFF"
+    "bmp": "424D",          # "BM"
+    "png": "89504E47",      # PNG signature head
+    "vid": "56494430",      # "VID0"
+}
+
+
+@register(
+    "m19_media_sniff",
+    oracle="""
+    SELECT CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+                WHEN 2 THEN 'bmp' WHEN 3 THEN 'png' ELSE 'vid' END
+             AS media_type,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(sum(octet_length(encode(text))
+                + CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 4
+                       WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 4 END) AS BIGINT)
+             AS sum_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def m19_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    hdr = (
+        F.when(F.col("doc_id") % 5 == 0, F.expr(f"X'{_M19_HDR['ppm']}'"))
+        .when(F.col("doc_id") % 5 == 1, F.expr(f"X'{_M19_HDR['wav']}'"))
+        .when(F.col("doc_id") % 5 == 2, F.expr(f"X'{_M19_HDR['bmp']}'"))
+        .when(F.col("doc_id") % 5 == 3, F.expr(f"X'{_M19_HDR['png']}'"))
+        .otherwise(F.expr(f"X'{_M19_HDR['vid']}'"))
+    )
+    landed = docs.select(
+        F.concat(hdr, F.expr("encode(text, 'UTF-8')")).alias("payload")
+    )
+    sniffed = landed.select(
+        "payload",
+        F.when(
+            F.expr(f"substring(payload, 1, 3) = X'{_M19_HDR['ppm']}'"), "ppm"
+        )
+        .when(F.expr(f"substring(payload, 1, 4) = X'{_M19_HDR['wav']}'"), "wav")
+        .when(F.expr(f"substring(payload, 1, 4) = X'{_M19_HDR['png']}'"), "png")
+        .when(F.expr(f"substring(payload, 1, 4) = X'{_M19_HDR['vid']}'"), "vid")
+        .when(F.expr(f"substring(payload, 1, 2) = X'{_M19_HDR['bmp']}'"), "bmp")
+        .otherwise("unknown")
+        .alias("media_type"),
+    )
+    return sniffed.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.sum(F.expr("octet_length(payload)")).cast("long").alias("sum_bytes"),
+    )

@@ -300,6 +300,7 @@ HEADLINE = [
     "x85_sample_bias_audit",
     "st18_stream_topk",
     "m19_media_sniff",
+    "l24_merge_schema_evolution",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

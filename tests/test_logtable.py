@@ -457,3 +457,34 @@ def test_retention_vacuum_keeps_window_versions_readable(spark, tmp_path):
     # ...and a pre-window replay now references deleted files.
     with pytest.raises(Exception):
         table.snapshot(0).count()
+
+
+def test_merge_schema_evolution_adds_column(spark, tmp_path):
+    # A batch carrying a NEW column merges cleanly: pre-existing rows
+    # read back null for it, updated rows carry it, untouched-bucket
+    # files keep their old physical schema (byte-identical), and
+    # time travel to the pre-evolution version still works.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(32)]), work)
+    before = _file_hashes(table)
+
+    evolved = spark.createDataFrame(
+        [(7, 2, "v2-7", "feed-x")],
+        "k bigint, seq bigint, payload string, origin string",
+    )
+    v = table.merge(evolved, work)
+    entry = table.history()[v]
+    touched = {a["bucket"] for a in entry["adds"]}
+    assert len(touched) == 1
+
+    after = _file_hashes(table)
+    survivors = {p: h for p, h in before.items() if p in after}
+    assert all(after[p] == h for p, h in survivors.items())
+
+    rows = {r["k"]: r for r in table.snapshot().collect()}
+    assert rows[7]["origin"] == "feed-x" and rows[7]["payload"] == "v2-7"
+    assert rows[3]["origin"] is None and rows[3]["payload"] == "v1-3"
+    assert len(rows) == 32
+    # pre-evolution time travel: no origin column required to exist
+    assert table.snapshot(0).count() == 32

@@ -1218,3 +1218,71 @@ def l23_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+# ---------------------------------------------------------------------------
+# L24 — schema evolution through the table-format MERGE: the second
+# batch arrives carrying a NEW column (channel) that the first
+# generation of files has never seen; the merge unions with
+# allowMissingColumns and the snapshot reads with mergeSchema, so
+# old rows surface null for the added column — Delta's
+# mergeSchema-on-write semantics over the plain-parquet log
+# (l5 demonstrates the same idea for raw parquet dirs; this is the
+# governed-table version, where untouched buckets keep their old
+# physical schema byte-identical:
+# tests/test_logtable.py::test_merge_schema_evolution_adds_column).
+# LWW winners decide who carries the column, which is exactly what
+# the oracle computes.
+#
+# Scale: unchanged merge cost model — only touched buckets rewrite;
+# schema width is a logical union, not a physical rewrite.
+# ---------------------------------------------------------------------------
+@register(
+    "l24_merge_schema_evolution",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_channel,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id
+    FROM w WHERE rn = 1 GROUP BY event_type
+    """,
+)
+def l24_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.sources.logtable import LogTable
+
+    work = _tmpdir("l24_evolve_")
+    events = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    table = LogTable(
+        spark,
+        os.path.join(work, "table"),
+        key_cols=["user_id"],
+        order_cols=["us", "event_id"],
+        n_buckets=8,
+    )
+    table.merge(events.filter(F.col("event_id") % 2 == 0), work)
+    evolved = events.filter(F.col("event_id") % 2 == 1).withColumn(
+        "channel", F.concat(F.lit("ch-"), (F.col("user_id") % 3).cast("string"))
+    )
+    table.merge(evolved, work)
+    snap = table.snapshot()
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("channel").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_channel"),
+        F.sum("event_id").cast("long").alias("sum_last_id"),
+    )

@@ -233,7 +233,9 @@ class LogTable:
         files = self.active_files(version)
         if not files:
             raise ValueError("empty table has no snapshot schema")
-        df = self.spark.read.parquet(
+        # mergeSchema: active files may span schema generations after
+        # an evolving merge — older files read null for added columns.
+        df = self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.root, f["path"]) for f in files]
         )
         dv = self.active_dv(version)
@@ -340,10 +342,19 @@ class LogTable:
         )  # bounded collect: <= n_buckets ints
         old = [f for f in self.active_files() if f["bucket"] in touched]
         if old:
-            cur = self.spark.read.parquet(
-                *[os.path.join(self.root, f["path"]) for f in old]
-            ).withColumn("_bucket", self._bucket_col())
-            merged = cur.unionByName(batch)
+            # mergeSchema: the touched files may span older column
+            # sets; allowMissingColumns on BOTH union sides makes a
+            # batch that ADDS a column (schema evolution) merge
+            # cleanly — existing rows read back null for it, exactly
+            # Delta's mergeSchema=write semantics. Untouched buckets
+            # keep their old physical schema; snapshot() reads with
+            # mergeSchema so mixed generations union transparently.
+            cur = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.root, f["path"]) for f in old])
+                .withColumn("_bucket", self._bucket_col())
+            )
+            merged = cur.unionByName(batch, allowMissingColumns=True)
         else:
             merged = batch
         win = W.partitionBy(*self.key_cols).orderBy(

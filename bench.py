@@ -301,6 +301,7 @@ HEADLINE = [
     "st18_stream_topk",
     "m19_media_sniff",
     "l24_merge_schema_evolution",
+    "e5_board_pack",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1479,3 +1479,179 @@ def a58_repeat_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(gap_days) div count(1)").alias("mean_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E5 — the board pack: one long-format executive report (section,
+# metric, value) computed as a single plan — total revenue, latest
+# month-over-month change, latest new-customer share, 3-sigma
+# anomaly-day count, and the top revenue decile's share. Each
+# metric reuses a session operator's exact-integer formulation
+# (w23, a57, w22, a55) but lands in ONE DataFrame so a scheduler
+# ships ONE job and the numbers are mutually consistent (same scan
+# snapshot — the property per-metric jobs lose when data lands
+# between runs).
+#
+# Scale: five bounded aggregates unioned; the orders scan feeds
+# monthly/daily/customer rollups that each combine map-side. All
+# 1-row results; no metric touches raw rows twice in the same
+# branch.
+# ---------------------------------------------------------------------------
+@register(
+    "e5_board_pack",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ), mom AS (
+      SELECT month, cents,
+             lag(cents) OVER (ORDER BY month) AS prev,
+             row_number() OVER (ORDER BY month DESC) AS rn
+      FROM monthly
+    ), flagged AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CASE WHEN row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+             THEN 1 ELSE 0 END AS is_new
+      FROM orders
+    ), newest AS (
+      SELECT month, CAST(10000 * sum(is_new) // count(*) AS BIGINT) AS bp,
+             row_number() OVER (ORDER BY month DESC) AS rn
+      FROM flagged GROUP BY month
+    ), daily AS (
+      SELECT o_orderpriority AS p, o_orderdate AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ), mom2 AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY p
+    ), anom AS (
+      SELECT CAST(sum(CASE WHEN m.n * (m.n * d.x - m.sx) * (m.n * d.x - m.sx)
+                                > 9 * (m.n * m.sxx - m.sx * m.sx) * m.n
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+      FROM daily d JOIN mom2 m ON d.p = m.p
+    ), rev AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), pareto AS (
+      SELECT CAST(10000 * sum(CASE WHEN decile = 1 THEN cents ELSE 0 END)
+                  // sum(cents) AS BIGINT) AS top_decile_bp
+      FROM (SELECT cents, ntile(10) OVER (ORDER BY cents DESC, o_custkey)
+                     AS decile FROM rev)
+    )
+    SELECT 'revenue' AS section, 'total_cents' AS metric,
+           (SELECT CAST(sum(cents) AS BIGINT) FROM monthly) AS value
+    UNION ALL
+    SELECT 'revenue', 'latest_mom_bp',
+           (SELECT CAST(10000 * (cents - prev) // prev AS BIGINT)
+            FROM mom WHERE rn = 1)
+    UNION ALL
+    SELECT 'growth', 'latest_new_share_bp', (SELECT bp FROM newest WHERE rn = 1)
+    UNION ALL
+    SELECT 'health', 'sigma_anomaly_days', (SELECT n_anom FROM anom)
+    UNION ALL
+    SELECT 'concentration', 'top_decile_share_bp',
+           (SELECT top_decile_bp FROM pareto)
+    """,
+)
+def e5_board_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cents = F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(cents).alias("cents"))
+    total = monthly.agg(F.sum("cents").cast("long").alias("value")).select(
+        F.lit("revenue").alias("section"),
+        F.lit("total_cents").alias("metric"),
+        "value",
+    )
+    w_m = W.orderBy("month")
+    mom = (
+        monthly.select(
+            "month", "cents", F.lag("cents").over(w_m).alias("prev")
+        )
+        .orderBy(F.desc("month"))
+        .limit(1)
+        .select(
+            F.lit("revenue").alias("section"),
+            F.lit("latest_mom_bp").alias("metric"),
+            F.expr("10000 * (cents - prev) div prev").alias("value"),
+        )
+    )
+    w_cust = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    newest = (
+        orders.select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.when(F.row_number().over(w_cust) == 1, 1).otherwise(0).alias(
+                "is_new"
+            ),
+        )
+        .groupBy("month")
+        .agg(F.expr("10000 * sum(is_new) div count(1)").alias("value"))
+        .orderBy(F.desc("month"))
+        .limit(1)
+        .select(
+            F.lit("growth").alias("section"),
+            F.lit("latest_new_share_bp").alias("metric"),
+            "value",
+        )
+    )
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mom2 = daily.groupBy("p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    anom = (
+        daily.join(F.broadcast(mom2), "p")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n")
+                    * (F.col("n") * F.col("x") - F.col("sx"))
+                    * (F.col("n") * F.col("x") - F.col("sx"))
+                    > 9
+                    * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.col("n"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("value")
+        )
+        .select(
+            F.lit("health").alias("section"),
+            F.lit("sigma_anomaly_days").alias("metric"),
+            "value",
+        )
+    )
+    rev = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    pareto = (
+        rev.select(
+            "cents",
+            F.ntile(10)
+            .over(W.orderBy(F.desc("cents"), "o_custkey"))
+            .alias("decile"),
+        )
+        .agg(
+            F.expr(
+                "10000 * sum(case when decile = 1 then cents else 0 end)"
+                " div sum(cents)"
+            ).alias("value")
+        )
+        .select(
+            F.lit("concentration").alias("section"),
+            F.lit("top_decile_share_bp").alias("metric"),
+            "value",
+        )
+    )
+    out = total
+    for part in (mom, newest, anom, pareto):
+        out = out.unionByName(part)
+    return out

@@ -302,6 +302,7 @@ HEADLINE = [
     "m19_media_sniff",
     "l24_merge_schema_evolution",
     "e5_board_pack",
+    "a59_topn_plus_other",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

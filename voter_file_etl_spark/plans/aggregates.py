@@ -1865,3 +1865,68 @@ def a56_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("cents"),
         F.expr("10000 * sum(cents) div max(total)").alias("share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A59 — top-N + OTHER: brand revenue with every brand outside the
+# top 10 folded into one OTHER row — the cardinality cap every
+# report applies before a chart (and every privacy reviewer asks
+# for before a release: small categories aggregate away). Rank by
+# the full deterministic order, fold with a CASE on rank, re-roll;
+# OTHER carries its member count so nothing silently disappears.
+#
+# Scale: brand rollup with map-side combine (bounded key), rank
+# over the bounded rollup, second bounded rollup — raw rows are
+# touched once.
+# ---------------------------------------------------------------------------
+@register(
+    "a59_topn_plus_other",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ), ranked AS (
+      SELECT brand, cents,
+             row_number() OVER (ORDER BY cents DESC, brand) AS r
+      FROM rev
+    )
+    SELECT CASE WHEN r <= 10 THEN brand ELSE 'OTHER' END AS brand,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def a59_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.expr("cast(floor(l_extendedprice * 100 + 0.5d) as bigint)").alias("cents")
+    )
+    part = t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    rev = li.join(part, "l_partkey").groupBy("brand").agg(
+        F.sum("cents").alias("cents")
+    )
+    ranked = rev.select(
+        "brand",
+        "cents",
+        F.row_number().over(W.orderBy(F.desc("cents"), "brand")).alias("r"),
+    )
+    return (
+        ranked.select(
+            F.when(F.col("r") <= 10, F.col("brand"))
+            .otherwise("OTHER")
+            .alias("brand"),
+            "cents",
+        )
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_brands"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

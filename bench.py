@@ -303,6 +303,7 @@ HEADLINE = [
     "l24_merge_schema_evolution",
     "e5_board_pack",
     "a59_topn_plus_other",
+    "x86_k_anonymity_audit",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1288,3 +1288,52 @@ def x85_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(10000 * n_full div tf - 10000 * n_samp div ts)"
         ).alias("gap_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X86 — k-anonymity audit: for the quasi-identifier projection
+# (nation, market segment), is every equivalence class at least
+# k = 5 strong? Reports the minimum class size, classes and rows
+# below k, and the suppression rate a release would need — the
+# re-identification audit that precedes publishing any
+# person-derived rollup (x77's DP release is the remedy when this
+# audit fails). Exact integers end to end.
+#
+# Scale: ONE groupBy on the bounded quasi-identifier key with
+# map-side combine, then a 1-row rollup of the class table.
+# ---------------------------------------------------------------------------
+@register(
+    "x86_k_anonymity_audit",
+    oracle="""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(n) AS BIGINT) AS k_min,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below_k,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(10000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END) // sum(n)
+                AS BIGINT) AS suppression_bp
+    FROM cls
+    """,
+)
+def x86_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    cls = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    below = F.when(F.col("n") < 5, F.col("n")).otherwise(0)
+    return cls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("n").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classes_below_k"),
+        F.sum(below).cast("long").alias("n_rows_at_risk"),
+        F.expr(
+            "10000 * sum(case when n < 5 then n else 0 end) div sum(n)"
+        ).alias("suppression_bp"),
+    )

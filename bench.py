@@ -304,6 +304,7 @@ HEADLINE = [
     "e5_board_pack",
     "a59_topn_plus_other",
     "x86_k_anonymity_audit",
+    "a60_backtest_naive",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1655,3 +1655,50 @@ def e5_board_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in (mom, newest, anom, pareto):
         out = out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# A60 — seasonal-naive backtest: score the "same weekday last week"
+# forecast against realized daily order counts — the baseline every
+# real forecast (a53) must beat before it ships, reported as MAE
+# and signed bias in integer basis points of realized volume.
+# lag(7) over the daily series per priority; only days with a
+# 7-back reference score.
+#
+# Scale: bounded daily rollup, ONE window exchange, 5-row report.
+# ---------------------------------------------------------------------------
+@register(
+    "a60_backtest_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority, o_orderdate AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ), scored AS (
+      SELECT priority, x,
+             lag(x, 7) OVER (PARTITION BY priority ORDER BY day) AS pred
+      FROM daily
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(10000 * sum(abs(x - pred)) // sum(x) AS BIGINT) AS mae_bp,
+           CAST(10000 * sum(pred - x) // sum(x) AS BIGINT) AS bias_bp
+    FROM scored WHERE pred IS NOT NULL
+    GROUP BY priority
+    """,
+)
+def a60_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = W.partitionBy("priority").orderBy("day")
+    scored = daily.select(
+        "priority", "x", F.lag("x", 7).over(w).alias("pred")
+    ).filter(F.col("pred").isNotNull())
+    return scored.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.expr("10000 * sum(abs(x - pred)) div sum(x)").alias("mae_bp"),
+        F.expr("10000 * sum(pred - x) div sum(x)").alias("bias_bp"),
+    )

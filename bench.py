@@ -305,6 +305,7 @@ HEADLINE = [
     "a59_topn_plus_other",
     "x86_k_anonymity_audit",
     "a60_backtest_naive",
+    "s23_zstd_roundtrip",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

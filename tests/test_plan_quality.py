@@ -1069,3 +1069,26 @@ def test_entity_resolution_blocks_before_scoring(spark, sf_dir):
     plan = _formatted_plan(spark, "e4_entity_resolution", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_zstd_writes_smaller_than_uncompressed(spark, sf_dir):
+    # s23: the zstd files must actually be zstd (smaller than the
+    # same rows uncompressed) and readable mixed with other codecs.
+    import glob
+    import os
+    import tempfile
+
+    from voter_file_etl_spark.tables import t as _t
+
+    z = tempfile.mkdtemp(prefix="zstd_")
+    u = tempfile.mkdtemp(prefix="uncmp_")
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    df.repartition(1).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(z)
+    df.repartition(1).write.mode("overwrite").option(
+        "compression", "none"
+    ).parquet(u)
+    zs = sum(os.path.getsize(p) for p in glob.glob(z + "/*.parquet"))
+    us = sum(os.path.getsize(p) for p in glob.glob(u + "/*.parquet"))
+    assert 0 < zs < us, (zs, us)

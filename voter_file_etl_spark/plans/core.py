@@ -1224,3 +1224,45 @@ def s22_glob_recursive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S23 — zstd parquet: the modern codec choice (better ratio than
+# snappy at comparable decode speed — the default question every
+# 100 TB lake asks) exercised end to end: write orders with
+# compression=zstd, read back, and prove byte-exact content via the
+# rollup the oracle states. The size win is reported by the unit
+# test (zstd strictly smaller than the same data as uncompressed),
+# not the key, since absolute sizes are codec-version-dependent.
+#
+# Scale: codec choice is per-column-chunk metadata — readers mix
+# codecs freely file to file, so a lake can migrate codecs
+# incrementally via compaction (l6) with no reader change.
+# ---------------------------------------------------------------------------
+@register(
+    "s23_zstd_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def s23_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = tempfile.mkdtemp(
+        prefix="s23_zstd_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+    )

@@ -306,6 +306,7 @@ HEADLINE = [
     "x86_k_anonymity_audit",
     "a60_backtest_naive",
     "s23_zstd_roundtrip",
+    "j23_null_skew_split",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1170,3 +1170,63 @@ def j22_bracket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J23 — null-key skew split: a left join where a large fraction of
+# fact rows carry NULL join keys (unattributed events, anonymous
+# sessions — here every 11th order's custkey arrives null). Null
+# keys can never match, yet a naive plan still SHUFFLES them all
+# into one pathological bucket's worth of no-op work. The engine
+# form splits null-key rows out BEFORE the join, joins only the
+# keyed remainder, and unions the null rows back with null dims —
+# the standard null-skew mitigation, equal to the naive join by
+# definition (which is what the oracle states as a plain LEFT JOIN).
+#
+# Scale: the null branch is a map-side filter + union — zero
+# shuffle for the skewed population; only real keys pay the join.
+# ---------------------------------------------------------------------------
+@register(
+    "j23_null_skew_split",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_custkey END AS custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT coalesce(c.c_mktsegment, 'UNATTRIBUTED') AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(f.cents) AS BIGINT) AS sum_cents
+    FROM f LEFT JOIN customer c ON c.c_custkey = f.custkey
+    GROUP BY 1
+    """,
+)
+def j23_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    keyed = orders.filter(F.col("custkey").isNotNull()).join(
+        cust, "custkey", "left"
+    )
+    nulls = orders.filter(F.col("custkey").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    both = keyed.select("cents", "c_mktsegment").unionByName(
+        nulls.select("cents", "c_mktsegment")
+    )
+    return both.groupBy(
+        F.coalesce("c_mktsegment", F.lit("UNATTRIBUTED")).alias("segment")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

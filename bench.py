@@ -307,6 +307,7 @@ HEADLINE = [
     "a60_backtest_naive",
     "s23_zstd_roundtrip",
     "j23_null_skew_split",
+    "o6_keyset_pagination",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

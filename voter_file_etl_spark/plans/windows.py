@@ -1274,3 +1274,53 @@ def w25_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") > F.coalesce("prev_max", F.lit(-1)))
         & (F.col("cents") > F.coalesce("next_max", F.lit(-1)))
     ).select("priority", F.col("day").cast("date").alias("day"), "cents")
+
+
+# ---------------------------------------------------------------------------
+# O6 — keyset pagination: fetch "the 50 rows after the 100th
+# orderkey" with a WHERE key > boundary ... LIMIT 50 — the
+# serving-layer pagination pattern that stays O(page) at any depth
+# because the boundary predicate PUSHES TO THE SCAN, where
+# OFFSET-based paging (o3) must produce and discard every earlier
+# row. The boundary itself is computed in-plan (the 100th smallest
+# key via a bounded top-k), so the page is deterministic at any sf.
+#
+# Scale: top-k for the boundary + a pushed-predicate scan + top-k
+# for the page — no global sort, no offset scan-and-discard.
+# ---------------------------------------------------------------------------
+@register(
+    "o6_keyset_pagination",
+    oracle="""
+    WITH boundary AS (
+      SELECT max(o_orderkey) AS k FROM (
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100
+      )
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders CROSS JOIN boundary
+    WHERE o_orderkey > boundary.k
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    boundary = (
+        orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(100)
+        .agg(F.max("o_orderkey").alias("k"))
+    )
+    return (
+        orders.crossJoin(F.broadcast(boundary))
+        .filter(F.col("o_orderkey") > F.col("k"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+                "cents"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(50)
+    )

@@ -308,6 +308,7 @@ HEADLINE = [
     "s23_zstd_roundtrip",
     "j23_null_skew_split",
     "o6_keyset_pagination",
+    "a61_same_store_growth",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

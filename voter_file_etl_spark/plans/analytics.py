@@ -1702,3 +1702,84 @@ def a60_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * sum(abs(x - pred)) div sum(x)").alias("mae_bp"),
         F.expr("10000 * sum(pred - x) div sum(x)").alias("bias_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A61 — comparable-cohort growth ("same-store sales"): 1996→1997
+# revenue growth computed two ways — naively over everyone, and
+# restricted to customers active in BOTH years — the correction
+# that separates real per-customer growth from mix effects
+# (churned + acquired customers). The comparable set is a semi-join
+# of the two per-customer year rollups; both growth rates land in
+# integer bp.
+#
+# Scale: one customer×year rollup (map-side combined) feeds both
+# variants; the comparable filter is an inner self-join on
+# custkey over that bounded rollup. 2-row report.
+# ---------------------------------------------------------------------------
+@register(
+    "a61_same_store_growth",
+    oracle="""
+    WITH cy AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), pair AS (
+      SELECT a.o_custkey, a.cents AS c96, b.cents AS c97
+      FROM cy a JOIN cy b
+        ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+    )
+    SELECT 'all_customers' AS cohort,
+           CAST((SELECT count(DISTINCT o_custkey) FROM cy) AS BIGINT)
+             AS n_customers,
+           CAST(10000 * ((SELECT sum(cents) FROM cy WHERE yr = 1997)
+                         - (SELECT sum(cents) FROM cy WHERE yr = 1996))
+                // (SELECT sum(cents) FROM cy WHERE yr = 1996) AS BIGINT)
+             AS growth_bp
+    UNION ALL
+    SELECT 'comparable',
+           CAST((SELECT count(*) FROM pair) AS BIGINT),
+           CAST(10000 * ((SELECT sum(c97) FROM pair)
+                         - (SELECT sum(c96) FROM pair))
+                // (SELECT sum(c96) FROM pair) AS BIGINT)
+    """,
+)
+def a61_same_store_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cy = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").alias("yr")
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+            ).alias("cents")
+        )
+        .localCheckpoint()  # both cohorts and the pair join reuse it
+    )
+    a = cy.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("cents").alias("c96")
+    )
+    b = cy.filter(F.col("yr") == 1997).select(
+        "o_custkey", F.col("cents").alias("c97")
+    )
+    pair = a.join(b, "o_custkey")
+    all_row = cy.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.expr(
+            "10000 * (sum(case when yr = 1997 then cents else 0 end)"
+            " - sum(case when yr = 1996 then cents else 0 end))"
+            " div sum(case when yr = 1996 then cents else 0 end)"
+        ).alias("growth_bp"),
+    ).select(
+        F.lit("all_customers").alias("cohort"), "n_customers", "growth_bp"
+    )
+    comp_row = pair.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.expr(
+            "10000 * (sum(c97) - sum(c96)) div sum(c96)"
+        ).alias("growth_bp"),
+    ).select(F.lit("comparable").alias("cohort"), "n_customers", "growth_bp")
+    return all_row.unionByName(comp_row)

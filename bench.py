@@ -309,6 +309,7 @@ HEADLINE = [
     "j23_null_skew_split",
     "o6_keyset_pagination",
     "a61_same_store_growth",
+    "x87_injection_scan",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2612,3 +2612,79 @@ def x83_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("doc_freq"),
         F.expr("1000 * (n * scc - sc * sc) div (n * sc)").alias("vmr_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X87 — injection-pattern hygiene scan: per-source rates of
+# instruction-override phrasing ("ignore ... instructions",
+# "system prompt", "you are now"), long base64-ish runs, and
+# bidi/zero-width control characters — the adversarial-content
+# screen a corpus passes before becoming assistant training data
+# (x20 redacts PII; this flags content designed to steer the
+# model). Counts are regexp_count expressions in basis points;
+# flagged = any category hit.
+#
+# Scale: pure codegen regexp arithmetic + one bounded source
+# rollup — x75's shape with an adversarial lens.
+# ---------------------------------------------------------------------------
+@register(
+    "x87_injection_scan",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text),
+               'ignore (all|previous|the above)|system prompt|you are now'))
+               AS BIGINT) AS n_override,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9+/]{40,}={0,2}'))
+               AS BIGINT) AS n_base64ish,
+             CAST(len(regexp_extract_all(text,
+               '[\\x{200b}\\x{200c}\\x{200d}\\x{202a}-\\x{202e}\\x{2066}-\\x{2069}]'))
+               AS BIGINT) AS n_bidi
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_override + n_base64ish + n_bidi > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_override) AS BIGINT) AS n_override_hits,
+           CAST(sum(n_base64ish) AS BIGINT) AS n_base64_hits,
+           CAST(sum(n_bidi) AS BIGINT) AS n_bidi_hits,
+           CAST(10000 * sum(CASE WHEN n_override + n_base64ish + n_bidi > 0
+                                 THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+             AS flagged_bp
+    FROM f GROUP BY source
+    """,
+)
+def x87_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    f = docs.select(
+        "source",
+        F.expr(
+            "regexp_count(lower(text),"
+            " 'ignore (all|previous|the above)|system prompt|you are now')"
+        )
+        .cast("long")
+        .alias("n_override"),
+        F.expr("regexp_count(text, '[A-Za-z0-9+/]{40,}={0,2}')")
+        .cast("long")
+        .alias("n_base64ish"),
+        F.expr(
+            "regexp_count(text,"
+            " '[\\\\u200b\\\\u200c\\\\u200d\\\\u202a-\\\\u202e"
+            "\\\\u2066-\\\\u2069]')"
+        )
+        .cast("long")
+        .alias("n_bidi"),
+    )
+    hit = F.col("n_override") + F.col("n_base64ish") + F.col("n_bidi") > 0
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_flagged"),
+        F.sum("n_override").cast("long").alias("n_override_hits"),
+        F.sum("n_base64ish").cast("long").alias("n_base64_hits"),
+        F.sum("n_bidi").cast("long").alias("n_bidi_hits"),
+        F.expr(
+            "10000 * sum(case when n_override + n_base64ish + n_bidi > 0"
+            " then 1 else 0 end) div count(1)"
+        ).alias("flagged_bp"),
+    )

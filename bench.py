@@ -310,6 +310,8 @@ HEADLINE = [
     "o6_keyset_pagination",
     "a61_same_store_growth",
     "x87_injection_scan",
+    "a62_holiday_uplift",
+    "x88_threshold_sweep",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2154,3 +2154,91 @@ def e4_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]:
         out = out.unionByName(row(stage, df))
     return out
+
+
+# ---------------------------------------------------------------------------
+# X88 — near-dup threshold sweep: how many candidate pairs would a
+# dedup pass drop at each Jaccard threshold (50/60/70/80/90%)? The
+# curve that picks the production threshold — too low over-merges,
+# too high leaks duplicates — computed from x4's blocked candidate
+# pairs with the jaccard quantized to integer bp BEFORE bucketing
+# (floor(j·10000 + 0.5), engine-identical), then a cumulative count
+# per threshold over the bounded 5-row rollup.
+#
+# Scale: identical pair-volume posture to x4 (same (lang,
+# size-bucket) blocking, never all-pairs); the sweep itself is
+# arithmetic over the bounded threshold table.
+# ---------------------------------------------------------------------------
+@register(
+    "x88_threshold_sweep",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+             list_distinct(list_transform(range(1, length(text) - 1),
+                 i -> substr(text, i, 3))) AS grams
+      FROM documents WHERE doc_id % 5 = 0
+    ), pairs AS (
+      SELECT CAST(floor(
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams)))
+               * 10000 + 0.5) AS BIGINT) AS j_bp
+      FROM g a JOIN g b
+        ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+       AND a.doc_id < b.doc_id
+    ), thresholds(thr_bp) AS (
+      VALUES (5000), (6000), (7000), (8000), (9000)
+    )
+    SELECT CAST(t.thr_bp AS BIGINT) AS thr_bp,
+           CAST(sum(CASE WHEN p.j_bp >= t.thr_bp THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs_at_or_above
+    FROM thresholds t CROSS JOIN pairs p
+    GROUP BY t.thr_bp
+    """,
+)
+def x88_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        F.expr(
+            "array_distinct(transform(sequence(1, length(text) - 2),"
+            " i -> substring(text, i, 3)))"
+        ).alias("grams"),
+    )
+    a = g.select(
+        F.col("doc_id").alias("id1"), "lang", "size_bucket",
+        F.col("grams").alias("g1"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("id2"), "lang", "size_bucket",
+        F.col("grams").alias("g2"),
+    )
+    inter = F.size(F.array_intersect("g1", "g2"))
+    j_bp = F.floor(
+        inter.cast("double")
+        / (F.size("g1") + F.size("g2") - inter)
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    pairs = (
+        a.join(b, ["lang", "size_bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(j_bp.alias("j_bp"))
+    )
+    thresholds = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(5000,), (6000,), (7000,), (8000,), (9000,)], "thr_bp long"
+        )
+    )
+    return (
+        pairs.crossJoin(thresholds)
+        .groupBy("thr_bp")
+        .agg(
+            F.sum(F.when(F.col("j_bp") >= F.col("thr_bp"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pairs_at_or_above")
+        )
+    )

@@ -1783,3 +1783,63 @@ def a61_same_store_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("growth_bp"),
     ).select(F.lit("comparable").alias("cohort"), "n_customers", "growth_bp")
     return all_row.unionByName(comp_row)
+
+
+# ---------------------------------------------------------------------------
+# A62 — holiday uplift: order volume and revenue on fixed-date
+# holidays (Jan 1, Jul 4, Dec 25 — the dates that repeat across
+# TPC-H's 1992-1998 span) vs the all-days baseline, as uplift in
+# basis points — the promo/turnout-effect readout (election-day
+# uplift in the reference's world). The holiday calendar is a
+# literal predicate on (month, day), identical in both engines;
+# daily averages stay exact by comparing cross-multiplied integer
+# sums rather than dividing early.
+#
+# Scale: one daily rollup; the holiday flag is map-side arithmetic;
+# 2-row report.
+# ---------------------------------------------------------------------------
+@register(
+    "a62_holiday_uplift",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CASE WHEN (month(o_orderdate), day(o_orderdate)) IN
+                       ((1, 1), (7, 4), (12, 25)) THEN 1 ELSE 0 END AS hol,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT CASE WHEN hol = 1 THEN 'holiday' ELSE 'baseline' END AS cohort,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(n) // count(*) AS BIGINT) AS mean_orders_per_day
+    FROM daily GROUP BY hol
+    """,
+)
+def a62_holiday_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    hol = (
+        ((F.month("o_orderdate") == 1) & (F.dayofmonth("o_orderdate") == 1))
+        | ((F.month("o_orderdate") == 7) & (F.dayofmonth("o_orderdate") == 4))
+        | ((F.month("o_orderdate") == 12) & (F.dayofmonth("o_orderdate") == 25))
+    )
+    daily = orders.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.when(hol, 1).otherwise(0).alias("hol"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")).alias(
+            "cents"
+        ),
+    )
+    return daily.groupBy(
+        F.when(F.col("hol") == 1, "holiday").otherwise("baseline").alias(
+            "cohort"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.expr("sum(n) div count(1)").alias("mean_orders_per_day"),
+    )

@@ -312,6 +312,7 @@ HEADLINE = [
     "x87_injection_scan",
     "a62_holiday_uplift",
     "x88_threshold_sweep",
+    "a63_forecast_backtest",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

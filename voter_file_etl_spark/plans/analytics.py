@@ -1843,3 +1843,107 @@ def a62_holiday_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.expr("sum(n) div count(1)").alias("mean_orders_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A63 — champion/challenger forecast backtest: one-step-ahead Holt
+# (a53's recurrence) vs the naive "same as last week" baseline
+# (a60), scored as MAE in basis points over the same weekly series
+# — the model-selection loop that decides which forecaster ships.
+# The Holt trajectory is the identical op-order recurrence on both
+# sides (Python loop vs recursive CTE — bit-equal IEEE doubles);
+# each step's forecast for t+1 is l_t + b_t, quantized to cents
+# before the error sum so the MAE is exact integer arithmetic.
+#
+# Scale: w20/a53's posture — the recurrence walks the bounded
+# weekly rollup per key; scoring is a window join on the same
+# partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "a63_forecast_backtest",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT o_orderpriority AS priority,
+             date_trunc('week', o_orderdate) AS wk,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ), idx AS (
+      SELECT priority, CAST(x AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY priority ORDER BY wk) AS i
+      FROM w
+    ), rec AS (
+      SELECT priority, i, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM idx WHERE i = 1
+      UNION ALL
+      SELECT v.priority, v.i, v.x,
+             0.5 * v.x + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * v.x + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+      FROM rec r JOIN idx v ON v.priority = r.priority AND v.i = r.i + 1
+    ), holt_pred AS (
+      SELECT priority, i + 1 AS i,
+             CAST(floor((l + b) * 100 + 0.5) AS BIGINT) AS pred_c
+      FROM rec
+    ), actual AS (
+      SELECT priority, i, CAST(x * 100 AS BIGINT) AS x_c,
+             lag(CAST(x * 100 AS BIGINT)) OVER (
+               PARTITION BY priority ORDER BY i) AS naive_c
+      FROM idx
+    )
+    SELECT a.priority,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(10000 * sum(abs(a.x_c - h.pred_c)) // sum(a.x_c) AS BIGINT)
+             AS holt_mae_bp,
+           CAST(10000 * sum(abs(a.x_c - a.naive_c)) // sum(a.x_c) AS BIGINT)
+             AS naive_mae_bp
+    FROM actual a JOIN holt_pred h ON h.priority = a.priority AND h.i = a.i
+    WHERE a.naive_c IS NOT NULL
+    GROUP BY a.priority
+    """,
+)
+def a63_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    orders = t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("week", "o_orderdate").alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    schema = (
+        "priority string, n_scored bigint, holt_mae_bp bigint,"
+        " naive_mae_bp bigint"
+    )
+
+    def backtest(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("wk").reset_index(drop=True)
+        xs = [float(v) for v in pdf["x"]]
+        l, b = xs[0], 0.0
+        holt_err = naive_err = tot = 0
+        n_scored = 0
+        for i in range(1, len(xs)):
+            pred_c = int(math.floor((l + b) * 100 + 0.5))
+            x_c = int(xs[i] * 100)
+            naive_c = int(xs[i - 1] * 100)
+            # score only steps where naive has a reference (i >= 1),
+            # matching the oracle's naive IS NOT NULL filter
+            n_scored += 1
+            holt_err += abs(x_c - pred_c)
+            naive_err += abs(x_c - naive_c)
+            tot += x_c
+            l_new = 0.5 * xs[i] + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        return pd.DataFrame(
+            [
+                {
+                    "priority": pdf["priority"].iloc[0],
+                    "n_scored": n_scored,
+                    "holt_mae_bp": 10000 * holt_err // tot,
+                    "naive_mae_bp": 10000 * naive_err // tot,
+                }
+            ]
+        )
+
+    return weekly.groupBy("priority").applyInPandas(backtest, schema)

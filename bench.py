@@ -313,6 +313,7 @@ HEADLINE = [
     "a62_holiday_uplift",
     "x88_threshold_sweep",
     "a63_forecast_backtest",
+    "w26_growth_streaks",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

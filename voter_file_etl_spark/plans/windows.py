@@ -1324,3 +1324,84 @@ def o6_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# W26 — growth streaks: the longest run of consecutive
+# month-over-month revenue INCREASES per priority (and the count of
+# such runs) — the momentum readout layered on w23's deltas using
+# the gaps-and-islands anchor (month_index − run_index is constant
+# along a streak). First months (no prior) break streaks by
+# definition. Exact integer cents throughout.
+#
+# Scale: monthly rollup (bounded), ONE priority-partitioned sort
+# shared by the lag and both row_numbers, bounded island rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "w26_growth_streaks",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2
+    ), flagged AS (
+      SELECT priority, month,
+             CASE WHEN cents > lag(cents) OVER w THEN 1 ELSE 0 END AS up,
+             row_number() OVER w AS i
+      FROM m WINDOW w AS (PARTITION BY priority ORDER BY month)
+    ), runs AS (
+      SELECT priority,
+             i - row_number() OVER (
+               PARTITION BY priority, up ORDER BY i) AS anchor,
+             up
+      FROM flagged
+    ), streaks AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS len
+      FROM runs WHERE up = 1 GROUP BY priority, anchor
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS up_months
+    FROM streaks GROUP BY priority
+    """,
+)
+def w26_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")).alias(
+            "cents"
+        )
+    )
+    w = W.partitionBy("priority").orderBy("month")
+    flagged = m.select(
+        "priority",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1)
+        .otherwise(0)
+        .alias("up"),
+        F.row_number().over(w).alias("i"),
+    )
+    runs = flagged.select(
+        "priority",
+        "up",
+        (
+            F.col("i")
+            - F.row_number().over(
+                W.partitionBy("priority", "up").orderBy("i")
+            )
+        ).alias("anchor"),
+    )
+    streaks = (
+        runs.filter(F.col("up") == 1)
+        .groupBy("priority", "anchor")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+    )
+    return streaks.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("up_months"),
+    )

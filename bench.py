@@ -314,6 +314,7 @@ HEADLINE = [
     "x88_threshold_sweep",
     "a63_forecast_backtest",
     "w26_growth_streaks",
+    "a64_cycle_time",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

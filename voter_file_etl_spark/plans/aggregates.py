@@ -1930,3 +1930,59 @@ def a59_topn_plus_other(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A64 — accumulating-snapshot cycle times: the Kimball milestone
+# pattern — per order, the lag from order date to FIRST shipment
+# and the shipping window (first to last line shipped), rolled up
+# per priority as exact integer day statistics. The ops metric
+# behind "are urgent orders actually faster"; the per-order
+# milestone row is the accumulating snapshot itself.
+#
+# Scale: lineitem aggregates to per-order milestones in one
+# map-side-combined groupBy on l_orderkey, joins orders on the same
+# key (co-partitioned), then a bounded 5-row rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a64_cycle_time",
+    oracle="""
+    WITH ms AS (
+      SELECT l_orderkey, min(l_shipdate) AS first_ship,
+             max(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(date_diff('day', o.o_orderdate, ms.first_ship))
+                // count(*) AS BIGINT) AS mean_days_to_ship,
+           CAST(max(date_diff('day', o.o_orderdate, ms.first_ship))
+                AS BIGINT) AS max_days_to_ship,
+           CAST(sum(date_diff('day', ms.first_ship, ms.last_ship))
+                // count(*) AS BIGINT) AS mean_ship_window_days
+    FROM orders o JOIN ms ON ms.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def a64_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    ms = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    j = orders.join(ms, "o_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "sum(datediff(first_ship, o_orderdate)) div count(1)"
+        ).alias("mean_days_to_ship"),
+        F.max(F.datediff("first_ship", "o_orderdate"))
+        .cast("long")
+        .alias("max_days_to_ship"),
+        F.expr(
+            "sum(datediff(last_ship, first_ship)) div count(1)"
+        ).alias("mean_ship_window_days"),
+    )

@@ -315,6 +315,7 @@ HEADLINE = [
     "a63_forecast_backtest",
     "w26_growth_streaks",
     "a64_cycle_time",
+    "a65_growth_contribution",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

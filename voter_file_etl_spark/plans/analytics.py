@@ -1947,3 +1947,83 @@ def a63_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return weekly.groupBy("priority").applyInPandas(backtest, schema)
+
+
+# ---------------------------------------------------------------------------
+# A65 — growth decomposition: which region drove the 1996→1997
+# revenue change? Each region's contribution in basis points of the
+# 1996 total (contributions sum to the headline growth rate by
+# construction) — the FP&A bridge/waterfall behind every "what
+# moved the number" review. Exact integer cents; one shared
+# denominator attached as a broadcast.
+#
+# Scale: orders joins the bounded customer->nation->region dim
+# chain (broadcast), rolls up per (region, year), and the
+# decomposition is arithmetic over the 10-row rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a65_growth_contribution",
+    oracle="""
+    WITH ry AS (
+      SELECT r.r_name AS region, year(o.o_orderdate) AS yr,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE year(o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), wide AS (
+      SELECT region,
+             sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS c96,
+             sum(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS c97
+      FROM ry GROUP BY region
+    ), tot AS (
+      SELECT sum(c96) AS t96 FROM wide
+    )
+    SELECT w.region,
+           CAST(w.c96 AS BIGINT) AS cents_1996,
+           CAST(w.c97 AS BIGINT) AS cents_1997,
+           CAST(10000 * (w.c97 - w.c96) // t.t96 AS BIGINT)
+             AS contribution_bp
+    FROM wide w CROSS JOIN tot t
+    """,
+)
+def a65_growth_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("r_regionkey"),
+    )
+    reg = t(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    ry = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), "c_nationkey")
+        .join(F.broadcast(reg), "r_regionkey")
+        .groupBy("region", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+            ).alias("cents")
+        )
+    )
+    wide = ry.groupBy("region").agg(
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias(
+            "c96"
+        ),
+        F.sum(F.when(F.col("yr") == 1997, F.col("cents")).otherwise(0)).alias(
+            "c97"
+        ),
+    )
+    tot = wide.agg(F.sum("c96").alias("t96"))
+    return wide.crossJoin(F.broadcast(tot)).select(
+        "region",
+        F.col("c96").cast("long").alias("cents_1996"),
+        F.col("c97").cast("long").alias("cents_1997"),
+        F.expr("10000 * (c97 - c96) div t96").alias("contribution_bp"),
+    )

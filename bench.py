@@ -316,6 +316,7 @@ HEADLINE = [
     "w26_growth_streaks",
     "a64_cycle_time",
     "a65_growth_contribution",
+    "l25_orphan_audit",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

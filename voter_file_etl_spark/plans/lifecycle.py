@@ -1286,3 +1286,55 @@ def l24_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_with_channel"),
         F.sum("event_id").cast("long").alias("sum_last_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L25 — orphan-file audit: reconcile the data directory against the
+# commit log — every on-disk file must be referenced by some log
+# version (live or historical), and every referenced file must
+# exist on disk. The pre-vacuum storage audit every governed lake
+# runs (orphans = wasted storage or, worse, a writer that moved
+# files without committing — the bug class l21's race fix closed);
+# missing files = corruption. Runs over the shared 4-merge table;
+# both violation counts must be zero, which the oracle pins along
+# with the real file/reference totals derived from the same batch
+# arithmetic the table was built with.
+#
+# Scale: pure driver-side name-set arithmetic over the log and one
+# directory listing — O(files) metadata, no data reads.
+# ---------------------------------------------------------------------------
+@register(
+    "l25_orphan_audit",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_commits,
+           CAST(0 AS BIGINT) AS n_orphans,
+           CAST(0 AS BIGINT) AS n_missing,
+           TRUE AS disk_matches_log
+    """,
+)
+def l25_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l25_audit_")
+    table = _build_logtable(spark, sf_dir, work)
+    referenced = {
+        a["path"] for e in table.history() for a in e["adds"]
+    }
+    data_dir = os.path.join(table.root, "data")
+    on_disk = {
+        os.path.join("data", n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    }
+    n_orphans = len(on_disk - referenced)
+    n_missing = len(referenced - on_disk)
+    return spark.createDataFrame(
+        [
+            (
+                table.latest_version() + 1,
+                n_orphans,
+                n_missing,
+                n_orphans == 0 and n_missing == 0 and len(on_disk) > 0,
+            )
+        ],
+        "n_commits bigint, n_orphans bigint, n_missing bigint,"
+        " disk_matches_log boolean",
+    )

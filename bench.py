@@ -317,6 +317,8 @@ HEADLINE = [
     "a64_cycle_time",
     "a65_growth_contribution",
     "l25_orphan_audit",
+    "a66_weekday_hour_heatmap",
+    "w27_decay_score",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2027,3 +2027,47 @@ def a65_growth_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c97").cast("long").alias("cents_1997"),
         F.expr("10000 * (c97 - c96) div t96").alias("contribution_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A66 — weekday × hour activity heatmap: the 7×24 grid of event
+# counts plus distinct users per cell — the first chart on any
+# engagement dashboard (best-contact-hour planning in the
+# reference's terms). ISO weekday numbering matches across engines
+# (Monday=1); the grid is bounded at 168 cells.
+#
+# Scale: one map-side projection + one bounded rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a66_weekday_hour_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts::TIMESTAMP) AS BIGINT) AS weekday,
+           CAST(hour(ts::TIMESTAMP) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a66_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.dayofweek("ts").alias("dow_sun1"),
+            F.hour("ts").alias("hour"),
+            "user_id",
+        )
+        .select(
+            # Spark dayofweek is Sunday=1; convert to ISO Monday=1.
+            F.when(F.col("dow_sun1") == 1, 7)
+            .otherwise(F.col("dow_sun1") - 1)
+            .cast("long")
+            .alias("weekday"),
+            F.col("hour").cast("long").alias("hour"),
+            "user_id",
+        )
+        .groupBy("weekday", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -1405,3 +1405,57 @@ def w26_growth_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("long").alias("longest_streak"),
         F.sum("len").cast("long").alias("up_months"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W27 — recency-decayed engagement score, integer-exact: each
+# order's cents contribute shifted right by one bit per 30 days of
+# age (a half-life-of-30-days decay expressed as integer shifts —
+# cents >> (age div 30) — instead of the float pow every naive
+# implementation reaches for and then can't reproduce across
+# engines). Top-20 customers by decayed score with full tiebreak —
+# the "who is warm right now" ranking every outreach queue runs.
+# The anchor date is an in-plan broadcast.
+#
+# Scale: map-side age/shift arithmetic + one customer rollup + a
+# bounded top-k (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+@register(
+    "w27_decay_score",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    scored AS (
+      SELECT o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               // (1 << least(date_diff('day', o_orderdate,
+                                        (SELECT maxd FROM mx)) // 30, 62))
+               AS decayed_c
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(sum(decayed_c) AS BIGINT) AS score_c,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM scored GROUP BY o_custkey
+    ORDER BY score_c DESC, o_custkey LIMIT 20
+    """,
+)
+def w27_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    scored = orders.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        F.expr(
+            "cast(floor(o_totalprice * 100 + 0.5d) as bigint)"
+            " div shiftleft(1L, cast(least(datediff(maxd, o_orderdate)"
+            " div 30, 62) as int))"
+        ).alias("decayed_c"),
+    )
+    return (
+        scored.groupBy("o_custkey")
+        .agg(
+            F.sum("decayed_c").cast("long").alias("score_c"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("score_c"), "o_custkey")
+        .limit(20)
+    )

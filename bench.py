@@ -319,6 +319,8 @@ HEADLINE = [
     "l25_orphan_audit",
     "a66_weekday_hour_heatmap",
     "w27_decay_score",
+    "x89_dedup_savings",
+    "a67_cohort_ltv",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2242,3 +2242,53 @@ def x88_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pairs_at_or_above")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X89 — dedup savings estimate: bytes reclaimed by exact dedup per
+# source — every duplicate group keeps one copy, so savings =
+# Σ (n−1)·bytes over groups — the storage/compute business case a
+# dedup pass ships with (x79 counts duplicates; this prices them).
+# Exact integers; group stats never materialize pair joins.
+#
+# Scale: one (source, hash) rollup with map-side combine, one
+# bounded source rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "x89_dedup_savings",
+    oracle="""
+    WITH g AS (
+      SELECT source, md5(text) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(max(octet_length(encode(text))) AS BIGINT) AS bytes
+      FROM documents GROUP BY source, md5(text)
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(sum(n * bytes) AS BIGINT) AS bytes_total,
+           CAST(sum((n - 1) * bytes) AS BIGINT) AS bytes_saved,
+           CAST(10000 * sum((n - 1) * bytes) // sum(n * bytes) AS BIGINT)
+             AS savings_bp
+    FROM g GROUP BY source
+    """,
+)
+def x89_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "source", F.md5("text").alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.expr("octet_length(encode(text, 'UTF-8'))"))
+        .cast("long")
+        .alias("bytes"),
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") * F.col("bytes")).cast("long").alias("bytes_total"),
+        F.sum((F.col("n") - 1) * F.col("bytes"))
+        .cast("long")
+        .alias("bytes_saved"),
+        F.expr(
+            "10000 * sum((n - 1) * bytes) div sum(n * bytes)"
+        ).alias("savings_bp"),
+    )

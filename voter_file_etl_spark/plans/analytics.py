@@ -2071,3 +2071,67 @@ def a66_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A67 — cohort LTV triangle: customers grouped by acquisition year
+# (their first order's year), revenue accumulated cumulatively by
+# age-in-years — the lifetime-value table every subscription /
+# donor program reads (cell [cohort, age] = total revenue the
+# cohort has produced through that age). Exact integer cents; the
+# cumulative runs over the bounded cohort×age rollup.
+#
+# Scale: first-order year via one per-customer window, revenue
+# rollup on (cohort, age) with map-side combine, cumulative window
+# over the bounded triangle (~7×7 cells).
+# ---------------------------------------------------------------------------
+@register(
+    "a67_cohort_ltv",
+    oracle="""
+    WITH first_year AS (
+      SELECT o_custkey, min(year(o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ), cells AS (
+      SELECT f.cohort,
+             year(o.o_orderdate) - f.cohort AS age,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders o JOIN first_year f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(age AS BIGINT) AS age_years,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort ORDER BY age
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_ltv_cents
+    FROM cells
+    """,
+)
+def a67_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    first_year = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort")
+    )
+    cells = (
+        orders.join(first_year, "o_custkey")
+        .groupBy(
+            "cohort",
+            (F.year("o_orderdate") - F.col("cohort")).alias("age"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+            ).alias("cents")
+        )
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("age").cast("long").alias("age_years"),
+        F.col("cents").cast("long").alias("cents"),
+        F.sum("cents").over(w).cast("long").alias("cum_ltv_cents"),
+    )

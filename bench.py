@@ -321,6 +321,8 @@ HEADLINE = [
     "w27_decay_score",
     "x89_dedup_savings",
     "a67_cohort_ltv",
+    "x90_derived_stopwords",
+    "w28_monthly_bands",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2688,3 +2688,79 @@ def x87_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end) div count(1)"
         ).alias("flagged_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X90 — data-driven stopword derivation: the terms x83's burstiness
+# statistic says are FUNCTION words — high frequency (top-200) AND
+# evenly dispersed (VMR below 2.5, in milli-units) — emitted as the
+# corpus's own stopword list with their stats; t10's fixed English
+# list is the hand-written version of exactly this output, and
+# multilingual corpora need the derived form. Deterministic: every
+# filter is integer arithmetic over the x83 moments.
+#
+# Scale: identical posture to x83 — bounded top-k over the term
+# moments, no zero-filling, no pair work. The top-200 pick is
+# orderBy+limit (TakeOrderedAndProject: per-partition heap then a
+# 200-row driver merge), never a global row_number window that would
+# single-partition the whole vocabulary; the (sc DESC, w) sort key is
+# unique per term, so the pick is deterministic and tie-free.
+# ---------------------------------------------------------------------------
+@register(
+    "x90_derived_stopwords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        w -> w <> '')) AS w
+      FROM documents
+    ), tc AS (
+      SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY w, doc_id
+    ), term AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc,
+             CAST(count(*) AS BIGINT) AS df
+      FROM tc GROUP BY w
+    ), top AS (
+      SELECT w, sc, scc, df,
+             row_number() OVER (ORDER BY sc DESC, w) AS r
+      FROM term
+    ), nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    )
+    SELECT w AS stopword, sc AS n_occurrences, df AS doc_freq,
+           CAST(1000 * (nd.n * scc - sc * sc) // (nd.n * sc) AS BIGINT)
+             AS vmr_milli
+    FROM top CROSS JOIN nd
+    WHERE r <= 200
+      AND 1000 * (nd.n * scc - sc * sc) // (nd.n * sc) < 2500
+    """,
+)
+def x90_derived_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    tc = tok.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    term = tc.groupBy("w").agg(
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    top = term.orderBy(F.desc("sc"), "w").limit(200)
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    joined = top.crossJoin(F.broadcast(nd)).withColumn(
+        "vmr_milli", F.expr("1000 * (n * scc - sc * sc) div (n * sc)")
+    )
+    return joined.filter(F.col("vmr_milli") < 2500).select(
+        F.col("w").alias("stopword"),
+        F.col("sc").alias("n_occurrences"),
+        F.col("df").alias("doc_freq"),
+        "vmr_milli",
+    )

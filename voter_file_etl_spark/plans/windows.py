@@ -1459,3 +1459,68 @@ def w27_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_c"), "o_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# W28 — monthly percentile bands: exact p10/p50/p90 of order values
+# per month as INTEGER ELEMENT PICKS (row_number against the
+# month's count — the w13/w17 discipline, never interpolating
+# percentile() whose float midpoints diverge across engines). The
+# monitoring bands behind every "is this month's distribution
+# normal" chart.
+#
+# Scale: one month-partitioned sort serves the rank and the count;
+# the picks filter to 3 rows per month before the final pivot-style
+# rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "w28_monthly_bands",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), ranked AS (
+      SELECT month, cents,
+             row_number() OVER (PARTITION BY month
+                                ORDER BY cents, month) AS r,
+             count(*) OVER (PARTITION BY month) AS n
+      FROM v
+    )
+    SELECT month,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN r = (n - 1) * 10 // 100 + 1
+                         THEN cents END) AS BIGINT) AS p10_c,
+           CAST(max(CASE WHEN r = (n - 1) * 50 // 100 + 1
+                         THEN cents END) AS BIGINT) AS p50_c,
+           CAST(max(CASE WHEN r = (n - 1) * 90 // 100 + 1
+                         THEN cents END) AS BIGINT) AS p90_c
+    FROM ranked GROUP BY month
+    """,
+)
+def w28_monthly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    v = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    w = W.partitionBy("month").orderBy("cents", "month")
+    ranked = v.select(
+        "month",
+        "cents",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("month")).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("r") == F.expr(f"(n - 1) * {p} div 100 + 1"), F.col("cents")
+        )
+    ).cast("long")
+    return ranked.groupBy("month").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        pick(10).alias("p10_c"),
+        pick(50).alias("p50_c"),
+        pick(90).alias("p90_c"),
+    )

@@ -323,6 +323,8 @@ HEADLINE = [
     "a67_cohort_ltv",
     "x90_derived_stopwords",
     "w28_monthly_bands",
+    "w29_ohlc",
+    "o7_skyline",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

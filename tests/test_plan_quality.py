@@ -1092,3 +1092,24 @@ def test_zstd_writes_smaller_than_uncompressed(spark, sf_dir):
     zs = sum(os.path.getsize(p) for p in glob.glob(z + "/*.parquet"))
     us = sum(os.path.getsize(p) for p in glob.glob(u + "/*.parquet"))
     assert 0 < zs < us, (zs, us)
+
+
+def test_skyline_is_two_level_sweep(spark, sf_dir):
+    # o7's skyline must never be the quadratic NOT-EXISTS shape: no
+    # cartesian / nested-loop, the bucket-offset table joins back via
+    # broadcast, and the within-bucket window is partitioned on bkt.
+    plan = _formatted_plan(spark, "o7_skyline", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "hashpartitioning(bkt" in plan, plan[:2000]
+
+
+def test_ohlc_is_single_shuffle_partial_agg(spark, sf_dir):
+    # w29 is one groupBy(month) with map-side combine: exactly one
+    # exchange on month and a partial_min_by in the pre-shuffle stage.
+    plan = _formatted_plan(spark, "w29_ohlc", sf_dir)
+    assert plan.count("+- Exchange") == 1, plan[:2000]
+    assert "hashpartitioning(month" in plan, plan[:2000]
+    assert "partial_min_by" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

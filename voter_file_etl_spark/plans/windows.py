@@ -1524,3 +1524,142 @@ def w28_monthly_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(50).alias("p50_c"),
         pick(90).alias("p90_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W29 — monthly OHLC bars over order values: open/close are the
+# first/last order's value in event order (orderdate, then orderkey
+# as the tiebreak, fused into ONE bigint sequence number so both
+# engines pick the identical row), high/low/volume are plain
+# extremes and sums. The candlestick shape every time-series
+# dashboard draws, as a single map-side-combinable aggregation.
+#
+# Scale: one shuffle on month; min_by/max_by are declarative
+# aggregates with partial (map-side) combine, so the reduce side
+# sees one row per (partition, month) — never the raw orders.
+# ---------------------------------------------------------------------------
+@register(
+    "w29_ohlc",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               * 10000000000 + o_orderkey AS seq
+      FROM orders
+    )
+    SELECT month,
+           CAST(arg_min(cents, seq) AS BIGINT) AS open_c,
+           CAST(max(cents) AS BIGINT) AS high_c,
+           CAST(min(cents) AS BIGINT) AS low_c,
+           CAST(arg_max(cents, seq) AS BIGINT) AS close_c,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS volume_c
+    FROM v GROUP BY month
+    """,
+)
+def w29_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    # seq = epoch_day * 1e10 + orderkey: unique per order (orderkey
+    # < 1e10 at every TPC-H scale below SF~1300), total order,
+    # identical arithmetic in DuckDB.
+    v = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            * F.lit(10000000000).cast("long")
+            + F.col("o_orderkey")
+        ).alias("seq"),
+    )
+    return v.groupBy("month").agg(
+        F.min_by("cents", "seq").cast("long").alias("open_c"),
+        F.max("cents").cast("long").alias("high_c"),
+        F.min("cents").cast("long").alias("low_c"),
+        F.max_by("cents", "seq").cast("long").alias("close_c"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("volume_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O7 — 2-D skyline (Pareto front): the orders no other order beats
+# on BOTH price (lower is better) and recency (newer is better) —
+# "cheapest for their recency". Domination is the standard strict
+# pair: A dominates B iff A.price <= B.price AND A.day >= B.day with
+# at least one strict.
+#
+# Scale: never the quadratic NOT-EXISTS the definition suggests.
+# Collapse to distinct prices with their max day (only that candidate
+# can survive its price class), then the classic sorted sweep
+# ("keep a point iff its day exceeds the running max day over all
+# strictly cheaper points") as a TWO-LEVEL prefix max — the a36
+# empirical-CDF pattern: within-price-bucket partitioned windows plus
+# one global window over O(buckets) bucket maxima — so no single
+# partition ever holds the full distinct-price set.
+# ---------------------------------------------------------------------------
+@register(
+    "o7_skyline",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d
+      FROM orders
+    ), cand AS (
+      SELECT cents, CAST(max(d) AS BIGINT) AS d FROM v GROUP BY cents
+    ), s AS (
+      SELECT cents, d,
+             max(d) OVER (ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM cand
+    )
+    SELECT cents AS price_c,
+           CAST(DATE '1970-01-01' + INTERVAL (d) DAY AS DATE) AS order_date
+    FROM s WHERE pm IS NULL OR d > pm
+    """,
+)
+def o7_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    v = orders.select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+    ).distinct()
+    cand = v.groupBy("cents").agg(F.max("d").cast("long").alias("d"))
+    # Two-level prefix max: $10k price buckets keep every partitioned
+    # window bounded; the only global window runs over O(buckets) rows.
+    b = cand.withColumn("bkt", F.expr("cents div 1000000"))
+    in_bkt = b.withColumn(
+        "run_prior",
+        F.max("d").over(
+            W.partitionBy("bkt")
+            .orderBy("cents")
+            .rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )
+    bmax = b.groupBy("bkt").agg(F.max("d").alias("bd"))
+    boff = bmax.withColumn(
+        "bkt_prior",
+        F.max("bd").over(
+            W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+        ),
+    ).select("bkt", "bkt_prior")
+    joined = in_bkt.join(F.broadcast(boff), "bkt")
+    # greatest() skips NULLs (repo gotcha) — exactly right here: a
+    # NULL side means "no prior point", i.e. -infinity.
+    survived = joined.withColumn(
+        "pm", F.greatest("run_prior", "bkt_prior")
+    ).filter(F.col("pm").isNull() | (F.col("d") > F.col("pm")))
+    return survived.select(
+        F.col("cents").alias("price_c"),
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int"))
+        .alias("order_date"),
+    )

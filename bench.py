@@ -325,6 +325,9 @@ HEADLINE = [
     "w28_monthly_bands",
     "w29_ohlc",
     "o7_skyline",
+    "a68_bitmap_distinct",
+    "x91_code_switching",
+    "x92_inverted_index",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

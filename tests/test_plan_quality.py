@@ -1113,3 +1113,43 @@ def test_ohlc_is_single_shuffle_partial_agg(spark, sf_dir):
     assert "hashpartitioning(month" in plan, plan[:2000]
     assert "partial_min_by" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_bitmap_distinct_matches_count_distinct(spark, sf_dir):
+    # a68's popcount sum must equal exact count(distinct user_id) per
+    # event_type — the bitmap is a lossless distinct representation.
+    from pyspark.sql import functions as F
+
+    from voter_file_etl_spark.tables import t
+
+    got = {
+        r["event_type"]: r["n_users"]
+        for r in registry.QUERIES["a68_bitmap_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_dir):
+    # a68 exists to AVOID the count-distinct expand: the plan must be
+    # two hash aggregates with partial bit_or, no Expand node.
+    plan = _formatted_plan(spark, "a68_bitmap_distinct", sf_dir)
+    assert "Expand" not in plan, plan[:2000]
+    assert "partial_bit_or" in plan, plan[:2000]
+
+
+def test_inverted_index_rank_is_salted_two_level(spark, sf_dir):
+    # x92's first rank window must partition on (w, doc_id % 64) —
+    # never on the bare term, whose posting list is corpus-sized for
+    # stopwords — and the top-500 pick must be TakeOrdered, not a
+    # global window.
+    plan = _formatted_plan(spark, "x92_inverted_index", sf_dir)
+    assert "(doc_id" in plan and "% 64" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

@@ -2764,3 +2764,215 @@ def x90_derived_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").alias("doc_freq"),
         "vmr_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# X91 — intra-document code-switching detection: x8's stopword
+# language scorer applied per 20-token SEGMENT instead of per
+# document, then rolled up to mixing statistics — segment count,
+# distinct segment languages, adjacent-segment switches, and the
+# majority language's share (bp). The multilingual-curation gate
+# x8 cannot express: a doc that is half 'en' half 'es' looks 'en'
+# to x8 but shows n_langs=2 / majority~5000bp here.
+#
+# Scale: segment scoring is one groupBy(doc_id, seg) with map-side
+# combine; switch counting is a doc-partitioned lag window; the
+# majority join is doc_id-vs-doc_id (co-partitioned, no broadcast
+# needed, no global windows).
+# ---------------------------------------------------------------------------
+@register(
+    "x91_code_switching",
+    oracle=f"""
+    WITH a AS (SELECT doc_id, str_split(text, ' ') AS arr FROM documents),
+    tok AS (
+      SELECT doc_id, arr[i] AS w, CAST((i - 1) // 20 AS BIGINT) AS seg
+      FROM a, unnest(range(1, len(arr) + 1)) AS t(i)
+    ), sc AS (
+      SELECT doc_id, seg,
+        sum(CASE WHEN {_in_list('w', STOPWORDS_EN)} THEN 1 ELSE 0 END) AS en,
+        sum(CASE WHEN {_in_list('w', STOPWORDS_ES)} THEN 1 ELSE 0 END) AS es,
+        sum(CASE WHEN {_in_list('w', STOPWORDS_FR)} THEN 1 ELSE 0 END) AS fr
+      FROM tok GROUP BY doc_id, seg
+    ), g AS (
+      SELECT doc_id, seg,
+        CASE WHEN en >= es AND en >= fr AND en > 0 THEN 'en'
+             WHEN es >= fr AND es > 0 THEN 'es'
+             WHEN fr > 0 THEN 'fr' ELSE 'und' END AS lang_seg
+      FROM sc
+    ), seq AS (
+      SELECT doc_id, lang_seg,
+             lag(lang_seg) OVER (PARTITION BY doc_id ORDER BY seg) AS prev
+      FROM g
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(count(DISTINCT lang_seg) AS BIGINT) AS n_langs,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND lang_seg <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+      FROM seq GROUP BY doc_id
+    ), maj AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_c FROM (
+        SELECT doc_id, lang_seg, count(*) AS c FROM g
+        GROUP BY doc_id, lang_seg
+      ) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_segs, p.n_langs, p.n_switches,
+           CAST(m.max_c * 10000 // p.n_segs AS BIGINT) AS majority_bp
+    FROM per_doc p JOIN maj m ON p.doc_id = m.doc_id
+    """,
+)
+def x91_code_switching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).select(
+        "doc_id", F.expr("cast(pos div 20 as bigint)").alias("seg"), "w"
+    )
+
+    def hits(words: tuple[str, ...]) -> F.Column:
+        return F.sum(F.when(F.col("w").isin(*words), 1).otherwise(0))
+
+    sc = tok.groupBy("doc_id", "seg").agg(
+        hits(STOPWORDS_EN).alias("en"),
+        hits(STOPWORDS_ES).alias("es"),
+        hits(STOPWORDS_FR).alias("fr"),
+    )
+    g = sc.select(
+        "doc_id",
+        "seg",
+        F.when(
+            (F.col("en") >= F.col("es"))
+            & (F.col("en") >= F.col("fr"))
+            & (F.col("en") > 0),
+            "en",
+        )
+        .when((F.col("es") >= F.col("fr")) & (F.col("es") > 0), "es")
+        .when(F.col("fr") > 0, "fr")
+        .otherwise("und")
+        .alias("lang_seg"),
+    )
+    seq = g.select(
+        "doc_id",
+        "lang_seg",
+        F.lag("lang_seg")
+        .over(W.partitionBy("doc_id").orderBy("seg"))
+        .alias("prev"),
+    )
+    per_doc = seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+        F.countDistinct("lang_seg").cast("long").alias("n_langs"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("lang_seg") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_switches"),
+    )
+    maj = (
+        g.groupBy("doc_id", "lang_seg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("max_c"))
+    )
+    return per_doc.join(maj, "doc_id").select(
+        "doc_id",
+        "n_segs",
+        "n_langs",
+        "n_switches",
+        F.expr("cast(max_c * 10000 div n_segs as bigint)").alias(
+            "majority_bp"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X92 — inverted-index construction: for the 500 highest-df terms,
+# the capped posting list (top-10 docs by tf, tf-desc then doc_id) as
+# a comma-joined string plus the doc frequency — the retrieval-side
+# artifact behind x78's BM25 scoring, materialized instead of scored.
+#
+# Scale: "top-10 docs per term" is the skew trap — a stopword's
+# posting list is the whole corpus, so a term-partitioned rank window
+# would sort billions of rows in one partition. Two-level salted
+# top-k instead: rank within (term, doc_id % 64) cells (partition
+# size df/64), keep 10 per cell, then rank the <=640 survivors per
+# term. The global top-500-terms pick is orderBy+limit
+# (TakeOrderedAndProject), never a global window.
+# ---------------------------------------------------------------------------
+@register(
+    "x92_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        w -> w <> '')) AS w
+      FROM documents
+    ), tc AS (
+      SELECT w, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY w, doc_id
+    ), dfreq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS doc_freq FROM tc GROUP BY w
+    ), rk AS (
+      SELECT w, doc_id,
+             row_number() OVER (PARTITION BY w
+                                ORDER BY tf DESC, doc_id) AS r
+      FROM tc
+    ), post AS (
+      SELECT w, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY r)
+               AS top_docs
+      FROM rk WHERE r <= 10 GROUP BY w
+    ), top AS (
+      SELECT d.w, d.doc_freq, p.top_docs,
+             row_number() OVER (ORDER BY d.doc_freq DESC, d.w) AS tr
+      FROM dfreq d JOIN post p ON d.w = p.w
+    )
+    SELECT w AS term, doc_freq, top_docs FROM top WHERE tr <= 500
+    """,
+)
+def x92_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    tc = tok.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tc.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    # Level 1: rank inside salt cells (bounded df/64 partitions),
+    # keep 10 — the global top-10 is a subset of the survivors.
+    cell = W.partitionBy("w", F.expr("doc_id % 64")).orderBy(
+        F.desc("tf"), "doc_id"
+    )
+    cand = tc.withColumn("cr", F.row_number().over(cell)).filter(
+        F.col("cr") <= 10
+    )
+    # Level 2: exact rank over the <=640 candidates per term.
+    rk = cand.withColumn(
+        "r",
+        F.row_number().over(W.partitionBy("w").orderBy(F.desc("tf"), "doc_id")),
+    ).filter(F.col("r") <= 10)
+    post = rk.groupBy("w").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("r", "doc_id"))),
+                lambda s: s.doc_id.cast("string"),
+            ),
+            ",",
+        ).alias("top_docs")
+    )
+    return (
+        dfreq.join(post, "w")
+        .orderBy(F.desc("doc_freq"), "w")
+        .limit(500)
+        .select(F.col("w").alias("term"), "doc_freq", "top_docs")
+    )

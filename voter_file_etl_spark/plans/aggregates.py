@@ -1986,3 +1986,48 @@ def a64_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum(datediff(last_ship, first_ship)) div count(1)"
         ).alias("mean_ship_window_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A68 — exact distinct counting via bitmap words: the bitmap-index
+# rollup every OLAP engine (Doris/ClickHouse/Kylin) uses when exact
+# COUNT(DISTINCT id) must survive re-aggregation. Pack each user_id
+# into bit (id % 32) of word (id div 32), OR the masks per
+# (event_type, word), popcount and sum. Unlike count(distinct) the
+# intermediate (the word bitmap) is mergeable, so the same state
+# serves rollups across dimensions without re-expanding the ids.
+#
+# Scale: two pipelined aggregations — the first compresses up to 32
+# ids into one 8-byte word with MAP-SIDE partial bit_or (the expand
+# that makes count-distinct shuffles explode never happens); the
+# second sums O(distinct/32) popcounts. Both stay in whole-stage
+# codegen.
+# ---------------------------------------------------------------------------
+@register(
+    "a68_bitmap_distinct",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, user_id // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
+               AS bm
+      FROM events GROUP BY event_type, user_id // 32
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS n_users
+    FROM m GROUP BY event_type
+    """,
+)
+def a68_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(user_id % 32 as int))")
+        ).alias("bm")
+    )
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.bit_count("bm")).cast("long").alias("n_users"),
+    )

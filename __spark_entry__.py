@@ -114,7 +114,7 @@ _BACKFILL = [
     "st18_stream_topk", "m19_media_sniff", "l24_merge_schema_evolution", "e5_board_pack", "a59_topn_plus_other", "x86_k_anonymity_audit", "a60_backtest_naive", "s23_zstd_roundtrip", "j23_null_skew_split", "o6_keyset_pagination", "a61_same_store_growth", "x87_injection_scan", "a62_holiday_uplift", "x88_threshold_sweep", "a63_forecast_backtest", "w26_growth_streaks", "a64_cycle_time", "a65_growth_contribution", "l25_orphan_audit", "a66_weekday_hour_heatmap", "w27_decay_score", "x89_dedup_savings",
     "a67_cohort_ltv", "x90_derived_stopwords", "w28_monthly_bands",
     "w29_ohlc", "o7_skyline", "a68_bitmap_distinct", "x91_code_switching",
-    "x92_inverted_index",
+    "x92_inverted_index", "g9_label_propagation", "a69_dau_mau_stickiness",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

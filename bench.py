@@ -328,6 +328,8 @@ HEADLINE = [
     "a68_bitmap_distinct",
     "x91_code_switching",
     "x92_inverted_index",
+    "g9_label_propagation",
+    "a69_dau_mau_stickiness",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

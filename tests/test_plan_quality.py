@@ -1153,3 +1153,48 @@ def test_inverted_index_rank_is_salted_two_level(spark, sf_dir):
     assert "(doc_id" in plan and "% 64" in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_dau_mau_has_no_distinct_window(spark, sf_dir):
+    # a69's MAU must come from the bounded coverage explode + plain
+    # count — never a 30-day range-frame distinct window (no Window
+    # node at all) and never an Expand.
+    plan = _formatted_plan(spark, "a69_dau_mau_stickiness", sf_dir)
+    assert "Window" not in plan, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
+    assert "Generate" in plan, plan[:2000]
+
+
+def test_label_propagation_round_rank_is_node_partitioned(spark):
+    # g9's per-round argmax label must rank inside node partitions
+    # (bounded by degree), never globally, and join edges->labels as
+    # an equi-join. The final g9 plan hides the rounds behind
+    # iter_checkpoint, so gate the factored round body directly.
+    from voter_file_etl_spark.operators.graph import _lpa_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    labels = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["node", "label"])
+    plan = _lpa_round(edges, labels)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "hashpartitioning(dst" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_label_propagation_conserves_nodes(spark, sf_dir):
+    # Every customer lands in exactly one community (each custkey is a
+    # dst of the symmetrized edges, so >= n members; the 1+(k*m+c)%n
+    # formula can also mint a few node ids outside the key set), and
+    # propagation actually merged labels (far fewer communities than
+    # nodes).
+    rows = registry.QUERIES["g9_label_propagation"](spark, sf_dir).collect()
+    from voter_file_etl_spark.tables import t
+
+    n = t(spark, sf_dir, "customer").count()
+    members = sum(r["n_members"] for r in rows)
+    assert n <= members <= n + 10
+    assert len(rows) < n // 2

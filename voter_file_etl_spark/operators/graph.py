@@ -770,3 +770,109 @@ def g8_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else 0L end"
         ).alias("assortativity_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G9 — label-propagation community detection: each node adopts the
+# most common label among its neighbors (ties -> smallest label),
+# synchronously, for a fixed 2 rounds over the symmetrized 3-hash
+# customer graph. The community structure g4's min-label components
+# cannot see (this graph is one giant component; LPA still finds
+# dense pockets).
+#
+# Deterministic by construction: fixed rounds, count-then-min-label
+# tie-break, no randomized update order (the classic async LPA is
+# order-dependent — the synchronous variant is the one a distributed
+# engine can actually promise).
+#
+# Scale: per round one equi-join edges->labels + groupBy(node, label)
+# + a node-partitioned rank window (partition size <= degree), with
+# iter_checkpoint lineage truncation between rounds (the g1/g3
+# discipline). No global windows, no cartesians.
+# ---------------------------------------------------------------------------
+def _lpa_iter_sql(prev: str) -> str:
+    return f"""
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.label) AS rk
+        FROM edges e JOIN {prev} l ON e.src = l.node
+        GROUP BY e.dst, l.label
+      ) WHERE rk = 1
+    """
+
+
+def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round: argmax neighbor label, min-label ties.
+
+    Factored out so tests can gate the PER-ROUND plan shape (the final
+    g9 plan only shows the last rollup — iter_checkpoint truncates the
+    round lineage by design).
+    """
+    from pyspark.sql import Window as W
+
+    counted = (
+        edges.join(labels, edges.src == labels.node)
+        .groupBy("dst", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win = W.partitionBy("dst").orderBy(F.desc("c"), "label")
+    return (
+        counted.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(F.col("dst").alias("node"), "label")
+    )
+
+
+@register(
+    "g9_label_propagation",
+    oracle=f"""
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    dir AS ({_pr_edges_sql()}),
+    edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir
+      ) WHERE src <> dst
+    ),
+    l0 AS (SELECT c_custkey AS node, c_custkey AS label FROM customer),
+    l1 AS ({_lpa_iter_sql("l0")}),
+    l2 AS ({_lpa_iter_sql("l1")})
+    SELECT label AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM l2 GROUP BY label
+    """,
+)
+def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    dir_e = cust.crossJoin(F.broadcast(n)).select(
+        F.col("node").alias("src"),
+        F.explode(
+            F.array(
+                F.lit(1) + (F.col("node") * 7 + 3) % F.col("n"),
+                F.lit(1) + (F.col("node") * 13 + 5) % F.col("n"),
+                F.lit(1) + (F.col("node") * 29 + 11) % F.col("n"),
+            )
+        ).alias("dst"),
+    )
+    edges = (
+        dir_e.unionByName(
+            dir_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = cust.select("node", F.col("node").alias("label"))
+    for _ in range(2):
+        labels = iter_checkpoint(_lpa_round(edges, labels))
+    edges.unpersist()
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

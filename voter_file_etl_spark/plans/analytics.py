@@ -2135,3 +2135,66 @@ def a67_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("long").alias("cents"),
         F.sum("cents").over(w).cast("long").alias("cum_ltv_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A69 — DAU/MAU stickiness: per active day, the distinct users that
+# day (DAU), the distinct users over the trailing 30 days (MAU), and
+# DAU*10000 div MAU — the engagement ratio every growth dashboard
+# tracks.
+#
+# Scale: trailing-window COUNT(DISTINCT) is the trap — a 30-day
+# range-frame distinct window re-scans each user 30x AND needs a
+# per-day distinct state. Instead: dedupe to (user, day) once, then
+# each user-day COVERS the 30 output days it can keep the user active
+# for (a bounded 30x explode), dedupe (user, covered_day), and MAU is
+# a plain count per day — distinct-free, shuffle on (user, day) and
+# day only. The same forward-coverage trick w19 uses for interval
+# union.
+# ---------------------------------------------------------------------------
+@register(
+    "a69_dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    ), cov AS (
+      SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS cday
+      FROM ud, unnest(range(0, 30)) AS g(i)
+    ), mau AS (
+      SELECT cday AS day, CAST(count(*) AS BIGINT) AS mau
+      FROM cov GROUP BY cday
+    )
+    SELECT d.day, d.dau, m.mau,
+           CAST(d.dau * 10000 // m.mau AS BIGINT) AS stickiness_bp
+    FROM dau d JOIN mau m ON d.day = m.day
+    """,
+)
+def a69_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cov = (
+        ud.select(
+            "user_id",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"),
+        )
+        .select(
+            "user_id",
+            F.expr("date_add(day, cast(i as int))").alias("cday"),
+        )
+        .distinct()
+    )
+    mau = cov.groupBy(F.col("cday").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("mau")
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.expr("cast(dau * 10000 div mau as bigint)").alias("stickiness_bp"),
+    )

@@ -330,6 +330,9 @@ HEADLINE = [
     "x92_inverted_index",
     "g9_label_propagation",
     "a69_dau_mau_stickiness",
+    "s24_csv_header_drift",
+    "a70_equidepth_histogram",
+    "w30_resample_linterp",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

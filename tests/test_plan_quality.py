@@ -1198,3 +1198,22 @@ def test_label_propagation_conserves_nodes(spark, sf_dir):
     members = sum(r["n_members"] for r in rows)
     assert n <= members <= n + 10
     assert len(rows) < n // 2
+
+
+def test_equidepth_rank_is_two_level(spark, sf_dir):
+    # a70's global rank must be the bucketed two-level prefix sum: a
+    # bkt-partitioned cumsum window plus broadcast joins for the
+    # O(buckets) offsets and the 1-row total — never a single global
+    # cumsum over the distinct-value table.
+    plan = _formatted_plan(spark, "a70_equidepth_histogram", sf_dir)
+    assert "hashpartitioning(bkt" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_linterp_windows_partition_by_series(spark, sf_dir):
+    # w30's fill windows must partition on the series key; a global
+    # date-ordered window would single-partition the whole spine.
+    plan = _formatted_plan(spark, "w30_resample_linterp", sf_dir)
+    assert "hashpartitioning(prio" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]

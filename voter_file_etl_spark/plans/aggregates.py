@@ -2031,3 +2031,81 @@ def a68_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_words"),
         F.sum(F.bit_count("bm")).cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A70 — equi-DEPTH histogram (a18 is equi-width): 8 buckets holding
+# ~n/8 rows each, the representation query optimizers keep because
+# equal-population buckets bound selectivity error where equal-width
+# buckets collapse under skew. A distinct value belongs to the bucket
+# of its LAST row's global rank ((cum-1)*8 div n), so heavy values
+# never split across buckets.
+#
+# Scale: the global rank is the a36 two-level prefix sum — per-value
+# counts, within-price-bucket partitioned cumsum, plus ONE global
+# window over O(buckets) bucket sums; the total row count rides in as
+# a broadcast 1-row crossJoin. No single partition ever holds the
+# distinct-value set.
+# ---------------------------------------------------------------------------
+@register(
+    "a70_equidepth_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT cents, c, sum(c) OVER (ORDER BY cents) AS cum FROM v
+    ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM v)
+    SELECT CAST((cum - 1) * 8 // n AS BIGINT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(min(cents) AS BIGINT) AS lo_c,
+           CAST(max(cents) AS BIGINT) AS hi_c
+    FROM s CROSS JOIN nn
+    GROUP BY 1
+    """,
+)
+def a70_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    vc = orders.select(
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        )
+    ).groupBy("cents").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    b = vc.withColumn("bkt", F.expr("cents div 1000000"))
+    within = b.withColumn(
+        "cumw",
+        F.sum("c").over(
+            W.partitionBy("bkt")
+            .orderBy("cents")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    boff = (
+        b.groupBy("bkt")
+        .agg(F.sum("c").alias("bs"))
+        .withColumn(
+            "off",
+            F.sum("bs").over(
+                W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("bkt", "off")
+    )
+    nn = vc.agg(F.sum("c").cast("long").alias("n"))
+    ranked = (
+        within.join(F.broadcast(boff), "bkt")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("cum", F.expr("coalesce(off, 0L) + cumw"))
+    )
+    return (
+        ranked.withColumn("bucket", F.expr("cast((cum - 1) * 8 div n as bigint)"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.min("cents").cast("long").alias("lo_c"),
+            F.max("cents").cast("long").alias("hi_c"),
+        )
+    )

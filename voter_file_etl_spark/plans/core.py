@@ -1266,3 +1266,68 @@ def s23_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_cents"),
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S24 — CSV header drift: the same records arrive as two CSV batches
+# whose COLUMN ORDER differs (vendor A exports key,name,cents; vendor
+# B exports cents,key,segment,name). Each batch is read with
+# header-driven per-file schema resolution and the union is BY NAME —
+# positional union would silently pair cents with custkey. The final
+# rollup must equal a single-source computation exactly.
+#
+# Scale: header resolution happens once per file listing; the reads
+# stay parallel CSV scans, the unionByName is a zero-cost logical
+# node, and the rollup is one shuffle.
+# ---------------------------------------------------------------------------
+@register(
+    "s24_csv_header_drift",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_keys
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def s24_csv_header_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(
+        prefix="s24_drift_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    src = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        "c_mktsegment",
+    )
+    a = src.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", "c_name", "cents", "c_mktsegment"
+    )
+    b = src.filter(F.col("c_custkey") % 2 == 1).select(
+        "cents", "c_custkey", "c_mktsegment", "c_name"
+    )
+    pa, pb = os.path.join(out, "vendor_a"), os.path.join(out, "vendor_b")
+    a.write.mode("overwrite").option("header", "true").csv(pa)
+    b.write.mode("overwrite").option("header", "true").csv(pb)
+    ra = (
+        spark.read.option("header", "true")
+        .schema("c_custkey long, c_name string, cents long, c_mktsegment string")
+        .csv(pa)
+    )
+    rb = (
+        spark.read.option("header", "true")
+        .schema("cents long, c_custkey long, c_mktsegment string, c_name string")
+        .csv(pb)
+    )
+    both = ra.unionByName(rb)
+    return both.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum("c_custkey").cast("long").alias("sum_keys"),
+    )

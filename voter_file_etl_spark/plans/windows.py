@@ -1663,3 +1663,124 @@ def o7_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int"))
         .alias("order_date"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W30 — linear-interpolation resample: each order priority's daily
+# revenue series, densified to its full day range, with missing days
+# filled by LINEAR interpolation between the surrounding observed
+# days (w11 forward-fills, w18 backward-fills; this draws the line).
+# Edges clamp to the nearest observation. Interpolated cents use a
+# floor division written portably (truncating div on made-positive
+# operands), because Spark's `div` truncates while DuckDB's `//`
+# floors — they disagree exactly when the slope is negative.
+#
+# Scale: spine explode is bounded by the series' day range; every
+# window partitions by the series key; one shuffle joins spine to
+# observations on (priority, day).
+# ---------------------------------------------------------------------------
+@register(
+    "w30_resample_linterp",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS prio,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2
+    ), bounds AS (
+      SELECT prio, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY prio
+    ), spine AS (
+      SELECT prio, CAST(i AS BIGINT) AS d
+      FROM bounds, unnest(range(d0, d1 + 1)) AS g(i)
+    ), j AS (
+      SELECT s.prio, s.d, o.v FROM spine s
+      LEFT JOIN obs o ON s.prio = o.prio AND s.d = o.d
+    ), f AS (
+      SELECT prio, d, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY prio ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+          (PARTITION BY prio ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY prio ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER
+          (PARTITION BY prio ORDER BY d
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM j
+    )
+    SELECT prio, CAST(DATE '1970-01-01' + CAST(d AS INTEGER) AS DATE) AS day,
+      CAST(CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NULL THEN nv
+        WHEN nv IS NULL THEN pv
+        ELSE pv + (CASE
+          WHEN (nv - pv) * (d - pd) >= 0
+            THEN ((nv - pv) * (d - pd)) // (nd - pd)
+          ELSE -((-((nv - pv) * (d - pd)) + (nd - pd) - 1) // (nd - pd))
+        END)
+      END AS BIGINT) AS filled_c,
+      CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_interp
+    FROM f
+    """,
+)
+def w30_resample_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    obs = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("d"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    ).groupBy("prio", "d").agg(F.sum("cents").cast("long").alias("v"))
+    spine = (
+        obs.groupBy("prio")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "prio",
+            F.explode(F.expr("sequence(d0, d1)")).alias("d"),
+        )
+    )
+    j = spine.join(obs, ["prio", "d"], "left")
+    wp = W.partitionBy("prio").orderBy("d")
+    back = wp.rowsBetween(W.unboundedPreceding, 0)
+    fwd = wp.rowsBetween(0, W.unboundedFollowing)
+    f = j.select(
+        "prio",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True)
+        .over(back)
+        .alias("pd"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("d")), ignorenulls=True)
+        .over(fwd)
+        .alias("nd"),
+    )
+    return f.select(
+        "prio",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int"))
+        .alias("day"),
+        F.expr(
+            """cast(case
+                 when v is not null then v
+                 when pv is null then nv
+                 when nv is null then pv
+                 else pv + (case
+                   when (nv - pv) * (d - pd) >= 0
+                     then ((nv - pv) * (d - pd)) div (nd - pd)
+                   else -((-((nv - pv) * (d - pd)) + (nd - pd) - 1)
+                          div (nd - pd))
+                 end)
+               end as bigint)"""
+        ).alias("filled_c"),
+        F.expr(
+            "cast(case when v is null then 1 else 0 end as bigint)"
+        ).alias("is_interp"),
+    )

@@ -333,6 +333,8 @@ HEADLINE = [
     "s24_csv_header_drift",
     "a70_equidepth_histogram",
     "w30_resample_linterp",
+    "x93_repeated_ngram_spans",
+    "a71_freshness_audit",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

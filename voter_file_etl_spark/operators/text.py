@@ -2976,3 +2976,60 @@ def x92_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .select(F.col("w").alias("term"), "doc_freq", "top_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# X93 — repeated n-gram span index: for every 5-gram that occurs MORE
+# than once inside a document, the occurrence count and the first/
+# last start positions. x24 flags repetitive DOCS; this emits the
+# span-level evidence a surgical filter needs to mask or trim the
+# loops instead of dropping the whole document.
+#
+# Scale: gram extraction is the x42 slice-explode (bounded ~1 row per
+# token); the rollup shuffles on (doc_id, gram) with map-side combine
+# and only repeated grams survive, so output is proportional to the
+# repetition actually present.
+# ---------------------------------------------------------------------------
+@register(
+    "x93_repeated_ngram_spans",
+    oracle="""
+    WITH a AS (SELECT doc_id, str_split(text, ' ') AS arr FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS s,
+             md5(array_to_string(list_slice(arr, s, s + 4), ' ')) AS gram_md5
+      FROM a, unnest(generate_series(1, len(arr) - 4)) AS u(s)
+    )
+    SELECT doc_id, gram_md5,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(s) AS BIGINT) AS first_pos,
+           CAST(max(s) AS BIGINT) AS last_pos
+    FROM grams GROUP BY doc_id, gram_md5
+    HAVING count(*) >= 2
+    """,
+)
+def x93_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("arr"))
+        .select(
+            "doc_id",
+            "arr",
+            F.explode(F.expr("sequence(1, size(arr) - 4)")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("s"),
+            F.md5(
+                F.expr("cast(concat_ws(' ', slice(arr, s, 5)) as binary)")
+            ).alias("gram_md5"),
+        )
+    )
+    return (
+        grams.groupBy("doc_id", "gram_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("s").cast("long").alias("first_pos"),
+            F.max("s").cast("long").alias("last_pos"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )

@@ -2109,3 +2109,67 @@ def a70_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("long").alias("hi_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A71 — data-freshness audit: per event type, the last event time,
+# how many days it lags the table's global high-water mark, and the
+# trailing-30-day volume — the staleness table an on-call reads
+# before trusting a partition. "Now" is the global max ts (never
+# wall-clock: deterministic and replay-safe).
+#
+# Scale: one map-side-combined groupBy plus a broadcast 1-row global
+# max; no windows, no second scan (the global max reuses the
+# per-type maxima).
+# ---------------------------------------------------------------------------
+@register(
+    "a71_freshness_audit",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_total
+      FROM events GROUP BY event_type
+    ), hw AS (SELECT max(last_ts) AS hwm FROM per),
+    recent AS (
+      SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_30d
+      FROM events e CROSS JOIN hw
+      WHERE e.ts > hw.hwm - INTERVAL 30 DAY
+      GROUP BY e.event_type
+    )
+    SELECT p.event_type,
+           CAST(p.last_ts AS TIMESTAMP) AS last_ts,
+           CAST(date_diff('day', CAST(p.last_ts AS DATE),
+                          CAST(hw.hwm AS DATE)) AS BIGINT) AS days_behind,
+           p.n_total,
+           CAST(coalesce(r.n_30d, 0) AS BIGINT) AS n_30d
+    FROM per p CROSS JOIN hw
+    LEFT JOIN recent r ON p.event_type = r.event_type
+    """,
+)
+def a71_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    hw = per.agg(F.max("last_ts").alias("hwm"))
+    recent = (
+        ev.crossJoin(F.broadcast(hw))
+        .filter(F.expr("ts > hwm - interval 30 day"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_30d"))
+    )
+    return (
+        per.crossJoin(F.broadcast(hw))
+        .join(recent, "event_type", "left")
+        .select(
+            "event_type",
+            "last_ts",
+            F.expr(
+                "cast(datediff(cast(hwm as date), cast(last_ts as date))"
+                " as bigint)"
+            ).alias("days_behind"),
+            "n_total",
+            F.expr("cast(coalesce(n_30d, 0L) as bigint)").alias("n_30d"),
+        )
+    )

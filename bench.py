@@ -335,6 +335,7 @@ HEADLINE = [
     "w30_resample_linterp",
     "x93_repeated_ngram_spans",
     "a71_freshness_audit",
+    "x94_power_iteration_pc",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

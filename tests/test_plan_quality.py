@@ -1217,3 +1217,24 @@ def test_linterp_windows_partition_by_series(spark, sf_dir):
     plan = _formatted_plan(spark, "w30_resample_linterp", sf_dir)
     assert "hashpartitioning(prio" in plan, plan[:2000]
     assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_power_iteration_gram_is_map_side(spark, sf_dir):
+    # x94's Gram matrix must come from per-row outer products (two
+    # chained Generates) — never a long-table self-join (no
+    # SortMergeJoin in the whole plan); iteration joins broadcast the
+    # O(d) vector.
+    plan = _formatted_plan(spark, "x94_power_iteration_pc", sf_dir)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("Generate") >= 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_power_iteration_is_normalized(spark, sf_dir):
+    # The emitted component is milli-normalized: max |component| is
+    # exactly 1000 and the Rayleigh eigenvalue estimate is positive.
+    rows = registry.QUERIES["x94_power_iteration_pc"](spark, sf_dir).collect()
+    assert max(abs(r["pc_milli"]) for r in rows) == 1000
+    assert all(r["ray_q"] > 0 for r in rows)
+    assert len(rows) == 64

@@ -1154,3 +1154,124 @@ def x81_embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(normsq) div count(1)").alias("mean_normsq"),
         F.max("normsq").cast("long").alias("max_normsq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X94 — dominant principal component by power iteration: centi-
+# quantize the embeddings, form the 64x64 Gram matrix G = Q^T Q, run
+# three fixed synchronous iterations v <- normalize(G v) from the
+# all-ones vector, and emit the component (milli-normalized) plus the
+# Rayleigh-quotient eigenvalue estimate. The whole computation is
+# EXACT BIGINT arithmetic (products bounded so no term exceeds 2^53),
+# so both engines produce bit-identical vectors — the house rule that
+# makes iterative linear algebra driver-checkable.
+#
+# Scale: the Gram matrix needs NO self-join — each vector emits its
+# own 64x64 outer product map-side (two chained posexplodes over the
+# quantized array) and one 4096-key map-side-combined groupBy
+# aggregates the corpus. Iterations then run on O(d) / O(d^2) tables
+# with the small side broadcast; per-iteration normalization uses a
+# portable floor division (Spark div truncates, DuckDB // floors —
+# the expression keeps all division operands nonnegative so both
+# agree).
+# ---------------------------------------------------------------------------
+def _x94_iter_sql(k: int, prev: str) -> str:
+    return f"""
+    w{k} AS (
+      SELECT g.i, CAST(sum(g.g * p.v) AS BIGINT) AS w
+      FROM gram g JOIN {prev} p ON g.j = p.i GROUP BY g.i
+    ), s{k} AS (SELECT max(abs(w)) AS s FROM w{k}),
+    v{k} AS (
+      SELECT i, CAST(CASE WHEN w >= 0 THEN (w * 1000) // s
+                     ELSE -(((-(w * 1000)) + s - 1) // s) END
+                AS BIGINT) AS v
+      FROM w{k} CROSS JOIN s{k}
+    )"""
+
+
+@register(
+    "x94_power_iteration_pc",
+    oracle=f"""
+    WITH lng AS (
+      SELECT vec_id, CAST(i AS BIGINT) AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 100 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ), gram AS (
+      SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS g
+      FROM lng a JOIN lng b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+    ), v0 AS (
+      SELECT DISTINCT i, CAST(1000 AS BIGINT) AS v FROM lng
+    ),{_x94_iter_sql(1, "v0")},{_x94_iter_sql(2, "v1")},{_x94_iter_sql(3, "v2")},
+    w4 AS (
+      SELECT g.i, CAST(sum(g.g * p.v) AS BIGINT) AS w
+      FROM gram g JOIN v3 p ON g.j = p.i GROUP BY g.i
+    ), ray AS (
+      SELECT CAST(sum(v3.v * w4.w) // sum(v3.v * v3.v) AS BIGINT) AS ray_q
+      FROM v3 JOIN w4 ON v3.i = w4.i
+    )
+    SELECT v3.i AS dim, CAST(v3.v AS BIGINT) AS pc_milli, ray.ray_q
+    FROM v3 CROSS JOIN ray
+    """,
+)
+def x94_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 100.0d + 0.5d) as bigint))"
+        ).alias("qarr"),
+    )
+    outer = emb.select(
+        "qarr", F.posexplode("qarr").alias("p1", "q1")
+    ).select(
+        F.expr("cast(p1 + 1 as bigint)").alias("i"),
+        "q1",
+        F.posexplode("qarr").alias("p2", "q2"),
+    )
+    gram = (
+        outer.select(
+            "i", F.expr("cast(p2 + 1 as bigint)").alias("j"),
+            (F.col("q1") * F.col("q2")).alias("qq"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("qq").cast("long").alias("g"))
+    )
+    v = gram.select("i").distinct().select(
+        "i", F.lit(1000).cast("long").alias("v")
+    )
+
+    def mul(vec: DataFrame) -> DataFrame:
+        return (
+            gram.join(
+                F.broadcast(vec.select(F.col("i").alias("j"), "v")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("w"))
+        )
+
+    for _ in range(3):
+        w = mul(v)
+        s = w.agg(F.max(F.abs(F.col("w"))).alias("s"))
+        v = w.crossJoin(F.broadcast(s)).select(
+            "i",
+            F.expr(
+                """cast(case when w >= 0 then (w * 1000) div s
+                        else -(((-(w * 1000)) + s - 1) div s)
+                   end as bigint)"""
+            ).alias("v"),
+        )
+    w4 = mul(v)
+    ray = (
+        v.join(F.broadcast(w4), "i")
+        .agg(
+            F.expr(
+                "cast(sum(v * w) div sum(v * v) as bigint)"
+            ).alias("ray_q")
+        )
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        F.col("i").alias("dim"),
+        F.col("v").cast("long").alias("pc_milli"),
+        "ray_q",
+    )

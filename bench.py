@@ -336,6 +336,9 @@ HEADLINE = [
     "x93_repeated_ngram_spans",
     "a71_freshness_audit",
     "x94_power_iteration_pc",
+    "sql18_named_window",
+    "f15_surrogate_key",
+    "e6_ops_health",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2198,3 +2198,90 @@ def a69_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.expr("cast(dau * 10000 div mau as bigint)").alias("stickiness_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E6 — warehouse ops-health pack: the morning on-call report as ONE
+# long-format result — referential orphans (orders whose customer is
+# missing), primary-key duplication, per-type event freshness lag vs
+# the global high-water mark, and row balance by order status. Each
+# leg is the cheapest plan for its check (anti-join, count-vs-
+# distinct, broadcast 1-row high-water mark, plain rollup) and the
+# union is a logical no-op.
+#
+# Scale: every leg is one shuffle or less; nothing materializes an
+# intermediate wider than its rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "e6_ops_health",
+    oracle="""
+    WITH orphans AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    ), dups AS (
+      SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v
+      FROM orders
+    ), hw AS (SELECT max(ts) AS hwm FROM events),
+    fresh AS (
+      SELECT e.event_type,
+             CAST(date_diff('day', CAST(max(e.ts) AS DATE),
+                            CAST(max(hw.hwm) AS DATE)) AS BIGINT) AS v
+      FROM events e CROSS JOIN hw GROUP BY e.event_type
+    ), status AS (
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS v
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'orphan_orders' AS chk, 'all' AS dim, v FROM orphans
+    UNION ALL
+    SELECT 'dup_orderkeys', 'all', v FROM dups
+    UNION ALL
+    SELECT 'freshness_days_behind', event_type, v FROM fresh
+    UNION ALL
+    SELECT 'rows_by_status', o_orderstatus, v FROM status
+    """,
+)
+def e6_ops_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    ev = t(spark, sf_dir, "events")
+    orphans = (
+        orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .select(
+            F.lit("orphan_orders").alias("chk"), F.lit("all").alias("dim"), "v"
+        )
+    )
+    dups = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("v")
+    ).select(
+        F.lit("dup_orderkeys").alias("chk"), F.lit("all").alias("dim"), "v"
+    )
+    hw = ev.agg(F.max("ts").alias("hwm"))
+    fresh = (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(hw))
+        .select(
+            F.lit("freshness_days_behind").alias("chk"),
+            F.col("event_type").alias("dim"),
+            F.expr(
+                "cast(datediff(cast(hwm as date), cast(last_ts as date))"
+                " as bigint)"
+            ).alias("v"),
+        )
+    )
+    status = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    ).select(
+        F.lit("rows_by_status").alias("chk"),
+        F.col("o_orderstatus").alias("dim"),
+        "v",
+    )
+    return orphans.unionByName(dups).unionByName(fresh).unionByName(status)

@@ -1316,3 +1316,54 @@ def f14_timezone_localize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F15 — deterministic surrogate-key minting: a UUIDv5-style id from a
+# namespaced natural key (md5 of 'cust:' || custkey, formatted
+# 8-4-4-4-12 with the version nibble forced to '5' and the variant
+# nibble to '8'). Re-running the pipeline mints the SAME id — the
+# property that makes surrogate keys safe to regenerate instead of
+# persisting a sequence, and the reason this is a pure map-side
+# column expression rather than monotonically_increasing_id (which is
+# partition-layout-dependent and unreproducible).
+#
+# Scale: whole-stage-codegen string ops; the shard column (first hex
+# byte % 16) gives a uniform partitioning handle derived from the id
+# itself.
+# ---------------------------------------------------------------------------
+@register(
+    "f15_surrogate_key",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey, md5('cust:' || CAST(c_custkey AS VARCHAR)) AS x
+      FROM customer
+    )
+    SELECT c_custkey,
+           substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-5' ||
+           substr(x, 14, 3) || '-8' || substr(x, 18, 3) || '-' ||
+           substr(x, 21, 12) AS surrogate_id,
+           CAST(CAST('0x' || substr(x, 1, 2) AS INTEGER) % 16 AS BIGINT)
+             AS shard
+    FROM h
+    """,
+)
+def f15_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    h = cust.select(
+        "c_custkey",
+        F.md5(
+            F.expr("cast(concat('cust:', cast(c_custkey as string)) as binary)")
+        ).alias("x"),
+    )
+    return h.select(
+        "c_custkey",
+        F.expr(
+            "concat(substr(x, 1, 8), '-', substr(x, 9, 4), '-5',"
+            " substr(x, 14, 3), '-8', substr(x, 18, 3), '-',"
+            " substr(x, 21, 12))"
+        ).alias("surrogate_id"),
+        F.expr("cast(conv(substr(x, 1, 2), 16, 10) % 16 as bigint)").alias(
+            "shard"
+        ),
+    )

@@ -621,3 +621,36 @@ ORDER BY ALL
 def sql17_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL17)
+
+
+# ---------------------------------------------------------------------------
+# SQL18 — named windows (the WINDOW clause): one window definition
+# shared by four window functions, plus a second named window with a
+# different frame — the syntax surface that keeps multi-metric
+# window queries maintainable. Both engines support the clause with
+# identical semantics, and sharing the definition also lets the
+# planner compute all four functions in ONE Window node over one
+# sort.
+# ---------------------------------------------------------------------------
+_SQL18 = """
+SELECT o_custkey,
+       o_orderkey,
+       row_number()   OVER w AS rn,
+       CAST(rank()    OVER w AS BIGINT) AS rnk,
+       CAST(lag(cents) OVER w AS BIGINT) AS prev_c,
+       CAST(sum(cents) OVER cum AS BIGINT) AS cum_c
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+       cum AS (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("sql18_named_window", oracle=_SQL18)
+def sql18_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL18)

@@ -339,6 +339,7 @@ HEADLINE = [
     "sql18_named_window",
     "f15_surrogate_key",
     "e6_ops_health",
+    "x95_cdc_chunking",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

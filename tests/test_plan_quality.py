@@ -1238,3 +1238,17 @@ def test_power_iteration_is_normalized(spark, sf_dir):
     assert max(abs(r["pc_milli"]) for r in rows) == 1000
     assert all(r["ray_q"] > 0 for r in rows)
     assert len(rows) == 64
+
+
+def test_cdc_chunker_is_partition_preserving(spark, sf_dir):
+    # x95's Python chunker must consume the parquet scan directly —
+    # no shuffle below MapInPandas; the only exchanges serve the
+    # chunk-hash rollups.
+    df = registry.QUERIES["x95_cdc_chunking"](spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    lines = tree.splitlines()
+    mi = next(i for i, ln in enumerate(lines) if "MapInPandas" in ln)
+    below = "\n".join(lines[mi : mi + 2])
+    assert "FileScan" in below, below
+    plan = _formatted_plan(spark, "x95_cdc_chunking", sf_dir)
+    assert plan.count("+- Exchange") <= 3, plan[:2000]

@@ -3033,3 +3033,119 @@ def x93_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# X95 — content-defined chunking (CDC): split every document at
+# rolling-hash boundaries (8-byte polynomial window, boundary where
+# H % 32 == 0, sentinel at end-of-doc) and report, per document, the
+# chunk count and how many of its chunk instances are SHARED with at
+# least one other document — the variable-size-chunk dedup primitive
+# behind rsync/borg/venti-style storage dedup, where insertions shift
+# fixed blocks but CDC boundaries re-align.
+#
+# Scale: chunking is a VECTORIZED mapInPandas stage (numpy sliding
+# dot for the rolling hash, Arrow batches, partition-preserving, no
+# shuffle); only the chunk-hash table shuffles, keyed on cmd5 with
+# map-side combine. The oracle recomputes the same boundaries with
+# eight explicit unicode()*31^k terms per position — per-char SQL is
+# the CORRECTNESS mirror, not the scale path.
+# ---------------------------------------------------------------------------
+_X95_W = [31**7, 31**6, 31**5, 31**4, 31**3, 31**2, 31, 1]
+
+
+def _x95_h_sql() -> str:
+    terms = " + ".join(
+        f"CAST(unicode(substr(text, CAST(p AS INTEGER) - {7 - k}, 1))"
+        f" AS BIGINT) * {w}"
+        for k, w in enumerate(_X95_W)
+    )
+    return f"({terms})"
+
+
+@register(
+    "x95_cdc_chunking",
+    oracle=f"""
+    WITH b0 AS (
+      SELECT doc_id, CAST(p AS BIGINT) AS p
+      FROM documents, unnest(generate_series(8, length(text))) g(p)
+      WHERE {_x95_h_sql()} % 32 = 0
+    ), b AS (
+      SELECT doc_id, p FROM b0
+      UNION
+      SELECT doc_id, CAST(length(text) AS BIGINT) FROM documents
+      WHERE length(text) >= 1
+    ), bb AS (
+      SELECT doc_id, p,
+             coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), 0)
+               AS prev
+      FROM b
+    ), ch AS (
+      SELECT bb.doc_id,
+             md5(substr(d.text, CAST(bb.prev + 1 AS INTEGER),
+                        CAST(bb.p - bb.prev AS INTEGER))) AS cmd5
+      FROM bb JOIN documents d ON bb.doc_id = d.doc_id
+    ), dfc AS (
+      SELECT cmd5, count(DISTINCT doc_id) AS nd FROM ch GROUP BY cmd5
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dfc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared
+    FROM ch JOIN dfc ON ch.cmd5 = dfc.cmd5
+    GROUP BY ch.doc_id
+    """,
+)
+def x95_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = np.array(_X95_W, dtype=np.int64)
+
+    def chunker(batches):
+        for pdf in batches:
+            ids, md5s = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                if n < 1:
+                    continue
+                codes = np.frombuffer(
+                    text.encode("ascii", "replace"), dtype=np.uint8
+                ).astype(np.int64)
+                if n >= 8:
+                    # H at 1-based end position p = i + 8 for window
+                    # codes[i:i+8]; boundary where H % 32 == 0.
+                    h = np.convolve(codes, weights[::-1], "valid")
+                    bpos = (np.nonzero(h % 32 == 0)[0] + 8).tolist()
+                else:
+                    bpos = []
+                if not bpos or bpos[-1] != n:
+                    bpos.append(n)
+                prev = 0
+                for p in bpos:
+                    md5s.append(
+                        hashlib.md5(
+                            text[prev:p].encode("ascii", "replace")
+                        ).hexdigest()
+                    )
+                    ids.append(doc_id)
+                    prev = p
+            yield pd.DataFrame({"doc_id": ids, "cmd5": md5s})
+
+    ch = docs.mapInPandas(chunker, "doc_id long, cmd5 string")
+    dfc = ch.groupBy("cmd5").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        ch.join(dfc, "cmd5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )

@@ -118,7 +118,8 @@ _BACKFILL = [
     "s24_csv_header_drift", "a70_equidepth_histogram", "w30_resample_linterp",
     "x93_repeated_ngram_spans", "a71_freshness_audit",
     "x94_power_iteration_pc", "sql18_named_window", "f15_surrogate_key",
-    "e6_ops_health", "x95_cdc_chunking",
+    "e6_ops_health", "x95_cdc_chunking", "l26_merge_full_sync",
+    "sql19_filtered_agg",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

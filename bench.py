@@ -340,6 +340,8 @@ HEADLINE = [
     "f15_surrogate_key",
     "e6_ops_health",
     "x95_cdc_chunking",
+    "l26_merge_full_sync",
+    "sql19_filtered_agg",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1338,3 +1338,72 @@ def l25_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_commits bigint, n_orphans bigint, n_missing bigint,"
         " disk_matches_log boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# L26 — MERGE full sync (WHEN NOT MATCHED BY SOURCE): mirror a target
+# to a source feed in one pass — matched rows update, source-only
+# rows insert, and target-only rows DELETE *conditionally* (only
+# open-status rows are retired; closed history is kept). This is the
+# MERGE clause l4's upsert doesn't exercise, and the semantics behind
+# every "sync table to feed" job. The action column makes the
+# row-level decision auditable.
+#
+# Scale: one full-outer join on the key — the same single-shuffle
+# shape as l4; the delete condition is a residual filter, never a
+# second pass.
+# ---------------------------------------------------------------------------
+@register(
+    "l26_merge_full_sync",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 <> 0
+    ), source AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 1000 AS cents
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+                  THEN 'update'
+                WHEN s.o_orderkey IS NOT NULL THEN 'insert'
+                ELSE 'keep' END AS action,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN 'U'
+                ELSE t.o_orderstatus END AS status,
+           coalesce(s.cents, t.cents) AS cents
+    FROM target t FULL OUTER JOIN source s
+      ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NOT NULL
+       OR t.o_orderstatus <> 'O'
+    """,
+)
+def l26_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cents = F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+    target = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        F.col("o_orderkey").alias("t_key"),
+        F.col("o_orderstatus").alias("t_status"),
+        cents.alias("t_cents"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("s_key"),
+        (cents + 1000).alias("s_cents"),
+    )
+    merged = target.join(source, target.t_key == source.s_key, "full_outer")
+    return merged.filter(
+        F.col("s_key").isNotNull() | (F.col("t_status") != "O")
+    ).select(
+        F.coalesce("s_key", "t_key").alias("o_orderkey"),
+        F.when(
+            F.col("s_key").isNotNull() & F.col("t_key").isNotNull(), "update"
+        )
+        .when(F.col("s_key").isNotNull(), "insert")
+        .otherwise("keep")
+        .alias("action"),
+        F.when(F.col("s_key").isNotNull(), "U")
+        .otherwise(F.col("t_status"))
+        .alias("status"),
+        F.coalesce("s_cents", "t_cents").alias("cents"),
+    )

@@ -654,3 +654,28 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
 def sql18_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL18)
+
+
+# ---------------------------------------------------------------------------
+# SQL19 — the FILTER clause on aggregates: conditional aggregation
+# without CASE-WHEN noise and without a second scan — four filtered
+# aggregates over one pass of orders. Spark and DuckDB implement the
+# clause identically (a per-aggregate predicate on input rows).
+# ---------------------------------------------------------------------------
+_SQL19 = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_all,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            FILTER (WHERE o_orderdate >= DATE '1995-01-01'), 0)
+            AS BIGINT) AS cents_since_95
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("sql19_filtered_agg", oracle=_SQL19)
+def sql19_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL19)

@@ -119,7 +119,8 @@ _BACKFILL = [
     "x93_repeated_ngram_spans", "a71_freshness_audit",
     "x94_power_iteration_pc", "sql18_named_window", "f15_surrogate_key",
     "e6_ops_health", "x95_cdc_chunking", "l26_merge_full_sync",
-    "sql19_filtered_agg",
+    "sql19_filtered_agg", "j24_join_explosion_audit",
+    "a72_revenue_recognition",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -342,6 +342,8 @@ HEADLINE = [
     "x95_cdc_chunking",
     "l26_merge_full_sync",
     "sql19_filtered_agg",
+    "j24_join_explosion_audit",
+    "a72_revenue_recognition",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

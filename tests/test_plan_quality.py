@@ -1252,3 +1252,27 @@ def test_cdc_chunker_is_partition_preserving(spark, sf_dir):
     assert "FileScan" in below, below
     plan = _formatted_plan(spark, "x95_cdc_chunking", sf_dir)
     assert plan.count("+- Exchange") <= 3, plan[:2000]
+
+
+def test_revenue_recognition_conserves_cents(spark, sf_dir):
+    # Allocation with exact remainders: total recognized cents must
+    # equal total order cents to the cent, across all months.
+    from pyspark.sql import functions as F
+
+    from voter_file_etl_spark.tables import t
+
+    rec = (
+        registry.QUERIES["a72_revenue_recognition"](spark, sf_dir)
+        .agg(F.sum("recognized_c"))
+        .collect()[0][0]
+    )
+    src = (
+        t(spark, sf_dir, "orders")
+        .agg(
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+            )
+        )
+        .collect()[0][0]
+    )
+    assert rec == src

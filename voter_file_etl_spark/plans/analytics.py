@@ -2285,3 +2285,62 @@ def e6_ops_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
     )
     return orphans.unionByName(dups).unionByName(fresh).unionByName(status)
+
+
+# ---------------------------------------------------------------------------
+# A72 — revenue recognition (allocation with exact remainders): each
+# order's value is recognized evenly over 1 + o_orderkey % 12 monthly
+# slices starting at its order month; integer division would DROP
+# cents, so the remainder lands on the first slice — sum of slices
+# reconstructs every order exactly, and the rollup books recognized
+# revenue per calendar month. The allocate-explode-reaggregate shape
+# of every finance ETL.
+#
+# Scale: bounded <=12x explode per order, then one shuffle on the
+# recognition month; conservation is enforced by arithmetic, not by a
+# reconciliation pass.
+# ---------------------------------------------------------------------------
+@register(
+    "a72_revenue_recognition",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m0,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(1 + o_orderkey % 12 AS BIGINT) AS k
+      FROM orders
+    ), slices AS (
+      SELECT m0 + to_months(CAST(i AS INTEGER)) AS month,
+             cents // k + CASE WHEN i = 0 THEN cents % k ELSE 0 END
+               AS rec_c
+      FROM o, unnest(range(0, k)) AS g(i)
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(sum(rec_c) AS BIGINT) AS recognized_c,
+           CAST(count(*) AS BIGINT) AS n_slices
+    FROM slices GROUP BY month
+    """,
+)
+def a72_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m0"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        F.expr("cast(1 + o_orderkey % 12 as bigint)").alias("k"),
+    )
+    slices = o.select(
+        "m0",
+        "cents",
+        "k",
+        F.explode(F.expr("sequence(0, cast(k - 1 as int))")).alias("i"),
+    ).select(
+        F.expr("add_months(m0, i)").alias("month"),
+        F.expr(
+            "cents div k + case when i = 0 then cents % k else 0 end"
+        ).alias("rec_c"),
+    )
+    return slices.groupBy("month").agg(
+        F.sum("rec_c").cast("long").alias("recognized_c"),
+        F.count(F.lit(1)).cast("long").alias("n_slices"),
+    )

@@ -1230,3 +1230,49 @@ def j23_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J24 — join-explosion preflight audit: BEFORE running a self-join of
+# events on user_id, compute exactly what it would produce — total
+# output pairs (sum over keys of n^2), distinct keys, the worst key's
+# contribution, and its share (bp) — from per-key counts alone. The
+# 100 TB discipline: a join whose output explodes is detected from an
+# O(keys) aggregate, never by running the explosion.
+#
+# Scale: one map-side-combined count per key, one O(keys) rollup; no
+# join is ever executed. The worst key rides out via max_by.
+# ---------------------------------------------------------------------------
+@register(
+    "j24_join_explosion_audit",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(n * n) AS BIGINT) AS total_pairs,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(n * n) AS BIGINT) AS worst_key_pairs,
+           CAST(arg_max(user_id, n * n * 1000000 + user_id) AS BIGINT)
+             AS worst_key,
+           CAST(10000 * max(n * n) // sum(n * n) AS BIGINT)
+             AS worst_share_bp
+    FROM k
+    """,
+)
+def j24_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # worst-key tie-break folded into one bigint so max_by is total-
+    # ordered (largest product, then largest user_id) in both engines.
+    return k.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("total_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max(F.col("n") * F.col("n")).cast("long").alias("worst_key_pairs"),
+        F.max_by(
+            "user_id", F.expr("n * n * 1000000 + user_id")
+        ).cast("long").alias("worst_key"),
+        F.expr(
+            "cast(10000 * max(n * n) div sum(n * n) as bigint)"
+        ).alias("worst_share_bp"),
+    )

@@ -344,6 +344,7 @@ HEADLINE = [
     "sql19_filtered_agg",
     "j24_join_explosion_audit",
     "a72_revenue_recognition",
+    "l27_bitemporal_asof",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

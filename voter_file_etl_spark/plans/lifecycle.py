@@ -1407,3 +1407,132 @@ def l26_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         F.coalesce("s_cents", "t_cents").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L27 — bitemporal as-of query: the dimension carries BOTH valid time
+# (when the fact was true in the world) and transaction time (when
+# the warehouse learned it). Versions come from per-customer status
+# changes (the j15 SCD2 construction); every 7th customer's covering
+# version is CORRECTED 30 days after it was first recorded (old row
+# closed in txn time, replacement row opened). The query answers
+# "status at valid date V" under two knowledge dates — what we knew
+# shortly after V vs what we know now — and flags rows where the
+# correction changed the answer. l8 time-travels txn time only, j15
+# joins valid time only; audit-grade warehouses need both axes.
+#
+# Scale: the as-of filters are per-row predicates over the version
+# table (no join to a calendar); the two knowledge views join on
+# custkey, one shuffle each, windows partitioned by custkey.
+# ---------------------------------------------------------------------------
+@register(
+    "l27_bitemporal_asof",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders
+    ), iv AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM h WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    ), bt AS (
+      SELECT custkey, status, valid_from, valid_to,
+             valid_from AS txn_from,
+             CASE WHEN custkey % 7 = 0
+                  THEN valid_from + INTERVAL 30 DAY END AS txn_to
+      FROM iv
+      UNION ALL
+      SELECT custkey, 'C', valid_from, valid_to,
+             valid_from + INTERVAL 30 DAY, NULL
+      FROM iv WHERE custkey % 7 = 0
+    ), t1 AS (
+      SELECT custkey, status FROM bt
+      WHERE valid_from <= TIMESTAMP '1995-06-15'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-15')
+        AND txn_from <= TIMESTAMP '1995-07-01'
+        AND (txn_to IS NULL OR txn_to > TIMESTAMP '1995-07-01')
+    ), t2 AS (
+      SELECT custkey, status FROM bt
+      WHERE valid_from <= TIMESTAMP '1995-06-15'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '1995-06-15')
+        AND txn_from <= TIMESTAMP '1998-01-01'
+        AND (txn_to IS NULL OR txn_to > TIMESTAMP '1998-01-01')
+    )
+    SELECT t1.custkey,
+           t1.status AS status_known_then,
+           t2.status AS status_known_now,
+           CAST(CASE WHEN t1.status <> t2.status THEN 1 ELSE 0 END
+                AS BIGINT) AS was_revised
+    FROM t1 JOIN t2 ON t1.custkey = t2.custkey
+    """,
+)
+def l27_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = (
+        orders.withColumn("prev_status", F.lag("o_orderstatus").over(win))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(win).alias("valid_to"),
+        )
+    )
+    bt = iv.select(
+        "custkey",
+        "status",
+        "valid_from",
+        "valid_to",
+        F.col("valid_from").alias("txn_from"),
+        F.expr(
+            "case when custkey % 7 = 0"
+            " then valid_from + interval 30 day end"
+        ).alias("txn_to"),
+    ).unionByName(
+        iv.filter(F.col("custkey") % 7 == 0).select(
+            "custkey",
+            F.lit("C").alias("status"),
+            "valid_from",
+            "valid_to",
+            F.expr("valid_from + interval 30 day").alias("txn_from"),
+            F.lit(None).cast("timestamp").alias("txn_to"),
+        )
+    )
+
+    def asof(valid: str, txn: str, suffix: str):
+        return bt.filter(
+            (F.col("valid_from") <= F.lit(valid).cast("timestamp"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("valid_to") > F.lit(valid).cast("timestamp"))
+            )
+            & (F.col("txn_from") <= F.lit(txn).cast("timestamp"))
+            & (
+                F.col("txn_to").isNull()
+                | (F.col("txn_to") > F.lit(txn).cast("timestamp"))
+            )
+        ).select("custkey", F.col("status").alias(f"status_{suffix}"))
+
+    t1 = asof("1995-06-15", "1995-07-01", "known_then")
+    t2 = asof("1995-06-15", "1998-01-01", "known_now")
+    return t1.join(t2, "custkey").select(
+        "custkey",
+        "status_known_then",
+        "status_known_now",
+        F.expr(
+            "cast(case when status_known_then <> status_known_now"
+            " then 1 else 0 end as bigint)"
+        ).alias("was_revised"),
+    )

@@ -112,6 +112,15 @@ AUDIT = [
     ("a52_kaplan_meier", "risk-set + log-survival windows over the bounded duration rollup"),
     ("a54_referential_audit", "four LeftAnti joins on key-only projections"),
     ("e4_entity_resolution", "blocked candidates materialized once; six funnel aggregates fan out"),
+    ("w29_ohlc", "OHLC via partial min_by/max_by on fused seq; ONE month exchange"),
+    ("o7_skyline", "Pareto front: two-level prefix max, broadcast bucket offsets, no cartesian"),
+    ("a68_bitmap_distinct", "exact distinct via partial bit_or words + popcount; no Expand"),
+    ("x92_inverted_index", "salted (w, doc%64) rank cells -> exact 640-row re-rank; TakeOrdered top-500"),
+    ("a70_equidepth_histogram", "global rank = bkt-partitioned cumsum + O(buckets) offsets + 1-row total"),
+    ("x94_power_iteration_pc", "map-side Gram outer products; broadcast O(d) vector joins per round"),
+    ("x95_cdc_chunking", "MapInPandas chunker directly over scan; only chunk-hash rollups shuffle"),
+    ("j24_join_explosion_audit", "join cardinality from O(keys) counts; the join itself never runs"),
+    ("a69_dau_mau_stickiness", "trailing-30d distinct via bounded coverage explode; no distinct window"),
 ]
 
 

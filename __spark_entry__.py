@@ -120,7 +120,7 @@ _BACKFILL = [
     "x94_power_iteration_pc", "sql18_named_window", "f15_surrogate_key",
     "e6_ops_health", "x95_cdc_chunking", "l26_merge_full_sync",
     "sql19_filtered_agg", "j24_join_explosion_audit",
-    "a72_revenue_recognition", "l27_bitemporal_asof",
+    "a72_revenue_recognition", "l27_bitemporal_asof", "d7_duplicate_payments",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

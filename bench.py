@@ -345,6 +345,7 @@ HEADLINE = [
     "j24_join_explosion_audit",
     "a72_revenue_recognition",
     "l27_bitemporal_asof",
+    "d7_duplicate_payments",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2292,3 +2292,71 @@ def x89_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "10000 * sum((n - 1) * bytes) div sum(n * bytes)"
         ).alias("savings_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D7 — duplicate-payment detection: two orders by the SAME customer
+# for the SAME amount within 7 days are suspicious resubmissions —
+# the payments-ops dedup every AP system runs. Pairs are canonical
+# (earlier key first), self-pairs excluded, and the time band is
+# checked AFTER an exact (custkey, cents) equi-join.
+#
+# Scale: blocking is exact equality on (custkey, cents) — the
+# candidate set is the sum of squared group sizes of genuinely
+# identical amounts per customer (tiny), never a value-band join
+# across customers. The date predicate is a residual filter on that
+# bounded candidate set.
+# ---------------------------------------------------------------------------
+@register(
+    "d7_duplicate_payments",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.c AS custkey, a.cents,
+           a.k AS first_key, b.k AS second_key,
+           CAST(b.d - a.d AS BIGINT) AS gap_days
+    FROM p a JOIN p b
+      ON a.c = b.c AND a.cents = b.cents AND a.k < b.k
+    WHERE abs(b.d - a.d) <= 7
+    """,
+)
+def d7_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    p = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = p.select(
+        F.col("k").alias("first_key"),
+        F.col("c").alias("custkey"),
+        "cents",
+        F.col("d").alias("da"),
+    )
+    b = p.select(
+        F.col("k").alias("second_key"),
+        F.col("c").alias("custkey"),
+        "cents",
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, ["custkey", "cents"])
+        .filter(
+            (F.col("first_key") < F.col("second_key"))
+            & (F.abs(F.datediff("db", "da")) <= 7)
+        )
+        .select(
+            "custkey",
+            "cents",
+            "first_key",
+            "second_key",
+            F.datediff("db", "da").cast("long").alias("gap_days"),
+        )
+    )

@@ -406,3 +406,168 @@ def test_stream_topk_merge_algebra(seed):
             sorted(a, key=key)[:k] + sorted(b, key=key)[:k], key=key
         )[:k]
         assert merged == full
+
+
+# ---------------------------------------------------------------------------
+# Session-3 wave: randomized references for the new algorithmic ops.
+# ---------------------------------------------------------------------------
+
+from voter_file_etl_spark import registry
+
+registry.load_all()
+
+_X95_WEIGHTS = [31**7, 31**6, 31**5, 31**4, 31**3, 31**2, 31, 1]
+
+
+def _cdc_boundaries_ref(text: str) -> list[int]:
+    """Slow per-position reference for x95's boundary rule."""
+    n = len(text)
+    out = []
+    for p in range(8, n + 1):
+        h = sum(
+            ord(text[p - 8 + k]) * w for k, w in enumerate(_X95_WEIGHTS)
+        )
+        if h % 32 == 0:
+            out.append(p)
+    if not out or out[-1] != n:
+        out.append(n)
+    return out
+
+
+@settings(max_examples=60, deadline=None)
+@given(s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=200))
+def test_cdc_boundaries_match_slow_reference(s):
+    # The numpy sliding-dot boundary detection in x95 must equal the
+    # per-position polynomial evaluation, and chunks must concatenate
+    # back to the document.
+    codes = np.frombuffer(s.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    w = np.array(_X95_WEIGHTS, dtype=np.int64)
+    if len(codes) >= 8:
+        h = np.convolve(codes, w[::-1], "valid")
+        bpos = (np.nonzero(h % 32 == 0)[0] + 8).tolist()
+    else:
+        bpos = []
+    if not bpos or bpos[-1] != len(s):
+        bpos.append(len(s))
+    assert bpos == _cdc_boundaries_ref(s)
+    prev, chunks = 0, []
+    for p in bpos:
+        chunks.append(s[prev:p])
+        prev = p
+    assert "".join(chunks) == s and all(chunks)
+
+
+def _portable_floor_div(num: int, den: int) -> int:
+    """The SQL CASE expression from w30/x94, with TRUNCATING division
+    (Spark `div` semantics) — must equal mathematical floor."""
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    if num >= 0:
+        return trunc_div(num, den)
+    return -trunc_div(-num + den - 1, den)
+
+
+@settings(max_examples=200, deadline=None)
+@given(num=st.integers(-10**15, 10**15), den=st.integers(1, 10**9))
+def test_portable_floor_div_is_floor(num, den):
+    import math
+
+    assert _portable_floor_div(num, den) == math.floor(num / den) if abs(
+        num
+    ) < 2**52 else True
+    # exact check independent of float precision:
+    q = _portable_floor_div(num, den)
+    assert q * den <= num < (q + 1) * den
+
+
+def test_skyline_matches_bruteforce_reference(spark, sf_dir):
+    # o7's two-level sweep vs an O(n^2) domination check computed
+    # independently in pandas from the same parquet.
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64
+    )
+    days = (
+        pdf["o_orderdate"].to_numpy().astype("datetime64[D]")
+        - np.datetime64("1970-01-01", "D")
+    ).astype(np.int64)
+    pts = sorted(set(zip(cents.tolist(), days.tolist())))
+    sky = set()
+    for c, d in pts:
+        dominated = any(
+            (c2 <= c and d2 >= d and (c2 < c or d2 > d)) for c2, d2 in pts
+        )
+        if not dominated:
+            sky.add((c, d))
+    got = {
+        (r["price_c"], (np.datetime64(r["order_date"], "D")
+                        - np.datetime64("1970-01-01", "D")).astype(int))
+        for r in registry.QUERIES["o7_skyline"](spark, sf_dir).collect()
+    }
+    assert got == sky
+
+
+def test_power_iteration_matches_numpy_reference(spark, sf_dir):
+    # x94 vs the identical algorithm run in numpy (independent
+    # substrate): exact integer equality of the final vector.
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.stack(
+        [
+            np.floor(np.asarray(e, dtype=np.float64) * 100 + 0.5).astype(
+                np.int64
+            )
+            for e in pdf["embedding"]
+        ]
+    )
+    g = q.T @ q  # exact: values well inside int64
+    v = np.full(g.shape[0], 1000, dtype=object)
+    for _ in range(3):
+        w = g.astype(object) @ v
+        s = max(abs(int(x)) for x in w)
+        v = np.array(
+            [_portable_floor_div(int(x) * 1000, s) for x in w], dtype=object
+        )
+    got = {
+        r["dim"]: r["pc_milli"]
+        for r in registry.QUERIES["x94_power_iteration_pc"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {i + 1: int(v[i]) for i in range(len(v))}
+
+
+def test_equidepth_matches_pandas_reference(spark, sf_dir):
+    # a70 vs an independent pandas ranking: bucket of a value is the
+    # global rank of its LAST row, (cum-1)*8//n.
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = np.sort(
+        np.floor(pdf["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+    )
+    n = len(cents)
+    vals, counts = np.unique(cents, return_counts=True)
+    cum = np.cumsum(counts)
+    bucket = (cum - 1) * 8 // n
+    ref = {}
+    for b in np.unique(bucket):
+        m = bucket == b
+        ref[int(b)] = (
+            int(counts[m].sum()),
+            int(vals[m].min()),
+            int(vals[m].max()),
+        )
+    got = {
+        r["bucket"]: (r["n_rows"], r["lo_c"], r["hi_c"])
+        for r in registry.QUERIES["a70_equidepth_histogram"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == ref

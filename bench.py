@@ -346,6 +346,7 @@ HEADLINE = [
     "a72_revenue_recognition",
     "l27_bitemporal_asof",
     "d7_duplicate_payments",
+    "x96_feature_hashing",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

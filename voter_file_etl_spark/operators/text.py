@@ -3149,3 +3149,94 @@ def x95_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_shared"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X96 — feature hashing (the hashing trick): project token counts
+# into a FIXED 64-bucket space via a portable multiplicative hash
+# over the token's md5 prefix, with a +/- sign bit to unbias
+# collisions — the dimensionality-fixing featurizer that needs no
+# vocabulary table, no fit step, and no driver state, which is why
+# it scales where x16's TF-IDF vocabulary join cannot. Emits per-doc
+# sparse-vector summaries (nnz, L1, net sum) plus the first four
+# bucket values as spot checks.
+#
+# Scale: tokenize-explode -> one groupBy(doc_id, bucket) with
+# map-side combine -> one groupBy(doc_id). No vocabulary join, no
+# broadcast, nothing grows with corpus size except the data itself.
+# ---------------------------------------------------------------------------
+@register(
+    "x96_feature_hashing",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        w -> w <> '')) AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(w), 1, 7) AS BIGINT)
+                  * 2654435761 % 4294967296 AS BIGINT) AS hv
+      FROM tok
+    ), b AS (
+      SELECT doc_id, hv % 64 AS bucket,
+             CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM h
+    ), vec AS (
+      SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS val
+      FROM b GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN val <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+           CAST(sum(abs(val)) AS BIGINT) AS l1,
+           CAST(sum(val) AS BIGINT) AS net,
+           CAST(coalesce(sum(CASE WHEN bucket = 0 THEN val END), 0)
+                AS BIGINT) AS b0,
+           CAST(coalesce(sum(CASE WHEN bucket = 1 THEN val END), 0)
+                AS BIGINT) AS b1,
+           CAST(coalesce(sum(CASE WHEN bucket = 2 THEN val END), 0)
+                AS BIGINT) AS b2,
+           CAST(coalesce(sum(CASE WHEN bucket = 3 THEN val END), 0)
+                AS BIGINT) AS b3
+    FROM vec GROUP BY doc_id
+    """,
+)
+def x96_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    h = tok.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(cast(w as binary)), 1, 7), 16, 10)"
+            " as bigint) * 2654435761 % 4294967296"
+        ).alias("hv"),
+    )
+    b = h.select(
+        "doc_id",
+        F.expr("hv % 64").alias("bucket"),
+        F.expr("case when (hv div 64) % 2 = 0 then 1 else -1 end").alias(
+            "sgn"
+        ),
+    )
+    vec = b.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("long").alias("val")
+    )
+    pick = lambda k: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("bucket") == k, F.col("val"))), F.lit(0)
+    ).cast("long")
+    return vec.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("val") != 0, 1).otherwise(0))
+        .cast("long")
+        .alias("nnz"),
+        F.sum(F.abs("val")).cast("long").alias("l1"),
+        F.sum("val").cast("long").alias("net"),
+        pick(0).alias("b0"),
+        pick(1).alias("b1"),
+        pick(2).alias("b2"),
+        pick(3).alias("b3"),
+    )

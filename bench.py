@@ -347,6 +347,7 @@ HEADLINE = [
     "l27_bitemporal_asof",
     "d7_duplicate_payments",
     "x96_feature_hashing",
+    "l28_dynamic_partition_overwrite",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

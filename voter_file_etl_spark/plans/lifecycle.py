@@ -1536,3 +1536,71 @@ def l27_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end as bigint)"
         ).alias("was_revised"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L28 — dynamic partition overwrite: rewrite ONLY the partitions the
+# incoming batch touches, leaving sibling partitions' files
+# untouched — the daily-reload mode that makes partitioned tables
+# safely re-runnable (static overwrite would drop the whole table
+# first; an append would duplicate). The batch rewrites the 'O'
+# partition with discounted cents; 'F' and 'P' must survive
+# byte-for-byte. The readback rollup proves exactly that.
+#
+# Scale: the overwrite's write amplification is bounded by the
+# touched partitions, not the table; the readback is a pruned
+# partitioned scan.
+# ---------------------------------------------------------------------------
+@register(
+    "l28_dynamic_partition_overwrite",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) - 100
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def l28_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(
+        prefix="l28_dynover_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    path = os.path.join(out, "tbl")
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    base.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    batch = base.filter(F.col("o_orderstatus") == "O").withColumn(
+        "cents", F.col("cents") - 100
+    )
+    (
+        batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

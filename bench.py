@@ -348,6 +348,7 @@ HEADLINE = [
     "d7_duplicate_payments",
     "x96_feature_hashing",
     "l28_dynamic_partition_overwrite",
+    "a73_revenue_bridge",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

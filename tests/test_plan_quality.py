@@ -1276,3 +1276,17 @@ def test_revenue_recognition_conserves_cents(spark, sf_dir):
         .collect()[0][0]
     )
     assert rec == src
+
+
+def test_revenue_bridge_identity_holds(spark, sf_dir):
+    # The waterfall identity end = start + new + expansion -
+    # contraction - churn must hold to the cent for every month.
+    for r in registry.QUERIES["a73_revenue_bridge"](spark, sf_dir).collect():
+        assert (
+            r["end_c"]
+            == r["start_c"]
+            + r["new_c"]
+            + r["expansion_c"]
+            - r["contraction_c"]
+            - r["churn_c"]
+        ), r

@@ -2344,3 +2344,96 @@ def a72_revenue_recognition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rec_c").cast("long").alias("recognized_c"),
         F.count(F.lit(1)).cast("long").alias("n_slices"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A73 — revenue bridge (waterfall): each month's revenue delta
+# decomposed into NEW (customer absent last month), EXPANSION (spent
+# more), CONTRACTION (spent less), and CHURN (absent this month) —
+# with the accounting identity end = start + new + expansion -
+# contraction - churn holding EXACTLY in cents (enforced by a unit
+# test, not hoped for). The month-over-month pairing is a full-outer
+# self-join of the customer-month rollup against itself shifted one
+# month.
+#
+# Scale: the rollup is one shuffle on (custkey, month); the shifted
+# join is co-partitioned on the same key; the bridge is a bounded
+# O(months) rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a73_revenue_bridge",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey AS cust,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ), shifted AS (
+      SELECT cust, m + INTERVAL 1 MONTH AS m, c AS c_prev FROM cm
+    ), pair AS (
+      SELECT coalesce(a.cust, b.cust) AS cust,
+             CAST(coalesce(a.m, b.m) AS DATE) AS m,
+             a.c, b.c_prev
+      FROM cm a FULL OUTER JOIN shifted b
+        ON a.cust = b.cust AND a.m = b.m
+    )
+    SELECT m,
+      CAST(sum(coalesce(c_prev, 0)) AS BIGINT) AS start_c,
+      CAST(sum(CASE WHEN c_prev IS NULL THEN c ELSE 0 END) AS BIGINT)
+        AS new_c,
+      CAST(sum(CASE WHEN c IS NOT NULL AND c_prev IS NOT NULL
+                     AND c > c_prev THEN c - c_prev ELSE 0 END) AS BIGINT)
+        AS expansion_c,
+      CAST(sum(CASE WHEN c IS NOT NULL AND c_prev IS NOT NULL
+                     AND c < c_prev THEN c_prev - c ELSE 0 END) AS BIGINT)
+        AS contraction_c,
+      CAST(sum(CASE WHEN c IS NULL THEN c_prev ELSE 0 END) AS BIGINT)
+        AS churn_c,
+      CAST(sum(coalesce(c, 0)) AS BIGINT) AS end_c
+    FROM pair GROUP BY m
+    """,
+)
+def a73_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cm = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("m"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    ).groupBy("cust", "m").agg(F.sum("cents").cast("long").alias("c"))
+    shifted = cm.select(
+        "cust", F.add_months("m", 1).alias("m"), F.col("c").alias("c_prev")
+    )
+    pair = cm.join(shifted, ["cust", "m"], "full_outer")
+    return pair.groupBy("m").agg(
+        F.sum(F.coalesce("c_prev", F.lit(0))).cast("long").alias("start_c"),
+        F.sum(F.when(F.col("c_prev").isNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("new_c"),
+        F.sum(
+            F.when(
+                F.col("c").isNotNull()
+                & F.col("c_prev").isNotNull()
+                & (F.col("c") > F.col("c_prev")),
+                F.col("c") - F.col("c_prev"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("expansion_c"),
+        F.sum(
+            F.when(
+                F.col("c").isNotNull()
+                & F.col("c_prev").isNotNull()
+                & (F.col("c") < F.col("c_prev")),
+                F.col("c_prev") - F.col("c"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("contraction_c"),
+        F.sum(F.when(F.col("c").isNull(), F.col("c_prev")).otherwise(0))
+        .cast("long")
+        .alias("churn_c"),
+        F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("end_c"),
+    )

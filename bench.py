@@ -349,6 +349,9 @@ HEADLINE = [
     "x96_feature_hashing",
     "l28_dynamic_partition_overwrite",
     "a73_revenue_bridge",
+    "a74_spatial_hotspots",
+    "l29_scd3_dimension",
+    "a75_fiscal_445_calendar",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2437,3 +2437,154 @@ def a73_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("churn_c"),
         F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("end_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A74 — spatial hotspot detection: bucket events into a 50x50 grid
+# (the j10 blocking discipline), then a cell is a hotspot iff its
+# count is >= every 8-neighbor's count AND >= 2x the mean cell load.
+# Local-max-over-neighborhood is the shape behind every density
+# hotspot map, and the whole neighborhood comparison is EQUI-joins
+# on shifted cell keys — never a distance join.
+#
+# Scale: per-cell counts are one map-side-combined shuffle; the
+# 8-neighbor claims are a bounded 8x explode of the CELL table (not
+# the events); the mean rides in as a broadcast 1-row aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "a74_spatial_hotspots",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id % 50 AS cx, (user_id // 50) % 50 AS cy,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), claims AS (
+      SELECT c.cx + dx.d AS jx, c.cy + dy.d AS jy, c.n
+      FROM cells c,
+           (VALUES (-1), (0), (1)) AS dx(d),
+           (VALUES (-1), (0), (1)) AS dy(d)
+      WHERE NOT (dx.d = 0 AND dy.d = 0)
+    ), nmax AS (
+      SELECT jx, jy, CAST(max(n) AS BIGINT) AS nbr_max
+      FROM claims GROUP BY jx, jy
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total_n,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cells
+    )
+    SELECT c.cx, c.cy, c.n,
+           CAST(coalesce(m.nbr_max, 0) AS BIGINT) AS nbr_max
+    FROM cells c
+    LEFT JOIN nmax m ON c.cx = m.jx AND c.cy = m.jy
+    CROSS JOIN tot
+    WHERE c.n >= coalesce(m.nbr_max, 0)
+      AND c.n * tot.n_cells >= 2 * tot.total_n
+    """,
+)
+def a74_spatial_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("user_id % 50").alias("cx"),
+        F.expr("(user_id div 50) % 50").alias("cy"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    claims = (
+        cells.select(
+            "cx", "cy", "n", F.explode(F.expr("sequence(-1, 1)")).alias("dx")
+        )
+        .select(
+            "cx", "cy", "n", "dx",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+        )
+        .filter(~((F.col("dx") == 0) & (F.col("dy") == 0)))
+        .select(
+            (F.col("cx") + F.col("dx")).alias("jx"),
+            (F.col("cy") + F.col("dy")).alias("jy"),
+            "n",
+        )
+    )
+    nmax = claims.groupBy("jx", "jy").agg(
+        F.max("n").cast("long").alias("nbr_max")
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("total_n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    return (
+        cells.join(
+            nmax,
+            (F.col("cx") == F.col("jx")) & (F.col("cy") == F.col("jy")),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("n") >= F.coalesce("nbr_max", F.lit(0)))
+            & (F.col("n") * F.col("n_cells") >= 2 * F.col("total_n"))
+        )
+        .select(
+            "cx",
+            "cy",
+            "n",
+            F.coalesce("nbr_max", F.lit(0)).cast("long").alias("nbr_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A75 — 4-4-5 fiscal calendar rollup: map order dates onto the
+# retail fiscal calendar (52-week years anchored 1992-01-01, four
+# 13-week quarters of 4+4+5-week periods) with PURE integer
+# arithmetic — no calendar dimension table to join, no UDF — and
+# roll revenue up per fiscal (year, period). Same-length periods are
+# what make retail comps comparable; the mapping is the operator.
+#
+# Scale: the fiscal keys are map-side column arithmetic; one shuffle
+# for the bounded (year, period) rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a75_fiscal_445_calendar",
+    oracle="""
+    WITH d AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS off,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), f AS (
+      SELECT cents,
+             off // 364 AS fy,
+             (off % 364) // 7 AS wk
+      FROM d WHERE off >= 0
+    )
+    SELECT CAST(1992 + fy AS BIGINT) AS fiscal_year,
+           CAST((wk // 13) * 3
+                + CASE WHEN wk % 13 < 4 THEN 1
+                       WHEN wk % 13 < 8 THEN 2 ELSE 3 END
+                AS BIGINT) AS fiscal_period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM f GROUP BY 1, 2
+    """,
+)
+def a75_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("off"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    ).filter(F.col("off") >= 0)
+    f = d.select(
+        "cents",
+        F.expr("off div 364").alias("fy"),
+        F.expr("(off % 364) div 7").alias("wk"),
+    )
+    return f.groupBy(
+        F.expr("cast(1992 + fy as bigint)").alias("fiscal_year"),
+        F.expr(
+            "cast((wk div 13) * 3 + case when wk % 13 < 4 then 1"
+            " when wk % 13 < 8 then 2 else 3 end as bigint)"
+        ).alias("fiscal_period"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

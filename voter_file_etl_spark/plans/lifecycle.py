@@ -1604,3 +1604,77 @@ def l28_dynamic_partition_overwrite(
             F.sum("cents").cast("long").alias("sum_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L29 — SCD Type 3 dimension: one row per customer carrying the
+# CURRENT status, the immediately-previous status, and when the
+# change happened — the limited-history trade-off between SCD1
+# (overwrite, no history) and l10's SCD2 (full row-version history).
+# Built from the same change-point construction as j15, keeping only
+# the last two versions per key.
+#
+# Scale: one customer-partitioned window pass to find change points,
+# a rank to keep two rows per key, and a pivot-style rollup — no
+# joins at all.
+# ---------------------------------------------------------------------------
+@register(
+    "l29_scd3_dimension",
+    oracle="""
+    WITH h AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders
+    ), iv AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             o_orderdate AS valid_from, o_orderkey AS okey
+      FROM h WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    ), ranked AS (
+      SELECT custkey, status, valid_from,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY valid_from DESC, okey DESC) AS r
+      FROM iv
+    )
+    SELECT custkey,
+           max(CASE WHEN r = 1 THEN status END) AS current_status,
+           max(CASE WHEN r = 2 THEN status END) AS prev_status,
+           CAST(max(CASE WHEN r = 1 THEN valid_from END) AS TIMESTAMP)
+             AS changed_at
+    FROM ranked WHERE r <= 2 GROUP BY custkey
+    """,
+)
+def l29_scd3_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    iv = (
+        orders.withColumn("prev", F.lag("o_orderstatus").over(win))
+        .filter(
+            F.col("prev").isNull()
+            | (F.col("prev") != F.col("o_orderstatus"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.col("o_orderkey").alias("okey"),
+        )
+    )
+    rw = W.partitionBy("custkey").orderBy(
+        F.desc("valid_from"), F.desc("okey")
+    )
+    ranked = iv.withColumn("r", F.row_number().over(rw)).filter(
+        F.col("r") <= 2
+    )
+    return ranked.groupBy("custkey").agg(
+        F.max(F.when(F.col("r") == 1, F.col("status"))).alias(
+            "current_status"
+        ),
+        F.max(F.when(F.col("r") == 2, F.col("status"))).alias("prev_status"),
+        F.max(F.when(F.col("r") == 1, F.col("valid_from"))).alias(
+            "changed_at"
+        ),
+    )

@@ -352,6 +352,8 @@ HEADLINE = [
     "a74_spatial_hotspots",
     "l29_scd3_dimension",
     "a75_fiscal_445_calendar",
+    "w31_series_align",
+    "x97_soft_dedup_weights",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -2360,3 +2360,60 @@ def d7_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("db", "da").cast("long").alias("gap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X97 — duplicate-aware training weights: instead of DROPPING
+# duplicates (x1), keep every copy but weight it 1/n so the
+# effective distribution matches the deduplicated corpus — the
+# soft-dedup practice used when provenance or recency of individual
+# copies matters. Weights are integer basis points with the REMAINDER
+# assigned to the cluster's canonical (min doc_id) copy, so each
+# cluster's weights sum to exactly 10000 — the same exactness
+# discipline as a72's allocation.
+#
+# Scale: one hash rollup for cluster sizes, one co-partitioned join
+# back; effective token mass is a map-side expression after it.
+# ---------------------------------------------------------------------------
+@register(
+    "x97_soft_dedup_weights",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars, md5(text) AS sig FROM documents
+    ), cl AS (
+      SELECT sig, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(doc_id) AS BIGINT) AS canon
+      FROM h GROUP BY sig
+    )
+    SELECT h.doc_id, cl.n AS n_copies,
+           CAST(10000 // cl.n
+                + CASE WHEN h.doc_id = cl.canon
+                       THEN 10000 % cl.n ELSE 0 END AS BIGINT) AS weight_bp,
+           CAST(h.n_chars * (10000 // cl.n
+                + CASE WHEN h.doc_id = cl.canon
+                       THEN 10000 % cl.n ELSE 0 END) // 10000 AS BIGINT)
+             AS eff_chars
+    FROM h JOIN cl ON h.sig = cl.sig
+    """,
+)
+def x97_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "n_chars", F.md5(F.col("text").cast("binary")).alias("sig")
+    )
+    cl = h.groupBy("sig").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.min("doc_id").cast("long").alias("canon"),
+    )
+    return h.join(cl, "sig").select(
+        "doc_id",
+        "n_copies",
+        F.expr(
+            "cast(10000 div n_copies + case when doc_id = canon"
+            " then 10000 % n_copies else 0 end as bigint)"
+        ).alias("weight_bp"),
+        F.expr(
+            "cast(n_chars * (10000 div n_copies + case when doc_id = canon"
+            " then 10000 % n_copies else 0 end) div 10000 as bigint)"
+        ).alias("eff_chars"),
+    )

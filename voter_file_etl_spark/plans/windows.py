@@ -1784,3 +1784,89 @@ def w30_resample_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(case when v is null then 1 else 0 end as bigint)"
         ).alias("is_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W31 — time-series alignment: two sparse daily series (urgent vs
+# low-priority revenue) aligned onto the UNION of their observation
+# days, each side forward-filled, with the spread emitted per day —
+# the pandas `.align(method='ffill')` operation as window plans.
+# Alignment-then-compare is the prerequisite of every spread /
+# ratio / hedge analysis; doing it with two ffill windows over one
+# union spine avoids the as-of join per side.
+#
+# Scale: the spine is the distinct-day union (no cross join); both
+# fills share ONE ordered window pass (two last_value ignore-nulls
+# over the same window), and days before a series' first observation
+# stay NULL rather than inventing data.
+# ---------------------------------------------------------------------------
+@register(
+    "w31_series_align",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ), b AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v
+      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1
+    ), spine AS (
+      SELECT day FROM a UNION SELECT day FROM b
+    ), j AS (
+      SELECT s.day, a.v AS av, b.v AS bv
+      FROM spine s
+      LEFT JOIN a ON s.day = a.day
+      LEFT JOIN b ON s.day = b.day
+    ), f AS (
+      SELECT day,
+        last_value(av IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS urgent_c,
+        last_value(bv IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS low_c
+      FROM j
+    )
+    SELECT day, urgent_c, low_c,
+           CASE WHEN urgent_c IS NOT NULL AND low_c IS NOT NULL
+                THEN urgent_c - low_c END AS spread_c
+    FROM f
+    """,
+)
+def w31_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cents = F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+
+    def series(prio: str, name: str) -> DataFrame:
+        return (
+            orders.filter(F.col("o_orderpriority") == prio)
+            .select(F.col("o_orderdate").cast("date").alias("day"), cents.alias("c"))
+            .groupBy("day")
+            .agg(F.sum("c").cast("long").alias(name))
+        )
+
+    a = series("1-URGENT", "av")
+    b = series("5-LOW", "bv")
+    spine = a.select("day").union(b.select("day")).distinct()
+    j = spine.join(a, "day", "left").join(b, "day", "left")
+    # Single global day-ordered window: the aligned pair is ONE
+    # series; at scale this would partition by instrument key — here
+    # the one-pair case is the operator's own contract.
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    f = j.select(
+        "day",
+        F.last("av", ignorenulls=True).over(w).alias("urgent_c"),
+        F.last("bv", ignorenulls=True).over(w).alias("low_c"),
+    )
+    return f.select(
+        "day",
+        "urgent_c",
+        "low_c",
+        F.expr(
+            "case when urgent_c is not null and low_c is not null"
+            " then urgent_c - low_c end"
+        ).alias("spread_c"),
+    )

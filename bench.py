@@ -354,6 +354,7 @@ HEADLINE = [
     "a75_fiscal_445_calendar",
     "w31_series_align",
     "x97_soft_dedup_weights",
+    "e7_medallion_pipeline",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

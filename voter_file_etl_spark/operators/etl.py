@@ -377,3 +377,112 @@ def e3_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, n_urgent long, sum_cents long, "
         "min_key long, max_key long",
     )
+
+
+# ---------------------------------------------------------------------------
+# E7 — medallion (bronze/silver/gold) lakehouse pipeline: the
+# layered architecture end-to-end with REAL parquet materialization
+# between layers. Bronze lands the raw feed as-delivered (including
+# the duplicate redeliveries every at-least-once transport produces
+# — injected deterministically as every 10th event); silver
+# deduplicates on the event key, enforces value sanity, and derives
+# typed columns, partitioned by event_type; gold rolls daily
+# business metrics off silver. The result is the per-layer audit
+# (rows in/out, duplicates dropped, gold totals) — the numbers a
+# medallion pipeline must reconcile before publishing.
+#
+# Scale: each layer is one pass; silver's dedup shuffles on the
+# event key once; gold reads only its three silver columns
+# (partition-pruned, column-pruned); layer boundaries are parquet —
+# restartable and independently queryable, which is the point of the
+# architecture.
+# ---------------------------------------------------------------------------
+@register(
+    "e7_medallion_pipeline",
+    oracle="""
+    WITH silver AS (
+      SELECT event_id, user_id, event_type, ts, value FROM events
+      WHERE value IS NOT NULL AND value >= 0
+    ), gold AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM silver GROUP BY 1, 2
+    ), n_raw AS (SELECT CAST(count(*) AS BIGINT) AS v FROM events),
+    n_dupes AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM events
+      WHERE event_id % 10 = 0
+    ),
+    n_silver AS (SELECT CAST(count(*) AS BIGINT) AS v FROM silver),
+    n_gold AS (SELECT CAST(count(*) AS BIGINT) AS v FROM gold),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS v FROM gold)
+    SELECT 'bronze' AS layer, 'rows' AS metric,
+           n_raw.v + n_dupes.v AS value FROM n_raw, n_dupes
+    UNION ALL
+    SELECT 'silver', 'dupes_dropped', v FROM n_dupes
+    UNION ALL
+    SELECT 'silver', 'rows', v FROM n_silver
+    UNION ALL
+    SELECT 'gold', 'rows', v FROM n_gold
+    UNION ALL
+    SELECT 'gold', 'total_cents', v FROM tot
+    """,
+)
+def e7_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from voter_file_etl_spark.tables import t as _t
+
+    root = tempfile.mkdtemp(
+        prefix="e7_medallion_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    bronze_p = os.path.join(root, "bronze")
+    silver_p = os.path.join(root, "silver")
+
+    ev = _t(spark, sf_dir, "events")
+    # Bronze: raw landing, with the transport's duplicate
+    # redeliveries (every 10th event arrives twice).
+    redelivered = ev.filter(F.col("event_id") % 10 == 0)
+    ev.unionByName(redelivered).write.mode("overwrite").parquet(bronze_p)
+
+    bronze = spark.read.parquet(bronze_p)
+    n_bronze = bronze.count()
+    # Silver: exact dedup on the event key, value sanity, typed day;
+    # partitioned by event_type so gold prunes.
+    silver = (
+        bronze.dropDuplicates(["event_id"])
+        .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .withColumn("day", F.col("ts").cast("date"))
+    )
+    (
+        silver.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(silver_p)
+    )
+
+    sv = spark.read.parquet(silver_p)
+    n_silver = sv.count()
+    gold = sv.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5d) as bigint)"))
+        .cast("long")
+        .alias("cents"),
+    )
+    stats = gold.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    ).collect()[0]
+
+    n_dupes = n_bronze - bronze.dropDuplicates(["event_id"]).count()
+    rows = [
+        ("bronze", "rows", int(n_bronze)),
+        ("silver", "dupes_dropped", int(n_dupes)),
+        ("silver", "rows", int(n_silver)),
+        ("gold", "rows", int(stats["n_gold"])),
+        ("gold", "total_cents", int(stats["total_cents"])),
+    ]
+    return spark.createDataFrame(
+        rows, "layer string, metric string, value long"
+    )

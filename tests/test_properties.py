@@ -571,3 +571,84 @@ def test_equidepth_matches_pandas_reference(spark, sf_dir):
         ).collect()
     }
     assert got == ref
+
+
+def test_fiscal_445_mapping_invariants():
+    # Pure-arithmetic check of the a75 mapping: every week lands in a
+    # period 1..12 and each quarter's periods hold 4, 4, and 5 weeks.
+    from collections import Counter
+
+    for fy_weeks in range(52):
+        wk = fy_weeks
+        q, wq = wk // 13, wk % 13
+        period = q * 3 + (1 if wq < 4 else 2 if wq < 8 else 3)
+        assert 1 <= period <= 12
+    counts = Counter()
+    for wk in range(52):
+        q, wq = wk // 13, wk % 13
+        period = q * 3 + (1 if wq < 4 else 2 if wq < 8 else 3)
+        counts[period] += 1
+    for q in range(4):
+        assert counts[q * 3 + 1] == 4
+        assert counts[q * 3 + 2] == 4
+        assert counts[q * 3 + 3] == 5
+
+
+def test_spatial_hotspots_match_pandas_reference(spark, sf_dir):
+    # a74 vs a dense-grid reference computed independently in pandas.
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cx = (pdf["user_id"] % 50).to_numpy()
+    cy = ((pdf["user_id"] // 50) % 50).to_numpy()
+    counts = {}
+    for x, y in zip(cx.tolist(), cy.tolist()):
+        counts[(x, y)] = counts.get((x, y), 0) + 1
+    total, ncells = sum(counts.values()), len(counts)
+    ref = set()
+    for (x, y), n in counts.items():
+        nbr = max(
+            (
+                counts.get((x + dx, y + dy), 0)
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (dx, dy) != (0, 0)
+            ),
+            default=0,
+        )
+        # reference neighbor max only over EXISTING cells, matching
+        # the left-join-null -> 0 semantics
+        if n >= nbr and n * ncells >= 2 * total:
+            ref.add((x, y, n))
+    got = {
+        (r["cx"], r["cy"], r["n"])
+        for r in registry.QUERIES["a74_spatial_hotspots"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_series_align_matches_pandas_ffill(spark, sf_dir):
+    # w31 vs pandas reindex-on-union + ffill.
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    pdf["cents"] = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    pdf["day"] = pdf["o_orderdate"].dt.date
+    a = pdf[pdf.o_orderpriority == "1-URGENT"].groupby("day")["cents"].sum()
+    b = pdf[pdf.o_orderpriority == "5-LOW"].groupby("day")["cents"].sum()
+    spine = sorted(set(a.index) | set(b.index))
+    af = a.reindex(spine).ffill()
+    bf = b.reindex(spine).ffill()
+    ref = {}
+    for d in spine:
+        av = None if pd.isna(af[d]) else int(af[d])
+        bv = None if pd.isna(bf[d]) else int(bf[d])
+        sp = av - bv if av is not None and bv is not None else None
+        ref[d] = (av, bv, sp)
+    got = {
+        r["day"]: (r["urgent_c"], r["low_c"], r["spread_c"])
+        for r in registry.QUERIES["w31_series_align"](spark, sf_dir).collect()
+    }
+    assert got == ref

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions import vectors as V
+from voter_file_etl_spark.functions.intmath import floor_div_sql
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -1182,9 +1183,7 @@ def _x94_iter_sql(k: int, prev: str) -> str:
       FROM gram g JOIN {prev} p ON g.j = p.i GROUP BY g.i
     ), s{k} AS (SELECT max(abs(w)) AS s FROM w{k}),
     v{k} AS (
-      SELECT i, CAST(CASE WHEN w >= 0 THEN (w * 1000) // s
-                     ELSE -(((-(w * 1000)) + s - 1) // s) END
-                AS BIGINT) AS v
+      SELECT i, CAST((case when (w * 1000) >= 0 then (w * 1000) // (s) else -(((-(w * 1000)) + (s) - 1) // (s)) end) AS BIGINT) AS v
       FROM w{k} CROSS JOIN s{k}
     )"""
 
@@ -1256,9 +1255,8 @@ def x94_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = w.crossJoin(F.broadcast(s)).select(
             "i",
             F.expr(
-                """cast(case when w >= 0 then (w * 1000) div s
-                        else -(((-(w * 1000)) + s - 1) div s)
-                   end as bigint)"""
+                "cast(" + floor_div_sql("w * 1000", "s", "div")
+                + " as bigint)"
             ).alias("v"),
         )
     w4 = mul(v)

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from voter_file_etl_spark.functions.intmath import floor_div_sql
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -1717,11 +1718,7 @@ def o7_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHEN v IS NOT NULL THEN v
         WHEN pv IS NULL THEN nv
         WHEN nv IS NULL THEN pv
-        ELSE pv + (CASE
-          WHEN (nv - pv) * (d - pd) >= 0
-            THEN ((nv - pv) * (d - pd)) // (nd - pd)
-          ELSE -((-((nv - pv) * (d - pd)) + (nd - pd) - 1) // (nd - pd))
-        END)
+        ELSE pv + (case when ((nv - pv) * (d - pd)) >= 0 then ((nv - pv) * (d - pd)) // (nd - pd) else -(((-((nv - pv) * (d - pd))) + (nd - pd) - 1) // (nd - pd)) end)
       END AS BIGINT) AS filled_c,
       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_interp
     FROM f
@@ -1772,12 +1769,7 @@ def w30_resample_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
                  when v is not null then v
                  when pv is null then nv
                  when nv is null then pv
-                 else pv + (case
-                   when (nv - pv) * (d - pd) >= 0
-                     then ((nv - pv) * (d - pd)) div (nd - pd)
-                   else -((-((nv - pv) * (d - pd)) + (nd - pd) - 1)
-                          div (nd - pd))
-                 end)
+                 else pv + (case when ((nv - pv) * (d - pd)) >= 0 then ((nv - pv) * (d - pd)) div (nd - pd) else -(((-((nv - pv) * (d - pd))) + (nd - pd) - 1) div (nd - pd)) end)
                end as bigint)"""
         ).alias("filled_c"),
         F.expr(

@@ -124,7 +124,7 @@ _BACKFILL = [
     "x96_feature_hashing", "l28_dynamic_partition_overwrite",
     "a73_revenue_bridge", "a74_spatial_hotspots", "l29_scd3_dimension",
     "a75_fiscal_445_calendar", "w31_series_align", "x97_soft_dedup_weights",
-    "e7_medallion_pipeline",
+    "e7_medallion_pipeline", "x98_winnow_overlap",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

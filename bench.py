@@ -355,6 +355,7 @@ HEADLINE = [
     "w31_series_align",
     "x97_soft_dedup_weights",
     "e7_medallion_pipeline",
+    "x98_winnow_overlap",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

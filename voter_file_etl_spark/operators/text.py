@@ -3240,3 +3240,98 @@ def x96_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(2).alias("b2"),
         pick(3).alias("b3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X98 — winnowing-fingerprint overlap (MOSS-style): sample each
+# document's 16-char window hashes by the mod-p rule (md5 low nibble
+# == 0, ~1/16 of windows, position-independent so insertions don't
+# shift the sample), then count SHARED fingerprints per document
+# pair — the plagiarism/provenance detector that catches copied
+# passages x2's whole-doc MinHash dilutes away. Pairs come from an
+# equi-join on the fingerprint; fingerprints shared by more than 10
+# docs are dropped first (boilerplate — they would contribute
+# O(df^2) pairs and no signal), which is what keeps the pair volume
+# linear-ish at corpus scale. Top-20 pairs by shared count.
+#
+# Scale: fingerprint extraction is a bounded stride explode; the df
+# cap bounds per-fingerprint fanout at 45 pairs; the top-20 is
+# TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "x98_winnow_overlap",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+               AS norm
+      FROM documents
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM (
+        SELECT doc_id,
+               md5(substr(norm, CAST(i AS INTEGER), 16)) AS fp
+        FROM n, unnest(generate_series(1, greatest(length(norm) - 15, 1), 4))
+             AS g(i)
+      ) WHERE substr(fp, 32, 1) = '0'
+    ), capped AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING count(*) BETWEEN 2 AND 10
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(count(*) AS BIGINT) AS shared_fps
+      FROM fps a
+      JOIN capped c ON a.fp = c.fp
+      JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), ranked AS (
+      SELECT id1, id2, shared_fps,
+             row_number() OVER (ORDER BY shared_fps DESC, id1, id2) AS r
+      FROM pairs
+    )
+    SELECT id1, id2, shared_fps FROM ranked WHERE r <= 20
+    """,
+)
+def x98_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
+        ).alias("norm"),
+    )
+    fps = (
+        n.select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(1, greatest(length(norm) - 15, 1), 4)")
+            ).alias("i"),
+            "norm",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.expr("cast(substring(norm, i, 16) as binary)")).alias(
+                "fp"
+            ),
+        )
+        .filter(F.expr("substring(fp, 32, 1) = '0'"))
+        .distinct()
+    )
+    capped = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 10))
+        .select("fp")
+    )
+    a = fps.join(capped, "fp").select("fp", F.col("doc_id").alias("id1"))
+    b = fps.select("fp", F.col("doc_id").alias("id2"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+    )
+    return (
+        pairs.orderBy(F.desc("shared_fps"), "id1", "id2")
+        .limit(20)
+        .select("id1", "id2", "shared_fps")
+    )

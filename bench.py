@@ -356,6 +356,7 @@ HEADLINE = [
     "x97_soft_dedup_weights",
     "e7_medallion_pipeline",
     "x98_winnow_overlap",
+    "u8_diff_column_provenance",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -321,3 +321,86 @@ def u7_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# U8 — snapshot diff with COLUMN provenance: u4 says which rows
+# changed; this says which COLUMNS changed in each row, as a bitmask
+# (bit 0 status, bit 1 price, bit 2 priority) plus a readable list —
+# the payload a CDC consumer needs to apply partial updates. The v2
+# snapshot is synthesized with disjoint per-column edits (status
+# flipped where key%5=0, price bumped where key%7=0, priority
+# rewritten where key%11=0), so single- and multi-column changes both
+# occur.
+#
+# Scale: one co-partitioned self-join on the key; the mask is
+# map-side arithmetic; unchanged rows are filtered before the join
+# output widens.
+# ---------------------------------------------------------------------------
+@register(
+    "u8_diff_column_provenance",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderpriority AS pri
+      FROM orders
+    ), v2 AS (
+      SELECT k,
+             CASE WHEN k % 5 = 0 THEN 'X' ELSE st END AS st,
+             CASE WHEN k % 7 = 0 THEN cents + 500 ELSE cents END AS cents,
+             CASE WHEN k % 11 = 0 THEN '9-NONE' ELSE pri END AS pri
+      FROM v1
+    )
+    SELECT a.k AS o_orderkey,
+           CAST(CASE WHEN a.st <> b.st THEN 1 ELSE 0 END
+              + CASE WHEN a.cents <> b.cents THEN 2 ELSE 0 END
+              + CASE WHEN a.pri <> b.pri THEN 4 ELSE 0 END AS BIGINT)
+             AS changed_mask,
+           concat_ws(',',
+             CASE WHEN a.st <> b.st THEN 'status' END,
+             CASE WHEN a.cents <> b.cents THEN 'price' END,
+             CASE WHEN a.pri <> b.pri THEN 'priority' END) AS changed_cols
+    FROM v1 a JOIN v2 b ON a.k = b.k
+    WHERE a.st <> b.st OR a.cents <> b.cents OR a.pri <> b.pri
+    """,
+)
+def u8_diff_column_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    v2 = v1.select(
+        "k",
+        F.expr("case when k % 5 = 0 then 'X' else st end").alias("st2"),
+        F.expr("case when k % 7 = 0 then cents + 500 else cents end").alias(
+            "cents2"
+        ),
+        F.expr("case when k % 11 = 0 then '9-NONE' else pri end").alias(
+            "pri2"
+        ),
+    )
+    j = v1.join(v2, "k").filter(
+        (F.col("st") != F.col("st2"))
+        | (F.col("cents") != F.col("cents2"))
+        | (F.col("pri") != F.col("pri2"))
+    )
+    return j.select(
+        F.col("k").alias("o_orderkey"),
+        F.expr(
+            "cast(case when st <> st2 then 1 else 0 end"
+            " + case when cents <> cents2 then 2 else 0 end"
+            " + case when pri <> pri2 then 4 else 0 end as bigint)"
+        ).alias("changed_mask"),
+        F.concat_ws(
+            ",",
+            F.expr("case when st <> st2 then 'status' end"),
+            F.expr("case when cents <> cents2 then 'price' end"),
+            F.expr("case when pri <> pri2 then 'priority' end"),
+        ).alias("changed_cols"),
+    )

@@ -125,7 +125,7 @@ _BACKFILL = [
     "a73_revenue_bridge", "a74_spatial_hotspots", "l29_scd3_dimension",
     "a75_fiscal_445_calendar", "w31_series_align", "x97_soft_dedup_weights",
     "e7_medallion_pipeline", "x98_winnow_overlap",
-    "u8_diff_column_provenance",
+    "u8_diff_column_provenance", "j25_interval_intersect_measure",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -357,6 +357,7 @@ HEADLINE = [
     "e7_medallion_pipeline",
     "x98_winnow_overlap",
     "u8_diff_column_provenance",
+    "j25_interval_intersect_measure",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

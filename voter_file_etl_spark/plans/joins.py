@@ -1276,3 +1276,121 @@ def j24_join_explosion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(10000 * max(n * n) div sum(n * n) as bigint)"
         ).alias("worst_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J25 — interval-intersection measure: per customer, how many days
+# their URGENT-order windows overlap their HIGH-order windows (each
+# order opens a [date, date + 1 + key%5 days) window). w19 measures
+# one set's union; this measures the INTERSECTION of two sets — the
+# "were both campaigns live" / "policy and claim both active"
+# question — with the same boundary-sweep discipline: +1/-1 events,
+# per-key running counts, and segment lengths summed where BOTH
+# counts are positive. Never an interval-pair join (that is O(nA*nB)
+# per key); the sweep is O(n log n) in boundaries.
+#
+# Scale: boundaries aggregate per (cust, day) first so event times
+# are unique; one customer-partitioned window pass computes both
+# running counts and the segment length together.
+# ---------------------------------------------------------------------------
+@register(
+    "j25_interval_intersect_measure",
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey AS cust,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END
+               AS s,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS lo,
+             (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+               + 1 + o_orderkey % 5 AS hi
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ), ev AS (
+      SELECT cust, t,
+             CAST(sum(da) AS BIGINT) AS da, CAST(sum(db) AS BIGINT) AS db
+      FROM (
+        SELECT cust, lo AS t,
+               CASE WHEN s = 'a' THEN 1 ELSE 0 END AS da,
+               CASE WHEN s = 'b' THEN 1 ELSE 0 END AS db
+        FROM iv
+        UNION ALL
+        SELECT cust, hi,
+               CASE WHEN s = 'a' THEN -1 ELSE 0 END,
+               CASE WHEN s = 'b' THEN -1 ELSE 0 END
+        FROM iv
+      ) GROUP BY cust, t
+    ), sweep AS (
+      SELECT cust, t,
+             sum(da) OVER (PARTITION BY cust ORDER BY t) AS ca,
+             sum(db) OVER (PARTITION BY cust ORDER BY t) AS cb,
+             lead(t) OVER (PARTITION BY cust ORDER BY t) AS nt
+      FROM ev
+    )
+    SELECT cust AS custkey,
+           CAST(sum(nt - t) AS BIGINT) AS overlap_days
+    FROM sweep
+    WHERE ca > 0 AND cb > 0 AND nt IS NOT NULL
+    GROUP BY cust
+    HAVING sum(nt - t) > 0
+    """,
+)
+def j25_interval_intersect_measure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = t(spark, sf_dir, "orders")
+    iv = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        F.col("o_custkey").alias("cust"),
+        F.expr(
+            "case when o_orderpriority = '1-URGENT' then 'a' else 'b' end"
+        ).alias("s"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("lo"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .cast("long")
+            + 1
+            + F.col("o_orderkey") % 5
+        ).alias("hi"),
+    )
+    opens = iv.select(
+        "cust",
+        F.col("lo").alias("t"),
+        F.expr("case when s = 'a' then 1 else 0 end").alias("da"),
+        F.expr("case when s = 'b' then 1 else 0 end").alias("db"),
+    )
+    closes = iv.select(
+        "cust",
+        F.col("hi").alias("t"),
+        F.expr("case when s = 'a' then -1 else 0 end").alias("da"),
+        F.expr("case when s = 'b' then -1 else 0 end").alias("db"),
+    )
+    ev = (
+        opens.unionByName(closes)
+        .groupBy("cust", "t")
+        .agg(
+            F.sum("da").cast("long").alias("da"),
+            F.sum("db").cast("long").alias("db"),
+        )
+    )
+    w = W.partitionBy("cust").orderBy("t")
+    cum = w.rowsBetween(W.unboundedPreceding, 0)
+    sweep = ev.select(
+        "cust",
+        "t",
+        F.sum("da").over(cum).alias("ca"),
+        F.sum("db").over(cum).alias("cb"),
+        F.lead("t").over(w).alias("nt"),
+    )
+    return (
+        sweep.filter(
+            (F.col("ca") > 0) & (F.col("cb") > 0) & F.col("nt").isNotNull()
+        )
+        .groupBy(F.col("cust").alias("custkey"))
+        .agg(F.sum(F.col("nt") - F.col("t")).cast("long").alias("overlap_days"))
+        .filter(F.col("overlap_days") > 0)
+    )

@@ -358,6 +358,7 @@ HEADLINE = [
     "x98_winnow_overlap",
     "u8_diff_column_provenance",
     "j25_interval_intersect_measure",
+    "g10_two_hop_reach",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

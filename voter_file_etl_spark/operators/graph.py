@@ -876,3 +876,68 @@ def g9_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G10 — two-hop reach: for every node of the directed 3-hash graph,
+# how many DISTINCT nodes are reachable in exactly <=2 hops
+# (excluding itself) — the friend-of-friend audience size behind
+# reach/influence features. Composition is one edges-to-edges
+# equi-join (fanout bounded by out-degree^2 = 9), a union with the
+# 1-hop set, and a distinct count per source.
+#
+# Scale: no iteration, no frontier state — bounded fanout joins and
+# one distinct rollup keyed on the source node.
+# ---------------------------------------------------------------------------
+@register(
+    "g10_two_hop_reach",
+    oracle=f"""
+    WITH nn AS (SELECT count(*) AS n FROM customer),
+    edges AS ({_pr_edges_sql()}),
+    one AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    two AS (
+      SELECT DISTINCT a.src, b.dst
+      FROM one a JOIN one b ON a.dst = b.src
+      WHERE a.src <> b.dst
+    ), reach AS (
+      SELECT src, dst FROM one UNION SELECT src, dst FROM two
+    )
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS reach_2hop
+    FROM reach GROUP BY src
+    """,
+)
+def g10_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node")
+    )
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.crossJoin(F.broadcast(n))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(
+                F.array(
+                    F.lit(1) + (F.col("node") * 7 + 3) % F.col("n"),
+                    F.lit(1) + (F.col("node") * 13 + 5) % F.col("n"),
+                    F.lit(1) + (F.col("node") * 29 + 11) % F.col("n"),
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    hop2 = (
+        edges.alias("a")
+        .join(
+            edges.select(
+                F.col("src").alias("mid"), F.col("dst").alias("dst2")
+            ),
+            F.col("a.dst") == F.col("mid"),
+        )
+        .select(F.col("a.src").alias("src"), F.col("dst2").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    reach = edges.select("src", "dst").unionByName(hop2).distinct()
+    return reach.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("reach_2hop")
+    )

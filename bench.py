@@ -359,6 +359,7 @@ HEADLINE = [
     "u8_diff_column_provenance",
     "j25_interval_intersect_measure",
     "g10_two_hop_reach",
+    "j26_role_playing_dates",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

@@ -1394,3 +1394,86 @@ def j25_interval_intersect_measure(
         .agg(F.sum(F.col("nt") - F.col("t")).cast("long").alias("overlap_days"))
         .filter(F.col("overlap_days") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# J26 — role-playing conformed date dimension: ONE date dimension
+# (derived once: year, month, ISO weekday) joined into the fact twice
+# under different roles — the order date and the ship date — the
+# Kimball pattern that keeps calendar attributes consistent across
+# every role instead of re-deriving them per column. The rollup
+# reads both roles at once (ordered-in month x shipped-on weekday),
+# which only works when the two role joins are alias-disambiguated
+# views of the same dim.
+#
+# Scale: the dim is O(distinct dates) and broadcasts for BOTH roles;
+# the fact is scanned once; weekday bridging uses weekday()+1 ==
+# DuckDB isodow (the a46/a66 discipline).
+# ---------------------------------------------------------------------------
+@register(
+    "j26_role_playing_dates",
+    oracle="""
+    WITH fact AS (
+      SELECT o.o_orderdate AS od, l.l_shipdate AS sd,
+             CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), dim AS (
+      SELECT d, CAST(date_part('year', d) AS BIGINT) AS yr,
+             CAST(date_part('month', d) AS BIGINT) AS mo,
+             CAST(isodow(d) AS BIGINT) AS dow
+      FROM (SELECT DISTINCT od AS d FROM fact
+            UNION SELECT DISTINCT sd FROM fact)
+    )
+    SELECT ord.yr AS order_year, ord.mo AS order_month,
+           shp.dow AS ship_isodow,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(f.qty) AS BIGINT) AS total_qty
+    FROM fact f
+    JOIN dim ord ON f.od = ord.d
+    JOIN dim shp ON f.sd = shp.d
+    GROUP BY 1, 2, 3
+    """,
+)
+def j26_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    fact = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        F.col("o_orderdate").alias("od"),
+        F.col("l_shipdate").alias("sd"),
+        F.expr("cast(floor(l_quantity + 0.5d) as bigint)").alias("qty"),
+    )
+    dim = (
+        fact.select(F.col("od").alias("d"))
+        .union(fact.select(F.col("sd").alias("d")))
+        .distinct()
+        .select(
+            "d",
+            F.year(F.col("d").cast("date")).cast("long").alias("yr"),
+            F.month(F.col("d").cast("date")).cast("long").alias("mo"),
+            (F.weekday(F.col("d").cast("date")) + 1)
+            .cast("long")
+            .alias("dow"),
+        )
+    )
+    ordd = F.broadcast(
+        dim.select(
+            F.col("d").alias("od"),
+            F.col("yr").alias("order_year"),
+            F.col("mo").alias("order_month"),
+        )
+    )
+    shpd = F.broadcast(
+        dim.select(F.col("d").alias("sd"), F.col("dow").alias("ship_isodow"))
+    )
+    return (
+        fact.join(ordd, "od")
+        .join(shpd, "sd")
+        .groupBy("order_year", "order_month", "ship_isodow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("qty").cast("long").alias("total_qty"),
+        )
+    )

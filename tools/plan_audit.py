@@ -121,6 +121,9 @@ AUDIT = [
     ("x95_cdc_chunking", "MapInPandas chunker directly over scan; only chunk-hash rollups shuffle"),
     ("j24_join_explosion_audit", "join cardinality from O(keys) counts; the join itself never runs"),
     ("a69_dau_mau_stickiness", "trailing-30d distinct via bounded coverage explode; no distinct window"),
+    ("j25_interval_intersect_measure", "two-set boundary sweep: one cust-partitioned window pass, no pair join"),
+    ("j26_role_playing_dates", "one conformed date dim broadcast into BOTH roles; fact scanned once"),
+    ("x98_winnow_overlap", "fingerprint-collision pairs with df-capped fanout; TakeOrdered top-20"),
 ]
 
 

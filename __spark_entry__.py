@@ -127,6 +127,7 @@ _BACKFILL = [
     "e7_medallion_pipeline", "x98_winnow_overlap",
     "u8_diff_column_provenance", "j25_interval_intersect_measure",
     "g10_two_hop_reach", "j26_role_playing_dates",
+    "s26_storage_footprint_audit",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -360,6 +360,7 @@ HEADLINE = [
     "j25_interval_intersect_measure",
     "g10_two_hop_reach",
     "j26_role_playing_dates",
+    "s26_storage_footprint_audit",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

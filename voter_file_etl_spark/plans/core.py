@@ -1331,3 +1331,80 @@ def s24_csv_header_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("sum_cents"),
         F.sum("c_custkey").cast("long").alias("sum_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S26 — storage-footprint audit: which COLUMNS carry the bytes —
+# per-column serialized size (octet_length for text, fixed widths
+# for numerics/timestamps) over the documents table, as totals and
+# basis-point shares. At 100 TB the answer decides what gets
+# dictionary-encoded, what gets dropped from the hot path, and what
+# a projection saves; the audit is one map-side pass emitting five
+# counters, not five scans.
+#
+# Scale: a single aggregate over one scan (all per-column sums in
+# one HashAggregate); the long-format reshape happens on the 1-row
+# result.
+# ---------------------------------------------------------------------------
+@register(
+    "s26_storage_footprint_audit",
+    oracle="""
+    WITH tot AS (
+      SELECT CAST(sum(octet_length(encode(text))) AS BIGINT) AS b_text,
+             CAST(sum(octet_length(encode(lang))) AS BIGINT) AS b_lang,
+             CAST(sum(octet_length(encode(source))) AS BIGINT) AS b_source,
+             CAST(count(*) * 8 AS BIGINT) AS b_doc_id,
+             CAST(count(*) * 8 AS BIGINT) AS b_n_chars
+      FROM documents
+    ), lng AS (
+      SELECT 'text' AS column_name, b_text AS total_bytes,
+             b_text + b_lang + b_source + b_doc_id + b_n_chars AS all_b
+      FROM tot
+      UNION ALL SELECT 'lang', b_lang,
+             b_text + b_lang + b_source + b_doc_id + b_n_chars FROM tot
+      UNION ALL SELECT 'source', b_source,
+             b_text + b_lang + b_source + b_doc_id + b_n_chars FROM tot
+      UNION ALL SELECT 'doc_id', b_doc_id,
+             b_text + b_lang + b_source + b_doc_id + b_n_chars FROM tot
+      UNION ALL SELECT 'n_chars', b_n_chars,
+             b_text + b_lang + b_source + b_doc_id + b_n_chars FROM tot
+    )
+    SELECT column_name, total_bytes,
+           CAST(10000 * total_bytes // all_b AS BIGINT) AS share_bp
+    FROM lng
+    """,
+)
+def s26_storage_footprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.sum(F.octet_length("text")).cast("long").alias("b_text"),
+        F.sum(F.octet_length("lang")).cast("long").alias("b_lang"),
+        F.sum(F.octet_length("source")).cast("long").alias("b_source"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("b_doc_id"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("b_n_chars"),
+    ).withColumn(
+        "all_b",
+        F.expr("b_text + b_lang + b_source + b_doc_id + b_n_chars"),
+    )
+    lng = tot.select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("text"),
+                    F.lit("lang"),
+                    F.lit("source"),
+                    F.lit("doc_id"),
+                    F.lit("n_chars"),
+                ),
+                F.array("b_text", "b_lang", "b_source", "b_doc_id", "b_n_chars"),
+            )
+        ).alias("column_name", "total_bytes"),
+        "all_b",
+    )
+    return lng.select(
+        "column_name",
+        "total_bytes",
+        F.expr("cast(10000 * total_bytes div all_b as bigint)").alias(
+            "share_bp"
+        ),
+    )

@@ -3011,6 +3011,11 @@ def x93_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("arr"))
+        # Guard BEFORE the sequence: Spark infers step -1 when
+        # size(arr) - 4 < 1 (emitting phantom positions 1, 0, ...)
+        # where DuckDB's generate_series is simply empty — a sub-
+        # 5-token doc would diverge between engines without this.
+        .filter(F.expr("size(arr) >= 5"))
         .select(
             "doc_id",
             "arr",

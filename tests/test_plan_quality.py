@@ -1290,3 +1290,74 @@ def test_revenue_bridge_identity_holds(spark, sf_dir):
             - r["contraction_c"]
             - r["churn_c"]
         ), r
+
+
+def test_role_playing_dims_both_broadcast(spark, sf_dir):
+    # j26: one conformed dim, two roles — BOTH joins must broadcast
+    # and the lineitem fact must be scanned exactly once.
+    plan = _formatted_plan(spark, "j26_role_playing_dates", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    # fact branch + the two 1-column bounds scans for the calendar
+    # spine — never one re-scan per ROLE (the distinct-dates dim
+    # would cost 5 lineitem scans; the spine caps it).
+    assert plan.count("lineitem.parquet") <= 3, plan[:2000]
+
+
+def test_duplicate_payments_blocks_on_amount(spark, sf_dir):
+    # d7's candidates must come from an equi-join keyed on BOTH
+    # custkey and cents — never a cartesian or a custkey-only join
+    # with a residual amount filter.
+    plan = _formatted_plan(spark, "d7_duplicate_payments", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    keys = [ln for ln in plan.splitlines() if "Left keys" in ln]
+    assert keys and "cents" in keys[0] and "custkey" in keys[0], keys
+
+
+def test_winnow_overlap_is_capped_equi_join(spark, sf_dir):
+    # x98: fingerprint-collision pairs via equi-joins with the df cap
+    # applied BEFORE pairing; top-20 planned as TakeOrdered.
+    plan = _formatted_plan(spark, "x98_winnow_overlap", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_merge_full_sync_is_single_full_outer(spark, sf_dir):
+    # l26: one full-outer join on the key; the conditional delete is
+    # a residual filter, not a second pass.
+    plan = _formatted_plan(spark, "l26_merge_full_sync", sf_dir)
+    assert "SortMergeJoin FullOuter" in plan, plan[:2000]
+    # formatted mode prints each node twice (tree + detail): exactly
+    # one full-outer join = exactly two mentions.
+    assert plan.count("FullOuter") == 2, plan[:2000]
+
+
+def test_revenue_bridge_join_is_co_partitioned(spark, sf_dir):
+    # a73 pairs the rollup with its one-month shift: a shuffle join
+    # on (cust, m) — no cartesian, no broadcast of a fact-sized side.
+    plan = _formatted_plan(spark, "a73_revenue_bridge", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "FullOuter" in plan, plan[:2000]
+
+
+def test_interval_intersect_is_pure_sweep(spark, sf_dir):
+    # j25 must contain NO join at all — boundaries union, one
+    # cust-partitioned window pass, rollup.
+    plan = _formatted_plan(spark, "j25_interval_intersect_measure", sf_dir)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct"):
+        assert node not in plan, f"unexpected {node}"
+    assert "Window" in plan, plan[:2000]
+
+
+def test_monthly_bands_window_is_month_partitioned(spark, sf_dir):
+    # w28's rank window partitions by month — never a global sort.
+    plan = _formatted_plan(spark, "w28_monthly_bands", sf_dir)
+    assert "hashpartitioning(month" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_ops_health_orphan_leg_is_anti_join(spark, sf_dir):
+    # e6's referential leg must plan as LeftAnti on key-only
+    # projections.
+    plan = _formatted_plan(spark, "e6_ops_health", sf_dir)
+    assert "LeftAnti" in plan, plan[:2000]

@@ -1445,17 +1445,32 @@ def j26_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("sd"),
         F.expr("cast(floor(l_quantity + 0.5d) as bigint)").alias("qty"),
     )
+    # The dim is a CALENDAR SPINE over the observed range, not a
+    # distinct-scan of the fact: deriving it from the joined fact
+    # would re-scan both fact tables once per role branch (Catalyst
+    # does not CSE the subtree). Bounds come from two 1-column
+    # pruned scans; the spine is O(days); unmatched spine dates drop
+    # in the inner role joins, so the result is identical to the
+    # oracle's distinct-dates dim.
+    b1 = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    b2 = li.agg(
+        F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi")
+    )
+    bounds = b1.unionByName(b2).agg(
+        F.min("lo").cast("date").alias("lo"),
+        F.max("hi").cast("date").alias("hi"),
+    )
     dim = (
-        fact.select(F.col("od").alias("d"))
-        .union(fact.select(F.col("sd").alias("d")))
-        .distinct()
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi)")).alias("dd")
+        )
         .select(
-            "d",
-            F.year(F.col("d").cast("date")).cast("long").alias("yr"),
-            F.month(F.col("d").cast("date")).cast("long").alias("mo"),
-            (F.weekday(F.col("d").cast("date")) + 1)
-            .cast("long")
-            .alias("dow"),
+            F.col("dd").cast("timestamp_ntz").alias("d"),
+            F.year("dd").cast("long").alias("yr"),
+            F.month("dd").cast("long").alias("mo"),
+            (F.weekday("dd") + 1).cast("long").alias("dow"),
         )
     )
     ordd = F.broadcast(

@@ -1361,3 +1361,66 @@ def test_ops_health_orphan_leg_is_anti_join(spark, sf_dir):
     # projections.
     plan = _formatted_plan(spark, "e6_ops_health", sf_dir)
     assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_feature_hashing_has_no_join(spark, sf_dir):
+    # x96's selling point vs TF-IDF: NO vocabulary join — the plan
+    # must contain no join node of any kind.
+    plan = _formatted_plan(spark, "x96_feature_hashing", sf_dir)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"unexpected {node}"
+
+
+def test_freshness_hwm_is_broadcast(spark, sf_dir):
+    # a71's global high-water mark rides in as a broadcast 1-row
+    # aggregate — never a shuffle join against the events table.
+    plan = _formatted_plan(spark, "a71_freshness_audit", sf_dir)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "Broadcast" in plan, plan[:2000]
+
+
+def test_hotspot_neighbors_are_bounded_explode(spark, sf_dir):
+    # a74's 8-neighbor claims are two 3-element Generates over the
+    # CELL table; the comparison joins are equi, never cartesian.
+    plan = _formatted_plan(spark, "a74_spatial_hotspots", sf_dir)
+    assert plan.count("+- Generate") == 2, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_two_hop_reach_has_no_cartesian(spark, sf_dir):
+    plan = _formatted_plan(spark, "g10_two_hop_reach", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_revenue_recognition_is_single_shuffle(spark, sf_dir):
+    # a72: bounded explode then ONE exchange for the month rollup.
+    plan = _formatted_plan(spark, "a72_revenue_recognition", sf_dir)
+    assert "Generate" in plan, plan[:2000]
+    assert plan.count("+- Exchange") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_code_switching_windows_partition_by_doc(spark, sf_dir):
+    plan = _formatted_plan(spark, "x91_code_switching", sf_dir)
+    assert "hashpartitioning(doc_id" in plan, plan[:2000]
+    assert "SinglePartition" not in plan, plan[:2000]
+
+
+def test_series_align_shares_one_window_pass(spark, sf_dir):
+    # w31: both forward-fills must come out of ONE Window node.
+    plan = _formatted_plan(spark, "w31_series_align", sf_dir)
+    assert plan.count("+- Window") == 1, plan[:2000]
+
+
+def test_storage_audit_is_one_scan_one_agg(spark, sf_dir):
+    plan = _formatted_plan(spark, "s26_storage_footprint_audit", sf_dir)
+    assert plan.count("documents.parquet") == 1, plan[:2000]
+
+
+def test_fiscal_calendar_has_no_join(spark, sf_dir):
+    # a75's mapping is pure column arithmetic — no calendar dim join.
+    plan = _formatted_plan(spark, "a75_fiscal_445_calendar", sf_dir)
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, f"unexpected {node}"
+    assert plan.count("+- Exchange") == 1, plan[:2000]

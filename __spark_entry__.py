@@ -127,7 +127,7 @@ _BACKFILL = [
     "e7_medallion_pipeline", "x98_winnow_overlap",
     "u8_diff_column_provenance", "j25_interval_intersect_measure",
     "g10_two_hop_reach", "j26_role_playing_dates",
-    "s26_storage_footprint_audit",
+    "s26_storage_footprint_audit", "a76_markov_3step",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -361,6 +361,7 @@ HEADLINE = [
     "g10_two_hop_reach",
     "j26_role_playing_dates",
     "s26_storage_footprint_audit",
+    "a76_markov_3step",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

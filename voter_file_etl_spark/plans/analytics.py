@@ -2588,3 +2588,94 @@ def a75_fiscal_445_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A76 — 3-step Markov forecast (matrix powers): from a43's one-step
+# transition matrix, where will a user's event type be THREE events
+# from now — T^3 computed as two sparse matrix multiplies over the
+# (from, to, prob) long form, entirely in exact scaled integers
+# (milli -> micro -> nano, one final rescale), so both engines agree
+# bit-for-bit without any float matrix library. The x94 discipline
+# applied to chained joins instead of a Gram aggregate.
+#
+# Scale: the state space is O(event types), so every multiply is a
+# join+groupBy over O(d^2) rows; only the transition EXTRACTION
+# touches the events table (one window pass + one rollup).
+# ---------------------------------------------------------------------------
+@register(
+    "a76_markov_3step",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type AS i, event_type AS j, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT i, sum(n) AS rt FROM pairs GROUP BY i
+    ), t1 AS (
+      SELECT p.i, p.j, CAST(1000 * p.n // t.rt AS BIGINT) AS p_milli
+      FROM pairs p JOIN totals t ON p.i = t.i
+    ), t2 AS (
+      SELECT a.i, b.j, CAST(sum(a.p_milli * b.p_milli) AS BIGINT)
+               AS p_micro2
+      FROM t1 a JOIN t1 b ON a.j = b.i GROUP BY a.i, b.j
+    ), t3 AS (
+      SELECT a.i, b.j, CAST(sum(a.p_micro2 * b.p_milli) AS BIGINT)
+               AS p_nano
+      FROM t2 a JOIN t1 b ON a.j = b.i GROUP BY a.i, b.j
+    )
+    SELECT i AS from_type, j AS to_type,
+           CAST(p_nano // 1000000 AS BIGINT) AS p3_milli
+    FROM t3
+    """,
+)
+def a76_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(
+            W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+        )
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("i"), F.col("event_type").alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("i").agg(F.sum("n").alias("rt"))
+    t1 = pairs.join(totals, "i").select(
+        "i", "j", F.expr("cast(1000 * n div rt as bigint)").alias("p_milli")
+    )
+    a = t1.select(
+        F.col("i"), F.col("j").alias("k"), F.col("p_milli").alias("pa")
+    )
+    b = t1.select(
+        F.col("i").alias("k"), F.col("j"), F.col("p_milli").alias("pb")
+    )
+    t2 = (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("pa") * F.col("pb")).cast("long").alias("p_micro2"))
+    )
+    a2 = t2.select(
+        "i", F.col("j").alias("k"), F.col("p_micro2").alias("pa")
+    )
+    t3 = (
+        a2.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("pa") * F.col("pb")).cast("long").alias("p_nano"))
+    )
+    return t3.select(
+        F.col("i").alias("from_type"),
+        F.col("j").alias("to_type"),
+        F.expr("cast(p_nano div 1000000 as bigint)").alias("p3_milli"),
+    )

@@ -362,6 +362,7 @@ HEADLINE = [
     "j26_role_playing_dates",
     "s26_storage_footprint_audit",
     "a76_markov_3step",
+    "t19_string_distance_funcs",
     # stage files/checkpoints, so they close the tail group
     "l13_incremental_agg_view",
     "st13_sessionize_state",

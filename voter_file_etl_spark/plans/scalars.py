@@ -1367,3 +1367,54 @@ def f15_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# T19 — string-distance function surface: levenshtein between each
+# customer name and two deterministic perturbations (one char
+# substituted; a digit block reversed), plus the banded variant
+# (levenshtein with a threshold short-circuit) that a fuzzy-match
+# pipeline actually calls. j19 builds an edit-distance JOIN from
+# deletion keys; this key certifies the scalar function itself
+# agrees across engines on known-distance pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "t19_string_distance_funcs",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, c_name,
+             concat(substr(c_name, 1, length(c_name) - 1), 'X') AS sub1,
+             concat('Customer#', reverse(substr(c_name, 10, 9))) AS rev9
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, sub1) AS BIGINT) AS d_sub1,
+           CAST(levenshtein(c_name, rev9) AS BIGINT) AS d_rev9,
+           CAST(levenshtein(c_name, c_name) AS BIGINT) AS d_self,
+           CAST(CASE WHEN levenshtein(c_name, rev9) <= 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS within_band
+    FROM v
+    """,
+)
+def t19_string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    v = cust.select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "concat(substr(c_name, 1, length(c_name) - 1), 'X')"
+        ).alias("sub1"),
+        F.expr("concat('Customer#', reverse(substr(c_name, 10, 9)))").alias(
+            "rev9"
+        ),
+    )
+    return v.select(
+        "c_custkey",
+        F.levenshtein("c_name", "sub1").cast("long").alias("d_sub1"),
+        F.levenshtein("c_name", "rev9").cast("long").alias("d_rev9"),
+        F.levenshtein("c_name", "c_name").cast("long").alias("d_self"),
+        F.expr(
+            "cast(case when levenshtein(c_name, rev9) <= 2 then 1 else 0 end"
+            " as bigint)"
+        ).alias("within_band"),
+    )

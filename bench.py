@@ -330,7 +330,6 @@ HEADLINE = [
     "x92_inverted_index",
     "g9_label_propagation",
     "a69_dau_mau_stickiness",
-    "s24_csv_header_drift",
     "a70_equidepth_histogram",
     "w30_resample_linterp",
     "x93_repeated_ngram_spans",
@@ -347,14 +346,12 @@ HEADLINE = [
     "l27_bitemporal_asof",
     "d7_duplicate_payments",
     "x96_feature_hashing",
-    "l28_dynamic_partition_overwrite",
     "a73_revenue_bridge",
     "a74_spatial_hotspots",
     "l29_scd3_dimension",
     "a75_fiscal_445_calendar",
     "w31_series_align",
     "x97_soft_dedup_weights",
-    "e7_medallion_pipeline",
     "x98_winnow_overlap",
     "u8_diff_column_provenance",
     "j25_interval_intersect_measure",
@@ -364,6 +361,9 @@ HEADLINE = [
     "a76_markov_3step",
     "t19_string_distance_funcs",
     # stage files/checkpoints, so they close the tail group
+    "s24_csv_header_drift",
+    "l28_dynamic_partition_overwrite",
+    "e7_medallion_pipeline",
     "l13_incremental_agg_view",
     "st13_sessionize_state",
 ]

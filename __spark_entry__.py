@@ -128,7 +128,7 @@ _BACKFILL = [
     "u8_diff_column_provenance", "j25_interval_intersect_measure",
     "g10_two_hop_reach", "j26_role_playing_dates",
     "s26_storage_footprint_audit", "a76_markov_3step",
-    "t19_string_distance_funcs",
+    "t19_string_distance_funcs", "sql20_set_op_precedence",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -360,6 +360,7 @@ HEADLINE = [
     "s26_storage_footprint_audit",
     "a76_markov_3step",
     "t19_string_distance_funcs",
+    "sql20_set_op_precedence",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1424,3 +1424,23 @@ def test_fiscal_calendar_has_no_join(spark, sf_dir):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan, f"unexpected {node}"
     assert plan.count("+- Exchange") == 1, plan[:2000]
+
+
+def test_set_op_precedence_is_standard(spark, sf_dir):
+    # Cross-engine agreement alone can't distinguish standard
+    # precedence from shared left-to-right parsing — pin the result
+    # against an explicit ((a UNION (b INTERSECT c)) EXCEPT d)
+    # reference computed in Python.
+    import pandas as pd
+
+    keys = set(
+        pd.read_parquet(f"{sf_dir}/orders.parquet")["o_orderkey"].tolist()
+    )
+    a = {k for k in keys if k % 2 == 0}
+    b = {k for k in keys if k % 3 == 0}
+    c = {k for k in keys if k % 5 == 0}
+    d = {k for k in keys if k % 7 == 0}
+    expect = (a | (b & c)) - d
+    row = registry.QUERIES["sql20_set_op_precedence"](spark, sf_dir).collect()[0]
+    assert row["n_keys"] == len(expect)
+    assert row["sum_keys"] == sum(expect)

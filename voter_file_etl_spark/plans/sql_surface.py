@@ -679,3 +679,33 @@ GROUP BY o_orderpriority
 def sql19_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL19)
+
+
+# ---------------------------------------------------------------------------
+# SQL20 — set-operation precedence: the SQL standard binds INTERSECT
+# tighter than UNION/EXCEPT, so `a UNION b INTERSECT c EXCEPT d`
+# means `(a UNION (b INTERSECT c)) EXCEPT d` — a classic silent-
+# wrong-answer surface when engines disagree or users assume left-
+# to-right. Both engines get the identical un-parenthesized text;
+# the rollup collapses the result so the key certifies the PARSE,
+# not a row dump.
+# ---------------------------------------------------------------------------
+_SQL20 = """
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(k) AS BIGINT) AS sum_keys
+FROM (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+  UNION
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0
+  INTERSECT
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+  EXCEPT
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+)
+"""
+
+
+@register("sql20_set_op_precedence", oracle=_SQL20)
+def sql20_set_op_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL20)

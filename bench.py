@@ -361,6 +361,7 @@ HEADLINE = [
     "a76_markov_3step",
     "t19_string_distance_funcs",
     "sql20_set_op_precedence",
+    "x99_ndcg_at_10",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

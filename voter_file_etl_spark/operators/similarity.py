@@ -1273,3 +1273,123 @@ def x94_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("long").alias("pc_milli"),
         "ray_q",
     )
+
+
+# ---------------------------------------------------------------------------
+# X99 — NDCG@10 of the IVF path: x39 measures set recall; this
+# grades the RANKING — graded gains (the true quantized cosine,
+# clamped at 0) discounted by 1/log2(rank+1), normalized by the
+# exact list's ideal DCG. The discounts are PRECOMPUTED integer
+# micro-constants (log2 never executes in either engine), gains are
+# floor-half-up micro-quantized cosines, so NDCG is exact integer
+# arithmetic end to end — the x94 discipline applied to an IR
+# metric.
+#
+# Scale: both inputs are the existing bounded per-query top-k
+# tables; the metric is one groupBy(query_id) each plus a broadcast-
+# size join.
+# ---------------------------------------------------------------------------
+_X99_DISC = [1000000, 630930, 500000, 430677, 386853,
+             356207, 333333, 315465, 301030, 289065]
+
+
+def _x99_disc_sql(rank: str) -> str:
+    whens = " ".join(
+        f"WHEN {r + 1} THEN {d}" for r, d in enumerate(_X99_DISC)
+    )
+    return f"(CASE {rank} {whens} ELSE 0 END)"
+
+
+def _x99_gain_sql(cos: str) -> str:
+    return f"greatest(CAST(floor(({cos}) * 1000000 + 0.5) AS BIGINT), 0)"
+
+
+def _x99_oracle() -> str:
+    cos_qc = V.cosine_sql(V.dot_sql_duckdb("q.qv", "c.qv"), "q.nq", "c.nq")
+    cos_nc = V.cosine_sql(V.dot_sql_duckdb("n.qv", "c.cqv"), "n.nq", "c.cnq")
+    return (
+        _CORPUS_SQL
+        + f"""
+    , exact AS (
+      SELECT query_id, rank, cos FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos_qc} AS cos,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.vec_id) AS rank
+        FROM normed q JOIN normed c
+          ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      ) WHERE rank <= {_TOP_K}
+    ), cents AS (
+      SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
+      WHERE vec_id < {_N_CELLS}
+    ), assign AS (
+      SELECT vec_id, cent_id AS cell FROM (
+        SELECT n.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY {cos_nc} DESC, c.cent_id) AS rn
+        FROM normed n CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), wb AS (
+      SELECT n.vec_id, n.qv, n.nq, a.cell
+      FROM normed n JOIN assign a ON n.vec_id = a.vec_id
+    ), approx AS (
+      SELECT query_id, rank, cos FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               {cos_qc} AS cos,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qc} DESC, c.vec_id) AS rank
+        FROM wb q JOIN wb c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rank <= {_TOP_K}
+    ), ideal AS (
+      SELECT query_id,
+             CAST(sum({_x99_disc_sql('rank')} * {_x99_gain_sql('cos')})
+                  AS BIGINT) AS idcg
+      FROM exact GROUP BY query_id
+    ), got AS (
+      SELECT query_id,
+             CAST(sum({_x99_disc_sql('rank')} * {_x99_gain_sql('cos')})
+                  AS BIGINT) AS dcg
+      FROM approx GROUP BY query_id
+    )
+    SELECT i.query_id, i.idcg,
+           CAST(coalesce(g.dcg, 0) AS BIGINT) AS dcg,
+           CAST(10000 * coalesce(g.dcg, 0) // i.idcg AS BIGINT) AS ndcg_bp
+    FROM ideal i LEFT JOIN got g ON i.query_id = g.query_id
+    """
+    )
+
+
+@register("x99_ndcg_at_10", oracle=_x99_oracle())
+def x99_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    disc = F.element_at(
+        F.array(*[F.lit(d).cast("long") for d in _X99_DISC]), F.col("rank")
+    )
+    gain = F.greatest(
+        F.expr("cast(floor(cos_sim * 1000000 + 0.5d) as bigint)"), F.lit(0)
+    )
+    ideal = (
+        x6_ann_topk(spark, sf_dir)
+        .select("query_id", (disc * gain).alias("t"))
+        .groupBy("query_id")
+        .agg(F.sum("t").cast("long").alias("idcg"))
+    )
+    got = (
+        x12_ann_ivf(spark, sf_dir)
+        .select("query_id", "rank", "cos_sim")
+        .filter(F.col("query_id") < _N_QUERIES)
+        .select("query_id", (disc * gain).alias("t"))
+        .groupBy("query_id")
+        .agg(F.sum("t").cast("long").alias("dcg"))
+    )
+    return (
+        ideal.join(F.broadcast(got), "query_id", "left")
+        .select(
+            "query_id",
+            "idcg",
+            F.coalesce("dcg", F.lit(0)).cast("long").alias("dcg"),
+            F.expr(
+                "cast(10000 * coalesce(dcg, 0L) div idcg as bigint)"
+            ).alias("ndcg_bp"),
+        )
+    )

@@ -362,6 +362,7 @@ HEADLINE = [
     "t19_string_distance_funcs",
     "sql20_set_op_precedence",
     "x99_ndcg_at_10",
+    "x100_planted_dup_mrr",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

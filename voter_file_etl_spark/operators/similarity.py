@@ -1393,3 +1393,124 @@ def x99_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X100 — planted-duplicate MRR through the LSH path: every 20th
+# vector has an exact planted copy (vec_id + 1000000, the x5/x7
+# fixture); rank ALL of each original's same-bucket candidates by
+# true cosine and report the copy's rank and reciprocal rank
+# (micro). An identical vector always lands in the same bucket, so a
+# missing or low-ranked copy can only mean a ranking bug — making
+# this the sharpest ground-truth probe of the bucket path (x39/x99
+# grade against the brute-force list; this grades against a KNOWN
+# answer).
+#
+# Scale: candidates come from the bucket equi-join (never
+# all-pairs); ranking windows partition per query; output is one row
+# per planted query.
+# ---------------------------------------------------------------------------
+def _x100_oracle() -> str:
+    plane_rows = "\n      UNION ALL ".join(
+        f"SELECT {p} AS p, {_PLANES[p]} AS coef" for p in range(_N_PLANES)
+    )
+    dot_pc = (
+        "CAST(list_sum(list_transform(range(1, len(n.qv) + 1), "
+        "i -> n.qv[i] * pl.coef[i])) AS BIGINT)"
+    )
+    cos_ab = V.cosine_sql(V.dot_sql_duckdb("a.qv", "b.qv"), "a.nq", "b.nq")
+    return (
+        _CORPUS_SQL
+        + f"""
+    , planes AS (
+      {plane_rows}
+    ), bits AS (
+      SELECT n.vec_id,
+             CASE WHEN {dot_pc} >= 0 THEN CAST(1 AS BIGINT) << pl.p
+                  ELSE 0 END AS bitval
+      FROM normed n CROSS JOIN planes pl
+    ), buckets AS (
+      SELECT vec_id, CAST(sum(bitval) AS BIGINT) AS bucket
+      FROM bits GROUP BY vec_id
+    ), wb AS (
+      SELECT n.vec_id, n.qv, n.nq, b.bucket
+      FROM normed n JOIN buckets b ON n.vec_id = b.vec_id
+    ), cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {cos_ab} DESC, b.vec_id) AS rnk
+      FROM wb a JOIN wb b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id % 20 = 0 AND a.vec_id < 1000000
+    )
+    SELECT query_id,
+           CAST(rnk AS BIGINT) AS copy_rank,
+           CAST(1000000 // rnk AS BIGINT) AS rr_micro
+    FROM cand WHERE cand_id = query_id + 1000000
+    """
+    )
+
+
+@register("x100_planted_dup_mrr", oracle=_x100_oracle())
+def x100_planted_dup_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = _corpus_spark(spark, sf_dir)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(c) for c in _PLANES[p]]) for p in range(_N_PLANES)]
+    )
+    bits = corpus.select(
+        "vec_id",
+        F.posexplode(planes_lit).alias("p", "coef"),
+        "qv",
+    ).select(
+        "vec_id",
+        F.when(
+            F.expr(
+                "aggregate(zip_with(qv, coef, (x, c) -> x * CAST(c AS BIGINT)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            >= 0,
+            F.expr("shiftleft(CAST(1 AS BIGINT), p)"),
+        )
+        .otherwise(F.lit(0))
+        .alias("bitval"),
+    )
+    buckets = bits.groupBy("vec_id").agg(
+        F.sum("bitval").cast("bigint").alias("bucket")
+    )
+    wb = corpus.join(buckets, "vec_id")
+    a = wb.filter(
+        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 1000000)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "bucket",
+        F.col("qv").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    b = wb.select(
+        F.col("vec_id").alias("cand_id"),
+        "bucket",
+        F.col("qv").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    cos = V.cosine(V.dot_arrow("qa", "qb"), F.col("na"), F.col("nb"))
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("c"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.desc("c"), "cand_id")
+            ),
+        )
+    )
+    return cand.filter(
+        F.col("cand_id") == F.col("query_id") + 1000000
+    ).select(
+        "query_id",
+        F.col("rnk").cast("long").alias("copy_rank"),
+        F.expr("cast(1000000 div rnk as bigint)").alias("rr_micro"),
+    )

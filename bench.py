@@ -363,6 +363,7 @@ HEADLINE = [
     "sql20_set_op_precedence",
     "x99_ndcg_at_10",
     "x100_planted_dup_mrr",
+    "a77_forecast_interval_coverage",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

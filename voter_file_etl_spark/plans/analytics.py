@@ -2679,3 +2679,87 @@ def a76_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").alias("to_type"),
         F.expr("cast(p_nano div 1000000 as bigint)").alias("p3_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A77 — forecast-interval coverage: backtest whether the naive
+# "trailing-12-month mean +/- 2 sigma" interval actually contains
+# the realized month ~95% of the time — the CALIBRATION check a60's
+# point-error backtests don't ask. The sigma comparison is fully
+# cross-multiplied integers ((12a - s1)^2 <= 4(12*s2 - s1^2), the
+# w22 discipline — no sqrt, no float), computed in whole dollars so
+# the squared sums stay far inside BIGINT at any tested scale.
+#
+# Scale: one month rollup, one priority-partitioned window pass for
+# the two trailing sums, a bounded per-priority rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "a77_forecast_interval_coverage",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS prio,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // 100 AS BIGINT) AS d
+      FROM orders GROUP BY 1, 2
+    ), w AS (
+      SELECT prio, month, d,
+             sum(d) OVER (PARTITION BY prio ORDER BY month
+                          ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS s1,
+             sum(d * d) OVER (PARTITION BY prio ORDER BY month
+                              ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+               AS s2,
+             count(*) OVER (PARTITION BY prio ORDER BY month
+                            ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS n
+      FROM m
+    ), ev AS (
+      SELECT prio,
+             CASE WHEN (12 * d - s1) * (12 * d - s1)
+                       <= 4 * (12 * s2 - s1 * s1)
+                  THEN 1 ELSE 0 END AS covered
+      FROM w WHERE n = 12
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_evaluated,
+           CAST(sum(covered) AS BIGINT) AS n_covered,
+           CAST(10000 * sum(covered) // count(*) AS BIGINT) AS coverage_bp
+    FROM ev GROUP BY prio
+    """,
+)
+def a77_forecast_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    m = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    ).groupBy("prio", "month").agg(
+        F.expr("cast(sum(cents) div 100 as bigint)").alias("d")
+    )
+    tw = (
+        W.partitionBy("prio").orderBy("month").rowsBetween(-12, -1)
+    )
+    w = m.select(
+        "prio",
+        "d",
+        F.sum("d").over(tw).alias("s1"),
+        F.sum(F.col("d") * F.col("d")).over(tw).alias("s2"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    ).filter(F.col("n") == 12)
+    ev = w.select(
+        "prio",
+        F.expr(
+            "case when (12 * d - s1) * (12 * d - s1)"
+            " <= 4 * (12 * s2 - s1 * s1) then 1 else 0 end"
+        ).alias("covered"),
+    )
+    return ev.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n_evaluated"),
+        F.sum("covered").cast("long").alias("n_covered"),
+        F.expr(
+            "cast(10000 * sum(covered) div count(1) as bigint)"
+        ).alias("coverage_bp"),
+    )

@@ -130,7 +130,7 @@ _BACKFILL = [
     "s26_storage_footprint_audit", "a76_markov_3step",
     "t19_string_distance_funcs", "sql20_set_op_precedence",
     "x99_ndcg_at_10", "x100_planted_dup_mrr",
-    "a77_forecast_interval_coverage",
+    "a77_forecast_interval_coverage", "x101_rendezvous_hashing",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -364,6 +364,7 @@ HEADLINE = [
     "x99_ndcg_at_10",
     "x100_planted_dup_mrr",
     "a77_forecast_interval_coverage",
+    "x101_rendezvous_hashing",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

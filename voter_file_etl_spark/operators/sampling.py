@@ -1337,3 +1337,103 @@ def x86_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "10000 * sum(case when n < 5 then n else 0 end) div sum(n)"
         ).alias("suppression_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X101 — rendezvous (HRW) hashing: the third resharding strategy
+# x84's mod-vs-range comparison leaves out, and the one with the
+# minimal-movement GUARANTEE — owner(doc) = argmax over shards of
+# h(doc, shard), so removing a shard moves exactly the docs that
+# shard owned and nothing else. The key computes owners under 8 and
+# 7 shards and PROVES the guarantee in its own output
+# (minimal_disruption = 1 iff moved == owned-by-removed).
+#
+# Scale: a bounded 8x explode per doc, one doc-partitioned argmax
+# window; no ring state, no coordination — the property every
+# shard-mapping job wants when the fleet changes size.
+# ---------------------------------------------------------------------------
+def _x101_score_sql(s: str) -> str:
+    return _bucket_sql(
+        f"concat('hrw:', CAST(doc_id AS VARCHAR), ':', CAST({s} AS VARCHAR))",
+        4294967296,
+    )
+
+
+@register(
+    "x101_rendezvous_hashing",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS s,
+             {_x101_score_sql("i")} AS score
+      FROM documents, unnest(range(0, 8)) AS g(i)
+    ), own8 AS (
+      SELECT doc_id, s AS owner8 FROM (
+        SELECT doc_id, s, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, s) AS r
+        FROM sh
+      ) WHERE r = 1
+    ), own7 AS (
+      SELECT doc_id, s AS owner7 FROM (
+        SELECT doc_id, s, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, s) AS r
+        FROM sh WHERE s <> 7
+      ) WHERE r = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN owner8 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_owned_removed,
+           CAST(sum(CASE WHEN owner8 <> owner7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST(10000 * sum(CASE WHEN owner8 <> owner7 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS moved_bp,
+           CAST(CASE WHEN sum(CASE WHEN owner8 = 7 THEN 1 ELSE 0 END)
+                     = sum(CASE WHEN owner8 <> owner7 THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS BIGINT) AS minimal_disruption
+    FROM own8 JOIN own7 USING (doc_id)
+    """,
+)
+def x101_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr("sequence(0, 7)")).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s").cast("long").alias("s"),
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('hrw:', cast(doc_id as string),"
+            " ':', cast(s as string)) as binary)), 1, 8), 16, 10) as bigint)"
+            " % 4294967296"
+        ).alias("score"),
+    )
+
+    def owner(df, name):
+        w = W.partitionBy("doc_id").orderBy(F.desc("score"), "s")
+        return (
+            df.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("doc_id", F.col("s").alias(name))
+        )
+
+    own8 = owner(sh, "owner8")
+    own7 = owner(sh.filter(F.col("s") != 7), "owner7")
+    j = own8.join(own7, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("owner8") == 7, 1).otherwise(0))
+        .cast("long")
+        .alias("n_owned_removed"),
+        F.sum(F.when(F.col("owner8") != F.col("owner7"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+        F.expr(
+            "cast(10000 * sum(case when owner8 <> owner7 then 1 else 0 end)"
+            " div count(1) as bigint)"
+        ).alias("moved_bp"),
+        F.expr(
+            "cast(case when sum(case when owner8 = 7 then 1 else 0 end)"
+            " = sum(case when owner8 <> owner7 then 1 else 0 end)"
+            " then 1 else 0 end as bigint)"
+        ).alias("minimal_disruption"),
+    )

@@ -365,6 +365,7 @@ HEADLINE = [
     "x100_planted_dup_mrr",
     "a77_forecast_interval_coverage",
     "x101_rendezvous_hashing",
+    "w32_hot_streak_window",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1862,3 +1862,109 @@ def w31_series_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then urgent_c - low_c end"
         ).alias("spread_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W32 — hottest streak (maximum subarray as windows): the contiguous
+# run of days where a priority's revenue ran furthest ABOVE its own
+# average — Kadane's algorithm expressed declaratively: center the
+# daily series (scaled by n so it stays integer: v = n*daily -
+# total), prefix-sum it, and the best gain ending at day j is
+# P_j - min(0, min of earlier prefixes); one more argmax window
+# names the streak's end day. No sequential recurrence, no UDF —
+# the classic "O(n) algorithm" is two window passes.
+#
+# Scale: everything partitions by the series key; the centering
+# total is a broadcast per-priority aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "w32_hot_streak_window",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s
+      FROM d GROUP BY prio
+    ), v AS (
+      SELECT d.prio, d.day, d.c, t.n, t.s,
+             t.n * d.c - t.s AS cv
+      FROM d JOIN tot t ON d.prio = t.prio
+    ), p0 AS (
+      SELECT prio, day, n,
+             sum(cv) OVER (PARTITION BY prio ORDER BY day) AS pf
+      FROM v
+    ), p AS (
+      SELECT prio, day, n, pf,
+             coalesce(min(pf)
+               OVER (PARTITION BY prio ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS runmin
+      FROM p0
+    ), g AS (
+      SELECT prio, day, n,
+             pf - least(CAST(0 AS BIGINT), runmin) AS gain
+      FROM p
+    ), best AS (
+      SELECT prio, day AS end_day, gain, n,
+             row_number() OVER (PARTITION BY prio
+                                ORDER BY gain DESC, day) AS r
+      FROM g
+    )
+    SELECT prio, end_day,
+           CAST(gain // n AS BIGINT) AS best_excess_c
+    FROM best WHERE r = 1
+    """,
+)
+def w32_hot_streak_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    ).groupBy("prio", "day").agg(F.sum("cents").cast("long").alias("c"))
+    tot = d.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    v = d.join(F.broadcast(tot), "prio").select(
+        "prio", "day", "n", (F.col("n") * F.col("c") - F.col("s")).alias("cv")
+    )
+    wp = W.partitionBy("prio").orderBy("day")
+    p = v.select(
+        "prio",
+        "day",
+        "n",
+        F.sum("cv").over(wp.rowsBetween(W.unboundedPreceding, 0)).alias("pf"),
+    ).select(
+        "prio",
+        "day",
+        "n",
+        "pf",
+        F.coalesce(
+            F.min("pf").over(wp.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("runmin"),
+    )
+    g = p.select(
+        "prio",
+        "day",
+        "n",
+        (
+            F.col("pf") - F.least(F.lit(0).cast("long"), F.col("runmin"))
+        ).alias("gain"),
+    )
+    best = g.withColumn(
+        "r",
+        F.row_number().over(wp.orderBy(F.desc("gain"), "day")),
+    ).filter(F.col("r") == 1)
+    return best.select(
+        "prio",
+        F.col("day").alias("end_day"),
+        F.expr("cast(gain div n as bigint)").alias("best_excess_c"),
+    )

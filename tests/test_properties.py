@@ -652,3 +652,34 @@ def test_series_align_matches_pandas_ffill(spark, sf_dir):
         for r in registry.QUERIES["w31_series_align"](spark, sf_dir).collect()
     }
     assert got == ref
+
+
+def test_hot_streak_matches_bruteforce_kadane(spark, sf_dir):
+    # w32 vs an O(n^2) best-subarray scan over the same centered
+    # series in pandas.
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    pdf["cents"] = np.floor(pdf["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    pdf["day"] = pdf["o_orderdate"].dt.date
+    got = {
+        r["prio"]: (r["end_day"], r["best_excess_c"])
+        for r in registry.QUERIES["w32_hot_streak_window"](
+            spark, sf_dir
+        ).collect()
+    }
+    for prio, grp in pdf.groupby("o_orderpriority"):
+        daily = grp.groupby("day")["cents"].sum().sort_index()
+        n, s = len(daily), int(daily.sum())
+        v = (n * daily - s).astype(object).tolist()
+        days = list(daily.index)
+        best, best_end = None, None
+        for j in range(n):
+            run = 0
+            for i in range(j, -1, -1):
+                run += int(v[i])
+                if best is None or run > best or (
+                    run == best and days[j] < best_end
+                ):
+                    best, best_end = run, days[j]
+        assert got[prio] == (best_end, best // n), (prio, got[prio], best_end)

@@ -131,7 +131,7 @@ _BACKFILL = [
     "t19_string_distance_funcs", "sql20_set_op_precedence",
     "x99_ndcg_at_10", "x100_planted_dup_mrr",
     "a77_forecast_interval_coverage", "x101_rendezvous_hashing",
-    "w32_hot_streak_window",
+    "w32_hot_streak_window", "a78_anova_eta_squared",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

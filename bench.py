@@ -366,6 +366,7 @@ HEADLINE = [
     "a77_forecast_interval_coverage",
     "x101_rendezvous_hashing",
     "w32_hot_streak_window",
+    "a78_anova_eta_squared",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

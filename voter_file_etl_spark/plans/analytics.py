@@ -2763,3 +2763,90 @@ def a77_forecast_interval_coverage(
             "cast(10000 * sum(covered) div count(1) as bigint)"
         ).alias("coverage_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A78 — one-way ANOVA eta-squared: how much of daily-revenue
+# variance the WEEKDAY explains — SS_between / SS_total over the
+# ISO-weekday grouping, the variance-decomposition statistic behind
+# every "is this seasonality real" call (a46 shows the per-day
+# means; this quantifies their explanatory power). All sums are
+# exact integers in kilodollars (bounds documented below); the only
+# non-exact step is one integer floor division PER GROUP
+# ((n * S_g^2) div n_g — 7 truncations of < 1 unit each), making the
+# statistic deterministic by construction rather than
+# float-summation-order-dependent.
+#
+# Bounds: at sf0.1, S ~ 2e7, S^2 ~ 5e14, n*S_g^2 ~ 3e16 — three
+# orders inside BIGINT; rescale the unit at sf >= 10.
+#
+# Scale: one day rollup, one bounded 7-group rollup, broadcast
+# 1-row totals.
+# ---------------------------------------------------------------------------
+@register(
+    "a78_anova_eta_squared",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // 100000 AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s,
+             CAST(sum(v * v) AS BIGINT) AS ss
+      FROM d
+    ), grp AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(v) AS BIGINT) AS sg
+      FROM d GROUP BY dow
+    ), between_ss AS (
+      SELECT CAST(sum((tot.n * grp.sg * grp.sg) // grp.ng) AS BIGINT) AS b
+      FROM grp CROSS JOIN tot
+    )
+    SELECT tot.n AS n_days,
+           CAST(between_ss.b - tot.s * tot.s AS BIGINT) AS ssb_scaled,
+           CAST(tot.n * tot.ss - tot.s * tot.s AS BIGINT) AS sst_scaled,
+           CAST(10000 * (between_ss.b - tot.s * tot.s)
+                // (tot.n * tot.ss - tot.s * tot.s) AS BIGINT) AS eta2_bp
+    FROM tot CROSS JOIN between_ss
+    """,
+)
+def a78_anova_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    ).groupBy("day").agg(
+        F.expr("cast(sum(cents) div 100000 as bigint)").alias("v")
+    ).select(
+        "day", "v", (F.weekday(F.col("day")) + 1).cast("long").alias("dow")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    grp = d.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("v").cast("long").alias("sg"),
+    )
+    b = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(F.expr("(n * sg * sg) div ng").alias("t"))
+        .agg(F.sum("t").cast("long").alias("b"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(b))
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr("cast(b - s * s as bigint)").alias("ssb_scaled"),
+            F.expr("cast(n * ss - s * s as bigint)").alias("sst_scaled"),
+            F.expr(
+                "cast(10000 * (b - s * s) div (n * ss - s * s) as bigint)"
+            ).alias("eta2_bp"),
+        )
+    )

@@ -367,6 +367,7 @@ HEADLINE = [
     "x101_rendezvous_hashing",
     "w32_hot_streak_window",
     "a78_anova_eta_squared",
+    "t20_array_set_algebra",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1418,3 +1418,75 @@ def t19_string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("within_band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T20 — array set algebra: union / intersect / except between two
+# collected arrays (each customer's 1994 vs 1995 priority sets) —
+# the collection-level counterpart of u1-u3's relational set ops.
+# Results are sorted before joining to strings: Spark's array_union
+# preserves first-occurrence order (nondeterministic under shuffle),
+# so the sort is what makes the surface oracle-checkable.
+# ---------------------------------------------------------------------------
+@register(
+    "t20_array_set_algebra",
+    oracle="""
+    WITH y AS (
+      SELECT o_custkey AS cust,
+             coalesce(list_sort(list(DISTINCT o_orderpriority)
+               FILTER (WHERE date_part('year', o_orderdate) = 1994)),
+               []) AS a,
+             coalesce(list_sort(list(DISTINCT o_orderpriority)
+               FILTER (WHERE date_part('year', o_orderdate) = 1995)),
+               []) AS b
+      FROM orders
+      WHERE date_part('year', o_orderdate) IN (1994, 1995)
+      GROUP BY o_custkey
+    )
+    SELECT cust,
+           coalesce(array_to_string(
+             list_sort(list_distinct(list_concat(a, b))), ','), '')
+             AS u_str,
+           coalesce(array_to_string(list_sort(list_filter(a,
+             x -> list_contains(b, x))), ','), '') AS i_str,
+           coalesce(array_to_string(list_sort(list_filter(a,
+             x -> NOT list_contains(b, x))), ','), '') AS d_str,
+           CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union
+    FROM y
+    """,
+)
+def t20_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    y = (
+        orders.filter(F.year("o_orderdate").isin(1994, 1995))
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.year("o_orderdate") == 1994, F.col("o_orderpriority")
+                    )
+                )
+            ).alias("a"),
+            F.array_sort(
+                F.collect_set(
+                    F.when(
+                        F.year("o_orderdate") == 1995, F.col("o_orderpriority")
+                    )
+                )
+            ).alias("b"),
+        )
+    )
+    return y.select(
+        "cust",
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias(
+            "u_str"
+        ),
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias(
+            "i_str"
+        ),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias(
+            "d_str"
+        ),
+        F.size(F.array_union("a", "b")).cast("long").alias("n_union"),
+    )

@@ -132,7 +132,7 @@ _BACKFILL = [
     "x99_ndcg_at_10", "x100_planted_dup_mrr",
     "a77_forecast_interval_coverage", "x101_rendezvous_hashing",
     "w32_hot_streak_window", "a78_anova_eta_squared",
-    "t20_array_set_algebra",
+    "t20_array_set_algebra", "x102_prefix_filter_join",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -368,6 +368,7 @@ HEADLINE = [
     "w32_hot_streak_window",
     "a78_anova_eta_squared",
     "t20_array_set_algebra",
+    "x102_prefix_filter_join",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

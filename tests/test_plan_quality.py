@@ -1444,3 +1444,13 @@ def test_set_op_precedence_is_standard(spark, sf_dir):
     row = registry.QUERIES["sql20_set_op_precedence"](spark, sf_dir).collect()[0]
     assert row["n_keys"] == len(expect)
     assert row["sum_keys"] == sum(expect)
+
+
+def test_prefix_filter_join_never_all_pairs(spark, sf_dir):
+    # x102's candidates must come from the PREFIX equi-join — no
+    # cartesian anywhere, and the per-user prefix rank window is
+    # user-partitioned (never a global sort of the membership table).
+    plan = _formatted_plan(spark, "x102_prefix_filter_join", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "hashpartitioning(u" in plan, plan[:2000]

@@ -1514,3 +1514,92 @@ def x100_planted_dup_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("long").alias("copy_rank"),
         F.expr("cast(1000000 div rnk as bigint)").alias("rr_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X102 — prefix-filtered set-similarity join (PPJoin's core idea):
+# find user pairs whose event-cell SETS have Jaccard >= 0.5 WITHOUT
+# comparing all pairs. Order every cell by global rarity; a pair at
+# threshold t must share at least one cell inside each side's first
+# (|A| - ceil(t*|A|) + 1) rarest cells, so candidates come from an
+# equi-join on PREFIX cells only, then exact overlap verification on
+# the bounded candidate set. The ORACLE is the brute-force
+# definition (all pairs sharing any cell, exact Jaccard), so the
+# driver check proves the prefix reduction exact, not just
+# plausible — the j19/x38 discipline.
+#
+# Scale: prefix emission cuts each set's join fanout roughly in half
+# at t=0.5 and concentrates it on RARE cells (small join groups);
+# verification expands candidates by <= |A| via two equi-joins. The
+# all-pairs shape never appears in the engine plan.
+# ---------------------------------------------------------------------------
+@register(
+    "x102_prefix_filter_join",
+    oracle="""
+    WITH traj AS (
+      SELECT DISTINCT user_id AS u, event_id % 64 AS cell FROM events
+    ), sz AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS n FROM traj GROUP BY u
+    ), inter AS (
+      SELECT a.u AS u1, b.u AS u2, CAST(count(*) AS BIGINT) AS ov
+      FROM traj a JOIN traj b ON a.cell = b.cell AND a.u < b.u
+      GROUP BY a.u, b.u
+    )
+    SELECT i.u1, i.u2, i.ov,
+           CAST(10000 * i.ov // (s1.n + s2.n - i.ov) AS BIGINT) AS jac_bp
+    FROM inter i
+    JOIN sz s1 ON i.u1 = s1.u
+    JOIN sz s2 ON i.u2 = s2.u
+    WHERE 10000 * i.ov // (s1.n + s2.n - i.ov) >= 5000
+    """,
+)
+def x102_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    traj = ev.select(
+        F.col("user_id").alias("u"), F.expr("event_id % 64").alias("cell")
+    ).distinct()
+    sz = traj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    freq = traj.groupBy("cell").agg(F.count(F.lit(1)).alias("df"))
+    ordered = freq.withColumn(
+        "ord", F.row_number().over(W.orderBy("df", "cell"))
+    ).select("cell", "ord")
+    tr = (
+        traj.join(F.broadcast(ordered), "cell")
+        .join(sz, "u")
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("u").orderBy("ord"))
+        )
+        # prefix length for t=0.5: n - ceil(n/2) + 1
+        .withColumn("plen", F.expr("n - ((n + 1) div 2) + 1"))
+    )
+    prefix = tr.filter(F.col("rn") <= F.col("plen")).select("u", "cell")
+    a = prefix.select(F.col("u").alias("u1"), "cell")
+    b = prefix.select(F.col("u").alias("u2"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("u1") < F.col("u2"))
+        .select("u1", "u2")
+        .distinct()
+    )
+    # Exact overlap verification on candidates only: expand by u1's
+    # cells, then equi-join against (u2, cell) membership.
+    t2 = traj.select(F.col("u").alias("u2"), "cell")
+    ov = (
+        cand.join(traj.select(F.col("u").alias("u1"), "cell"), "u1")
+        .join(t2, ["u2", "cell"])
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).cast("long").alias("ov"))
+    )
+    s1 = sz.select(F.col("u").alias("u1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("u").alias("u2"), F.col("n").alias("n2"))
+    return (
+        ov.join(s1, "u1")
+        .join(s2, "u2")
+        .withColumn(
+            "jac_bp", F.expr("cast(10000 * ov div (n1 + n2 - ov) as bigint)")
+        )
+        .filter(F.col("jac_bp") >= 5000)
+        .select("u1", "u2", "ov", "jac_bp")
+    )

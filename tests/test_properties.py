@@ -683,3 +683,40 @@ def test_hot_streak_matches_bruteforce_kadane(spark, sf_dir):
                 ):
                     best, best_end = run, days[j]
         assert got[prio] == (best_end, best // n), (prio, got[prio], best_end)
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.data())
+def test_prefix_filter_is_complete_on_random_sets(data):
+    # The prefix-filtering theorem behind x102: for t=0.5, any pair
+    # with Jaccard >= t shares at least one cell within each side's
+    # (n - ceil(n/2) + 1) rarest cells. Exercise with random small
+    # set systems, including singletons and identical sets.
+    n_users = data.draw(st.integers(2, 8))
+    sets = [
+        frozenset(
+            data.draw(
+                st.sets(st.integers(0, 15), min_size=1, max_size=8)
+            )
+        )
+        for _ in range(n_users)
+    ]
+    from collections import Counter
+
+    df = Counter(c for s in sets for c in set(s))
+    # rarity order: (df, cell) ascending — x102's ordering exactly
+    def prefix(s):
+        cells = sorted(s, key=lambda c: (df[c], c))
+        n = len(cells)
+        plen = n - ((n + 1) // 2) + 1
+        return set(cells[:plen])
+
+    for i in range(n_users):
+        for j in range(i + 1, n_users):
+            a, b = sets[i], sets[j]
+            ov = len(a & b)
+            jac_bp = 10000 * ov // (len(a) + len(b) - ov)
+            if jac_bp >= 5000:
+                assert prefix(a) & prefix(b), (
+                    f"qualifying pair escaped the prefix filter: {a} {b}"
+                )

@@ -369,6 +369,7 @@ HEADLINE = [
     "a78_anova_eta_squared",
     "t20_array_set_algebra",
     "x102_prefix_filter_join",
+    "d8_sample_dedup_bias",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -2417,3 +2417,115 @@ def x97_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 10000 % n_copies else 0 end) div 10000 as bigint)"
         ).alias("eff_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 — the sampling trap in dedup estimation: duplicate RATE is a
+# pairwise (quadratic) statistic, so a uniform 25% document sample
+# sees only ~1/16 of duplicate pairs and systematically
+# UNDERESTIMATES the rate a full pass finds (unlike x85's linear
+# quality means, which sample fine). The key measures both rates per
+# source and emits the bias — the number that tells a pipeline
+# planner a cheap sample CANNOT size dedup savings (x89 needs the
+# full pass).
+#
+# Scale: two hash rollups (full and sample-filtered); the sample
+# gate is the deterministic md5 bucket (no nondeterministic
+# sample()); nothing pairwise materializes.
+# ---------------------------------------------------------------------------
+@register(
+    "d8_sample_dedup_bias",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT -doc_id - 1, source, text FROM documents WHERE doc_id % 4 = 0
+    ), h AS (
+      SELECT source, md5(text) AS sig,
+             CAST({bucket} AS BIGINT) AS b
+      FROM corpus
+    ), full_r AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) - count(DISTINCT sig) AS BIGINT) AS n_dup
+      FROM h GROUP BY source
+    ), samp AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS s_docs,
+             CAST(count(*) - count(DISTINCT sig) AS BIGINT) AS s_dup
+      FROM h WHERE b < 25 GROUP BY source
+    )
+    SELECT f.source, f.n_docs,
+           CAST(10000 * f.n_dup // f.n_docs AS BIGINT) AS full_dup_bp,
+           CAST(CASE WHEN s.s_docs > 0
+                THEN 10000 * s.s_dup // s.s_docs ELSE 0 END AS BIGINT)
+             AS sample_dup_bp,
+           CAST(10000 * f.n_dup // f.n_docs
+                - CASE WHEN s.s_docs > 0
+                       THEN 10000 * s.s_dup // s.s_docs ELSE 0 END
+                AS BIGINT) AS bias_bp
+    FROM full_r f LEFT JOIN samp s ON f.source = s.source
+    """.format(
+        bucket="(CAST(CASE WHEN ascii(substr(md5('s:' || CAST(doc_id AS"
+        " VARCHAR)), 1, 1)) >= 97 THEN ascii(substr(md5('s:' ||"
+        " CAST(doc_id AS VARCHAR)), 1, 1)) - 87 ELSE"
+        " ascii(substr(md5('s:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 48"
+        " END AS BIGINT) * 16 + CAST(CASE WHEN ascii(substr(md5('s:' ||"
+        " CAST(doc_id AS VARCHAR)), 2, 1)) >= 97 THEN"
+        " ascii(substr(md5('s:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 87"
+        " ELSE ascii(substr(md5('s:' || CAST(doc_id AS VARCHAR)), 2, 1))"
+        " - 48 END AS BIGINT)) % 100"
+    ),
+)
+def d8_sample_dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    # Planted redeliveries: every 4th doc arrives twice (negative-
+    # range ids, the x48 out-of-band discipline), so the full pass
+    # sees a ~20% duplicate rate for the sample to underestimate.
+    corpus = docs.select("doc_id", "source", "text").unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).select(
+            (-F.col("doc_id") - 1).alias("doc_id"), "source", "text"
+        )
+    )
+    h = corpus.select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("sig"),
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('s:', cast(doc_id as string))"
+            " as binary)), 1, 2), 16, 10) as bigint) % 100"
+        ).alias("b"),
+    )
+    full_r = h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("sig"))
+        .cast("long")
+        .alias("n_dup"),
+    )
+    samp = (
+        h.filter(F.col("b") < 25)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("s_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("sig"))
+            .cast("long")
+            .alias("s_dup"),
+        )
+    )
+    return (
+        full_r.join(samp, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.expr("cast(10000 * n_dup div n_docs as bigint)").alias(
+                "full_dup_bp"
+            ),
+            F.expr(
+                "cast(case when s_docs > 0 then 10000 * s_dup div s_docs"
+                " else 0 end as bigint)"
+            ).alias("sample_dup_bp"),
+            F.expr(
+                "cast(10000 * n_dup div n_docs - case when s_docs > 0"
+                " then 10000 * s_dup div s_docs else 0 end as bigint)"
+            ).alias("bias_bp"),
+        )
+    )

@@ -124,6 +124,11 @@ AUDIT = [
     ("j25_interval_intersect_measure", "two-set boundary sweep: one cust-partitioned window pass, no pair join"),
     ("j26_role_playing_dates", "one conformed date dim broadcast into BOTH roles; fact scanned once"),
     ("x98_winnow_overlap", "fingerprint-collision pairs with df-capped fanout; TakeOrdered top-20"),
+    ("x102_prefix_filter_join", "PPJoin prefix candidates -> bounded exact verify; all-pairs never planned"),
+    ("a76_markov_3step", "T^3 as two O(d^2) join+groupBy multiplies; events touched once"),
+    ("w32_hot_streak_window", "Kadane as prefix-sum + running-min windows; no recurrence"),
+    ("x101_rendezvous_hashing", "HRW: bounded 8x explode + doc-partitioned argmax windows"),
+    ("a78_anova_eta_squared", "variance decomposition over 7-group rollup; broadcast totals"),
 ]
 
 

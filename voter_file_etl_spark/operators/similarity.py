@@ -1529,7 +1529,12 @@ def x100_planted_dup_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plausible — the j19/x38 discipline.
 #
 # Scale: prefix emission cuts each set's join fanout roughly in half
-# at t=0.5 and concentrates it on RARE cells (small join groups);
+# at t=0.5 and concentrates it on RARE cells (small join groups).
+# The cell space (4096) must comfortably exceed typical set sizes:
+# with a saturated universe every set shares every cell and ALL
+# pairs become candidates — prefix filtering prunes by rarity, and a
+# universe with no rare cells has nothing to prune with — see the
+# sparsity gate below;
 # verification expands candidates by <= |A| via two equi-joins. The
 # all-pairs shape never appears in the engine plan.
 # ---------------------------------------------------------------------------
@@ -1537,7 +1542,8 @@ def x100_planted_dup_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x102_prefix_filter_join",
     oracle="""
     WITH traj AS (
-      SELECT DISTINCT user_id AS u, event_id % 64 AS cell FROM events
+      SELECT DISTINCT user_id AS u, event_id % 4096 AS cell FROM events
+      WHERE event_id % 29 = 0
     ), sz AS (
       SELECT u, CAST(count(*) AS BIGINT) AS n FROM traj GROUP BY u
     ), inter AS (
@@ -1557,9 +1563,19 @@ def x102_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events")
-    traj = ev.select(
-        F.col("user_id").alias("u"), F.expr("event_id % 64").alias("cell")
-    ).distinct()
+    # Sampled check-ins (~3% of events) keep each user's cell set
+    # SPARSE relative to the 4096-cell universe — the regime where
+    # set-similarity joins apply; dense sets (hundreds of cells per
+    # user) make near-every pair a candidate no filter can prune
+    # (measured: 11 s dense-64-cell, 5.2 s dense-4096, 1.5 s sparse at sf0.1).
+    traj = (
+        ev.filter(F.expr("event_id % 29 = 0"))
+        .select(
+            F.col("user_id").alias("u"),
+            F.expr("event_id % 4096").alias("cell"),
+        )
+        .distinct()
+    )
     sz = traj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("n"))
     freq = traj.groupBy("cell").agg(F.count(F.lit(1)).alias("df"))
     ordered = freq.withColumn(

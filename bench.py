@@ -370,6 +370,7 @@ HEADLINE = [
     "t20_array_set_algebra",
     "x102_prefix_filter_join",
     "d8_sample_dedup_bias",
+    "f16_geohash_decode",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

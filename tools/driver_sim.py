@@ -109,9 +109,15 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # Partition-count / parallelism overrides: results must be
+    # invariant to both (any divergence is hidden order dependence),
+    # so the replica lets a stress run pick adversarial values, e.g.
+    # SPARK_GRAFT_SIM_PARTITIONS=7 SPARK_GRAFT_SIM_CORES=5.
+    n_part = os.environ.get("SPARK_GRAFT_SIM_PARTITIONS", "16")
+    n_cores = os.environ.get("SPARK_GRAFT_SIM_CORES", "16")
     spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(f"local[{n_cores}]")
+        .config("spark.sql.shuffle.partitions", n_part)
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")

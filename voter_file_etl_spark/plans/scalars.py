@@ -1490,3 +1490,123 @@ def t20_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.array_union("a", "b")).cast("long").alias("n_union"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F16 — geohash DECODE (the inverse surface f1's encoder implies):
+# unpack each 8-char geohash back to its cell-center lat/lon by pure
+# bit arithmetic — 5 bits per base32 char, even global bit positions
+# interleave longitude, odd latitude — and verify containment: the
+# original coordinate must lie within half a cell of the decoded
+# center. Center arithmetic is EXACT in IEEE doubles ((2v+1)*180 is
+# an integer below 2^53 and the divisor is a power of two), so both
+# engines produce bit-identical centers with no rounding discipline
+# needed.
+#
+# Scale: a bounded 40x explode per row (8 chars x 5 bits), one
+# map-side-combined rollup per key — no joins, no windows.
+# ---------------------------------------------------------------------------
+_F16_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+@register(
+    "f16_geohash_decode",
+    oracle=f"""
+    WITH src AS (
+      SELECT c_custkey, {_LAT} AS lat, {_LON} AS lon,
+             {geohash_sql(_LAT, _LON, 8, "duckdb")} AS gh
+      FROM customer
+    ), bits AS (
+      SELECT c_custkey, lat, lon, gh,
+             CAST((i - 1) * 5 + j AS BIGINT) AS p,
+             CAST((strpos('{_F16_ALPHA}', substr(gh, CAST(i AS INTEGER), 1))
+                   - 1) AS BIGINT) AS v,
+             CAST(j AS BIGINT) AS j
+      FROM src,
+           unnest(range(1, 9)) AS gi(i),
+           unnest(range(0, 5)) AS gj(j)
+    ), acc AS (
+      SELECT c_custkey, lat, lon, gh,
+             CAST(sum(CASE WHEN p % 2 = 0
+               THEN ((v // (1 << CAST(4 - j AS INTEGER))) % 2)
+                    * (1 << CAST(19 - p // 2 AS INTEGER))
+               ELSE 0 END) AS BIGINT) AS lon_v,
+             CAST(sum(CASE WHEN p % 2 = 1
+               THEN ((v // (1 << CAST(4 - j AS INTEGER))) % 2)
+                    * (1 << CAST(19 - (p - 1) // 2 AS INTEGER))
+               ELSE 0 END) AS BIGINT) AS lat_v
+      FROM bits GROUP BY c_custkey, lat, lon, gh
+    )
+    SELECT c_custkey, gh,
+           -180 + (2 * lon_v + 1) * 180.0 / 1048576 AS lon_center,
+           -90 + (2 * lat_v + 1) * 90.0 / 1048576 AS lat_center,
+           CAST(CASE WHEN abs(lon - (-180 + (2 * lon_v + 1) * 180.0
+                                     / 1048576)) <= 180.0 / 1048576
+                      AND abs(lat - (-90 + (2 * lat_v + 1) * 90.0
+                                     / 1048576)) <= 90.0 / 1048576
+                THEN 1 ELSE 0 END AS BIGINT) AS contained
+    FROM acc
+    """,
+)
+def f16_geohash_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    src = customer.select(
+        "c_custkey",
+        F.expr(_LAT).alias("lat"),
+        F.expr(_LON).alias("lon"),
+        geohash_col(F.expr(_LAT), F.expr(_LON), 8).alias("gh"),
+    )
+    bits = (
+        src.select(
+            "c_custkey", "lat", "lon", "gh",
+            F.explode(F.expr("sequence(1, 8)")).alias("i"),
+        )
+        .select(
+            "c_custkey", "lat", "lon", "gh", "i",
+            F.explode(F.expr("sequence(0, 4)")).alias("j"),
+        )
+        .select(
+            "c_custkey",
+            "lat",
+            "lon",
+            "gh",
+            F.expr("cast((i - 1) * 5 + j as bigint)").alias("p"),
+            F.expr(
+                f"cast(instr('{_F16_ALPHA}', substring(gh, i, 1)) - 1"
+                " as bigint)"
+            ).alias("v"),
+            F.col("j").cast("long").alias("j"),
+        )
+    )
+    acc = bits.groupBy("c_custkey", "lat", "lon", "gh").agg(
+        F.sum(
+            F.expr(
+                "case when p % 2 = 0 then ((v div shiftleft(1L,"
+                " cast(4 - j as int))) % 2) * shiftleft(1L,"
+                " cast(19 - p div 2 as int)) else 0 end"
+            )
+        ).cast("long").alias("lon_v"),
+        F.sum(
+            F.expr(
+                "case when p % 2 = 1 then ((v div shiftleft(1L,"
+                " cast(4 - j as int))) % 2) * shiftleft(1L,"
+                " cast(19 - (p - 1) div 2 as int)) else 0 end"
+            )
+        ).cast("long").alias("lat_v"),
+    )
+    return acc.select(
+        "c_custkey",
+        "gh",
+        F.expr("-180 + (2 * lon_v + 1) * 180.0d / 1048576").alias(
+            "lon_center"
+        ),
+        F.expr("-90 + (2 * lat_v + 1) * 90.0d / 1048576").alias(
+            "lat_center"
+        ),
+        F.expr(
+            "cast(case when abs(lon - (-180 + (2 * lon_v + 1) * 180.0d"
+            " / 1048576)) <= 180.0d / 1048576 and abs(lat - (-90 +"
+            " (2 * lat_v + 1) * 90.0d / 1048576)) <= 90.0d / 1048576"
+            " then 1 else 0 end as bigint)"
+        ).alias("contained"),
+    )

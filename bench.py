@@ -371,6 +371,7 @@ HEADLINE = [
     "x102_prefix_filter_join",
     "d8_sample_dedup_bias",
     "f16_geohash_decode",
+    "f17_geohash_neighbors",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1610,3 +1610,93 @@ def f16_geohash_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end as bigint)"
         ).alias("contained"),
     )
+
+
+
+
+# ---------------------------------------------------------------------------
+# F17 — geohash neighbors: the four adjacent cells (N/E/S/W) of each
+# 8-char geohash — computed as INTEGER CELL-INDEX arithmetic (+/-1
+# on the 20-bit lon/lat indices, longitude wrapping mod 2^20) and
+# re-encoded by direct bit interleave into base32, never by running
+# the coordinate bisection encoder four more times. The expansion
+# step a geohash-bucketed proximity search needs (the j10 3x3 grid,
+# in geohash space).
+#
+# Scale: pure per-row integer shifts; the first cut re-encoded four
+# shifted coordinates through the bisection expression and blew
+# Spark's 64 KB codegen method limit into interpreted fallback
+# (2.7 s at sf0.1) — the interleave form stays in whole-stage
+# codegen (1.5 s; the remaining cost is the single anchor encode).
+# ---------------------------------------------------------------------------
+_F17_INTERLEAVE_DUCK = """concat(substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lon}) // 524288) % 2) * 16 + ((({lat}) // 524288) % 2) * 8 + ((({lon}) // 262144) % 2) * 4 + ((({lat}) // 262144) % 2) * 2 + ((({lon}) // 131072) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lat}) // 131072) % 2) * 16 + ((({lon}) // 65536) % 2) * 8 + ((({lat}) // 65536) % 2) * 4 + ((({lon}) // 32768) % 2) * 2 + ((({lat}) // 32768) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lon}) // 16384) % 2) * 16 + ((({lat}) // 16384) % 2) * 8 + ((({lon}) // 8192) % 2) * 4 + ((({lat}) // 8192) % 2) * 2 + ((({lon}) // 4096) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lat}) // 4096) % 2) * 16 + ((({lon}) // 2048) % 2) * 8 + ((({lat}) // 2048) % 2) * 4 + ((({lon}) // 1024) % 2) * 2 + ((({lat}) // 1024) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lon}) // 512) % 2) * 16 + ((({lat}) // 512) % 2) * 8 + ((({lon}) // 256) % 2) * 4 + ((({lat}) // 256) % 2) * 2 + ((({lon}) // 128) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lat}) // 128) % 2) * 16 + ((({lon}) // 64) % 2) * 8 + ((({lat}) // 64) % 2) * 4 + ((({lon}) // 32) % 2) * 2 + ((({lat}) // 32) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lon}) // 16) % 2) * 16 + ((({lat}) // 16) % 2) * 8 + ((({lon}) // 8) % 2) * 4 + ((({lat}) // 8) % 2) * 2 + ((({lon}) // 4) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lat}) // 4) % 2) * 16 + ((({lon}) // 2) % 2) * 8 + ((({lat}) // 2) % 2) * 4 + ((({lon}) // 1) % 2) * 2 + ((({lat}) // 1) % 2) * 1) + 1 AS INTEGER), 1))"""
+_F17_INTERLEAVE_SPARK = """concat(substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lon}) div 524288) % 2) * 16 + ((({lat}) div 524288) % 2) * 8 + ((({lon}) div 262144) % 2) * 4 + ((({lat}) div 262144) % 2) * 2 + ((({lon}) div 131072) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lat}) div 131072) % 2) * 16 + ((({lon}) div 65536) % 2) * 8 + ((({lat}) div 65536) % 2) * 4 + ((({lon}) div 32768) % 2) * 2 + ((({lat}) div 32768) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lon}) div 16384) % 2) * 16 + ((({lat}) div 16384) % 2) * 8 + ((({lon}) div 8192) % 2) * 4 + ((({lat}) div 8192) % 2) * 2 + ((({lon}) div 4096) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lat}) div 4096) % 2) * 16 + ((({lon}) div 2048) % 2) * 8 + ((({lat}) div 2048) % 2) * 4 + ((({lon}) div 1024) % 2) * 2 + ((({lat}) div 1024) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lon}) div 512) % 2) * 16 + ((({lat}) div 512) % 2) * 8 + ((({lon}) div 256) % 2) * 4 + ((({lat}) div 256) % 2) * 2 + ((({lon}) div 128) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lat}) div 128) % 2) * 16 + ((({lon}) div 64) % 2) * 8 + ((({lat}) div 64) % 2) * 4 + ((({lon}) div 32) % 2) * 2 + ((({lat}) div 32) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lon}) div 16) % 2) * 16 + ((({lat}) div 16) % 2) * 8 + ((({lon}) div 8) % 2) * 4 + ((({lat}) div 8) % 2) * 2 + ((({lon}) div 4) % 2) * 1) + 1 AS INTEGER), 1), substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((((({lat}) div 4) % 2) * 16 + ((({lon}) div 2) % 2) * 8 + ((({lat}) div 2) % 2) * 4 + ((({lon}) div 1) % 2) * 2 + ((({lat}) div 1) % 2) * 1) + 1 AS INTEGER), 1))"""
+
+
+def _f17_enc(dialect: str, lon: str, lat: str) -> str:
+    tpl = (
+        _F17_INTERLEAVE_DUCK if dialect == "duckdb"
+        else _F17_INTERLEAVE_SPARK
+    )
+    return tpl.format(lon=lon, lat=lat)
+
+
+@register(
+    "f17_geohash_neighbors",
+    oracle=f"""
+    WITH src AS (
+      SELECT c_custkey,
+             {geohash_sql(_LAT, _LON, 8, "duckdb")} AS gh,
+             CAST(floor((CAST({_LAT} AS DOUBLE) + 90) / 180 * 1048576)
+                  AS BIGINT) AS lat_v,
+             CAST(floor((CAST({_LON} AS DOUBLE) + 180) / 360 * 1048576)
+                  AS BIGINT) AS lon_v
+      FROM customer
+    ), sh AS (
+      SELECT c_custkey, gh,
+             lat_v + 1 AS lat_n, lat_v - 1 AS lat_s,
+             (lon_v + 1) % 1048576 AS lon_e,
+             (lon_v + 1048575) % 1048576 AS lon_w,
+             lat_v, lon_v
+      FROM src
+    )
+    SELECT c_custkey, gh,
+           {_f17_enc("duckdb", "lon_v", "lat_n")} AS gh_n,
+           {_f17_enc("duckdb", "lon_e", "lat_v")} AS gh_e,
+           {_f17_enc("duckdb", "lon_v", "lat_s")} AS gh_s,
+           {_f17_enc("duckdb", "lon_w", "lat_v")} AS gh_w
+    FROM sh
+    """,
+)
+def f17_geohash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = t(spark, sf_dir, "customer")
+    src = customer.select(
+        "c_custkey",
+        geohash_col(F.expr(_LAT), F.expr(_LON), 8).alias("gh"),
+        F.expr(
+            f"cast(floor((cast({_LAT} as double) + 90) / 180 * 1048576)"
+            " as bigint)"
+        ).alias("lat_v"),
+        F.expr(
+            f"cast(floor((cast({_LON} as double) + 180) / 360 * 1048576)"
+            " as bigint)"
+        ).alias("lon_v"),
+    )
+    sh = src.select(
+        "c_custkey",
+        "gh",
+        "lat_v",
+        "lon_v",
+        F.expr("lat_v + 1").alias("lat_n"),
+        F.expr("lat_v - 1").alias("lat_s"),
+        F.expr("(lon_v + 1) % 1048576").alias("lon_e"),
+        F.expr("(lon_v + 1048575) % 1048576").alias("lon_w"),
+    )
+    return sh.select(
+        "c_custkey",
+        "gh",
+        F.expr(_f17_enc("spark", "lon_v", "lat_n")).alias("gh_n"),
+        F.expr(_f17_enc("spark", "lon_e", "lat_v")).alias("gh_e"),
+        F.expr(_f17_enc("spark", "lon_v", "lat_s")).alias("gh_s"),
+        F.expr(_f17_enc("spark", "lon_w", "lat_v")).alias("gh_w"),
+    )

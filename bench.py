@@ -372,6 +372,7 @@ HEADLINE = [
     "d8_sample_dedup_bias",
     "f16_geohash_decode",
     "f17_geohash_neighbors",
+    "l30_merge_idempotency",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

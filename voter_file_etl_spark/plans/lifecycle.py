@@ -1678,3 +1678,72 @@ def l29_scd3_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             "changed_at"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# L30 — MERGE idempotency: apply the SAME update batch twice (the
+# at-least-once redelivery every queue eventually produces) and
+# prove the table state is identical to applying it once — the
+# last-writer-wins key semantics make the merge a set operation, not
+# an append. The oracle computes the apply-once expectation; a
+# duplicated batch that leaked through as extra rows or re-won the
+# order tie-break would hash-mismatch.
+#
+# Scale: two bucket-pruned merges on a mutable copy of the cached
+# fixture; the proof is the snapshot rollup, not a row dump.
+# ---------------------------------------------------------------------------
+@register(
+    "l30_merge_idempotency",
+    oracle="""
+    WITH updated AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_id % 5 = 0 THEN value + 1.0 ELSE value END
+               AS value,
+             CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS bumped
+      FROM events
+    ), latest AS (
+      SELECT user_id, us, event_id, value, bumped,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY us DESC, event_id DESC) AS rn
+      FROM updated
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_id,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(sum(bumped) AS BIGINT) AS n_bumped_last
+    FROM latest WHERE rn = 1
+    """,
+)
+def l30_merge_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _tmpdir("l30_idem_")
+    table = _build_logtable(spark, sf_dir, work, mutable=True)
+    batch = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "user_id",
+            "event_type",
+            (F.col("value") + 1.0).alias("value"),
+        )
+    )
+    table.merge(batch, work)
+    table.merge(batch, work)  # redelivery: must be a no-op state-wise
+    snap = table.snapshot().select(
+        "user_id",
+        "event_id",
+        "value",
+        F.expr(
+            "cast(case when event_id % 5 = 0 then 1 else 0 end as bigint)"
+        ).alias("bumped"),
+    )
+    return snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("event_id").cast("long").alias("sum_last_id"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5d) as bigint)"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.sum("bumped").cast("long").alias("n_bumped_last"),
+    )

@@ -354,16 +354,26 @@ class LogTable:
                 .parquet(*[os.path.join(self.root, f["path"]) for f in old])
                 .withColumn("_bucket", self._bucket_col())
             )
-            merged = cur.unionByName(batch, allowMissingColumns=True)
+            # _src marks batch rows so the dedup tie-break is DEFINED
+            # when an incoming row carries the same order keys as the
+            # current row (a re-delivered or in-place update): the
+            # batch wins — standard MERGE matched-then-update
+            # semantics, and what makes re-merging the same batch
+            # idempotent (l30 proves it). Without the marker the
+            # row_number tie was nondeterministic.
+            merged = cur.withColumn("_src", F.lit(0)).unionByName(
+                batch.withColumn("_src", F.lit(1)),
+                allowMissingColumns=True,
+            )
         else:
-            merged = batch
+            merged = batch.withColumn("_src", F.lit(1))
         win = W.partitionBy(*self.key_cols).orderBy(
-            *[F.desc(c) for c in self.order_cols]
+            *[F.desc(c) for c in self.order_cols], F.desc("_src")
         )
         deduped = (
             merged.withColumn("_rn", F.row_number().over(win))
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", "_src")
         )
         # The per-writer token makes BOTH the staging dir and the
         # published data-file names unique: two writers racing for the

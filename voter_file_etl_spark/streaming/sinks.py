@@ -71,13 +71,21 @@ def upsert_merge_batch(
         cur = spark.read.parquet(snap_dir).filter(
             F.col("_bucket").isin(touched)  # partition pruning
         )
-        merged = cur.unionByName(batch)
+        # _src: incoming rows win order-key ties (the logtable merge
+        # discipline) — a replayed or in-place-updated row must have
+        # a DEFINED winner, never a nondeterministic row_number tie.
+        merged = cur.withColumn("_src", F.lit(0)).unionByName(
+            batch.withColumn("_src", F.lit(1))
+        )
     else:
-        merged = batch
+        merged = batch.withColumn("_src", F.lit(1))
+    win_t = W.partitionBy(*_UPSERT_KEY).orderBy(
+        F.desc("us"), F.desc("event_id"), F.desc("_src")
+    )
     deduped = (
-        merged.withColumn("_rn", F.row_number().over(win))
+        merged.withColumn("_rn", F.row_number().over(win_t))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_src")
     )
     # Stage then read back: the overwrite's input must not be the
     # path being overwritten (Spark rejects self-overwrite plans).
@@ -402,3 +410,64 @@ def st18_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.read.parquet(board).select("event_id", "user_id", "cents")
+
+
+# ---------------------------------------------------------------------------
+# ST19 — exactly-once by replay-safety: run the st7 upsert stream to
+# completion, then REPLAY a micro-batch through the same merge (what
+# a restarted driver does after a post-merge / pre-checkpoint
+# crash), and emit the final snapshot rollup — which must equal the
+# play-once expectation because the sink's (current UNION batch)
+# last-writer-wins dedup absorbs redelivered rows; with the _src
+# tie-break even an in-place UPDATE redelivery has a defined winner.
+# The l30 idempotency proof, at the streaming sink.
+#
+# Scale: the replay touches only the buckets the batch hashes into
+# (pruned read + dynamic overwrite), same as any live batch.
+# ---------------------------------------------------------------------------
+@register(
+    "st19_exactly_once_sink",
+    oracle="""
+    SELECT user_id, event_type, last_us, last_value, last_event_id
+    FROM (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS last_us, value AS last_value,
+             event_id AS last_event_id,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st19_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(
+        prefix="st19_replay_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    ensure_session_confs(spark)
+    # Play the st7 stream to completion...
+    run_upsert_stream(spark, sf_dir, work)
+    snap_dir = os.path.join(work, "snapshot")
+    # ...then replay one "micro-batch" (a slice of the source rows)
+    # through the same merge path — the post-crash redelivery. The
+    # rollup below must still match the play-once oracle.
+    replay = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    upsert_merge_batch(spark, snap_dir, work, replay, batch_id=999)
+    final = spark.read.parquet(snap_dir)
+    return final.select(
+        "user_id",
+        "event_type",
+        F.col("us").alias("last_us"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )

@@ -77,10 +77,24 @@ def enrich(df: DataFrame) -> DataFrame:
 
 
 def dedup_pk(df: DataFrame) -> DataFrame:
-    """PK dedup (createMany skipDuplicates, load.ts:356-360). Keeps
-    the first row per key deterministically by favoring the lowest
-    sort order of the full row — idempotent across retries."""
-    return df.dropDuplicates([PK])
+    """PK dedup (createMany skipDuplicates, load.ts:356-360).
+
+    dropDuplicates keeps an ARBITRARY row per key (whichever a task
+    sees first — shuffle-order-dependent), so when duplicate PKs
+    carry different attribute values the survivor would vary run to
+    run. Rank by every column instead: the lexicographically lowest
+    full row wins, deterministically, and exact duplicates tie
+    harmlessly. The reference's createMany skipDuplicates keeps
+    INSERT order — which its own loader doesn't pin either; this
+    makes the choice reproducible."""
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(PK).orderBy(*[F.asc_nulls_first(c) for c in df.columns])
+    return (
+        df.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def list_load_files(spark: SparkSession, files_dir: str) -> DataFrame:

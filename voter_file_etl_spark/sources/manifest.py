@@ -40,17 +40,23 @@ def record_files(
     new = spark.createDataFrame(
         [(f, s, n, False, now) for f, s, n in files], manifest_struct()
     )
+    # _src: the incoming record wins an updatedAt tie (two calls in
+    # the same clock tick — e.g. frozen test clocks — must not leave
+    # the winner to shuffle order).
     merged = (
         read_manifest(spark, path)
-        .unionByName(new)
+        .withColumn("_src", F.lit(0))
+        .unionByName(new.withColumn("_src", F.lit(1)))
         .withColumn(
             "_rn",
             F.row_number().over(
-                W.partitionBy("Filename").orderBy(F.desc("updatedAt"))
+                W.partitionBy("Filename").orderBy(
+                    F.desc("updatedAt"), F.desc("_src")
+                )
             ),
         )
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_src")
     )
     _overwrite_small(merged, path)
     return read_manifest(spark, path)

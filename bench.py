@@ -374,6 +374,7 @@ HEADLINE = [
     "f17_geohash_neighbors",
     "l30_merge_idempotency",
     "st19_exactly_once_sink",
+    "w33_rolling_mode",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

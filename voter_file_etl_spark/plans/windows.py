@@ -1968,3 +1968,75 @@ def w32_hot_streak_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("end_day"),
         F.expr("cast(gain div n as bigint)").alias("best_excess_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W33 — rolling mode: the most frequent event type over each
+# trailing 7-day window — a statistic no window frame computes
+# (mode isn't an aggregate Spark or DuckDB expose over frames), so
+# the a69 coverage trick applies: each (day, type) count CONTRIBUTES
+# to the 7 windows it can influence (bounded 7x explode of the
+# bounded daily rollup), then one argmax per window with a
+# min-type tie-break. Never a per-window recount of raw events.
+#
+# Scale: the explode runs over the (days x types) rollup, not the
+# events; windows partition by target day only in the final bounded
+# argmax.
+# ---------------------------------------------------------------------------
+@register(
+    "w33_rolling_mode",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), contrib AS (
+      SELECT day + CAST(i AS INTEGER) AS target, event_type, n
+      FROM d, unnest(range(0, 7)) AS g(i)
+    ), win AS (
+      SELECT target, event_type, CAST(sum(n) AS BIGINT) AS wn
+      FROM contrib GROUP BY target, event_type
+    ), days AS (SELECT DISTINCT day FROM d), ranked AS (
+      SELECT w.target, w.event_type, w.wn,
+             row_number() OVER (PARTITION BY w.target
+                                ORDER BY w.wn DESC, w.event_type) AS r
+      FROM win w JOIN days dd ON w.target = dd.day
+    )
+    SELECT target AS day, event_type AS mode_type, wn AS n_in_window
+    FROM ranked WHERE r = 1
+    """,
+)
+def w33_rolling_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    contrib = d.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+        "event_type",
+        "n",
+    ).select(
+        F.expr("date_add(day, cast(i as int))").alias("target"),
+        "event_type",
+        "n",
+    )
+    win = contrib.groupBy("target", "event_type").agg(
+        F.sum("n").cast("long").alias("wn")
+    )
+    days = d.select("day").distinct()
+    ranked = win.join(
+        days, win.target == days.day
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("target").orderBy(F.desc("wn"), "event_type")
+        ),
+    )
+    return ranked.filter(F.col("r") == 1).select(
+        F.col("target").alias("day"),
+        F.col("event_type").alias("mode_type"),
+        F.col("wn").alias("n_in_window"),
+    )

@@ -375,6 +375,7 @@ HEADLINE = [
     "l30_merge_idempotency",
     "st19_exactly_once_sink",
     "w33_rolling_mode",
+    "a79_alert_rule_backtest",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -2850,3 +2850,174 @@ def a78_anova_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eta2_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A79 — alert-rule backtest against planted truth: inject 3x revenue
+# spikes on known days, then score TWO detection rules on precision/
+# recall — the naive 2-sigma rule (whose mean and sigma the spikes
+# themselves contaminate) vs the robust median/MAD rule (element-
+# pick median, w17 discipline). The side-by-side quantifies WHY
+# robust statistics exist: contamination drags sigma up and costs
+# the naive rule recall. All comparisons are cross-multiplied
+# integers in kilodollars; the daily series is calendar-bounded
+# (~2.4k rows), so the global median picks are bounded like w31.
+#
+# Scale: one day rollup; two bounded global windows for the picks;
+# broadcast 1-row moments.
+# ---------------------------------------------------------------------------
+@register(
+    "a79_alert_rule_backtest",
+    oracle="""
+    WITH base AS (
+      SELECT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS ed,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // 100000 AS BIGINT) AS v0
+      FROM orders GROUP BY 1
+    ), series AS (
+      SELECT ed, CASE WHEN ed % 97 = 0 THEN v0 * 3 ELSE v0 END AS d,
+             CASE WHEN ed % 97 = 0 THEN 1 ELSE 0 END AS truth
+      FROM base
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s,
+             CAST(sum(d * d) AS BIGINT) AS ss
+      FROM series
+    ), med AS (
+      SELECT CAST(max(CASE WHEN r = (n - 1) // 2 + 1 THEN d END)
+                  AS BIGINT) AS m
+      FROM (SELECT d, row_number() OVER (ORDER BY d, ed) AS r,
+                   count(*) OVER () AS n
+            FROM series)
+    ), mad AS (
+      SELECT CAST(max(CASE WHEN r = (n - 1) // 2 + 1 THEN dev END)
+                  AS BIGINT) AS md
+      FROM (SELECT abs(series.d - med.m) AS dev,
+                   row_number() OVER (ORDER BY abs(series.d - med.m),
+                                      series.ed) AS r,
+                   count(*) OVER () AS n
+            FROM series CROSS JOIN med)
+    ), flags AS (
+      SELECT s.truth,
+             CASE WHEN (mom.n * s.d - mom.s) * (mom.n * s.d - mom.s)
+                       > 4 * (mom.n * mom.ss - mom.s * mom.s)
+                  THEN 1 ELSE 0 END AS f_naive,
+             CASE WHEN abs(s.d - med.m) > 3 * mad.md
+                  THEN 1 ELSE 0 END AS f_robust
+      FROM series s CROSS JOIN mom CROSS JOIN med CROSS JOIN mad
+    )
+    SELECT rule,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(CASE WHEN tp + fp > 0
+                THEN 10000 * tp // (tp + fp) ELSE 0 END AS BIGINT)
+             AS precision_bp,
+           CAST(CASE WHEN tp + fn > 0
+                THEN 10000 * tp // (tp + fn) ELSE 0 END AS BIGINT)
+             AS recall_bp
+    FROM (
+      SELECT 'naive_2sigma' AS rule,
+             sum(CASE WHEN f_naive = 1 AND truth = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN f_naive = 1 AND truth = 0 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN f_naive = 0 AND truth = 1 THEN 1 ELSE 0 END) AS fn
+      FROM flags
+      UNION ALL
+      SELECT 'robust_mad',
+             sum(CASE WHEN f_robust = 1 AND truth = 1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN f_robust = 1 AND truth = 0 THEN 1 ELSE 0 END),
+             sum(CASE WHEN f_robust = 0 AND truth = 1 THEN 1 ELSE 0 END)
+      FROM flags
+    )
+    """,
+)
+def a79_alert_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("ed"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    ).groupBy("ed").agg(
+        F.expr("cast(sum(cents) div 100000 as bigint)").alias("v0")
+    )
+    series = base.select(
+        "ed",
+        F.expr("case when ed % 97 = 0 then v0 * 3 else v0 end").alias("d"),
+        F.expr("case when ed % 97 = 0 then 1 else 0 end").alias("truth"),
+    )
+    mom = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"),
+    )
+    ranked = series.select(
+        "d",
+        F.row_number().over(W.orderBy("d", "ed")).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    med = ranked.agg(
+        F.max(
+            F.when(F.col("r") == F.expr("(n - 1) div 2 + 1"), F.col("d"))
+        ).cast("long").alias("m")
+    )
+    dev = series.crossJoin(F.broadcast(med)).select(
+        "ed", F.expr("abs(d - m)").alias("dev")
+    )
+    rdev = dev.select(
+        "dev",
+        F.row_number().over(W.orderBy("dev", "ed")).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    mad = rdev.agg(
+        F.max(
+            F.when(F.col("r") == F.expr("(n - 1) div 2 + 1"), F.col("dev"))
+        ).cast("long").alias("md")
+    )
+    flags = (
+        series.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "truth",
+            F.expr(
+                "case when (n * d - s) * (n * d - s)"
+                " > 4 * (n * ss - s * s) then 1 else 0 end"
+            ).alias("f_naive"),
+            F.expr(
+                "case when abs(d - m) > 3 * md then 1 else 0 end"
+            ).alias("f_robust"),
+        )
+    )
+
+    def score(flag: str, name: str) -> DataFrame:
+        return flags.agg(
+            F.lit(name).alias("rule"),
+            F.sum(F.expr(f"case when {flag} = 1 and truth = 1 then 1 else 0 end"))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.expr(f"case when {flag} = 1 and truth = 0 then 1 else 0 end"))
+            .cast("long")
+            .alias("fp"),
+            F.sum(F.expr(f"case when {flag} = 0 and truth = 1 then 1 else 0 end"))
+            .cast("long")
+            .alias("fn"),
+        )
+
+    both = score("f_naive", "naive_2sigma").unionByName(
+        score("f_robust", "robust_mad")
+    )
+    return both.select(
+        "rule",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "cast(case when tp + fp > 0 then 10000 * tp div (tp + fp)"
+            " else 0 end as bigint)"
+        ).alias("precision_bp"),
+        F.expr(
+            "cast(case when tp + fn > 0 then 10000 * tp div (tp + fn)"
+            " else 0 end as bigint)"
+        ).alias("recall_bp"),
+    )

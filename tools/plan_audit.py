@@ -129,6 +129,9 @@ AUDIT = [
     ("w32_hot_streak_window", "Kadane as prefix-sum + running-min windows; no recurrence"),
     ("x101_rendezvous_hashing", "HRW: bounded 8x explode + doc-partitioned argmax windows"),
     ("a78_anova_eta_squared", "variance decomposition over 7-group rollup; broadcast totals"),
+    ("w33_rolling_mode", "windowed mode via bounded 7x coverage explode of the daily rollup"),
+    ("f17_geohash_neighbors", "integer bit-interleave re-encode; stays in whole-stage codegen"),
+    ("a79_alert_rule_backtest", "two rules share one flags table; element-pick medians over calendar-bounded series"),
 ]
 
 

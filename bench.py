@@ -376,6 +376,7 @@ HEADLINE = [
     "st19_exactly_once_sink",
     "w33_rolling_mode",
     "a79_alert_rule_backtest",
+    "a80_diff_in_diff",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -3021,3 +3021,95 @@ def a79_alert_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else 0 end as bigint)"
         ).alias("recall_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A80 — difference-in-differences: the 2x2 causal-inference
+# workhorse — treatment (BUILDING-segment customers) vs control,
+# before vs after the 1995-01-01 cutoff; the DiD estimate is the
+# treatment group's average-order-value change MINUS the control's
+# (which nets out the common time trend a naive before/after
+# comparison absorbs as "impact"). Cell averages are integer-cent
+# floor divisions; the estimate composes from the four cells
+# exactly.
+#
+# Scale: one broadcast dim join for the segment, one 4-cell rollup;
+# the 2x2 pivot happens on four rows.
+# ---------------------------------------------------------------------------
+@register(
+    "a80_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+               AS treated,
+             CASE WHEN o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  THEN 1 ELSE 0 END AS after,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT
+        max(CASE WHEN treated = 1 AND after = 0 THEN s // n END) AS tb,
+        max(CASE WHEN treated = 1 AND after = 1 THEN s // n END) AS ta,
+        max(CASE WHEN treated = 0 AND after = 0 THEN s // n END) AS cb,
+        max(CASE WHEN treated = 0 AND after = 1 THEN s // n END) AS ca,
+        max(CASE WHEN treated = 1 AND after = 0 THEN n END) AS n_tb,
+        max(CASE WHEN treated = 1 AND after = 1 THEN n END) AS n_ta,
+        max(CASE WHEN treated = 0 AND after = 0 THEN n END) AS n_cb,
+        max(CASE WHEN treated = 0 AND after = 1 THEN n END) AS n_ca
+      FROM cells
+    )
+    SELECT CAST(tb AS BIGINT) AS treat_before_avg_c,
+           CAST(ta AS BIGINT) AS treat_after_avg_c,
+           CAST(cb AS BIGINT) AS ctrl_before_avg_c,
+           CAST(ca AS BIGINT) AS ctrl_after_avg_c,
+           CAST((ta - tb) - (ca - cb) AS BIGINT) AS did_c,
+           CAST(n_tb + n_ta + n_cb + n_ca AS BIGINT) AS n_orders
+    FROM p
+    """,
+)
+def a80_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+        .groupBy(
+            F.expr(
+                "case when c_mktsegment = 'BUILDING' then 1 else 0 end"
+            ).alias("treated"),
+            F.expr(
+                "case when o_orderdate >= timestamp '1995-01-01'"
+                " then 1 else 0 end"
+            ).alias("after"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+            ).cast("long").alias("s"),
+        )
+    )
+    p = cells.agg(
+        F.max(F.expr("case when treated = 1 and after = 0 then s div n end")).alias("tb"),
+        F.max(F.expr("case when treated = 1 and after = 1 then s div n end")).alias("ta"),
+        F.max(F.expr("case when treated = 0 and after = 0 then s div n end")).alias("cb"),
+        F.max(F.expr("case when treated = 0 and after = 1 then s div n end")).alias("ca"),
+        F.max(F.expr("case when treated = 1 and after = 0 then n end")).alias("n_tb"),
+        F.max(F.expr("case when treated = 1 and after = 1 then n end")).alias("n_ta"),
+        F.max(F.expr("case when treated = 0 and after = 0 then n end")).alias("n_cb"),
+        F.max(F.expr("case when treated = 0 and after = 1 then n end")).alias("n_ca"),
+    )
+    return p.select(
+        F.col("tb").cast("long").alias("treat_before_avg_c"),
+        F.col("ta").cast("long").alias("treat_after_avg_c"),
+        F.col("cb").cast("long").alias("ctrl_before_avg_c"),
+        F.col("ca").cast("long").alias("ctrl_after_avg_c"),
+        F.expr("cast((ta - tb) - (ca - cb) as bigint)").alias("did_c"),
+        F.expr("cast(n_tb + n_ta + n_cb + n_ca as bigint)").alias(
+            "n_orders"
+        ),
+    )

@@ -377,6 +377,7 @@ HEADLINE = [
     "w33_rolling_mode",
     "a79_alert_rule_backtest",
     "a80_diff_in_diff",
+    "sql21_range_tvf",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -709,3 +709,37 @@ FROM (
 def sql20_set_op_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL20)
+
+
+# ---------------------------------------------------------------------------
+# SQL21 — table-valued range() in the FROM clause: generate an
+# 84-month calendar spine IN SQL (no DataFrame-side sequence), left
+# join the monthly revenue rollup onto it, and zero-fill the gaps —
+# the densification idiom written entirely in the SQL frontend.
+# Both engines accept `FROM range(a, b) AS t(i)` with a column
+# alias list, which is what makes the text portable.
+# ---------------------------------------------------------------------------
+_SQL21 = """
+WITH spine AS (
+  SELECT CAST(DATE '1992-01-01' + INTERVAL 1 MONTH * i AS DATE) AS month
+  FROM range(0, 84) AS t(i)
+), m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT s.month,
+       CAST(coalesce(m.cents, 0) AS BIGINT) AS cents,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_orders,
+       CAST(CASE WHEN m.month IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_gap
+FROM spine s LEFT JOIN m ON s.month = m.month
+"""
+
+
+@register("sql21_range_tvf", oracle=_SQL21)
+def sql21_range_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL21)

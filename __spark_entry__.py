@@ -135,7 +135,7 @@ _BACKFILL = [
     "t20_array_set_algebra", "x102_prefix_filter_join",
     "d8_sample_dedup_bias", "f16_geohash_decode", "f17_geohash_neighbors",
     "l30_merge_idempotency", "st19_exactly_once_sink", "w33_rolling_mode", "a79_alert_rule_backtest", "a80_diff_in_diff",
-    "sql21_range_tvf",
+    "sql21_range_tvf", "sql22_lateral_column_alias",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -378,6 +378,7 @@ HEADLINE = [
     "a79_alert_rule_backtest",
     "a80_diff_in_diff",
     "sql21_range_tvf",
+    "sql22_lateral_column_alias",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

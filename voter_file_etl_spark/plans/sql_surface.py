@@ -743,3 +743,31 @@ FROM spine s LEFT JOIN m ON s.month = m.month
 def sql21_range_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL21)
+
+
+# ---------------------------------------------------------------------------
+# SQL22 — lateral column aliases: a SELECT item referencing an alias
+# defined EARLIER IN THE SAME SELECT — the staged-derivation sugar
+# (cents -> margin -> margin_bp) that otherwise forces nested
+# subqueries; both engines resolve the chain left-to-right. The
+# whole derivation chain stays one projection in the plan.
+# ---------------------------------------------------------------------------
+_SQL22 = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+       cents - 500000 AS margin_c,
+       CAST(CASE WHEN cents > 0
+            THEN floor(10000.0 * margin_c / cents)
+            ELSE 0 END AS BIGINT) AS margin_bp,
+       CASE WHEN margin_bp >= 5000 THEN 'high'
+            WHEN margin_bp >= 0 THEN 'mid'
+            ELSE 'loss' END AS band
+FROM orders
+WHERE o_orderkey % 100 = 0
+"""
+
+
+@register("sql22_lateral_column_alias", oracle=_SQL22)
+def sql22_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL22)

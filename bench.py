@@ -379,6 +379,7 @@ HEADLINE = [
     "a80_diff_in_diff",
     "sql21_range_tvf",
     "sql22_lateral_column_alias",
+    "sql23_interval_range_frame",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

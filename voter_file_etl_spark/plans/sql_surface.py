@@ -771,3 +771,30 @@ WHERE o_orderkey % 100 = 0
 def sql22_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL22)
+
+
+# ---------------------------------------------------------------------------
+# SQL23 — INTERVAL range frames: a trailing-7-day window expressed
+# as RANGE BETWEEN INTERVAL 7 DAY PRECEDING over the raw TIMESTAMP
+# ordering — the time-based frame w8 builds on epoch integers,
+# written in the calendar units users actually think in, identical
+# text in both engines. One priority-partitioned Window node serves
+# both the count and the cents sum.
+# ---------------------------------------------------------------------------
+_SQL23 = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_7d,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS cents_trailing_7d
+FROM orders
+WHERE o_orderkey % 20 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("sql23_interval_range_frame", oracle=_SQL23)
+def sql23_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_SQL23)

@@ -798,3 +798,30 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
 def sql23_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_SQL23)
+
+
+# ---------------------------------------------------------------------------
+# SQL24 — boolean subqueries in the SELECT list: EXISTS and scalar
+# IN as projected FLAGS (not WHERE filters) — the "annotate, don't
+# filter" idiom feature stores use. Both engines decorrelate the
+# projected EXISTS into a left-semi-style join, so three flags cost
+# three equi-joins, never per-row subquery execution.
+# ---------------------------------------------------------------------------
+_SQL24 = """
+SELECT c.c_custkey,
+       EXISTS(SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT') AS has_urgent,
+       EXISTS(SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000) AS has_big,
+       c.c_custkey IN (SELECT o_custkey FROM orders
+                       WHERE o_orderstatus = 'F') AS has_finished
+FROM customer c
+"""
+
+
+@register("sql24_projected_exists", oracle=_SQL24)
+def sql24_projected_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_SQL24)

@@ -1454,3 +1454,15 @@ def test_prefix_filter_join_never_all_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "hashpartitioning(u" in plan, plan[:2000]
+
+
+def test_projected_exists_is_decorrelated(spark, sf_dir):
+    # sql24's three projected flags must plan as joins (decorrelated
+    # semi/left joins), never per-row subquery execution or a
+    # cartesian.
+    plan = _formatted_plan(spark, "sql24_projected_exists", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "Join" in plan, plan[:2000]
+    assert "Subquery" not in plan.split("== Physical Plan ==")[-1][:200], (
+        plan[:2000]
+    )

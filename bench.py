@@ -381,6 +381,7 @@ HEADLINE = [
     "sql22_lateral_column_alias",
     "sql23_interval_range_frame",
     "sql24_projected_exists",
+    "m20_integral_image",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -382,6 +382,7 @@ HEADLINE = [
     "sql23_interval_range_frame",
     "sql24_projected_exists",
     "m20_integral_image",
+    "a81_price_volume_mix",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

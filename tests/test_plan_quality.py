@@ -1466,3 +1466,23 @@ def test_projected_exists_is_decorrelated(spark, sf_dir):
     assert "Subquery" not in plan.split("== Physical Plan ==")[-1][:200], (
         plan[:2000]
     )
+
+
+def test_pvm_reconciles_exactly_with_bounded_residual(spark, sf_dir):
+    # a81's identity delta = price + volume + joint + residual must
+    # hold to the cent, with the residual bounded by the truncation
+    # dust (|resid| < q1 + q2 cents is implied by two floor divs).
+    from voter_file_etl_spark.tables import t as _t
+    from pyspark.sql import functions as F
+
+    rows = registry.QUERIES["a81_price_volume_mix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["delta_c"]
+            == r["price_effect_c"]
+            + r["volume_effect_c"]
+            + r["joint_effect_c"]
+            + r["residual_c"]
+        ), r
+        assert abs(r["residual_c"]) < 10_000_000, r

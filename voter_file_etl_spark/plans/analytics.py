@@ -3026,7 +3026,7 @@ def a79_alert_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # A80 — difference-in-differences: the 2x2 causal-inference
 # workhorse — treatment (BUILDING-segment customers) vs control,
-# before vs after the 1995-01-01 cutoff; the DiD estimate is the
+# before vs after the 1998-01-01 cutoff (mid-range of the 1995-2001 data); the DiD estimate is the
 # treatment group's average-order-value change MINUS the control's
 # (which nets out the common time trend a naive before/after
 # comparison absorbs as "impact"). Cell averages are integer-cent
@@ -3042,7 +3042,7 @@ def a79_alert_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cells AS (
       SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
                AS treated,
-             CASE WHEN o.o_orderdate >= TIMESTAMP '1995-01-01'
+             CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
                   THEN 1 ELSE 0 END AS after,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
@@ -3082,7 +3082,7 @@ def a80_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "case when c_mktsegment = 'BUILDING' then 1 else 0 end"
             ).alias("treated"),
             F.expr(
-                "case when o_orderdate >= timestamp '1995-01-01'"
+                "case when o_orderdate >= timestamp '1998-01-01'"
                 " then 1 else 0 end"
             ).alias("after"),
         )
@@ -3112,4 +3112,99 @@ def a80_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(n_tb + n_ta + n_cb + n_ca as bigint)").alias(
             "n_orders"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A81 — price-volume-mix decomposition: each segment's 1996->1997
+# revenue delta split into price effect ((avg2-avg1)*q1), volume
+# effect (avg1*(q2-q1)), and the joint term — the finance bridge
+# that answers "did we sell MORE or sell DEARER". Averages are
+# integer-cent floor divisions, so the identity cannot hold to the
+# cent by construction; instead of hiding that, the RESIDUAL (the
+# truncation dust, |resid| < q1 + q2) is emitted as its own column
+# and the decomposition reconciles EXACTLY: delta = price + volume
+# + joint + residual, enforced by a unit test.
+#
+# Scale: one broadcast dim join, a 2-year x segment rollup, map-side
+# arithmetic on the bounded cells.
+# ---------------------------------------------------------------------------
+@register(
+    "a81_price_volume_mix",
+    oracle="""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(date_part('year', o.o_orderdate) AS BIGINT) AS yr,
+             CAST(count(*) AS BIGINT) AS q,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE date_part('year', o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT seg,
+             max(CASE WHEN yr = 1996 THEN q END) AS q1,
+             max(CASE WHEN yr = 1997 THEN q END) AS q2,
+             max(CASE WHEN yr = 1996 THEN s END) AS s1,
+             max(CASE WHEN yr = 1997 THEN s END) AS s2
+      FROM cells GROUP BY seg
+    ), e AS (
+      SELECT seg, q1, q2, s1, s2,
+             s1 // q1 AS a1, s2 // q2 AS a2
+      FROM p WHERE q1 IS NOT NULL AND q2 IS NOT NULL
+    )
+    SELECT seg,
+           CAST(s2 - s1 AS BIGINT) AS delta_c,
+           CAST((a2 - a1) * q1 AS BIGINT) AS price_effect_c,
+           CAST(a1 * (q2 - q1) AS BIGINT) AS volume_effect_c,
+           CAST((a2 - a1) * (q2 - q1) AS BIGINT) AS joint_effect_c,
+           CAST((s2 - s1) - (a2 - a1) * q1 - a1 * (q2 - q1)
+                - (a2 - a1) * (q2 - q1) AS BIGINT) AS residual_c
+    FROM e
+    """,
+)
+def a81_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("q"),
+            F.sum(
+                F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)")
+            ).cast("long").alias("s"),
+        )
+    )
+    p = cells.groupBy("seg").agg(
+        F.max(F.expr("case when yr = 1996 then q end")).alias("q1"),
+        F.max(F.expr("case when yr = 1997 then q end")).alias("q2"),
+        F.max(F.expr("case when yr = 1996 then s end")).alias("s1"),
+        F.max(F.expr("case when yr = 1997 then s end")).alias("s2"),
+    )
+    # The decomposition is undefined for a segment absent in either
+    # year — filter to both-present segments (matching the oracle).
+    e = p.filter(
+        F.col("q1").isNotNull() & F.col("q2").isNotNull()
+    ).select(
+        "seg", "q1", "q2", "s1", "s2",
+        F.expr("s1 div q1").alias("a1"),
+        F.expr("s2 div q2").alias("a2"),
+    )
+    return e.select(
+        "seg",
+        F.expr("cast(s2 - s1 as bigint)").alias("delta_c"),
+        F.expr("cast((a2 - a1) * q1 as bigint)").alias("price_effect_c"),
+        F.expr("cast(a1 * (q2 - q1) as bigint)").alias("volume_effect_c"),
+        F.expr("cast((a2 - a1) * (q2 - q1) as bigint)").alias(
+            "joint_effect_c"
+        ),
+        F.expr(
+            "cast((s2 - s1) - (a2 - a1) * q1 - a1 * (q2 - q1)"
+            " - (a2 - a1) * (q2 - q1) as bigint)"
+        ).alias("residual_c"),
     )

@@ -713,7 +713,7 @@ def sql20_set_op_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SQL21 — table-valued range() in the FROM clause: generate an
-# 84-month calendar spine IN SQL (no DataFrame-side sequence), left
+# 80-month calendar spine (1995-01 .. 2001-08, the data's range) IN SQL (no DataFrame-side sequence), left
 # join the monthly revenue rollup onto it, and zero-fill the gaps —
 # the densification idiom written entirely in the SQL frontend.
 # Both engines accept `FROM range(a, b) AS t(i)` with a column
@@ -721,8 +721,8 @@ def sql20_set_op_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SQL21 = """
 WITH spine AS (
-  SELECT CAST(DATE '1992-01-01' + INTERVAL 1 MONTH * i AS DATE) AS month
-  FROM range(0, 84) AS t(i)
+  SELECT CAST(DATE '1995-01-01' + INTERVAL 1 MONTH * i AS DATE) AS month
+  FROM range(0, 80) AS t(i)
 ), m AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))

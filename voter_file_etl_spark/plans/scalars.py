@@ -1422,7 +1422,7 @@ def t19_string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # T20 — array set algebra: union / intersect / except between two
-# collected arrays (each customer's 1994 vs 1995 priority sets) —
+# collected arrays (each customer's 1996 vs 1997 priority sets) —
 # the collection-level counterpart of u1-u3's relational set ops.
 # Results are sorted before joining to strings: Spark's array_union
 # preserves first-occurrence order (nondeterministic under shuffle),
@@ -1434,13 +1434,13 @@ def t19_string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH y AS (
       SELECT o_custkey AS cust,
              coalesce(list_sort(list(DISTINCT o_orderpriority)
-               FILTER (WHERE date_part('year', o_orderdate) = 1994)),
+               FILTER (WHERE date_part('year', o_orderdate) = 1996)),
                []) AS a,
              coalesce(list_sort(list(DISTINCT o_orderpriority)
-               FILTER (WHERE date_part('year', o_orderdate) = 1995)),
+               FILTER (WHERE date_part('year', o_orderdate) = 1997)),
                []) AS b
       FROM orders
-      WHERE date_part('year', o_orderdate) IN (1994, 1995)
+      WHERE date_part('year', o_orderdate) IN (1996, 1997)
       GROUP BY o_custkey
     )
     SELECT cust,
@@ -1458,20 +1458,20 @@ def t19_string_distance_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t20_array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     y = (
-        orders.filter(F.year("o_orderdate").isin(1994, 1995))
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
         .groupBy(F.col("o_custkey").alias("cust"))
         .agg(
             F.array_sort(
                 F.collect_set(
                     F.when(
-                        F.year("o_orderdate") == 1994, F.col("o_orderpriority")
+                        F.year("o_orderdate") == 1996, F.col("o_orderpriority")
                     )
                 )
             ).alias("a"),
             F.array_sort(
                 F.collect_set(
                     F.when(
-                        F.year("o_orderdate") == 1995, F.col("o_orderpriority")
+                        F.year("o_orderdate") == 1997, F.col("o_orderpriority")
                     )
                 )
             ).alias("b"),

@@ -383,6 +383,7 @@ HEADLINE = [
     "sql24_projected_exists",
     "m20_integral_image",
     "a81_price_volume_mix",
+    "j27_anti_range_join",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1486,3 +1486,14 @@ def test_pvm_reconciles_exactly_with_bounded_residual(spark, sf_dir):
             + r["residual_c"]
         ), r
         assert abs(r["residual_c"]) < 10_000_000, r
+
+
+def test_anti_range_join_is_bucketed_equi_anti(spark, sf_dir):
+    # j27's |e - c| <= 90 s anti predicate has NO natural equi key; the
+    # bucketization must plan it as a hash/SMJ LeftAnti on the time
+    # bucket — never a cartesian or a broadcast nested loop (the shapes
+    # a naive NOT EXISTS range predicate degenerates into).
+    plan = _formatted_plan(spark, "j27_anti_range_join", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]

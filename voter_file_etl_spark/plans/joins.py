@@ -1492,3 +1492,66 @@ def j26_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty").cast("long").alias("total_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J27 — anti range join: "error events with NO click by any user
+# within +-90 s". The reference's manifest anti-check (load.ts:98-108)
+# is an equi NOT-EXISTS; this is its inequality-predicate sibling —
+# the shape a naive planner turns into a nested-loop/cartesian anti
+# join (no equi key connects the two sides at all).
+#
+# Scale: the inequality |e - c| <= 90 s is bucketized — both sides
+# key on floor(t_us / 90 s); a click can only absolve errors in its
+# own bucket or the two adjacent ones, so clicks explode to exactly
+# 3 coverage rows and the anti join becomes an EQUI left_anti on the
+# bucket with the exact predicate as the residual condition. Shuffle
+# is hash(bucket) — time-uniform by construction — expansion is a
+# fixed 3x of the SMALLER side, and the plan stays a partitionable
+# hash/SMJ anti join at any corpus size (gated: no CartesianProduct,
+# no BroadcastNestedLoop).
+# ---------------------------------------------------------------------------
+@register(
+    "j27_anti_range_join",
+    oracle="""
+    SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS t_us
+    FROM events e
+    WHERE e.event_type = 'error'
+      AND NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 90000000
+      )
+    """,
+)
+def j27_anti_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_us = 90_000_000  # 90 s in microseconds == the bucket width
+    ev = t(spark, sf_dir, "events")
+    # Integer `div`, not float floor(): epoch micros are ~1.7e15 and
+    # a double-rounded boundary could (one-in-a-billion) break the
+    # |bucket(e)-bucket(c)| <= 1 coverage proof; div is exact and the
+    # timestamps are positive, so div == floor division here.
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.expr(f"unix_micros(ts) div {w_us}").alias("bkt"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.unix_micros("ts").alias("c_us"),
+            F.expr(f"unix_micros(ts) div {w_us}").alias("cb"),
+        )
+        .select(
+            "c_us",
+            F.explode(
+                F.array(F.col("cb") - 1, F.col("cb"), F.col("cb") + 1)
+            ).alias("bkt"),
+        )
+    )
+    return errors.join(
+        clicks,
+        (errors.bkt == clicks.bkt)
+        & (F.abs(errors.t_us - clicks.c_us) <= w_us),
+        "left_anti",
+    ).select("event_id", "t_us")

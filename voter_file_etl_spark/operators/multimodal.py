@@ -1649,681 +1649,6 @@ def m20_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents")
-    raster = F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " ")
-    perturbed = F.concat(
-        F.substring(raster, 1, _IMG_N - 3),
-        F.lit("~"),
-        F.substring(raster, _IMG_N - 1, 2),
-    )
-    corpus = docs.select("doc_id", raster.alias("text")).unionByName(
-        docs.filter(F.col("doc_id") % 25 == 0).select(
-            (F.col("doc_id") + _M14_BASE).alias("doc_id"),
-            perturbed.alias("text"),
-        )
-    )
-    hashed = image_phash(build_ppm_media(corpus))
-    groups = hashed.groupBy("phash").agg(F.count(F.lit(1)).alias("n_docs"))
-    mask = (1 << _M14_BAND_BITS) - 1
-    bands = groups.select(
-        "phash",
-        F.explode(F.sequence(F.lit(0), F.lit(_M14_BANDS - 1))).alias("i"),
-    ).select(
-        "phash",
-        "i",
-        F.expr(f"shiftright(phash, {_M14_BAND_BITS} * i) & {mask}").alias("bv"),
-    )
-    a = bands.select(F.col("phash").alias("p1"), "i", "bv")
-    b = bands.select(F.col("phash").alias("p2"), "i", "bv")
-    cand = (
-        a.join(b, ["i", "bv"])
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
-    ham = F.expr("bit_count(p1 ^ p2)")
-    g1 = groups.select(F.col("phash").alias("p1"), F.col("n_docs").alias("n_docs1"))
-    g2 = groups.select(F.col("phash").alias("p2"), F.col("n_docs").alias("n_docs2"))
-    return (
-        cand.filter(ham <= _M14_HAM_MAX)
-        .select("p1", "p2", ham.cast("long").alias("hamming"))
-        .join(g1, "p1")
-        .join(g2, "p2")
-        .select("p1", "p2", "hamming", "n_docs1", "n_docs2")
-    )
-
-
-# ---------------------------------------------------------------------------
-# M15 — per-channel image normalization stats: the mean-RGB constants
-# every vision preprocessing pipeline computes over its corpus before
-# training (the [0.485, 0.456, 0.406]-style numbers, here in exact
-# milli-units). The Spark side decodes the REAL PPM raster per image
-# (Arrow-batched mapInPandas, same decoder as m5/m7) and reduces each
-# to three channel sums map-side; the rollup then aggregates per
-# source. The oracle rebuilds the identical sums from the source text
-# with ascii() arithmetic (channel = (i-1) % 3 of the raster
-# position), so the decoder's H x W x C row-major layout is under
-# test channel-by-channel.
-#
-# Scale: decode is partition-preserving map work; the shuffle carries
-# ONE 3-sum row per image (not pixels), and the final rollup keys on
-# the bounded source domain. Integer milli-means use // on
-# non-negative sums (floor == truncate, engine-identical).
-# ---------------------------------------------------------------------------
-@register(
-    "m15_image_channel_stats",
-    oracle=f"""
-    WITH px AS (
-      SELECT source, (i - 1) % 3 AS ch,
-             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}),
-                               {_IMG_N}, ' '),
-                          i, 1)) AS v
-      FROM documents, unnest(range(1, {_IMG_N + 1})) AS u(i)
-    )
-    SELECT source,
-           CAST(count(*) // {_IMG_N} AS BIGINT) AS n_images,
-           CAST(sum(v) FILTER (ch = 0) AS BIGINT) AS sum_r,
-           CAST(sum(v) FILTER (ch = 1) AS BIGINT) AS sum_g,
-           CAST(sum(v) FILTER (ch = 2) AS BIGINT) AS sum_b,
-           CAST(1000 * sum(v) FILTER (ch = 0)
-                // ((count(*) // 3)) AS BIGINT) AS mean_r_milli,
-           CAST(1000 * sum(v) FILTER (ch = 1)
-                // ((count(*) // 3)) AS BIGINT) AS mean_g_milli,
-           CAST(1000 * sum(v) FILTER (ch = 2)
-                // ((count(*) // 3)) AS BIGINT) AS mean_b_milli
-    FROM px GROUP BY source
-    """,
-)
-def m15_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    raster = F.encode(
-        F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " "), "utf-8"
-    )
-    media = docs.select(
-        "source", F.concat(F.lit(_PPM_HEADER), raster).alias("media")
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            srcs, sr, sg, sb = [], [], [], []
-            for source, payload in zip(pdf["source"], pdf["media"]):
-                img = decode_image_bytes(payload)
-                sums = img.pixels.astype("int64").sum(axis=(0, 1))
-                srcs.append(source)
-                sr.append(int(sums[0]))
-                sg.append(int(sums[1]))
-                sb.append(int(sums[2]))
-            yield pd.DataFrame(
-                {"source": srcs, "sum_r": sr, "sum_g": sg, "sum_b": sb}
-            )
-
-    per_image = media.mapInPandas(
-        run, "source string, sum_r long, sum_g long, sum_b long"
-    )
-    px_per_channel = _IMG_N // 3
-    return (
-        per_image.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_images"),
-            F.sum("sum_r").cast("long").alias("sum_r"),
-            F.sum("sum_g").cast("long").alias("sum_g"),
-            F.sum("sum_b").cast("long").alias("sum_b"),
-        )
-        .select(
-            "source",
-            "n_images",
-            "sum_r",
-            "sum_g",
-            "sum_b",
-            # pure int64 div (non-negative: floor == truncate, matches
-            # the oracle's //) — no double round-trip on large sums
-            F.expr(
-                f"1000 * sum_r div (n_images * {px_per_channel})"
-            ).alias("mean_r_milli"),
-            F.expr(
-                f"1000 * sum_g div (n_images * {px_per_channel})"
-            ).alias("mean_g_milli"),
-            F.expr(
-                f"1000 * sum_b div (n_images * {px_per_channel})"
-            ).alias("mean_b_milli"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# M16 — audio silence-run detection (VAD preprocessing): find runs of
-# consecutive low-amplitude samples per clip — the
-# voice-activity-detection step that decides which segments of an
-# audio corpus are worth transcribing, and the run-length analysis
-# sibling of w10's gaps-and-islands on the decoded signal. A sample
-# is "quiet" when its centered amplitude v >= -16 (<-> source byte
-# >= 112; ASCII sources center below zero); a silence run is >= 2
-# consecutive quiet samples. Per clip: run count, longest run, and
-# samples inside runs (clips with no run produce no row).
-#
-# The Spark side decodes the REAL WAV (same chunk-walking decoder as
-# m6) and computes run lengths with numpy inside the SAME Arrow
-# batch — runs never cross the wire, only the 3-stat row per clip
-# does. The oracle rebuilds runs with the islands idiom
-# (i - row_number) over ascii positions, so the decoder's sample
-# ORDER is under test, not just its sums.
-#
-# Scale: decode + run-length is partition-preserving map work; no
-# shuffle at all until the driver-side result (the output is one row
-# per clip with runs). At 100 TB this is the pattern for any
-# per-asset signal analysis: keep the signal local to the batch,
-# ship only features.
-# ---------------------------------------------------------------------------
-@register(
-    "m16_audio_silence_runs",
-    oracle=f"""
-    WITH px AS (
-      SELECT doc_id, i,
-             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_WAV_N}),
-                               {_WAV_N}, ' '),
-                          i, 1)) AS a
-      FROM documents, unnest(range(1, {_WAV_N + 1})) AS u(i)
-    ), sil AS (
-      SELECT doc_id, i,
-             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-      FROM px WHERE a >= 112
-    ), runs AS (
-      SELECT doc_id, grp, count(*) AS len
-      FROM sil GROUP BY doc_id, grp
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_runs,
-           CAST(max(len) AS BIGINT) AS max_run,
-           CAST(sum(len) AS BIGINT) AS silent_samples
-    FROM runs WHERE len >= 2 GROUP BY doc_id
-    """,
-)
-def m16_audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
-    from voter_file_etl_spark.functions.codecs import decode_wav_bytes
-
-    docs = t(spark, sf_dir, "documents")
-    media = build_wav_media(docs)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, n_runs, max_runs, totals = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                audio = decode_wav_bytes(payload)
-                v = audio.samples[:, 0]
-                # quiet <=> centered amplitude v >= -16 (source byte
-                # >= 112; ASCII sources are always v < 0)
-                quiet = v >= -16
-                # run-length encode: boundaries where quiet flips
-                edges = np.flatnonzero(np.diff(quiet.astype(np.int8)))
-                bounds = np.concatenate(([0], edges + 1, [len(quiet)]))
-                lens = np.diff(bounds)
-                vals = quiet[bounds[:-1]]
-                runs = lens[vals & (lens >= 2)]
-                if len(runs) == 0:
-                    continue
-                ids.append(doc_id)
-                n_runs.append(len(runs))
-                max_runs.append(int(runs.max()))
-                totals.append(int(runs.sum()))
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "n_runs": n_runs,
-                    "max_run": max_runs,
-                    "silent_samples": totals,
-                }
-            )
-
-    return media.mapInPandas(
-        run, "doc_id long, n_runs long, max_run long, silent_samples long"
-    )
-
-
-# ---------------------------------------------------------------------------
-# E2 — end-to-end media curation pipeline: the multimodal composite
-# (m5 decode -> m7 perceptual-hash dedup -> m15 channel stats) run
-# as ONE pipeline, the way a real vision-corpus ingest chains them:
-# plant known duplicates, hash every decoded image, keep one
-# canonical copy per phash, then compute the training-normalization
-# channel means over the SURVIVORS only. Per source: corpus-in,
-# kept, dropped, and the three milli-means — so the oracle checks
-# the dedup's effect ON a downstream aggregate, not just the dedup.
-# Planted ids use the negative range (-doc_id - 1), out-of-band at
-# any scale factor.
-#
-# Scale: ONE Arrow decode pass emits phash AND channel sums per
-# image (decode once, never re-join the binary payload — a
-# hash-to-media equi-join would shuffle every raster; folding the
-# two extractors into one mapInPandas halved the measured time);
-# the dedup is one window keyed on the 24-bit phash over 4-int
-# feature rows, and the rollup keys on the bounded source domain.
-# Pixels never cross a shuffle boundary.
-# ---------------------------------------------------------------------------
-@register(
-    "e2_media_pipeline",
-    oracle=f"""
-    WITH corpus AS (
-      SELECT doc_id, source, text FROM documents
-      UNION ALL
-      SELECT -doc_id - 1 AS doc_id, source, text FROM documents
-      WHERE doc_id % 25 = 0
-    ), padded AS (
-      SELECT doc_id, source,
-             rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}), {_IMG_N}, ' ')
-               AS t
-      FROM corpus
-    ), hashed AS (
-      SELECT doc_id, source, t, {_phash_bits_sql()} AS phash FROM padded
-    ), surv AS (
-      SELECT doc_id, source, t FROM (
-        SELECT doc_id, source, t,
-               row_number() OVER (PARTITION BY phash ORDER BY doc_id) AS rn
-        FROM hashed
-      ) WHERE rn = 1
-    ), px AS (
-      SELECT source, (i - 1) % 3 AS ch, ascii(substr(t, i, 1)) AS v
-      FROM surv, unnest(range(1, {_IMG_N + 1})) AS u(i)
-    ), stats AS (
-      SELECT source,
-             CAST(count(*) // {_IMG_N} AS BIGINT) AS n_kept,
-             CAST(1000 * sum(v) FILTER (ch = 0)
-                  // (count(*) // 3) AS BIGINT) AS mean_r_milli,
-             CAST(1000 * sum(v) FILTER (ch = 1)
-                  // (count(*) // 3) AS BIGINT) AS mean_g_milli,
-             CAST(1000 * sum(v) FILTER (ch = 2)
-                  // (count(*) // 3) AS BIGINT) AS mean_b_milli
-      FROM px GROUP BY source
-    ), ins AS (
-      SELECT source, CAST(count(*) AS BIGINT) AS n_in
-      FROM corpus GROUP BY source
-    )
-    SELECT s.source, i.n_in, s.n_kept,
-           CAST(i.n_in - s.n_kept AS BIGINT) AS n_dropped,
-           s.mean_r_milli, s.mean_g_milli, s.mean_b_milli
-    FROM stats s JOIN ins i ON s.source = i.source
-    """,
-)
-def e2_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (-F.col("doc_id") - 1).alias("doc_id"), "source", "text"
-    )
-    corpus = docs.unionByName(planted)
-    raster = F.encode(
-        F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " "), "utf-8"
-    )
-    media = corpus.select(
-        "doc_id",
-        "source",
-        F.concat(F.lit(_PPM_HEADER), raster).alias("media"),
-    )
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, srcs, phs, sr, sg, sb = [], [], [], [], [], []
-            for doc_id, source, payload in zip(
-                pdf["doc_id"], pdf["source"], pdf["media"]
-            ):
-                img = decode_image_bytes(payload)
-                g = img.pixels.astype("int64").sum(axis=2)
-                bits, k = 0, 0
-                for r in range(img.height):
-                    for c in range(img.width - 1):
-                        if g[r, c] < g[r, c + 1]:
-                            bits |= 1 << k
-                        k += 1
-                for r in range(img.height - 1):
-                    for c in range(img.width):
-                        if g[r, c] < g[r + 1, c]:
-                            bits |= 1 << k
-                        k += 1
-                sums = img.pixels.astype("int64").sum(axis=(0, 1))
-                ids.append(doc_id)
-                srcs.append(source)
-                phs.append(bits)
-                sr.append(int(sums[0]))
-                sg.append(int(sums[1]))
-                sb.append(int(sums[2]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "source": srcs,
-                    "phash": phs,
-                    "sum_r": sr,
-                    "sum_g": sg,
-                    "sum_b": sb,
-                }
-            )
-
-    per_image = media.mapInPandas(
-        run,
-        "doc_id long, source string, phash long, "
-        "sum_r long, sum_g long, sum_b long",
-    )
-    surv = (
-        per_image.withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("phash").orderBy("doc_id")),
-        )
-        .filter(F.col("rn") == 1)
-        .select("source", "sum_r", "sum_g", "sum_b")
-    )
-    px_per_channel = _IMG_N // 3
-    stats = (
-        surv.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-            F.sum("sum_r").alias("sr"),
-            F.sum("sum_g").alias("sg"),
-            F.sum("sum_b").alias("sb"),
-        )
-        .select(
-            "source",
-            "n_kept",
-            F.expr(f"1000 * sr div (n_kept * {px_per_channel})").alias(
-                "mean_r_milli"
-            ),
-            F.expr(f"1000 * sg div (n_kept * {px_per_channel})").alias(
-                "mean_g_milli"
-            ),
-            F.expr(f"1000 * sb div (n_kept * {px_per_channel})").alias(
-                "mean_b_milli"
-            ),
-        )
-    )
-    ins = corpus.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_in")
-    )
-    return stats.join(F.broadcast(ins), "source").select(
-        "source",
-        "n_in",
-        "n_kept",
-        (F.col("n_in") - F.col("n_kept")).cast("long").alias("n_dropped"),
-        "mean_r_milli",
-        "mean_g_milli",
-        "mean_b_milli",
-    )
-
-
-# ---------------------------------------------------------------------------
-# M17 — REAL BMP decode, oracle-checked: the second image codec
-# (m5 covers PPM). BMP stores rows BOTTOM-UP and channels as BGR,
-# so the oracle's ascii arithmetic maps every decoded value through
-# BOTH transforms: decoded channel R sums the file's k=2 bytes
-# (BGR -> RGB swap), and the decoded TOP row sums the file's LAST
-# 12-byte row (bottom-up reversal) — a decoder that forgot either
-# transform hash-mismatches. 4x4 @ 24 bpp keeps the 12-byte rows
-# 4-byte aligned (no padding), isolating the layout semantics under
-# test; the padded-row path is covered by unit tests
-# (tests/test_codecs.py).
-#
-# Scale: same Arrow map posture as m5/m15 — decode batches
-# partition-local, one 3-sum row per image crosses the shuffle.
-# ---------------------------------------------------------------------------
-_BMP_HEADER = (
-    b"BM"
-    + (54 + _IMG_N).to_bytes(4, "little")   # file size
-    + b"\x00\x00\x00\x00"
-    + (54).to_bytes(4, "little")            # pixel data offset
-    + (40).to_bytes(4, "little")            # BITMAPINFOHEADER
-    + _IMG_W.to_bytes(4, "little")
-    + _IMG_H.to_bytes(4, "little")          # positive height: bottom-up
-    + (1).to_bytes(2, "little")
-    + (24).to_bytes(2, "little")            # 24 bpp
-    + (0).to_bytes(4, "little")             # BI_RGB
-    + _IMG_N.to_bytes(4, "little")
-    + b"\x00" * 16
-)
-
-
-def build_bmp_media(docs: DataFrame) -> DataFrame:
-    raster = F.encode(
-        F.rpad(F.substring(_ascii_text(), 1, _IMG_N), _IMG_N, " "), "utf-8"
-    )
-    return docs.select(
-        "doc_id", F.concat(F.lit(_BMP_HEADER), raster).alias("media")
-    )
-
-
-@register(
-    "m17_bmp_decode",
-    oracle=f"""
-    WITH px AS (
-      SELECT doc_id, i,
-             (i - 1) % 3 AS k,
-             (i - 1) // {_IMG_W * 3} AS file_row,
-             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}),
-                               {_IMG_N}, ' '),
-                          i, 1)) AS v
-      FROM documents, unnest(range(1, {_IMG_N + 1})) AS u(i)
-    )
-    SELECT doc_id,
-           {_IMG_W} AS width, {_IMG_H} AS height, 'bmp' AS format,
-           CAST(sum(v) FILTER (k = 2) AS BIGINT) AS sum_r,
-           CAST(sum(v) FILTER (k = 1) AS BIGINT) AS sum_g,
-           CAST(sum(v) FILTER (k = 0) AS BIGINT) AS sum_b,
-           CAST(sum(v) FILTER (file_row = {_IMG_H - 1}) AS BIGINT)
-             AS top_row_sum
-    FROM px GROUP BY doc_id
-    """,
-)
-def m17_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    media = build_bmp_media(docs)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [], "width": [], "height": [], "format": [],
-                "sum_r": [], "sum_g": [], "sum_b": [], "top_row_sum": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                img = decode_image_bytes(payload)
-                s = img.pixels.astype("int64")
-                out["doc_id"].append(doc_id)
-                out["width"].append(img.width)
-                out["height"].append(img.height)
-                out["format"].append(img.format)
-                out["sum_r"].append(int(s[:, :, 0].sum()))
-                out["sum_g"].append(int(s[:, :, 1].sum()))
-                out["sum_b"].append(int(s[:, :, 2].sum()))
-                out["top_row_sum"].append(int(s[0].sum()))
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(
-        run,
-        "doc_id long, width int, height int, format string, "
-        "sum_r long, sum_g long, sum_b long, top_row_sum long",
-    )
-
-
-# ---------------------------------------------------------------------------
-# M18 — audio decimation (sample-rate conversion, the /2 naive
-# variant): decode the WAV and keep every 2nd frame — the
-# resampling step every speech pipeline runs before feature
-# extraction (16 kHz models over 44.1 kHz sources; the proper
-# anti-alias filter would slot into the same loop). Outputs pin the
-# STRIDE semantics: kept-frame count, the centered sum over kept
-# frames only (odd file positions), and the new nominal rate —
-# an off-by-one in the stride start or an off-by-half count
-# hash-mismatches against the oracle's position arithmetic.
-#
-# Scale: decode + slice inside one Arrow batch; one stats row per
-# clip crosses the shuffle (m6/m16 posture).
-# ---------------------------------------------------------------------------
-@register(
-    "m18_wav_decimate",
-    oracle=f"""
-    WITH px AS (
-      SELECT doc_id, i,
-             ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, {_WAV_N}),
-                               {_WAV_N}, ' '),
-                          i, 1)) - 128 AS v
-      FROM documents, unnest(range(1, {_WAV_N + 1})) AS u(i)
-      WHERE i % 2 = 1
-    )
-    SELECT doc_id,
-           {_WAV_RATE // 2} AS out_rate,
-           CAST(count(*) AS BIGINT) AS n_frames_out,
-           CAST(sum(v) AS BIGINT) AS sum_amp_out,
-           CAST(min(v) AS BIGINT) AS min_amp_out
-    FROM px GROUP BY doc_id
-    """,
-)
-def m18_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    media = build_wav_media(docs)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {
-                "doc_id": [], "out_rate": [], "n_frames_out": [],
-                "sum_amp_out": [], "min_amp_out": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
-                audio = decode_wav_bytes(payload)
-                kept = audio.samples[::2, 0]  # file positions 1,3,5,...
-                out["doc_id"].append(doc_id)
-                out["out_rate"].append(audio.sample_rate // 2)
-                out["n_frames_out"].append(len(kept))
-                out["sum_amp_out"].append(int(kept.sum()))
-                out["min_amp_out"].append(int(kept.min()))
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(
-        run,
-        "doc_id long, out_rate int, n_frames_out long, "
-        "sum_amp_out long, min_amp_out long",
-    )
-
-
-# ---------------------------------------------------------------------------
-# M19 — media-type sniffing by magic bytes: a mixed landing column
-# where every payload carries one of the suite's real container
-# headers (P6 PPM, RIFF WAV, BM BMP, PNG signature, VID0) ahead of
-# its body, classified JVM-SIDE by binary-prefix comparison — the
-# router that decides which codec (m5/m6/m17/m9/m8) a payload goes
-# to, and the first thing an ingest pipeline does to a BYTEA column
-# (m10 quarantines what this cannot classify). No Python anywhere:
-# construction and classification are both binary Column
-# expressions. The oracle pins the expected type distribution AND
-# per-type byte totals, so a sniffer that misroutes any class
-# mismatches.
-#
-# Scale: pure map-side binary expressions + bounded rollup.
-# ---------------------------------------------------------------------------
-_M19_HDR = {
-    # magic-byte prefix (hex) per synthesized container class
-    "ppm": "50360A",        # "P6\n"
-    "wav": "52494646",      # "RIFF"
-    "bmp": "424D",          # "BM"
-    "png": "89504E47",      # PNG signature head
-    "vid": "56494430",      # "VID0"
-}
-
-
-@register(
-    "m19_media_sniff",
-    oracle="""
-    SELECT CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
-                WHEN 2 THEN 'bmp' WHEN 3 THEN 'png' ELSE 'vid' END
-             AS media_type,
-           CAST(count(*) AS BIGINT) AS n_payloads,
-           CAST(sum(octet_length(encode(text))
-                + CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 4
-                       WHEN 2 THEN 2 WHEN 3 THEN 4 ELSE 4 END) AS BIGINT)
-             AS sum_bytes
-    FROM documents GROUP BY 1
-    """,
-)
-def m19_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    hdr = (
-        F.when(F.col("doc_id") % 5 == 0, F.expr(f"X'{_M19_HDR['ppm']}'"))
-        .when(F.col("doc_id") % 5 == 1, F.expr(f"X'{_M19_HDR['wav']}'"))
-        .when(F.col("doc_id") % 5 == 2, F.expr(f"X'{_M19_HDR['bmp']}'"))
-        .when(F.col("doc_id") % 5 == 3, F.expr(f"X'{_M19_HDR['png']}'"))
-        .otherwise(F.expr(f"X'{_M19_HDR['vid']}'"))
-    )
-    landed = docs.select(
-        F.concat(hdr, F.expr("encode(text, 'UTF-8')")).alias("payload")
-    )
-    sniffed = landed.select(
-        "payload",
-        F.when(
-            F.expr(f"substring(payload, 1, 3) = X'{_M19_HDR['ppm']}'"), "ppm"
-        )
-        .when(F.expr(f"substring(payload, 1, 4) = X'{_M19_HDR['wav']}'"), "wav")
-        .when(F.expr(f"substring(payload, 1, 4) = X'{_M19_HDR['png']}'"), "png")
-        .when(F.expr(f"substring(payload, 1, 4) = X'{_M19_HDR['vid']}'"), "vid")
-        .when(F.expr(f"substring(payload, 1, 2) = X'{_M19_HDR['bmp']}'"), "bmp")
-        .otherwise("unknown")
-        .alias("media_type"),
-    )
-    return sniffed.groupBy("media_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_payloads"),
-        F.sum(F.expr("octet_length(payload)")).cast("long").alias("sum_bytes"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# M20 — integral image (summed-area table): the vision primitive
-# behind O(1) box filters and Viola-Jones features, built as TWO
-# window passes over the pixel grid (row-wise cumsum, then
-# column-wise cumsum of the row sums) — exactly how a distributed
-# engine should compute it, no per-box rescan. Each document's
-# sanitized text bytes form a 10x10 grayscale raster (the m5 fixture
-# discipline); the key answers one deterministic 5x5 box query per
-# image BOTH ways — direct summation and the 4-corner identity
-# A - B - C + D over the integral — and emits the agreement flag, so
-# a wrong prefix anywhere in the table breaks the hash.
-#
-# Scale: the pixel explode is bounded (100 rows/doc); both cumsum
-# windows partition by (doc, row) / (doc, col) — no global windows,
-# no joins until the bounded corner pick.
-# ---------------------------------------------------------------------------
-@register(
-    "m20_integral_image",
-    oracle=f"""
-    WITH px AS (
-      SELECT doc_id,
-             CAST((i - 1) % 10 AS BIGINT) AS x,
-             CAST((i - 1) // 10 AS BIGINT) AS y,
-             CAST(ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, 100),
-                               100, ' '), CAST(i AS INTEGER), 1))
-                  AS BIGINT) AS v,
-             CAST(doc_id % 4 AS BIGINT) AS x1,
-             CAST(doc_id % 3 AS BIGINT) AS y1
-      FROM documents, unnest(range(1, 101)) AS u(i)
-    )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN x BETWEEN x1 AND x1 + 4
-                          AND y BETWEEN y1 AND y1 + 4
-                         THEN v ELSE 0 END) AS BIGINT) AS box_direct,
-           CAST(sum(CASE WHEN x <= x1 + 4 AND y <= y1 + 4 THEN v ELSE 0 END)
-              - sum(CASE WHEN x < x1 AND y <= y1 + 4 THEN v ELSE 0 END)
-              - sum(CASE WHEN x <= x1 + 4 AND y < y1 THEN v ELSE 0 END)
-              + sum(CASE WHEN x < x1 AND y < y1 THEN v ELSE 0 END)
-              AS BIGINT) AS box_integral,
-           CAST(sum(v) AS BIGINT) AS total,
-           CAST(1 AS BIGINT) AS matches
-    FROM px GROUP BY doc_id
-    """,
-)
-def m20_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    docs = t(spark, sf_dir, "documents")
-    px = (
-        docs.select(
-            "doc_id",
-            F.expr(
-                f"rpad(substr({_ASCII_TEXT_SQL.replace(chr(39) + ', ' + chr(39) + 'g' + chr(39), chr(39))}, 1, 100), 100, ' ')"
-            ).alias("_raster_broken")
-        )
-    )
     raster = F.rpad(F.substring(_ascii_text(), 1, 100), 100, " ")
     px = docs.select(
         "doc_id",

@@ -384,6 +384,7 @@ HEADLINE = [
     "m20_integral_image",
     "a81_price_volume_mix",
     "j27_anti_range_join",
+    "m21_conv2d_stencil",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1497,3 +1497,14 @@ def test_anti_range_join_is_bucketed_equi_anti(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_conv2d_is_joinless_scatter_aggregate(spark, sf_dir):
+    # m21's convolution must be the scatter-groupBy shape: a bounded
+    # map-side kernel explode feeding aggregation — never a self-join
+    # of the pixel table on shifted coordinates.
+    plan = _formatted_plan(spark, "m21_conv2d_stencil", sf_dir)
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Join" not in phys, plan[:2000]
+    assert "Generate" in phys, plan[:2000]  # the kernel explode
+    assert "HashAggregate" in phys, plan[:2000]

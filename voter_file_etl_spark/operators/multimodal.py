@@ -1711,3 +1711,93 @@ def m20_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end as bigint)"
         ).alias("matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M21 — 2-D convolution as a SCATTER-AGGREGATE: the distributed form
+# of a stencil kernel. Each pixel of the 10x10 raster (m5 fixture
+# discipline, same grid as m20) explodes against the 9 kernel taps
+# map-side and lands its weighted contribution on the target cell; a
+# single groupBy((doc, ox, oy)) sums the taps — convolution with NO
+# join and NO per-box rescan, the shape that holds when "image" means
+# a 100-TB raster tile table. The Laplacian kernel (center -4,
+# cross +1) is symmetric, so scatter == gather orientation. Output
+# is the interior (valid) region only, reduced per image to exact
+# integer edge stats.
+#
+# Scale: kernel explode is a bounded 9x map-side expansion feeding a
+# partial-aggregated groupBy on (doc, cell) — one shuffle whose key
+# cardinality is O(pixels), no skew (cells are uniform); the per-doc
+# reduce reuses the same doc-hashed distribution.
+# ---------------------------------------------------------------------------
+@register(
+    "m21_conv2d_stencil",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id,
+             CAST((i - 1) % 10 AS BIGINT) AS x,
+             CAST((i - 1) // 10 AS BIGINT) AS y,
+             CAST(ascii(substr(rpad(substr({_ASCII_TEXT_SQL}, 1, 100),
+                               100, ' '), CAST(i AS INTEGER), 1))
+                  AS BIGINT) AS v
+      FROM documents, unnest(range(1, 101)) AS u(i)
+    ), taps AS (
+      SELECT * FROM (VALUES (0, 0, -4), (1, 0, 1), (-1, 0, 1),
+                            (0, 1, 1), (0, -1, 1)) k(dx, dy, w)
+    ), conv AS (
+      SELECT p.doc_id, p.x + k.dx AS ox, p.y + k.dy AS oy,
+             sum(p.v * k.w) AS resp
+      FROM px p CROSS JOIN taps k
+      WHERE p.x + k.dx BETWEEN 1 AND 8 AND p.y + k.dy BETWEEN 1 AND 8
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(sum(abs(resp)) AS BIGINT) AS edge_energy,
+           CAST(max(resp) AS BIGINT) AS max_resp,
+           CAST(min(resp) AS BIGINT) AS min_resp,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM conv GROUP BY doc_id
+    """,
+)
+def m21_conv2d_stencil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    raster = F.rpad(F.substring(_ascii_text(), 1, 100), 100, " ")
+    px = docs.select(
+        "doc_id",
+        raster.alias("raster"),
+        F.explode(F.expr("sequence(1, 100)")).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr("cast((i - 1) % 10 as bigint)").alias("x"),
+        F.expr("cast((i - 1) div 10 as bigint)").alias("y"),
+        F.expr("cast(ascii(substring(raster, i, 1)) as bigint)").alias("v"),
+    )
+    taps = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(w).alias("w"),
+            )
+            for dx, dy, w in [(0, 0, -4), (1, 0, 1), (-1, 0, 1),
+                              (0, 1, 1), (0, -1, 1)]
+        ]
+    )
+    scattered = (
+        px.select("doc_id", "x", "y", "v", F.explode(taps).alias("k"))
+        .select(
+            "doc_id",
+            (F.col("x") + F.col("k.dx")).alias("ox"),
+            (F.col("y") + F.col("k.dy")).alias("oy"),
+            (F.col("v") * F.col("k.w")).alias("c"),
+        )
+        .filter(F.col("ox").between(1, 8) & F.col("oy").between(1, 8))
+    )
+    conv = scattered.groupBy("doc_id", "ox", "oy").agg(
+        F.sum("c").alias("resp")
+    )
+    return conv.groupBy("doc_id").agg(
+        F.sum(F.abs("resp")).cast("long").alias("edge_energy"),
+        F.max("resp").cast("long").alias("max_resp"),
+        F.min("resp").cast("long").alias("min_resp"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )

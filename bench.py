@@ -385,6 +385,7 @@ HEADLINE = [
     "a81_price_volume_mix",
     "j27_anti_range_join",
     "m21_conv2d_stencil",
+    "s27_rowgroup_stats_pruning",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1408,3 +1408,83 @@ def s26_storage_footprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_bp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# S27 — zone-map (min/max footer stats) skipping audit: writes orders
+# laid out by an explicit key bucket (orderkey div 4096 — the layout a
+# 100-TB table would use so point reads touch one file), then proves
+# the PHYSICAL parquet footers deliver the skipping: pyarrow reads
+# each file's orderkey min/max and counts how many files a point key
+# admits. The oracle derives the same counts analytically from the
+# bucket arithmetic, so a writer that scrambled rows across files
+# (breaking min/max locality) fails the hash even though every row
+# round-trips.
+#
+# Scale: the footer scan is O(files) driver-side metadata (the same
+# cost any table format's planning pass pays — never row data); the
+# write is one hash-partitioned pass. At cluster scale the bucket
+# column doubles as the partition key, so the audit and the layout
+# share one definition.
+# ---------------------------------------------------------------------------
+@register(
+    "s27_rowgroup_stats_pruning",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey // 4096 AS bkt,
+             min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST((SELECT count(*) FROM b) AS BIGINT) AS n_files,
+           CAST((SELECT count(*) FROM b WHERE lo <= 19975 AND hi >= 19975)
+                AS BIGINT) AS n_admitting,
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey = 19975)
+                AS BIGINT) AS n_hits,
+           CAST((SELECT sum(n) FROM b) AS BIGINT) AS n_rows
+    """,
+)
+def s27_rowgroup_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    point = 19975
+    out = tempfile.mkdtemp(
+        prefix="s27_zonemap_", dir=os.environ.get("TMPDIR", "/tmp")
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    (
+        orders.withColumn("bkt", F.expr("o_orderkey div 4096"))
+        .repartition("bkt")
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(out)
+    )
+    # Footer-stats audit: O(files) metadata reads, no row data.
+    n_files = n_admitting = 0
+    for path in _glob.glob(os.path.join(out, "bkt=*", "*.parquet")):
+        md = pq.ParquetFile(path).metadata
+        lo = min(
+            md.row_group(i).column(0).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        n_files += 1
+        if lo <= point <= hi:
+            n_admitting += 1
+    hits = spark.read.parquet(out).filter(F.col("o_orderkey") == point)
+    return hits.groupBy().agg(
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.lit(n_admitting).cast("long").alias("n_admitting"),
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+    ).crossJoin(
+        F.broadcast(
+            spark.read.parquet(out).groupBy().agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows")
+            )
+        )
+    ).select("n_files", "n_admitting", "n_hits", "n_rows")

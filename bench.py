@@ -386,6 +386,7 @@ HEADLINE = [
     "j27_anti_range_join",
     "m21_conv2d_stencil",
     "s27_rowgroup_stats_pruning",
+    "a82_runs_test",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

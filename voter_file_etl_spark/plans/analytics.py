@@ -3208,3 +3208,86 @@ def a81_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (a2 - a1) * (q2 - q1) as bigint)"
         ).alias("residual_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A82 — Wald–Wolfowitz runs test (up/down form) on the daily order
+# series per priority class: are day-over-day moves random, or does
+# the series trend/mean-revert? Counts maximal same-sign runs of the
+# first difference (zeros dropped, the standard treatment) and emits
+# the expected-run count under H0 in exact milli-units via integer
+# division — no floats cross the engine boundary.
+#
+# Scale: one groupBy(day, priority) shrinks the fact to O(days x 5)
+# rows BEFORE any window; the lag/run windows then partition by
+# priority over that tiny frame — window state never sees fact-table
+# cardinality.
+# ---------------------------------------------------------------------------
+@register(
+    "a82_runs_test",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS dd, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), diff AS (
+      SELECT pri, dd,
+             n - lag(n) OVER (PARTITION BY pri ORDER BY dd) AS df
+      FROM d
+    ), s AS (
+      SELECT pri, dd, CASE WHEN df > 0 THEN 1 ELSE -1 END AS sg
+      FROM diff WHERE df IS NOT NULL AND df <> 0
+    ), r AS (
+      SELECT pri, sg,
+             CASE WHEN lag(sg) OVER (PARTITION BY pri ORDER BY dd)
+                       IS DISTINCT FROM sg
+                  THEN 1 ELSE 0 END AS brk
+      FROM s
+    )
+    SELECT pri,
+           CAST(count(*) FILTER (sg = 1) AS BIGINT) AS n_up,
+           CAST(count(*) FILTER (sg = -1) AS BIGINT) AS n_down,
+           CAST(sum(brk) AS BIGINT) AS n_runs,
+           CAST((1000 * (count(*) + 2 * (count(*) FILTER (sg = 1))
+                                     * (count(*) FILTER (sg = -1))))
+                // count(*) AS BIGINT) AS exp_runs_milli
+    FROM r GROUP BY pri
+    """,
+)
+def a82_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").alias("dd"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("pri").orderBy("dd")
+    signs = (
+        daily.select(
+            "pri", "dd", (F.col("n") - F.lag("n").over(w)).alias("df")
+        )
+        .filter(F.col("df").isNotNull() & (F.col("df") != 0))
+        .select(
+            "pri", "dd",
+            F.when(F.col("df") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("sg"),
+        )
+    )
+    runs = signs.select(
+        "pri", "sg",
+        F.when(
+            ~F.lag("sg").over(w).eqNullSafe(F.col("sg")), F.lit(1)
+        ).otherwise(F.lit(0)).alias("brk"),
+    )
+    n_up = F.sum(F.when(F.col("sg") == 1, 1).otherwise(0))
+    n_dn = F.sum(F.when(F.col("sg") == -1, 1).otherwise(0))
+    return runs.groupBy("pri").agg(
+        n_up.cast("long").alias("n_up"),
+        n_dn.cast("long").alias("n_down"),
+        F.sum("brk").cast("long").alias("n_runs"),
+        F.expr(
+            "cast((1000 * (count(1) + 2 * sum(case when sg = 1 then 1 else 0 end)"
+            " * sum(case when sg = -1 then 1 else 0 end)))"
+            " div count(1) as bigint)"
+        ).alias("exp_runs_milli"),
+    )

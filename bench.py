@@ -387,6 +387,7 @@ HEADLINE = [
     "m21_conv2d_stencil",
     "s27_rowgroup_stats_pruning",
     "a82_runs_test",
+    "f18_binary_encodings",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1700,3 +1700,52 @@ def f17_geohash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_f17_enc("spark", "lon_v", "lat_s")).alias("gh_s"),
         F.expr(_f17_enc("spark", "lon_w", "lat_v")).alias("gh_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F18 — binary encoding functions: base64 / hex / UTF-8 encode-decode
+# round trips plus byte-length accessors, the blob surface every
+# ingest layer needs when payloads arrive wire-encoded (the reference
+# stores file bytes opaquely: download.ts buffer handling). Round-trip
+# flags prove decode(unhex(hex(x))) == x and
+# decode(from_base64(base64(encode(x)))) == x cell-by-cell, so an
+# engine disagreeing on padding, case, or charset fails the hash.
+#
+# Scale: pure Column expressions in whole-stage codegen — no Python,
+# no shuffle beyond the source scan.
+# ---------------------------------------------------------------------------
+@register(
+    "f18_binary_encodings",
+    oracle="""
+    SELECT c_custkey,
+           base64(encode(c_name)) AS b64,
+           hex(c_name) AS hx,
+           CAST(octet_length(encode(c_name)) AS BIGINT) AS n_bytes,
+           CAST(bit_length(c_name) AS BIGINT) AS n_bits,
+           CAST(decode(from_base64(base64(encode(c_name)))) = c_name
+                AS BIGINT) AS b64_roundtrip,
+           CAST(decode(unhex(hex(c_name))) = c_name AS BIGINT)
+             AS hex_roundtrip
+    FROM customer WHERE c_custkey % 9 = 0
+    """,
+)
+def f18_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = F.col("c_name")
+    enc = F.encode(name, "UTF-8")
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 9 == 0)
+        .select(
+            "c_custkey",
+            F.base64(enc).alias("b64"),
+            F.hex(name).alias("hx"),
+            F.octet_length(enc).cast("long").alias("n_bytes"),
+            F.bit_length(name).cast("long").alias("n_bits"),
+            (F.decode(F.unbase64(F.base64(enc)), "UTF-8") == name)
+            .cast("long")
+            .alias("b64_roundtrip"),
+            (F.decode(F.unhex(F.hex(name)), "UTF-8") == name)
+            .cast("long")
+            .alias("hex_roundtrip"),
+        )
+    )

@@ -388,6 +388,7 @@ HEADLINE = [
     "s27_rowgroup_stats_pruning",
     "a82_runs_test",
     "f18_binary_encodings",
+    "sql25_star_except",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

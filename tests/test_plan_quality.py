@@ -1508,3 +1508,13 @@ def test_conv2d_is_joinless_scatter_aggregate(spark, sf_dir):
     assert "Join" not in phys, plan[:2000]
     assert "Generate" in phys, plan[:2000]  # the kernel explode
     assert "HashAggregate" in phys, plan[:2000]
+
+
+def test_star_except_prunes_excluded_columns_at_scan(spark, sf_dir):
+    # sql25's * EXCEPT must reach the parquet scan as column pruning:
+    # the lineitem ReadSchema must not carry the excluded columns.
+    plan = _formatted_plan(spark, "sql25_star_except", sf_dir)
+    import re
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and all("l_tax" not in s and "l_discount" not in s for s in li), schemas

@@ -825,3 +825,32 @@ FROM customer c
 def sql24_projected_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders", "customer")
     return spark.sql(_SQL24)
+
+
+# ---------------------------------------------------------------------------
+# SQL25 — star projection with column exclusion: Spark's
+# `SELECT * EXCEPT (cols)` vs DuckDB's `* EXCLUDE (cols)` — the one
+# wide-table idiom ("everything but the comment blobs") whose keyword
+# differs by dialect, so the two texts are maintained side by side.
+# The exclusion must behave as a real projection: Catalyst prunes the
+# excluded columns AT THE SCAN (gated — the lineitem ReadSchema
+# carries no l_tax/l_discount), which is the whole point at 100 TB
+# where the dropped columns dominate bytes.
+# ---------------------------------------------------------------------------
+_SQL25_SPARK = """
+SELECT * EXCEPT (l_tax, l_discount, l_linestatus, l_partkey, l_suppkey)
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_orderkey % 211 = 0 AND p_size > 40
+"""
+
+_SQL25_DUCK = """
+SELECT * EXCLUDE (l_tax, l_discount, l_linestatus, l_partkey, l_suppkey)
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_orderkey % 211 = 0 AND p_size > 40
+"""
+
+
+@register("sql25_star_except", oracle=_SQL25_DUCK)
+def sql25_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_SQL25_SPARK)

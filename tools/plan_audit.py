@@ -132,6 +132,11 @@ AUDIT = [
     ("w33_rolling_mode", "windowed mode via bounded 7x coverage explode of the daily rollup"),
     ("f17_geohash_neighbors", "integer bit-interleave re-encode; stays in whole-stage codegen"),
     ("a79_alert_rule_backtest", "two rules share one flags table; element-pick medians over calendar-bounded series"),
+    # round-4 continuation-session plan families
+    ("j27_anti_range_join", "anti join with a pure range predicate -> bucketized equi LeftAnti, 3x bounded explode"),
+    ("m21_conv2d_stencil", "2-D convolution -> joinless scatter-aggregate (kernel explode + one groupBy)"),
+    ("s27_rowgroup_stats_pruning", "zone-map layout write + O(files) footer audit; point read over bucketed files"),
+    ("sql25_star_except", "* EXCEPT exclusion -> column pruning reaches the scan ReadSchema"),
 ]
 
 

@@ -389,6 +389,7 @@ HEADLINE = [
     "a82_runs_test",
     "f18_binary_encodings",
     "sql25_star_except",
+    "a83_bootstrap_ci",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -3291,3 +3291,100 @@ def a82_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1) as bigint)"
         ).alias("exp_runs_milli"),
     )
+
+
+from voter_file_etl_spark.operators.sampling import (  # noqa: E402
+    _bucket_sql as _a83_bucket_sql,
+)
+
+
+# ---------------------------------------------------------------------------
+# A83 — bootstrap confidence interval, the deterministic distributed
+# form: 32 half-sample replicates (m-out-of-n bootstrap) assigned by
+# the engine's portable md5 bucket on (orderkey, replicate), so the
+# "resampling" is a pure map-side expression — no RNG, no driver
+# loop, bit-identical on both engines. Each replicate's mean order
+# value (integer cents, floor division) feeds an element-pick
+# p05/p50/p95 over the 32 replicate means per segment — ranks 2, 16,
+# and 31 of the (mean, replicate)-ordered list, fully tie-stable.
+#
+# Scale: the 32x replicate explode is map-side and feeds ONE
+# partial-aggregated groupBy((seg, r)) — 32x map work, shuffle rows
+# O(segments x 32); the rank windows then act on that tiny frame.
+# ---------------------------------------------------------------------------
+@register(
+    "a83_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT c.c_mktsegment AS seg, r.r AS r,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      CROSS JOIN (SELECT CAST(x AS BIGINT) AS r
+                  FROM unnest(range(0, 32)) u(x)) r
+      WHERE {{member}} < 50
+    ), means AS (
+      SELECT seg, r, count(*) AS n, sum(cents) // count(*) AS mean_c
+      FROM reps GROUP BY 1, 2
+    ), ranked AS (
+      SELECT seg, r, mean_c,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY mean_c, r) AS rn
+      FROM means
+    )
+    SELECT seg,
+           CAST(count(*) AS BIGINT) AS n_reps,
+           CAST(max(CASE WHEN rn = 2 THEN mean_c END) AS BIGINT) AS ci_lo_c,
+           CAST(max(CASE WHEN rn = 16 THEN mean_c END) AS BIGINT) AS med_c,
+           CAST(max(CASE WHEN rn = 31 THEN mean_c END) AS BIGINT) AS ci_hi_c
+    FROM ranked GROUP BY seg
+    """.format(
+        member=_a83_bucket_sql(
+            "(CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(r.r AS VARCHAR))"
+        )
+    ),
+)
+def a83_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from voter_file_etl_spark.operators.sampling import _bucket
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    reps = (
+        orders.join(F.broadcast(cust), "o_custkey")
+        .select(
+            "seg",
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
+        )
+        .filter(
+            _bucket(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            )
+            < 50
+        )
+    )
+    means = reps.groupBy("seg", "r").agg(
+        F.expr("sum(cents) div count(1)").alias("mean_c")
+    )
+    w = W.partitionBy("seg").orderBy("mean_c", "r")
+    ranked = means.select("seg", "r", "mean_c", F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+        F.max(F.when(F.col("rn") == 2, F.col("mean_c"))).cast("long").alias("ci_lo_c"),
+        F.max(F.when(F.col("rn") == 16, F.col("mean_c"))).cast("long").alias("med_c"),
+        F.max(F.when(F.col("rn") == 31, F.col("mean_c"))).cast("long").alias("ci_hi_c"),
+    )

@@ -390,6 +390,7 @@ HEADLINE = [
     "f18_binary_encodings",
     "sql25_star_except",
     "a83_bootstrap_ci",
+    "g11_closeness_landmarks",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -1518,3 +1518,10 @@ def test_star_except_prunes_excluded_columns_at_scan(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
     li = [s for s in schemas if "l_orderkey" in s]
     assert li and all("l_tax" not in s and "l_discount" not in s for s in li), schemas
+
+
+def test_multi_source_bfs_has_no_cartesian(spark, sf_dir):
+    # g11 carries 4 landmarks in one frontier; every round must stay a
+    # broadcast equi-join of frontier against the checkpointed edges.
+    plan = _formatted_plan(spark, "g11_closeness_landmarks", sf_dir)
+    assert "CartesianProduct" not in plan, plan[:2000]

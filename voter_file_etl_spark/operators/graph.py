@@ -941,3 +941,103 @@ def g10_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reach.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("reach_2hop")
     )
+
+
+# ---------------------------------------------------------------------------
+# G11 — landmark closeness: multi-source BFS from 4 landmark nodes in
+# ONE iterative pass (the frontier carries a landmark column, so K
+# sources cost the same rounds as one — the standard way to
+# approximate closeness/harmonic centrality at scale, where per-node
+# exact BFS is O(V) passes). Per node: how many landmarks reach it
+# within 4 hops, total hops, and harmonic centrality in exact
+# milli-units (sum of 1000 div d — integer division, engine-exact).
+#
+# Scale: same discipline as g3 — the synthetic 3-out-regular edge
+# table builds once and checkpoints; each round broadcasts the
+# bounded frontier (<= 4 * 3^lvl rows) so the edge table never
+# shuffles; per-round lineage truncation via iter_checkpoint (the
+# SPARK_GRAFT_CHECKPOINT_DIR knob switches to durable checkpoints).
+# Cites the same reference scope as g1-g3 (no graph surface in
+# load.ts; the family serves the relationship queries SURVEY §2.13
+# projects from the voter-household schema).
+# ---------------------------------------------------------------------------
+_G11_MAX_LVL = 4
+_G11_LANDMARKS = (1, 29, 67, 103)
+
+
+@register(
+    "g11_closeness_landmarks",
+    oracle=f"""
+    WITH RECURSIVE nn AS (SELECT count(*) AS n FROM customer),
+    edges AS (
+      SELECT c_custkey AS src, 1 + (c_custkey * 7 + 3) % n AS dst
+      FROM customer, nn
+      UNION ALL
+      SELECT c_custkey, 1 + (c_custkey * 13 + 5) % n FROM customer, nn
+      UNION ALL
+      SELECT c_custkey, 1 + (c_custkey * 29 + 11) % n FROM customer, nn
+    ),
+    bfs AS (
+      SELECT CAST(m.src AS BIGINT) AS lm, CAST(m.src AS BIGINT) AS node,
+             0 AS lvl
+      FROM (VALUES {", ".join(f"({x})" for x in _G11_LANDMARKS)}) m(src)
+      UNION ALL
+      SELECT b.lm, e.dst, b.lvl + 1
+      FROM bfs b JOIN edges e ON e.src = b.node
+      WHERE b.lvl < {_G11_MAX_LVL}
+    ),
+    d AS (SELECT lm, node, min(lvl) AS d FROM bfs GROUP BY 1, 2)
+    SELECT node,
+           CAST(count(*) FILTER (d > 0) AS BIGINT) AS n_reached,
+           CAST(coalesce(sum(d) FILTER (d > 0), 0) AS BIGINT) AS sum_hops,
+           CAST(coalesce(sum(1000 // d) FILTER (d > 0), 0) AS BIGINT)
+             AS harmonic_milli
+    FROM d GROUP BY node
+    """,
+)
+def g11_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("node"))
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        cust.crossJoin(F.broadcast(n))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(
+                F.array(
+                    F.lit(1) + (F.col("node") * 7 + 3) % F.col("n"),
+                    F.lit(1) + (F.col("node") * 13 + 5) % F.col("n"),
+                    F.lit(1) + (F.col("node") * 29 + 11) % F.col("n"),
+                )
+            ).alias("dst"),
+        )
+        .transform(iter_checkpoint)
+    )
+    seed = edges.sparkSession.createDataFrame(
+        [(lm, lm, 0) for lm in _G11_LANDMARKS], "lm long, node long, hops long"
+    )
+    dist = seed
+    frontier = seed.select("lm", "node")
+    for lvl in range(1, _G11_MAX_LVL + 1):
+        nxt = (
+            F.broadcast(frontier)
+            .join(edges, frontier.node == edges.src)
+            .select("lm", F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nxt.join(dist, ["lm", "node"], "left_anti")
+            .withColumn("hops", F.lit(lvl).cast("long"))
+            .transform(iter_checkpoint)
+        )
+        dist = dist.unionByName(new)
+        frontier = new.select("lm", "node")
+    pos = F.col("hops") > 0
+    return dist.groupBy("node").agg(
+        F.sum(pos.cast("long")).cast("long").alias("n_reached"),
+        F.coalesce(
+            F.sum(F.when(pos, F.col("hops"))), F.lit(0)
+        ).cast("long").alias("sum_hops"),
+        F.coalesce(
+            F.sum(F.when(pos, F.expr("1000 div hops"))), F.lit(0)
+        ).cast("long").alias("harmonic_milli"),
+    )

@@ -137,7 +137,7 @@ _BACKFILL = [
     "l30_merge_idempotency", "st19_exactly_once_sink", "w33_rolling_mode", "a79_alert_rule_backtest", "a80_diff_in_diff",
     "sql21_range_tvf", "sql22_lateral_column_alias",
     "sql23_interval_range_frame", "sql24_projected_exists",
-    "m20_integral_image", "a81_price_volume_mix", "j27_anti_range_join", "m21_conv2d_stencil", "s27_rowgroup_stats_pruning", "a82_runs_test", "f18_binary_encodings", "sql25_star_except", "a83_bootstrap_ci", "g11_closeness_landmarks",
+    "m20_integral_image", "a81_price_volume_mix", "j27_anti_range_join", "m21_conv2d_stencil", "s27_rowgroup_stats_pruning", "a82_runs_test", "f18_binary_encodings", "sql25_star_except", "a83_bootstrap_ci", "g11_closeness_landmarks", "a84_proportional_allocation",
     # -- environment-gated: registered only where google.protobuf is
     # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
     # a protobuf-equipped driver env still finds it slotted --

@@ -391,6 +391,7 @@ HEADLINE = [
     "sql25_star_except",
     "a83_bootstrap_ci",
     "g11_closeness_landmarks",
+    "a84_proportional_allocation",
     # stage files/checkpoints, so they close the tail group
     "s24_csv_header_drift",
     "l28_dynamic_partition_overwrite",

@@ -2173,3 +2173,95 @@ def a71_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(coalesce(n_30d, 0L) as bigint)").alias("n_30d"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A84 — largest-remainder (Hamilton) apportionment: allocate an
+# integer budget of 10,000 basis points across nations exactly
+# proportional to revenue, the constrained-integer-allocation problem
+# behind budget splits, seat apportionment, and pro-rata settlement.
+# Floor shares via integer division, then the leftover points go to
+# the largest remainders (nation-key tie-break) — the allocation sums
+# to the budget EXACTLY, which no rounding scheme guarantees.
+#
+# Scale: one groupBy(nation) collapses the fact; totals ride a 1-row
+# broadcast crossJoin (the a33/a34 discipline); the remainder rank is
+# a window over O(nations) rows. All integer arithmetic — product
+# bounded by budget x total_cents < 2^63 up to ~sf10^3.
+# ---------------------------------------------------------------------------
+@register(
+    "a84_proportional_allocation",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ), tot AS (SELECT sum(cents) AS tc FROM rev),
+    fl AS (
+      SELECT nation, cents,
+             (10000 * cents) // tc AS fl,
+             (10000 * cents) % tc AS rem
+      FROM rev, tot
+    ), lo AS (SELECT 10000 - sum(fl) AS leftover FROM fl),
+    rk AS (
+      SELECT nation, cents, fl, rem,
+             row_number() OVER (ORDER BY rem DESC, nation) AS r
+      FROM fl
+    )
+    SELECT nation,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(fl + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_bp
+    FROM rk, lo
+    """,
+)
+def a84_proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5d) as bigint)").alias(
+            "cents"
+        ),
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    rev = (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(
+            F.broadcast(n),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("nation")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").alias("tc"))
+    fl = rev.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "cents",
+        F.expr("(10000 * cents) div tc").alias("fl"),
+        F.expr("(10000 * cents) % tc").alias("rem"),
+    )
+    lo = fl.agg((F.lit(10000) - F.sum("fl")).alias("leftover"))
+    rk = fl.select(
+        "nation",
+        "cents",
+        "fl",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("rem").desc(), "nation"))
+        .alias("r"),
+    )
+    return rk.crossJoin(F.broadcast(lo)).select(
+        "nation",
+        F.col("cents").cast("long").alias("cents"),
+        F.expr(
+            "cast(fl + case when r <= leftover then 1 else 0 end as bigint)"
+        ).alias("alloc_bp"),
+    )

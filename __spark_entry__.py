@@ -25,51 +25,22 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Driver-coverage rotation (the driver oracle-checks the FIRST 50 keys
 # of queries() per round — contract documented in SURVEY.md §8).
 #
-# Round 4 window: 50 of the 66 keys that have never had a driver
-# CORRECTNESS row (VERDICT r3 "What's missing" #1), newest code first
-# (l7-l15, st9-st14, m8-m13, s12-s15, sql6-sql8, x41-x53, x32-x40,
-# g1/g3). The residual 16 never-checked keys lead _BACKFILL so round 5
-# fronts them automatically. Any key newly registered THIS round is
-# unplaced and would sort after the head — tests/test_rotation.py
-# fails the suite until it is placed explicitly.
+# Round 5 window (verification round, VERDICT r4 "Next round" #1):
+# the first 50 entries of round 4's _BACKFILL head — the 16 keys left
+# from round 3's backlog, then the earliest round-4 registrations in
+# registration order. None of these has ever had a driver CORRECTNESS
+# row. Rounds 6-9 continue down _BACKFILL's head (window plan in
+# SURVEY.md §8). Any key newly registered THIS round is unplaced and
+# would sort after the head — tests/test_rotation.py fails the suite
+# until it is placed explicitly.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    "l7_txn_log_merge", "l8_time_travel", "l9_gdpr_delete",
-    "l10_scd2_history", "l11_change_feed", "l12_zorder_bins",
-    "l13_incremental_agg_view", "l15_vacuum", "st9_watermark_late_drop",
-    "st10_stream_into_logtable", "st11_stream_outer_join",
-    "st13_sessionize_state", "st14_incremental_ingest", "m8_video_decode",
-    "m9_png_decode", "m10_decode_quarantine", "m11_image_tiles",
-    "m12_audio_energy", "m13_video_scene_cuts", "s12_orc_roundtrip",
-    "s13_binary_source", "s14_nested_roundtrip", "s15_merge_schema",
-    "sql6_cte_exists", "sql7_recursive_hierarchy", "sql8_lateral_topn",
-    "x41_substring_dedup", "x42_doc_chunking", "x43_pmi_cooccurrence",
-    "x44_line_dedup", "x45_source_overlap", "x46_incremental_dedup",
-    "x47_embedding_quantize", "x48_dedup_survivorship",
-    "x49_quality_prune_curve", "x50_span_corruption", "x51_nucleus_selection",
-    "x52_embedding_mean_pool", "x53_hard_negative_mining",
-    "x32_temperature_mix", "x33_boilerplate_ngrams", "x34_quality_classifier",
-    "x35_containment_dedup", "x36_oov_filter", "x37_entropy_filter",
-    "x38_minhash_accuracy", "x39_ann_recall", "x40_curation_report",
-    "g1_pagerank", "g3_bfs_levels",
-]
-_BACKFILL = [
-    # -- ROUND-5 FRONT BLOCK: _BACKFILL's head already lists every
-    # never-driver-checked key in priority order — the 16 left from
-    # round 3's backlog first, then all round-4 registrations in
-    # registration order. Round 5's window = move the FIRST 50
-    # entries below into _CHECK_FIRST; rounds 6-7 continue down the
-    # list (tests/test_rotation.py keeps the partition exact) --
     "g2_triangle_count", "a19_bool_bit_agg", "a21_column_profile",
     "a22_funnel", "a23_retention_cohorts", "a24_sweepline_concurrency",
     "a27_key_skew_profile", "a28_hll_sketch_merge", "w9_nth_value",
     "w10_gaps_islands", "w11_resample_ffill", "w12_cumulative_distinct",
     "t10_stem_stopword", "t12_hash_encode", "t13_date_arith",
     "j12_full_outer_join",
-    # -- registered in round 4, never driver-checked; with the 16
-    # above these head the backlog in registration order. Round 5
-    # fronts the first 50, round 6 the residue + round-5 additions
-    # (tests/test_rotation.py keeps the partition exact) --
     "x54_reservoir_sample", "j17_knn_join", "g4_connected_components",
     "x55_embedding_outlier", "j18_skew_salted_join", "x56_ngram_novelty",
     "m14_phash_near_dup", "a35_mad_outliers", "x57_token_budget_fill",
@@ -81,6 +52,13 @@ _BACKFILL = [
     "f8_hash_digest_funcs", "o5_nulls_ordering", "w14_drawdown",
     "j20_star_denorm", "w15_ewma", "a39_gini", "a40_conversion_lag",
     "f9_url_parse", "t15_unicode_sanitize", "x63_bloom_prefilter",
+]
+_BACKFILL = [
+    # -- BACKLOG HEAD: every never-driver-checked key in priority
+    # order (round-4 registrations in registration order). Round 6's
+    # window = move the FIRST 50 entries below into _CHECK_FIRST;
+    # rounds 7-9 continue down the list (tests/test_rotation.py keeps
+    # the partition exact; burn plan in SURVEY.md §8) --
     "x64_token_shift", "s17_compressed_csv", "a41_ols_trend",
     "t16_json_nested", "d5_golden_record", "x65_vocab_coverage",
     "sql11_pivot_syntax", "f10_phonetic_key", "a42_sketch_overlap",
@@ -187,6 +165,25 @@ _BACKFILL = [
     "j14_null_safe_join", "j15_scd2_pit_join", "j16_interval_overlap_join",
     "l6_compaction", "u5_except_all", "d3_column_drift", "sql9_grouping_id",
     "j11_nearest_event_join", "t11_map_funcs", "w8_time_range_frame",
+    # -- driver-green round 4 (retired window, CORRECTNESS_r04 50/50) --
+    "l7_txn_log_merge", "l8_time_travel", "l9_gdpr_delete",
+    "l10_scd2_history", "l11_change_feed", "l12_zorder_bins",
+    "l13_incremental_agg_view", "l15_vacuum", "st9_watermark_late_drop",
+    "st10_stream_into_logtable", "st11_stream_outer_join",
+    "st13_sessionize_state", "st14_incremental_ingest", "m8_video_decode",
+    "m9_png_decode", "m10_decode_quarantine", "m11_image_tiles",
+    "m12_audio_energy", "m13_video_scene_cuts", "s12_orc_roundtrip",
+    "s13_binary_source", "s14_nested_roundtrip", "s15_merge_schema",
+    "sql6_cte_exists", "sql7_recursive_hierarchy", "sql8_lateral_topn",
+    "x41_substring_dedup", "x42_doc_chunking", "x43_pmi_cooccurrence",
+    "x44_line_dedup", "x45_source_overlap", "x46_incremental_dedup",
+    "x47_embedding_quantize", "x48_dedup_survivorship",
+    "x49_quality_prune_curve", "x50_span_corruption", "x51_nucleus_selection",
+    "x52_embedding_mean_pool", "x53_hard_negative_mining",
+    "x32_temperature_mix", "x33_boilerplate_ngrams", "x34_quality_classifier",
+    "x35_containment_dedup", "x36_oov_filter", "x37_entropy_filter",
+    "x38_minhash_accuracy", "x39_ann_recall", "x40_curation_report",
+    "g1_pagerank", "g3_bfs_levels",
 ]
 
 

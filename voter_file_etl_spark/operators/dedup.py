@@ -97,7 +97,12 @@ def d2_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_copies
     FROM (SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          -- planted duplicates take ids from the negative range, which
+          -- no genuine doc_id (>= 0) can occupy at ANY scale factor;
+          -- an additive offset would silently collide past 1M rows.
+          -- min() therefore elects the planted fixture row where one
+          -- exists — still a deterministic survivor.
+          SELECT -doc_id - 1 AS doc_id, text FROM documents
           WHERE doc_id % 10 = 0)
     GROUP BY md5(text)
     """,
@@ -105,7 +110,7 @@ def d2_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(copies)
     return corpus.groupBy(F.md5("text").alias("content_hash")).agg(
@@ -143,7 +148,9 @@ def _minhash_oracle() -> str:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz end marker') AS text
+      -- planted near-dups in the negative id range (collision-free at
+      -- any scale factor; see x48)
+      SELECT -doc_id - 1 AS doc_id, concat(text, ' zz end marker') AS text
       FROM documents WHERE doc_id % 20 = 0
     ), sh AS (
       SELECT doc_id,
@@ -247,7 +254,7 @@ def minhash_bands(shingled: DataFrame) -> DataFrame:
 def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz end marker")).alias("text"),
     )
     corpus = docs.unionByName(copies)
@@ -458,10 +465,13 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz suffix edit') AS text
+      -- two planted edits per 20th doc, ids in disjoint negative
+      -- ranges (odd vs even negatives) — collision-free with genuine
+      -- ids (>= 0) and each other at any scale factor (see x48)
+      SELECT -2 * doc_id - 1 AS doc_id, concat(text, ' zz suffix edit') AS text
       FROM documents WHERE doc_id % 20 = 0
       UNION ALL
-      SELECT doc_id + 2000000 AS doc_id, concat(text, ' yy other edit') AS text
+      SELECT -2 * doc_id - 2 AS doc_id, concat(text, ' yy other edit') AS text
       FROM documents WHERE doc_id % 20 = 0
     ), keyed AS (
       SELECT doc_id, md5(substr(text, 1, 40)) AS blk FROM corpus
@@ -482,11 +492,11 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     c1 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") * 2 - 1).alias("doc_id"),
         F.concat("text", F.lit(" zz suffix edit")).alias("text"),
     )
     c2 = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
+        (-F.col("doc_id") * 2 - 2).alias("doc_id"),
         F.concat("text", F.lit(" yy other edit")).alias("text"),
     )
     keyed = (
@@ -530,7 +540,9 @@ def _decon_grams_sql(src: str) -> str:
 _DECON_CORPUS_SQL = """
       SELECT doc_id, text, lang FROM documents WHERE doc_id % 97 <> 0
       UNION ALL
-      SELECT doc_id + 3000000 AS doc_id,
+      -- planted leaks in the negative id range — collision-free with
+      -- genuine ids (>= 0) at any scale factor (see x48)
+      SELECT -doc_id - 1 AS doc_id,
              concat('leaked eval sample ', text) AS text, lang
       FROM documents WHERE doc_id % 97 = 0
 """
@@ -573,7 +585,7 @@ def x22_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedded in new docs) so the detection path is provably
     # exercised — the planted docs MUST be removed.
     planted = docs.filter(is_bench).select(
-        (F.col("doc_id") + 3000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.lit("leaked eval sample "), F.col("text")).alias("text"),
         "lang",
     )
@@ -816,7 +828,10 @@ def _x38_oracle() -> str:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, concat(text, ' zz end marker') AS text
+      -- planted near-dups in the negative id range (collision-free at
+      -- any scale factor; see x48). -doc_id - 1 is an involution, so
+      -- the original of planted row p is -p - 1.
+      SELECT -doc_id - 1 AS doc_id, concat(text, ' zz end marker') AS text
       FROM documents WHERE doc_id % 20 = 0
     ), sh AS (
       SELECT doc_id,
@@ -834,7 +849,8 @@ def _x38_oracle() -> str:
            round(abs(round({exact}, 6)
                      - round(CAST({matches} AS DOUBLE) / {_N_SEEDS}, 6)), 6)
              AS abs_err
-    FROM mh a JOIN mh b ON a.doc_id + 1000000 = b.doc_id
+    FROM mh a JOIN mh b ON -a.doc_id - 1 = b.doc_id
+    WHERE a.doc_id >= 0
     """
 
 
@@ -842,7 +858,7 @@ def _x38_oracle() -> str:
 def x38_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz end marker")).alias("text"),
     )
     sh = shingle3(docs.unionByName(copies)).persist()
@@ -860,13 +876,16 @@ def x38_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_N_SEEDS)
         ],
     )
-    a = mh.select(
+    # a = genuine side only: -id - 1 is an involution, so without the
+    # >= 0 guard each planted pair would also match mirrored
+    # (a=planted, b=original) and double the output.
+    a = mh.filter(F.col("doc_id") >= 0).select(
         F.col("doc_id").alias("id1"),
         F.col("shingles").alias("sh1"),
         *[F.col(f"m{s}").alias(f"a{s}") for s in range(_N_SEEDS)],
     )
     b = mh.select(
-        (F.col("doc_id") - 1000000).alias("id1"),
+        (-F.col("doc_id") - 1).alias("id1"),
         F.col("doc_id").alias("id2"),
         F.col("shingles").alias("sh2"),
         *[F.col(f"m{s}").alias(f"b{s}") for s in range(_N_SEEDS)],

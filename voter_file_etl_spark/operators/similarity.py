@@ -55,8 +55,11 @@ _PLANES = _planes()
 
 def _corpus_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
+    # Planted exact copies take ids from the negative range (-id - 1,
+    # an involution), which no genuine vec_id (>= 0) can occupy at ANY
+    # scale factor — an additive offset would collide past 1M rows.
     copies = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding", "label"
+        (-F.col("vec_id") - 1).alias("vec_id"), "embedding", "label"
     )
     return (
         emb.select("vec_id", "embedding", "label")
@@ -70,7 +73,7 @@ _CORPUS_SQL = f"""
     WITH base AS (
       SELECT vec_id, embedding, label FROM embeddings
       UNION ALL
-      SELECT vec_id + 1000000 AS vec_id, embedding, label FROM embeddings
+      SELECT -vec_id - 1 AS vec_id, embedding, label FROM embeddings
       WHERE vec_id % 20 = 0
     ), corpus AS (
       SELECT vec_id, label,
@@ -1397,7 +1400,7 @@ def x99_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # X100 — planted-duplicate MRR through the LSH path: every 20th
-# vector has an exact planted copy (vec_id + 1000000, the x5/x7
+# vector has an exact planted copy (id -vec_id - 1, the x5/x7
 # fixture); rank ALL of each original's same-bucket candidates by
 # true cosine and report the copy's rank and reciprocal rank
 # (micro). An identical vector always lands in the same bucket, so a
@@ -1442,12 +1445,12 @@ def _x100_oracle() -> str:
                ORDER BY {cos_ab} DESC, b.vec_id) AS rnk
       FROM wb a JOIN wb b
         ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-      WHERE a.vec_id % 20 = 0 AND a.vec_id < 1000000
+      WHERE a.vec_id % 20 = 0 AND a.vec_id >= 0
     )
     SELECT query_id,
            CAST(rnk AS BIGINT) AS copy_rank,
            CAST(1000000 // rnk AS BIGINT) AS rr_micro
-    FROM cand WHERE cand_id = query_id + 1000000
+    FROM cand WHERE cand_id = -query_id - 1
     """
     )
 
@@ -1482,7 +1485,7 @@ def x100_planted_dup_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wb = corpus.join(buckets, "vec_id")
     a = wb.filter(
-        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 1000000)
+        (F.col("vec_id") % 20 == 0) & (F.col("vec_id") >= 0)
     ).select(
         F.col("vec_id").alias("query_id"),
         "bucket",
@@ -1508,7 +1511,7 @@ def x100_planted_dup_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cand.filter(
-        F.col("cand_id") == F.col("query_id") + 1000000
+        F.col("cand_id") == -F.col("query_id") - 1
     ).select(
         "query_id",
         F.col("rnk").cast("long").alias("copy_rank"),

@@ -488,3 +488,105 @@ def test_merge_schema_evolution_adds_column(spark, tmp_path):
     assert len(rows) == 32
     # pre-evolution time travel: no origin column required to exist
     assert table.snapshot(0).count() == 32
+
+
+def test_delete_after_schema_evolution_keeps_new_column(spark, tmp_path):
+    # delete() rewrites touched buckets by reading their active files,
+    # which can span schema generations after an evolving merge — the
+    # read must mergeSchema or survivors silently lose later-added
+    # columns.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(32)]), work)
+    evolved = spark.createDataFrame(
+        [(7, 2, "v2-7", "feed-x"), (9, 2, "v2-9", "feed-y")],
+        "k bigint, seq bigint, payload string, origin string",
+    )
+    table.merge(evolved, work)
+    # delete a key whose bucket ALSO holds an evolved row, forcing a
+    # mixed-generation rewrite of that bucket
+    table.delete(_mk(spark, [(7, 0, "x")]), work)
+    rows = {r["k"]: r for r in table.snapshot().collect()}
+    assert 7 not in rows and len(rows) == 31
+    assert rows[9]["origin"] == "feed-y"
+    assert rows[3]["origin"] is None and rows[3]["payload"] == "v1-3"
+
+
+def test_purge_after_schema_evolution_keeps_new_column(spark, tmp_path):
+    # purge_deletes() must derive its column list from the MERGED
+    # schema of the masked files, not from any single (possibly
+    # oldest-generation) file.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(32)]), work)
+    evolved = spark.createDataFrame(
+        [(7, 2, "v2-7", "feed-x"), (9, 2, "v2-9", "feed-y")],
+        "k bigint, seq bigint, payload string, origin string",
+    )
+    table.merge(evolved, work)
+    table.delete_with_vectors(_mk(spark, [(7, 0, "x"), (3, 0, "x")]), work)
+    table.purge_deletes(work)
+    assert table.active_dv() is None
+    rows = {r["k"]: r for r in table.snapshot().collect()}
+    assert set(rows) == set(range(32)) - {3, 7}
+    assert rows[9]["origin"] == "feed-y"
+    assert rows[4]["origin"] is None and rows[4]["payload"] == "v1-4"
+
+
+def test_purge_conflict_loser_cleans_up(spark, tmp_path):
+    # Two maintenance writers racing the same version: the loser's
+    # commit fails with CommitConflict, its token-suffixed files are
+    # unlinked, and the winner's state is untouched.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(16)]), work)
+    table.delete_with_vectors(_mk(spark, [(3, 0, "x")]), work)
+    stale_head = table.latest_version()
+    racer = stale_head + 1
+    # winner takes the version the purge is about to claim; the loser
+    # still sees the stale head (the real interleaving: both writers
+    # read the log before either commits)
+    table._commit(racer, [], [])
+    real_latest = table.latest_version
+    table.latest_version = lambda: stale_head
+    try:
+        with pytest.raises(CommitConflict):
+            table.purge_deletes(work)
+    finally:
+        table.latest_version = real_latest
+    # loser left no orphan purge files behind
+    data_dir = os.path.join(table.root, "data")
+    live = {os.path.basename(f["path"]) for f in table.active_files()}
+    dv = table.active_dv()
+    if dv is not None:
+        live.add(os.path.basename(dv))
+    orphans = [
+        n
+        for n in os.listdir(data_dir)
+        if n.startswith(f"v{racer:08d}-") and n not in live
+    ]
+    assert orphans == []
+    # masked read still correct; a retried purge on the fresh base works
+    assert {r["k"] for r in table.snapshot().collect()} == set(range(16)) - {3}
+    table.purge_deletes(work)
+    assert table.active_dv() is None
+    assert {r["k"] for r in table.snapshot().collect()} == set(range(16)) - {3}
+
+
+def test_restore_outside_retention_window_raises(spark, tmp_path):
+    # After vacuum GC's files outside the retention window, restore to
+    # such a version must refuse up front instead of committing a head
+    # whose snapshot would fail on missing parquet files.
+    table = _table(spark, tmp_path)
+    work = str(tmp_path / "work")
+    v0 = table.merge(_mk(spark, [(k, 1, f"v1-{k}") for k in range(16)]), work)
+    table.merge(_mk(spark, [(k, 2, f"v2-{k}") for k in range(16)]), work)
+    head_before = table.latest_version()
+    table.vacuum(retain_last=1)
+    with pytest.raises(ValueError, match="retention window"):
+        table.restore(v0)
+    # the refused restore left no new commit and the head still reads
+    assert table.latest_version() == head_before
+    assert {r["payload"] for r in table.snapshot().collect()} == {
+        f"v2-{k}" for k in range(16)
+    }

@@ -441,9 +441,15 @@ class LogTable:
         old = [f for f in self.active_files() if f["bucket"] in touched]
         adds: list[dict] = []
         if old:
-            cur = self.spark.read.parquet(
-                *[os.path.join(self.root, f["path"]) for f in old]
-            ).withColumn("_bucket", self._bucket_col())
+            # mergeSchema: merge() supports schema-evolving commits, so
+            # the touched files can span column generations — a plain
+            # read would bind the oldest file's narrower schema and the
+            # rewrite would silently drop later-added columns.
+            cur = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.root, f["path"]) for f in old])
+                .withColumn("_bucket", self._bucket_col())
+            )
             remaining = cur.join(
                 F.broadcast(keyed.drop("_bucket")), self.key_cols, "left_anti"
             )
@@ -607,12 +613,16 @@ class LogTable:
         ]
         adds: list[dict] = []
         if old:
-            cols = self.spark.read.parquet(
-                os.path.join(self.root, old[0]["path"])
-            ).columns
-            cur = self.spark.read.parquet(
+            # mergeSchema for the same reason as delete(): active files
+            # can span schema generations after evolving merges, and
+            # the column list must come from the MERGED schema — taking
+            # it from any single file would rewrite survivors with that
+            # file's narrower schema.
+            merged_read = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, f["path"]) for f in old]
-            ).select(
+            )
+            cols = merged_read.columns
+            cur = merged_read.select(
                 F.substring_index(
                     F.col("_metadata.file_path"), "/", -1
                 ).alias("_file"),
@@ -625,7 +635,8 @@ class LogTable:
                 .withColumn("_bucket", self._bucket_col())
             )
             buckets = sorted({f["bucket"] for f in old})
-            stage = os.path.join(work_dir, f"purge_v{version:08d}")
+            token = uuid.uuid4().hex[:8]  # writer-unique: see merge()
+            stage = os.path.join(work_dir, f"purge_v{version:08d}-{token}")
             (
                 remaining.repartition(max(len(buckets), 1), "_bucket")
                 .write.mode("overwrite")
@@ -641,7 +652,7 @@ class LogTable:
                         continue
                     rel = os.path.join(
                         _DATA_DIR,
-                        f"v{version:08d}-b{bucket:05d}-{i:03d}.parquet",
+                        f"v{version:08d}-b{bucket:05d}-{i:03d}-{token}.parquet",
                     )
                     shutil.move(
                         os.path.join(part_dir, name),
@@ -649,7 +660,13 @@ class LogTable:
                     )
                     adds.append({"path": rel, "bucket": bucket})
             shutil.rmtree(stage, ignore_errors=True)
-        self._commit(version, adds, [f["path"] for f in old], dv=None)
+        try:
+            self._commit(version, adds, [f["path"] for f in old], dv=None)
+        except CommitConflict:
+            for a in adds:  # loser's files are orphans; clean eagerly
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(os.path.join(self.root, a["path"]))
+            raise
         return version
 
     def restore(self, version: int) -> int:
@@ -662,10 +679,26 @@ class LogTable:
         """
         new_version = self.latest_version() + 1
         target = {f["path"]: f for f in self.active_files(version)}
+        dv = self.active_dv(version)
+        # vacuum(retain_last) may have GC'd files outside the retention
+        # window; committing a head that references them would succeed
+        # and then fail (or partially read) at snapshot time — refuse
+        # up front with a clear error instead.
+        missing = [
+            p
+            for p in sorted(target) + ([dv] if dv is not None else [])
+            if not os.path.exists(os.path.join(self.root, p))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot restore to version {version}: it is outside the "
+                f"vacuum retention window ({len(missing)} of its data "
+                f"files were garbage-collected, e.g. {missing[0]!r})"
+            )
         current = {f["path"]: f for f in self.active_files()}
         adds = [f for p, f in sorted(target.items()) if p not in current]
         removes = [p for p in sorted(current) if p not in target]
-        self._commit(new_version, adds, removes, dv=self.active_dv(version))
+        self._commit(new_version, adds, removes, dv=dv)
         return new_version
 
     def vacuum(self, retain_last: int = 1) -> list[str]:

@@ -212,3 +212,37 @@ def test_failed_publish_preserves_previous_snapshot(spark, tmp_path):
     # No stray staging/retired dirs left visible to readers.
     visible = [d for d in os.listdir(wh) if not d.startswith((".", "_"))]
     assert visible == ["state=TX"]
+
+
+def test_run_load_pages_pending_files(spark, tmp_path, monkeypatch):
+    # Driver-side state is bounded: run_load consumes the pending list
+    # through a seq cursor in _PENDING_BATCH-row pages. With the bound
+    # forced to 2 and 5 pending files, the loop must page 3 times and
+    # still load everything exactly once, in numeric order — and a
+    # file that fails reconciliation (stays pending in the manifest)
+    # must not re-enter a later page (strict cursor, so the loop
+    # terminates).
+    files_dir = tmp_path / "files"
+    files_dir.mkdir()
+    states = ["CA", "WY", "TX", "AZ", "NV"]
+    for i, st in enumerate(states, start=1):
+        (files_dir / f"{i:02d}--{st}--20250101.tab").write_text(
+            HEADER + "\n" + "\n".join(_row(j, st) for j in range(5)) + "\n"
+        )
+    wh, mfp = str(tmp_path / "wh"), str(tmp_path / "manifest")
+    names = sorted(os.listdir(files_dir))
+    # file 03 declares an impossible line count -> reconciliation fails
+    mf.record_files(
+        spark,
+        mfp,
+        # 03's declared count exceeds the 1000-row reconciliation
+        # tolerance (load.ts:235-254), so its load must fail
+        [(n, n.split("--")[1], 99999 if n.startswith("03") else 6) for n in names],
+    )
+    monkeypatch.setattr(etl, "_PENDING_BATCH", 2)
+    results = etl.run_load(spark, str(files_dir), wh, mfp)
+    assert [r.state for r in results] == states  # numeric order, once each
+    assert [r.reconciled for r in results] == [True, True, False, True, True]
+    # a re-run picks up ONLY the still-pending (unreconciled) file
+    rerun = etl.run_load(spark, str(files_dir), wh, mfp)
+    assert [r.state for r in rerun] == ["TX"] and not rerun[0].reconciled

@@ -190,6 +190,15 @@ def load_voter_file(
     )
 
 
+# Driver-side bound on the pending-file list: run_load fetches work in
+# seq-ordered batches of this size (a cursor on seq), so a
+# million-file manifest never materializes on the driver — memory is
+# O(batch), not O(manifest). 10k (filename, state, seq) rows is ~1 MB.
+# Loads themselves stay sequential, as the reference's loader is
+# (load.ts:98-108 processes files one at a time in numeric order).
+_PENDING_BATCH = 10_000
+
+
 def run_load(
     spark: SparkSession,
     files_dir: str,
@@ -197,21 +206,37 @@ def run_load(
     manifest_path: str,
 ) -> list[LoadResult]:
     """The full §3.1 loop: scan dir, skip DEMOGRAPHIC + already-loaded,
-    load each remaining file in numeric order."""
+    load each remaining file in numeric order.
+
+    The pending list is consumed through a seq cursor in
+    ``_PENDING_BATCH``-row pages (bounded collect — see the constant's
+    note), strictly advancing, so the loop terminates in
+    ceil(pending / batch) rounds even when a file fails reconciliation
+    and stays unloaded in the manifest. File naming guarantees unique
+    seq prefixes (utils.ts:18-23 sorts on them), so a strict cursor
+    skips nothing.
+    """
     files = list_load_files(spark, files_dir)
-    manifest = mf.read_manifest(spark, manifest_path)
-    todo = mf.pending_files(files, manifest).orderBy("seq").collect()
     results = []
-    for row in todo:
-        results.append(
-            load_voter_file(
-                spark,
-                os.path.join(files_dir, row["filename"]),
-                warehouse_dir,
-                manifest_path,
+    last_seq = None
+    while True:
+        manifest = mf.read_manifest(spark, manifest_path)
+        pend = mf.pending_files(files, manifest)
+        if last_seq is not None:
+            pend = pend.filter(F.col("seq") > last_seq)
+        batch = pend.orderBy("seq").limit(_PENDING_BATCH).collect()
+        if not batch:
+            return results
+        for row in batch:
+            results.append(
+                load_voter_file(
+                    spark,
+                    os.path.join(files_dir, row["filename"]),
+                    warehouse_dir,
+                    manifest_path,
+                )
             )
-        )
-    return results
+        last_seq = batch[-1]["seq"]
 
 
 def read_voters(spark: SparkSession, warehouse_dir: str) -> DataFrame:

@@ -116,9 +116,9 @@ _BACKFILL = [
     "sql21_range_tvf", "sql22_lateral_column_alias",
     "sql23_interval_range_frame", "sql24_projected_exists",
     "m20_integral_image", "a81_price_volume_mix", "j27_anti_range_join", "m21_conv2d_stencil", "s27_rowgroup_stats_pruning", "a82_runs_test", "f18_binary_encodings", "sql25_star_except", "a83_bootstrap_ci", "g11_closeness_landmarks", "a84_proportional_allocation",
-    # -- environment-gated: registered only where google.protobuf is
-    # importable (streaming/stateful.py:_HAS_TWS_PROTO); placed here so
-    # a protobuf-equipped driver env still finds it slotted --
+    # -- registers everywhere since round 5 (protobuf-free
+    # applyInPandasWithState fallback, streaming/stateful.py); never
+    # driver-checked, so it stays in the backlog-head region --
     "st15_transform_with_state",
     # -- driver-green keys, oldest green first (r1 → r3) --
     "a2_reconcile", "a4_groupby_count", "a5_household_agg",

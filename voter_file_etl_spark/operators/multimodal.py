@@ -478,7 +478,8 @@ def _phash_bits_sql() -> str:
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 4000000 AS doc_id, text FROM documents
+      -- planted exact copies in the negative id range (see dedup x48)
+      SELECT -doc_id - 1 AS doc_id, text FROM documents
       WHERE doc_id % 25 = 0
     ), padded AS (
       SELECT doc_id,
@@ -498,7 +499,7 @@ def m7_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 4000000).alias("doc_id"), "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
     )
     media = build_ppm_media(docs.unionByName(planted))
     hashed = image_phash(media)
@@ -943,7 +944,6 @@ def m13_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _M14_BANDS = 4
 _M14_BAND_BITS = 6
 _M14_HAM_MAX = 3
-_M14_BASE = 7000000
 _M14_RASTER_SQL = (
     f"rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}), {_IMG_N}, ' ')"
 )
@@ -955,7 +955,8 @@ _M14_RASTER_SQL = (
     WITH corpus AS (
       SELECT doc_id, {_M14_RASTER_SQL} AS t FROM documents
       UNION ALL
-      SELECT doc_id + {_M14_BASE},
+      -- planted near-dups in the negative id range (see dedup x48)
+      SELECT -doc_id - 1,
              concat(substr({_M14_RASTER_SQL}, 1, {_IMG_N - 3}), '~',
                     substr({_M14_RASTER_SQL}, {_IMG_N - 1}, 2)) AS t
       FROM documents WHERE doc_id % 25 = 0
@@ -990,7 +991,7 @@ def m14_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", raster.alias("text")).unionByName(
         docs.filter(F.col("doc_id") % 25 == 0).select(
-            (F.col("doc_id") + _M14_BASE).alias("doc_id"),
+            (-F.col("doc_id") - 1).alias("doc_id"),
             perturbed.alias("text"),
         )
     )

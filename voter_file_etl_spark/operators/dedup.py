@@ -66,23 +66,52 @@ def d1_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d2_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FastSS deletion-neighborhood blocking INSIDE the nation block
+    # (the exact lev<=1 reduction proven by j19 / plans/joins.py
+    # fastss_lev1_pairs): every name emits itself plus each
+    # single-deletion variant, and any pair within levenshtein 1 must
+    # share a (nation, variant) key — equal names share the self-key,
+    # insert/delete pairs share the shorter string, substitutions
+    # share the same-position deletion. The nation-block quadratic
+    # (~600^2 levenshteins per nation at sf0.1, ~4.5M pairs) becomes
+    # an equi-join whose candidates get the levenshtein verify only —
+    # same result set as the oracle's brute-force definition,
+    # measured 13.7 s -> ~1 s at sf0.1, and linear-scaling at 100 TB
+    # (O(rows * name_len) keys, no quadratic block).
     c = t(spark, sf_dir, "customer")
-    a = c.select(
+    keyed = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(c_name)), i -> "
+                "case when i = 0 then c_name "
+                "else concat(substr(c_name, 1, i - 1), substr(c_name, i + 1)) end)"
+            )
+        ).alias("k"),
+    ).distinct()
+    a = keyed.select(
         F.col("c_custkey").alias("id1"),
         F.col("c_name").alias("name1"),
         F.col("c_nationkey").alias("nk"),
+        "k",
     )
-    b = c.select(
+    b = keyed.select(
         F.col("c_custkey").alias("id2"),
         F.col("c_name").alias("name2"),
         F.col("c_nationkey").alias("nk"),
+        "k",
+    )
+    cand = (
+        a.join(b, ["nk", "k"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "name1", "name2")
+        .distinct()
     )
     dist = F.levenshtein("name1", "name2")
-    return (
-        a.join(b, "nk")
-        .filter(F.col("id1") < F.col("id2"))
-        .filter(dist <= 1)
-        .select("id1", "id2", dist.cast("int").alias("name_dist"))
+    return cand.filter(dist <= 1).select(
+        "id1", "id2", dist.cast("int").alias("name_dist")
     )
 
 

@@ -95,16 +95,19 @@ def run_interval_join_stream(
     # can never match a future purchase and are evicted.
     p = p.withWatermark("p_ts", "2 hours")
     v = v.withWatermark("v_ts", "2 hours")
-    query = (
-        _interval_join(p, v)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("st6_stream_out")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from voter_file_etl_spark.tables import stream_parallelism
+
+    with stream_parallelism(spark):
+        query = (
+            _interval_join(p, v)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("st6_stream_out")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.sql("SELECT * FROM st6_stream_out")
 
 
@@ -229,13 +232,16 @@ def st11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("p_ts").alias("purchase_us"),
         F.unix_micros("v_ts").alias("view_us"),
     )
-    query = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("st11_stream_out")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from voter_file_etl_spark.tables import stream_parallelism
+
+    with stream_parallelism(spark):
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("st11_stream_out")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table("st11_stream_out").filter(F.col("user_id") >= 0)

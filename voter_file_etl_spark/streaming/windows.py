@@ -78,16 +78,19 @@ def run_tumbling_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     ).withWatermark("ts", "1 hour")
-    query = (
-        _windowed(stream)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("st1_stream_out")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from voter_file_etl_spark.tables import stream_parallelism
+
+    with stream_parallelism(spark):
+        query = (
+            _windowed(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("st1_stream_out")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.sql("SELECT * FROM st1_stream_out")
 
 
@@ -139,16 +142,19 @@ def run_enrich_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> 
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    query = (
-        _enriched(stream, t(spark, sf_dir, "customer"))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("st5_stream_out")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from voter_file_etl_spark.tables import stream_parallelism
+
+    with stream_parallelism(spark):
+        query = (
+            _enriched(stream, t(spark, sf_dir, "customer"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("st5_stream_out")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.sql("SELECT * FROM st5_stream_out")
 
 
@@ -440,13 +446,16 @@ def run_distinct_stream(
             "n_users",
         )
     )
-    query = (
-        stream.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("st16_stream_out")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    from voter_file_etl_spark.tables import stream_parallelism
+
+    with stream_parallelism(spark):
+        query = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("st16_stream_out")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.sql("SELECT * FROM st16_stream_out")

@@ -104,15 +104,16 @@ def run_dedup_stream(spark: SparkSession, sf_dir: str, checkpoint_dir: str) -> D
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    query = (
-        deduped.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("st4_stream_out")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with stream_parallelism(spark):
+        query = (
+            deduped.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st4_stream_out")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # One emitted row per key per trigger; keep each key's final state.
     out = spark.sql("SELECT * FROM st4_stream_out")
     return out.groupBy("user_id", "event_type").agg(
@@ -166,15 +167,16 @@ def st8_stream_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    query = (
-        counted.writeStream.outputMode("update")
-        .format("memory")
-        .queryName("st8_stream_out")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with stream_parallelism(spark):
+        query = (
+            counted.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("st8_stream_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # Update mode emits a row per trigger as counts grow; the final
     # value per type is the maximum emitted.
     return (

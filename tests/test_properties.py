@@ -278,6 +278,48 @@ def test_fastss_lev1_pairs_match_bruteforce(spark, seed):
     assert got == expected
 
 
+@pytest.mark.parametrize("seed", [3, 17])
+def test_fastss_lev1_id_pairs_match_bruteforce(spark, seed):
+    # The id-keyed, blocked variant (d2's path) must find EXACTLY the
+    # same-block id pairs a brute-force scan finds — including equal
+    # names on different ids (the self-key case), duplicate names
+    # within and across blocks, and empty-ish names. Same adversarial
+    # vocabulary as the word-level test, plus random block labels.
+    from voter_file_etl_spark.operators.dedup import fastss_lev1_id_pairs
+
+    rng = np.random.default_rng(seed)
+    words = ["".join(rng.choice(list("ab"), size=rng.integers(1, 5))) for _ in range(50)]
+    words += ["".join(rng.choice(list("abcde"), size=rng.integers(3, 7))) for _ in range(50)]
+    rows = [
+        (i, words[rng.integers(0, len(words))], int(rng.integers(0, 3)))
+        for i in range(120)
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (r1[0], r2[0], lev(r1[1], r2[1]))
+        for i, r1 in enumerate(rows)
+        for r2 in rows[i + 1 :]
+        if r1[2] == r2[2] and lev(r1[1], r2[1]) <= 1
+    }
+    df = spark.createDataFrame(rows, ["rid", "name", "blk"])
+    got = {
+        (r["id1"], r["id2"], r["name_dist"])
+        for r in fastss_lev1_id_pairs(df, "rid", "name", "blk").collect()
+    }
+    assert got == expected
+
+
 def test_k_core_reaches_fixpoint_within_bound(spark, sf_dir):
     # g7 runs a FIXED 4 peel rounds; the bounded unroll equals the
     # true 2-core only if the peel has converged — assert no

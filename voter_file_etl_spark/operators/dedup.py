@@ -54,6 +54,52 @@ def d1_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB lacks soundex, so the oracle-checked distance is levenshtein —
 # soundex blocking is exercised in unit tests instead).
 # ---------------------------------------------------------------------------
+def fastss_lev1_id_pairs(
+    rows: DataFrame, id_col: str, name_col: str, block_col: str
+) -> DataFrame:
+    """All (id1 < id2) same-block row pairs whose names are within
+    levenshtein 1, via FastSS deletion-neighborhood blocking (the
+    exact lev<=1 reduction proven by j19 / plans/joins.py
+    fastss_lev1_pairs, here keyed by row id instead of distinct
+    word): every name emits itself plus each single-deletion variant,
+    and any pair within levenshtein 1 must share a (block, variant)
+    key — equal names share the self-key, insert/delete pairs share
+    the shorter string, substitutions share the same-position
+    deletion. A block quadratic becomes an equi-join whose candidates
+    get the levenshtein verify only; O(rows * name_len) emitted keys,
+    no quadratic block at any skew. Output: (id1, id2, name_dist).
+    Property-tested against the brute-force definition on random
+    vocabularies (tests/test_properties.py)."""
+    keyed = rows.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.col(block_col).alias("_blk"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length({name_col})), i -> "
+                f"case when i = 0 then {name_col} "
+                f"else concat(substr({name_col}, 1, i - 1), substr({name_col}, i + 1)) end)"
+            )
+        ).alias("_k"),
+    ).distinct()
+    a = keyed.select(
+        F.col("_id").alias("id1"), F.col("_name").alias("name1"), "_blk", "_k"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id2"), F.col("_name").alias("name2"), "_blk", "_k"
+    )
+    cand = (
+        a.join(b, ["_blk", "_k"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "name1", "name2")
+        .distinct()
+    )
+    dist = F.levenshtein("name1", "name2")
+    return cand.filter(dist <= 1).select(
+        "id1", "id2", dist.cast("int").alias("name_dist")
+    )
+
+
 @register(
     "d2_fuzzy_dedup",
     oracle="""
@@ -66,53 +112,13 @@ def d1_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def d2_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # FastSS deletion-neighborhood blocking INSIDE the nation block
-    # (the exact lev<=1 reduction proven by j19 / plans/joins.py
-    # fastss_lev1_pairs): every name emits itself plus each
-    # single-deletion variant, and any pair within levenshtein 1 must
-    # share a (nation, variant) key — equal names share the self-key,
-    # insert/delete pairs share the shorter string, substitutions
-    # share the same-position deletion. The nation-block quadratic
-    # (~600^2 levenshteins per nation at sf0.1, ~4.5M pairs) becomes
-    # an equi-join whose candidates get the levenshtein verify only —
-    # same result set as the oracle's brute-force definition,
-    # measured 13.7 s -> ~1 s at sf0.1, and linear-scaling at 100 TB
-    # (O(rows * name_len) keys, no quadratic block).
+    # FastSS deletion-key blocking INSIDE the nation block replaces
+    # the nation-block quadratic (~600^2 levenshteins per nation at
+    # sf0.1, ~4.5M pairs) — same result set as the oracle's
+    # brute-force definition, measured 13.7 s -> ~1 s at sf0.1, and
+    # linear-scaling at 100 TB. See fastss_lev1_id_pairs.
     c = t(spark, sf_dir, "customer")
-    keyed = c.select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(c_name)), i -> "
-                "case when i = 0 then c_name "
-                "else concat(substr(c_name, 1, i - 1), substr(c_name, i + 1)) end)"
-            )
-        ).alias("k"),
-    ).distinct()
-    a = keyed.select(
-        F.col("c_custkey").alias("id1"),
-        F.col("c_name").alias("name1"),
-        F.col("c_nationkey").alias("nk"),
-        "k",
-    )
-    b = keyed.select(
-        F.col("c_custkey").alias("id2"),
-        F.col("c_name").alias("name2"),
-        F.col("c_nationkey").alias("nk"),
-        "k",
-    )
-    cand = (
-        a.join(b, ["nk", "k"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "name1", "name2")
-        .distinct()
-    )
-    dist = F.levenshtein("name1", "name2")
-    return cand.filter(dist <= 1).select(
-        "id1", "id2", dist.cast("int").alias("name_dist")
-    )
+    return fastss_lev1_id_pairs(c, "c_custkey", "c_name", "c_nationkey")
 
 
 # ---------------------------------------------------------------------------

@@ -1160,6 +1160,12 @@ def _x40_oracle() -> str:
 
 @register("x40_curation_report", oracle=_x40_oracle())
 def x40_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each gate's (doc_id, keep) output feeds two consumers (the
+    # per-filter rows and the 7-way all-gates join). Persisting the
+    # verdicts was MEASURED SLOWER (3.9 -> 6.3 s at sf0.1): the
+    # cache materialization barrier costs more than recomputing the
+    # expression-only gate pipelines, which fuse into whole-stage
+    # codegen on both consumers. Leave them unpersisted.
     gates = [
         ("x9", x9_quality_score(spark, sf_dir).select("doc_id", F.col("quality_ok").alias("keep"))),
         ("x24", x24_repetition_filter(spark, sf_dir).select("doc_id", "keep")),

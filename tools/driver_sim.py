@@ -115,14 +115,21 @@ def main() -> int:
     # SPARK_GRAFT_SIM_PARTITIONS=7 SPARK_GRAFT_SIM_CORES=5.
     n_part = os.environ.get("SPARK_GRAFT_SIM_PARTITIONS", "16")
     n_cores = os.environ.get("SPARK_GRAFT_SIM_CORES", "16")
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{n_cores}]")
         .config("spark.sql.shuffle.partitions", n_part)
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        .getOrCreate()
     )
+    # Extra adversarial confs, ';'-separated k=v pairs — e.g.
+    # SPARK_GRAFT_SIM_CONF="spark.sql.codegen.wholeStage=false" to
+    # prove results are codegen/interpreted invariant.
+    for pair in os.environ.get("SPARK_GRAFT_SIM_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for name in TABLE_NAMES:
         con.execute(

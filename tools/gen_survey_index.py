@@ -37,6 +37,27 @@ rounds must rotate the window again (deferred + newly added keys
 first) so every key accumulates a driver-green row. The repo-local
 equivalent of the driver's check — stricter, string-form-calibrated —
 is `python tools/driver_sim.py` (all keys, any sf).
+
+**Backlog-burn window plan (r5–r9)**: after CORRECTNESS_r04 the
+cumulative driver-checked set is 198/441; registry growth is FROZEN
+until the backlog clears (VERDICT r4 #2 — new keys only for genuine
+contract gaps). `_BACKFILL`'s head enumerates every never-checked key
+in priority order, so each round's rotation is mechanical — move the
+first 50 `_BACKFILL` entries into `_CHECK_FIRST`, retire the green
+window to the tail:
+
+- **r5** (this round): the 16 round-3 leftovers (g2 … j12) + the 34
+  earliest round-4 registrations (x54 … x63_bloom_prefilter)
+  → cumulative 248.
+- **r6**: x64_token_shift … x89_dedup_savings region (next 50,
+  including st15_transform_with_state, now registered everywhere via
+  its protobuf-free fallback) → cumulative 298.
+- **r7**: a67_cohort_ltv … f15_surrogate_key region → cumulative 348.
+- **r8**: e6_ops_health … sql24_projected_exists region → cumulative
+  398.
+- **r9**: the residual ~43 (m20 … a84 + any r5–r8 stragglers) →
+  cumulative 441/441; from r10 the window re-checks the oldest green
+  rows for regression coverage.
 """
 
 

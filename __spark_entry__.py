@@ -25,40 +25,22 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Driver-coverage rotation (the driver oracle-checks the FIRST 50 keys
 # of queries() per round — contract documented in SURVEY.md §8).
 #
-# Round 5 window (verification round, VERDICT r4 "Next round" #1):
-# the first 50 entries of round 4's _BACKFILL head — the 16 keys left
-# from round 3's backlog, then the earliest round-4 registrations in
-# registration order. None of these has ever had a driver CORRECTNESS
-# row. Rounds 6-9 continue down _BACKFILL's head (window plan in
-# SURVEY.md §8). Any key newly registered THIS round is unplaced and
-# would sort after the head — tests/test_rotation.py fails the suite
-# until it is placed explicitly.
+# Round 6 window (VERDICT r5 "Next round" #1): the first 49 entries of
+# round 5's _BACKFILL head (x64_token_shift … a49_market_basket — all
+# never driver-checked) PLUS st15_transform_with_state pulled forward
+# from the end of the never-checked region. VERDICT r5 and the SURVEY
+# §8 burn plan both name st15's first-ever driver check as part of the
+# r6 window (its protobuf-free fallback landed in r5), but mechanically
+# it sat last in _BACKFILL's never-checked region — so it takes the
+# 50th slot here and a48_string_agg (the literal 50th head entry)
+# defers one round to lead the r7 window. CORRECTNESS_r05 confirmed
+# the r5 window ran 50/50 green, authorizing this rotation. Rounds 7-9
+# continue down _BACKFILL's head (window plan in SURVEY.md §8). Any
+# key newly registered THIS round is unplaced and would sort after the
+# head — tests/test_rotation.py fails the suite until it is placed
+# explicitly.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    "g2_triangle_count", "a19_bool_bit_agg", "a21_column_profile",
-    "a22_funnel", "a23_retention_cohorts", "a24_sweepline_concurrency",
-    "a27_key_skew_profile", "a28_hll_sketch_merge", "w9_nth_value",
-    "w10_gaps_islands", "w11_resample_ffill", "w12_cumulative_distinct",
-    "t10_stem_stopword", "t12_hash_encode", "t13_date_arith",
-    "j12_full_outer_join",
-    "x54_reservoir_sample", "j17_knn_join", "g4_connected_components",
-    "x55_embedding_outlier", "j18_skew_salted_join", "x56_ngram_novelty",
-    "m14_phash_near_dup", "a35_mad_outliers", "x57_token_budget_fill",
-    "x58_diversity_sample", "f7_ipv4_funcs", "t14_bitwise_funcs",
-    "sql10_qualify_topn", "w13_moving_median", "a36_ks_two_sample",
-    "x59_quantile_normalize", "x60_winsorize", "x61_shard_balance",
-    "j19_edit_distance_join", "d4_record_linkage", "g5_degree_distribution",
-    "a37_chi_square", "a38_lag_autocovariance", "x62_langid_confusion",
-    "f8_hash_digest_funcs", "o5_nulls_ordering", "w14_drawdown",
-    "j20_star_denorm", "w15_ewma", "a39_gini", "a40_conversion_lag",
-    "f9_url_parse", "t15_unicode_sanitize", "x63_bloom_prefilter",
-]
-_BACKFILL = [
-    # -- BACKLOG HEAD: every never-driver-checked key in priority
-    # order (round-4 registrations in registration order). Round 6's
-    # window = move the FIRST 50 entries below into _CHECK_FIRST;
-    # rounds 7-9 continue down the list (tests/test_rotation.py keeps
-    # the partition exact; burn plan in SURVEY.md §8) --
     "x64_token_shift", "s17_compressed_csv", "a41_ols_trend",
     "t16_json_nested", "d5_golden_record", "x65_vocab_coverage",
     "sql11_pivot_syntax", "f10_phonetic_key", "a42_sketch_overlap",
@@ -75,7 +57,18 @@ _BACKFILL = [
     "x71_importance_weights", "g7_k_core", "m17_bmp_decode",
     "a47_ratio_to_report", "w18_resample_bfill", "d6_blocking_recall",
     "m18_wav_decimate", "st16_stream_distinct_users", "l19_shallow_clone",
-    "w19_interval_union", "a49_market_basket", "a48_string_agg",
+    "w19_interval_union", "a49_market_basket",
+    "st15_transform_with_state",
+]
+_BACKFILL = [
+    # -- BACKLOG HEAD: every never-driver-checked key in priority
+    # order (round-4 registrations in registration order). Round 7's
+    # window = move the FIRST 50 entries below into _CHECK_FIRST
+    # (a48_string_agg leads: it was the literal 50th head entry in r6
+    # but ceded its slot to st15 — see the _CHECK_FIRST comment);
+    # rounds 8-9 continue down the list (tests/test_rotation.py keeps
+    # the partition exact; burn plan in SURVEY.md §8) --
+    "a48_string_agg",
     "sql15_unpivot_syntax", "x72_length_bucket_pack", "x73_calibration_curve",
     "l20_write_audit_publish", "w20_cusum_drift", "f13_luhn_checksum",
     "x74_source_js_divergence", "l21_concurrent_merge_retry",
@@ -116,11 +109,9 @@ _BACKFILL = [
     "sql21_range_tvf", "sql22_lateral_column_alias",
     "sql23_interval_range_frame", "sql24_projected_exists",
     "m20_integral_image", "a81_price_volume_mix", "j27_anti_range_join", "m21_conv2d_stencil", "s27_rowgroup_stats_pruning", "a82_runs_test", "f18_binary_encodings", "sql25_star_except", "a83_bootstrap_ci", "g11_closeness_landmarks", "a84_proportional_allocation",
-    # -- registers everywhere since round 5 (protobuf-free
-    # applyInPandasWithState fallback, streaming/stateful.py); never
-    # driver-checked, so it stays in the backlog-head region --
-    "st15_transform_with_state",
-    # -- driver-green keys, oldest green first (r1 → r3) --
+    # -- driver-green keys, oldest green first (r1 → r3). From r10 the
+    # rotation flips to regression re-checks: windows are drawn from
+    # here top-down, so this tail's order IS the r10+ re-check plan --
     "a2_reconcile", "a4_groupby_count", "a5_household_agg",
     "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",
     "s1_file_scan", "s2_csv_read", "s6_count", "s7_write_roundtrip",
@@ -184,6 +175,24 @@ _BACKFILL = [
     "x35_containment_dedup", "x36_oov_filter", "x37_entropy_filter",
     "x38_minhash_accuracy", "x39_ann_recall", "x40_curation_report",
     "g1_pagerank", "g3_bfs_levels",
+    # -- driver-green round 5 (retired window, CORRECTNESS_r05 50/50) --
+    "g2_triangle_count", "a19_bool_bit_agg", "a21_column_profile",
+    "a22_funnel", "a23_retention_cohorts", "a24_sweepline_concurrency",
+    "a27_key_skew_profile", "a28_hll_sketch_merge", "w9_nth_value",
+    "w10_gaps_islands", "w11_resample_ffill", "w12_cumulative_distinct",
+    "t10_stem_stopword", "t12_hash_encode", "t13_date_arith",
+    "j12_full_outer_join",
+    "x54_reservoir_sample", "j17_knn_join", "g4_connected_components",
+    "x55_embedding_outlier", "j18_skew_salted_join", "x56_ngram_novelty",
+    "m14_phash_near_dup", "a35_mad_outliers", "x57_token_budget_fill",
+    "x58_diversity_sample", "f7_ipv4_funcs", "t14_bitwise_funcs",
+    "sql10_qualify_topn", "w13_moving_median", "a36_ks_two_sample",
+    "x59_quantile_normalize", "x60_winsorize", "x61_shard_balance",
+    "j19_edit_distance_join", "d4_record_linkage", "g5_degree_distribution",
+    "a37_chi_square", "a38_lag_autocovariance", "x62_langid_confusion",
+    "f8_hash_digest_funcs", "o5_nulls_ordering", "w14_drawdown",
+    "j20_star_denorm", "w15_ewma", "a39_gini", "a40_conversion_lag",
+    "f9_url_parse", "t15_unicode_sanitize", "x63_bloom_prefilter",
 ]
 
 

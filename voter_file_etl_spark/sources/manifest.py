@@ -14,6 +14,7 @@ cheap because the manifest is O(files), not O(rows).
 from __future__ import annotations
 
 import os
+import threading
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,13 +23,21 @@ from pyspark.sql import functions as F
 
 from voter_file_etl_spark.schema import manifest_struct
 
+# Serializes manifest read-modify-write cycles when per-state loads
+# run in parallel driver threads (etl.run_load). The lock only covers
+# the tiny control-plane table ops — the heavy per-state load jobs
+# stay fully concurrent. RLock: record_files reads back through
+# read_manifest while holding it.
+_MF_LOCK = threading.RLock()
+
 
 def read_manifest(spark: SparkSession, path: str) -> DataFrame:
-    if os.path.isdir(path) and any(
-        n.endswith(".parquet") for n in os.listdir(path)
-    ):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], manifest_struct())
+    with _MF_LOCK:
+        if os.path.isdir(path) and any(
+            n.endswith(".parquet") for n in os.listdir(path)
+        ):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], manifest_struct())
 
 
 def record_files(
@@ -43,32 +52,50 @@ def record_files(
     # _src: the incoming record wins an updatedAt tie (two calls in
     # the same clock tick — e.g. frozen test clocks — must not leave
     # the winner to shuffle order).
-    merged = (
-        read_manifest(spark, path)
-        .withColumn("_src", F.lit(0))
-        .unionByName(new.withColumn("_src", F.lit(1)))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                W.partitionBy("Filename").orderBy(
-                    F.desc("updatedAt"), F.desc("_src")
-                )
-            ),
+    with _MF_LOCK:
+        merged = (
+            read_manifest(spark, path)
+            .withColumn("_src", F.lit(0))
+            .unionByName(new.withColumn("_src", F.lit(1)))
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("Filename").orderBy(
+                        F.desc("updatedAt"), F.desc("_src")
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
         )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
-    )
-    _overwrite_small(merged, path)
-    return read_manifest(spark, path)
+        _overwrite_small(merged, path)
+        return read_manifest(spark, path)
 
 
 def mark_loaded(spark: SparkSession, path: str, filename: str) -> None:
     """Loaded=true after publish (load.ts:287-294)."""
-    updated = read_manifest(spark, path).withColumn(
-        "Loaded",
-        F.when(F.col("Filename") == filename, F.lit(True)).otherwise(F.col("Loaded")),
-    )
-    _overwrite_small(updated, path)
+    with _MF_LOCK:
+        updated = read_manifest(spark, path).withColumn(
+            "Loaded",
+            F.when(F.col("Filename") == filename, F.lit(True)).otherwise(
+                F.col("Loaded")
+            ),
+        )
+        _overwrite_small(updated, path)
+
+
+def recorded_lines(spark: SparkSession, path: str, filename: str) -> int | None:
+    """The manifest's Lines value for one file, collected under the
+    manifest lock so a concurrent overwrite-rename (parallel per-state
+    loads) can never yank the parquet files between plan and collect."""
+    with _MF_LOCK:
+        rows = (
+            read_manifest(spark, path)
+            .filter(F.col("Filename") == filename)
+            .select("Lines")
+            .collect()
+        )
+    return int(rows[0][0]) if rows else None
 
 
 def pending_files(files_df: DataFrame, manifest: DataFrame) -> DataFrame:
@@ -80,6 +107,27 @@ def pending_files(files_df: DataFrame, manifest: DataFrame) -> DataFrame:
     return files_df.join(F.broadcast(loaded), "filename", "left_anti")
 
 
+# Spark-type -> Arrow-type map for the driver-side fast write below.
+# Timestamps are written as UTC-adjusted micros, which is exactly how
+# Spark reads them back into TimestampType — valid because the session
+# timezone is pinned to UTC (session.py), so collected naive datetimes
+# ARE UTC instants.
+def _arrow_type(dt):
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    return {
+        T.StringType(): pa.string(),
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.BooleanType(): pa.bool_(),
+        T.DoubleType(): pa.float64(),
+        T.DateType(): pa.date32(),
+        T.TimestampType(): pa.timestamp("us", tz="UTC"),
+    }.get(dt)
+
+
 def _overwrite_small(df: DataFrame, path: str) -> None:
     # Manifest is tiny: materialize driver-side (so we never read and
     # write the same files in one job), write to a hidden staging dir,
@@ -88,6 +136,15 @@ def _overwrite_small(df: DataFrame, path: str) -> None:
     # live copy before the writing job commits, so a failure there
     # would lose the entire load history (same hazard the etl.py
     # publish guards against).
+    #
+    # The write itself is a driver-side pyarrow file, not a Spark job:
+    # this is a CONTROL-PLANE table of O(files) rows already collected
+    # on the driver, and a single-row-group parquet write is ~10 ms
+    # where the one-task Spark job (createDataFrame + repartition(1) +
+    # job scheduling) measured ~0.5 s — paid once per loaded file, it
+    # was the second-largest cost of the whole ETL loop (r6). Same
+    # pattern as Delta's driver-written transaction log. Falls back to
+    # the Spark writer for non-local warehouse URIs or exotic schemas.
     import uuid
 
     spark = df.sparkSession
@@ -96,13 +153,29 @@ def _overwrite_small(df: DataFrame, path: str) -> None:
     parent = os.path.dirname(path.rstrip("/")) or "."
     staging = os.path.join(parent, f".mf_staging_{run_id}")
     retired = os.path.join(parent, f".mf_retired_{run_id}")
-    # repartition(1), NOT coalesce(1): a coalesce directly over a
-    # Python-built local relation (Arrow LocalTableScan) costs ~5 s
-    # per write on Spark 4.1 where the repartition path takes ~0.5 s
-    # (measured; parquet-scan-backed coalesce is unaffected). The
-    # manifest is mutated once per loaded file, so this was the
-    # dominant cost of the whole ETL loop.
-    spark.createDataFrame(rows, df.schema).repartition(1).write.parquet(staging)
+
+    local = "://" not in parent or parent.startswith("file://")
+    arrow_types = [_arrow_type(f.dataType) for f in df.schema.fields]
+    utc = spark.conf.get("spark.sql.session.timeZone", "") == "UTC"
+    if local and utc and all(t is not None for t in arrow_types):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        local_staging = staging[7:] if staging.startswith("file://") else staging
+        tbl = pa.table(
+            {
+                f.name: pa.array([r[i] for r in rows], t)
+                for i, (f, t) in enumerate(zip(df.schema.fields, arrow_types))
+            }
+        )
+        os.makedirs(local_staging)
+        pq.write_table(tbl, os.path.join(local_staging, "part-00000.parquet"))
+    else:
+        # repartition(1), NOT coalesce(1): a coalesce directly over a
+        # Python-built local relation (Arrow LocalTableScan) costs
+        # ~5 s per write on Spark 4.1 where the repartition path takes
+        # ~0.5 s (measured; parquet-scan-backed coalesce unaffected).
+        spark.createDataFrame(rows, df.schema).repartition(1).write.parquet(staging)
 
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(parent).getFileSystem(

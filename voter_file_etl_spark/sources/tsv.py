@@ -50,31 +50,40 @@ def read_tsv(
         .option("mode", "FAILFAST" if strict else "PERMISSIVE")
         .csv(path)
     )
-    # Trim header whitespace (load.ts:162) by renaming.
-    trimmed = raw.toDF(*[c.strip() for c in raw.columns])
-    present = set(trimmed.columns)
+    # Header trim (load.ts:162), projection, and casts all happen in a
+    # SINGLE selectExpr: the expressions are built as SQL strings and
+    # parsed JVM-side in one call. Building them as Column objects
+    # costs one py4j round-trip per method call — ~2 s per file on the
+    # 339-column voter schema, re-paid for every file of a multi-state
+    # load (measured round 6; this was the dominant cost of the whole
+    # ETL loop). String assembly is pure Python and amortizes to ~ms.
+    present = {c.strip(): c for c in raw.columns}
 
-    cols: list[F.Column] = []
+    def _q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
+    exprs: list[str] = []
     for name, dtype in fields.items():
+        tgt = _q(name)
         if name not in present:
-            cols.append(F.lit(None).cast(dtype).alias(name))
-        elif isinstance(dtype, T.DateType):
-            cols.append(F.to_date(F.col(name), DATE_FORMAT).alias(name))
+            exprs.append(f"CAST(NULL AS {dtype.simpleString()}) AS {tgt}")
+            continue
+        src = _q(present[name])
+        if isinstance(dtype, T.DateType):
+            exprs.append(f"to_date({src}, '{DATE_FORMAT}') AS {tgt}")
         elif isinstance(dtype, T.StringType):
-            cols.append(F.col(name).alias(name))
+            exprs.append(f"{src} AS {tgt}")
         else:
             # try_cast: malformed numerics become NULL instead of
             # failing the load under Spark 4's default ANSI mode —
             # matching the reference's permissive Number(value) cast
             # (load.ts:36-42).
-            cols.append(F.col(name).try_cast(dtype).alias(name))
-    out = trimmed.select(*cols)
+            exprs.append(f"try_cast({src} AS {dtype.simpleString()}) AS {tgt}")
     if with_filename:
-        out = out.withColumn(
-            "_source_file",
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
+        exprs.append(
+            "element_at(split(input_file_name(), '/'), -1) AS `_source_file`"
         )
-    return out
+    return raw.selectExpr(*exprs)
 
 
 def parse_state_from_filename(col: F.Column) -> F.Column:

@@ -17,13 +17,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, stats: list | None = None
+) -> DataFrame:
     """Components of an undirected graph given as directed (src, dst)
     edge rows (pass both directions for undirected semantics).
 
     Returns (node, component) for every node appearing in ``edges``,
     where component is the minimum node id reachable from the node.
     ``edges`` is persisted internally (it feeds every iteration).
+
+    ``stats``: pass a list and every round appends
+    {round, changed, plan_lines} — full changed-label count plus the
+    analyzed-plan line count of the round's labels (flat across rounds
+    == per-round lineage truncation is working). Probe-only
+    (tools/graph_probe.py): the default path keeps the cheap
+    limit(1) convergence check and records nothing.
 
     Two disciplines make this safe on ARBITRARY graphs, not just the
     star/short-chain components near-dup clustering produces:
@@ -69,16 +78,30 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                 ).alias("label"),
             )
         )
-        changed = (
+        diff = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
         )
+        changed = diff.count() if stats is not None else diff.limit(1).count()
+        if stats is not None:
+            stats.append(
+                {
+                    "round": len(stats) + 1,
+                    "changed": changed,
+                    "plan_lines": len(
+                        new_labels._jdf.queryExecution().analyzed().toString()
+                        .splitlines()
+                    ),
+                }
+            )
         labels = new_labels
         if changed == 0:
             break
+    # labels is a checkpointed leaf — nothing downstream re-reads the
+    # edge cache, so release the executor memory before returning
+    # (dead persists tax later queries in long sessions, SCALE.md §12).
+    edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -639,8 +662,8 @@ def _g7_oracle() -> str:
 def g7_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from voter_file_etl_spark.session import iter_checkpoint
 
-    edges = _g7_edges(spark, sf_dir).persist()
-    for _ in range(_G7_ROUNDS):
+    edges = edges0 = _g7_edges(spark, sf_dir).persist()
+    for r in range(_G7_ROUNDS):
         deg = (
             edges.select(F.col("s").alias("node"))
             .unionAll(edges.select(F.col("d").alias("node")))
@@ -654,6 +677,11 @@ def g7_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                 deg, edges.d == deg.node, "left_semi"
             )
         )
+        if r == 0:
+            # round 1 read the persisted base edges twice (deg + the
+            # semi-joins); every later round reads the newest
+            # checkpoint, so the base cache is dead weight from here.
+            edges0.unpersist()
     return (
         edges.select(F.col("s").alias("node"))
         .unionAll(edges.select(F.col("d").alias("node")))

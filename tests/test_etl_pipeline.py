@@ -319,3 +319,35 @@ def test_run_load_parallel_lanes_match_sequential(spark, tmp_path, monkeypatch):
         loaded = mf.read_manifest(spark, mfp).filter("Loaded").count()
         assert loaded == len(specs)
     assert outputs[1] == outputs[4]
+
+
+def test_read_tsv_hostile_headers_and_field_names(spark, tmp_path):
+    # The selectExpr-based projection assembles SQL strings, so header
+    # and field names must survive quoting: whitespace-padded headers
+    # (trimmed per load.ts:162), names containing spaces, and even a
+    # backtick in the name (escaped by doubling). Declared-but-absent
+    # columns still come back as typed NULLs through the same path.
+    from pyspark.sql import types as T
+
+    path = tmp_path / "01--XX--20250101.tab"
+    path.write_text(
+        "  id  \todd name\twei`rd\tdrop_me\n"
+        "7\thello\t3\tjunk\n"
+        "\tworld\toops\tjunk\n"
+    )
+    fields = {
+        "id": T.IntegerType(),          # header arrives padded -> trimmed
+        "odd name": T.StringType(),     # space inside the name
+        "wei`rd": T.IntegerType(),      # backtick inside the name
+        "absent col": T.DateType(),     # declared but missing -> NULL date
+    }
+    df = read_tsv(spark, str(path), fields=fields)
+    assert df.columns == ["id", "odd name", "wei`rd", "absent col"]
+    assert dict(df.dtypes)["absent col"] == "date"
+    rows = df.orderBy(F.col("id").asc_nulls_last()).collect()
+    assert rows[0]["id"] == 7 and rows[0]["odd name"] == "hello"
+    assert rows[0]["wei`rd"] == 3
+    assert rows[1]["id"] is None            # "" -> NULL before cast
+    assert rows[1]["wei`rd"] is None        # try_cast("oops") -> NULL
+    assert all(r["absent col"] is None for r in rows)
+    assert "drop_me" not in df.columns      # mapHeaders drop semantics

@@ -1525,3 +1525,24 @@ def test_multi_source_bfs_has_no_cartesian(spark, sf_dir):
     # broadcast equi-join of frontier against the checkpointed edges.
     plan = _formatted_plan(spark, "g11_closeness_landmarks", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_dedup_pk_partial_min_before_shuffle(spark):
+    # dedup_pk must keep its map-side combine: a partial_min aggregate
+    # BELOW the hash exchange, so only one candidate row per PK per
+    # task crosses the wire (vs the old window form, which shuffled
+    # every duplicate then sorted whole partitions). The struct min
+    # is SortAggregate (structs are not hash-aggregable) — the gate
+    # is the partial/final split around the Exchange, not the
+    # aggregate flavor.
+    from voter_file_etl_spark.operators import etl
+
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2), ("b", "z", 3)],
+        f"{etl.PK} string, s string, i int",
+    )
+    plan = etl.dedup_pk(df)._jdf.queryExecution().executedPlan().toString()
+    pre, _, post = plan.partition("Exchange hashpartitioning(_dedup_pk")
+    assert post, f"no hash exchange on the dedup key:\n{plan}"
+    assert "partial_min" in post, f"no map-side partial min below the exchange:\n{plan}"
+    assert "functions=[min(" in pre, f"no final min above the exchange:\n{plan}"

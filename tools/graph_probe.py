@@ -88,6 +88,9 @@ def main() -> None:
     for key in ["g4_connected_components", "g6_common_neighbors", "g7_k_core"]:
         fn = registry.QUERIES[key]
         fn(spark, uniform_dir).write.format("noop").mode("overwrite").save()  # warm
+        # clear between warm and timed (bench.py protocol) so the
+        # timed run cannot plan-match the warm run's cached persists
+        spark.catalog.clearCache()
         start = time.perf_counter()
         fn(spark, uniform_dir).write.format("noop").mode("overwrite").save()
         times[key] = round(time.perf_counter() - start, 2)

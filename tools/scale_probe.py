@@ -170,9 +170,16 @@ def main() -> None:
     for key in keys:
         fn = registry.QUERIES[key]
         fn(spark, target).write.format("noop").mode("overwrite").save()  # warm
+        # bench.py protocol: clear between warm and timed, else the
+        # timed run's internal persist()s plan-match the warm run's
+        # still-cached intermediates and the measurement inherits the
+        # CacheManager subsidy (the r5 finding; rounds 4-5 probe
+        # numbers for persist-carrying keys were subsidized this way).
+        spark.catalog.clearCache()
         start = time.perf_counter()
         fn(spark, target).write.format("noop").mode("overwrite").save()
         times[key] = round(time.perf_counter() - start, 2)
+        spark.catalog.clearCache()
 
     evidence = bound_evidence(spark, target)
     print(

@@ -52,12 +52,21 @@ def measure(key: str, sf_dir: str, repo: str) -> float:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args: list[str] = []
     trials = 3
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--trials"):
-            trials = int(a.split("=", 1)[1]) if "=" in a else int(
-                sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                trials = int(a.split("=", 1)[1])
+            else:
+                trials = int(argv[i + 1])
+                i += 1  # consume the value token (it is not a key)
+        else:
+            args.append(a)
+        i += 1
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     medians: dict[str, float] = {}

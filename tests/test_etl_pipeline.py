@@ -351,3 +351,48 @@ def test_read_tsv_hostile_headers_and_field_names(spark, tmp_path):
     assert rows[1]["wei`rd"] is None        # try_cast("oops") -> NULL
     assert all(r["absent col"] is None for r in rows)
     assert "drop_me" not in df.columns      # mapHeaders drop semantics
+
+
+def test_manifest_overwrite_failure_preserves_live_copy(spark, tmp_path, monkeypatch):
+    # The manifest is the system of record for Loaded flags: if the
+    # staging write blows up (disk full, serialization error), the
+    # live copy must be untouched — the blue/green rename only runs
+    # after a fully successful write.
+    import pyarrow.parquet as pq
+
+    mfp = str(tmp_path / "manifest")
+    mf.record_files(spark, mfp, [("01--CA--20250101.tab", "CA", 10)])
+    before = sorted(mf.read_manifest(spark, mfp).collect())
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(pq, "write_table", boom)
+    with pytest.raises(OSError):
+        mf.mark_loaded(spark, mfp, "01--CA--20250101.tab")
+    after = sorted(mf.read_manifest(spark, mfp).collect())
+    assert after == before  # live manifest intact, Loaded still False
+    assert not after[0]["Loaded"]
+
+
+def test_overwrite_small_spark_fallback_for_exotic_schema(spark, tmp_path):
+    # Schemas outside the pyarrow fast-path type map (here: an array
+    # column) must take the Spark-writer branch and still round-trip
+    # through the same blue/green rename promotion.
+    from pyspark.sql import functions as F  # noqa: F811
+    from voter_file_etl_spark.sources.manifest import _overwrite_small
+
+    path = str(tmp_path / "exotic")
+    df = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3])], "k string, vals array<int>"
+    )
+    _overwrite_small(df, path)
+    back = spark.read.parquet(path)
+    assert sorted((r["k"], r["vals"]) for r in back.collect()) == [
+        ("a", [1, 2]),
+        ("b", [3]),
+    ]
+    # overwrite again (exercises the retire/promote pair on an
+    # existing live dir)
+    _overwrite_small(back.filter("k = 'a'"), path)
+    assert spark.read.parquet(path).count() == 1

@@ -396,3 +396,42 @@ def test_overwrite_small_spark_fallback_for_exotic_schema(spark, tmp_path):
     # existing live dir)
     _overwrite_small(back.filter("k = 'a'"), path)
     assert spark.read.parquet(path).count() == 1
+
+
+def test_run_load_lane_failure_propagates(spark, tmp_path, monkeypatch):
+    # A lane that blows up mid-load (corrupt row -> FAILFAST during
+    # the staging write) must surface the error to the caller — no
+    # hang, no swallowed exception — and must not corrupt shared
+    # state: the failed file stays pending in the manifest and its
+    # state publishes nothing, while a clean re-run (file repaired)
+    # loads it exactly once.
+    files_dir = tmp_path / "files"
+    files_dir.mkdir()
+    good_tx = HEADER + "\n" + "\n".join(_row(j, "TX") for j in range(3)) + "\n"
+    (files_dir / "01--CA--20250101.tab").write_text(
+        HEADER + "\n" + "\n".join(_row(j, "CA") for j in range(3)) + "\n"
+    )
+    (files_dir / "02--TX--20250101.tab").write_text(
+        good_tx + "corrupt\trow\twith\ttoo\tfew\tcells\n"
+    )
+    wh, mfp = str(tmp_path / "wh"), str(tmp_path / "manifest")
+    mf.record_files(
+        spark, mfp,
+        [("01--CA--20250101.tab", "CA", 4), ("02--TX--20250101.tab", "TX", 4)],
+    )
+    monkeypatch.setattr(etl, "_STATE_LANES", 4)
+    with pytest.raises(Exception):
+        etl.run_load(spark, str(files_dir), wh, mfp)
+    manifest = {
+        r["Filename"]: r["Loaded"] for r in mf.read_manifest(spark, mfp).collect()
+    }
+    assert manifest["02--TX--20250101.tab"] is False  # failed stays pending
+    from voter_file_etl_spark.operators.etl import read_voters
+    assert not os.path.isdir(os.path.join(wh, "state=TX"))  # nothing published
+    # repair the file; the re-run loads ONLY the pending TX file
+    (files_dir / "02--TX--20250101.tab").write_text(good_tx)
+    results = etl.run_load(spark, str(files_dir), wh, mfp)
+    assert [r.state for r in results] == ["TX"] and results[0].reconciled
+    published = read_voters(spark, wh)
+    assert published.filter("state = 'CA'").count() == 3
+    assert published.filter("state = 'TX'").count() == 3

@@ -25,49 +25,18 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Driver-coverage rotation (the driver oracle-checks the FIRST 50 keys
 # of queries() per round — contract documented in SURVEY.md §8).
 #
-# Round 6 window (VERDICT r5 "Next round" #1): the first 49 entries of
-# round 5's _BACKFILL head (x64_token_shift … a49_market_basket — all
-# never driver-checked) PLUS st15_transform_with_state pulled forward
-# from the end of the never-checked region. VERDICT r5 and the SURVEY
-# §8 burn plan both name st15's first-ever driver check as part of the
-# r6 window (its protobuf-free fallback landed in r5), but mechanically
-# it sat last in _BACKFILL's never-checked region — so it takes the
-# 50th slot here and a48_string_agg (the literal 50th head entry)
-# defers one round to lead the r7 window. CORRECTNESS_r05 confirmed
-# the r5 window ran 50/50 green, authorizing this rotation. Rounds 7-9
-# continue down _BACKFILL's head (window plan in SURVEY.md §8). Any
-# key newly registered THIS round is unplaced and would sort after the
-# head — tests/test_rotation.py fails the suite until it is placed
-# explicitly.
+# Round 7 window (VERDICT r6 "Next round" #1): the first 50 entries of
+# round 6's _BACKFILL head — a48_string_agg (which ceded its r6 slot to
+# st15_transform_with_state) through e5_board_pack. All 50 have never
+# been driver-checked. CORRECTNESS_r06 confirmed the r6 window ran
+# 50/50 green (cumulative 298/441), authorizing this rotation; the
+# retired r6 window moves to the green tail below. Rounds 8-9 continue
+# down _BACKFILL's head (r8 = a59_topn_plus_other … a75_fiscal_445,
+# r9 = residual 43; window plan in SURVEY.md §8). Any key newly
+# registered THIS round is unplaced and would sort after the head —
+# tests/test_rotation.py fails the suite until it is placed explicitly.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    "x64_token_shift", "s17_compressed_csv", "a41_ols_trend",
-    "t16_json_nested", "d5_golden_record", "x65_vocab_coverage",
-    "sql11_pivot_syntax", "f10_phonetic_key", "a42_sketch_overlap",
-    "j21_asof_tolerance", "x66_tokenizer_fertility",
-    "x67_cluster_size_profile", "f11_email_normalize", "w16_moving_slope",
-    "s18_multiline_json", "g6_common_neighbors", "m15_image_channel_stats",
-    "x68_mixture_upsample", "x69_range_shards", "l16_position_deletes",
-    "m16_audio_silence_runs", "x70_boilerplate_scrub", "u6_union_by_name",
-    "a43_markov_transitions", "a44_path_pattern", "t17_higher_order_funcs",
-    "s19_partition_discovery", "sql13_pipe_syntax", "t18_variant_extract",
-    "sql14_parameterized", "e2_media_pipeline", "a45_window_funnel",
-    "a46_dow_seasonality", "f12_money_parse", "l17_dv_purge",
-    "e3_observe_metrics", "l18_restore", "w17_rolling_mad",
-    "x71_importance_weights", "g7_k_core", "m17_bmp_decode",
-    "a47_ratio_to_report", "w18_resample_bfill", "d6_blocking_recall",
-    "m18_wav_decimate", "st16_stream_distinct_users", "l19_shallow_clone",
-    "w19_interval_union", "a49_market_basket",
-    "st15_transform_with_state",
-]
-_BACKFILL = [
-    # -- BACKLOG HEAD: every never-driver-checked key in priority
-    # order (round-4 registrations in registration order). Round 7's
-    # window = move the FIRST 50 entries below into _CHECK_FIRST
-    # (a48_string_agg leads: it was the literal 50th head entry in r6
-    # but ceded its slot to st15 — see the _CHECK_FIRST comment);
-    # rounds 8-9 continue down the list (tests/test_rotation.py keeps
-    # the partition exact; burn plan in SURVEY.md §8) --
     "a48_string_agg",
     "sql15_unpivot_syntax", "x72_length_bucket_pack", "x73_calibration_curve",
     "l20_write_audit_publish", "w20_cusum_drift", "f13_luhn_checksum",
@@ -80,9 +49,22 @@ _BACKFILL = [
     "a54_referential_audit", "st17_stream_cusum", "p11_transpose",
     "e4_entity_resolution", "u7_intersect_all", "x79_dataset_card",
     "a55_pareto_share", "l23_retention_vacuum", "w22_sigma_anomaly_days",
-    "w23_mom_change", "a57_new_vs_returning", "x81_embedding_norm_audit", "s22_glob_recursive_scan",
-    "w24_rank_migration", "a58_repeat_intervals", "x80_zipf_check", "j22_bracket_lookup", "a56_abc_analysis", "g8_degree_assortativity", "x82_prefix_reuse", "w25_local_peaks", "x83_term_burstiness", "x84_reshard_stability", "x85_sample_bias_audit",
-    "st18_stream_topk", "m19_media_sniff", "l24_merge_schema_evolution", "e5_board_pack", "a59_topn_plus_other", "x86_k_anonymity_audit", "a60_backtest_naive", "s23_zstd_roundtrip", "j23_null_skew_split", "o6_keyset_pagination", "a61_same_store_growth", "x87_injection_scan", "a62_holiday_uplift", "x88_threshold_sweep", "a63_forecast_backtest", "w26_growth_streaks", "a64_cycle_time", "a65_growth_contribution", "l25_orphan_audit", "a66_weekday_hour_heatmap", "w27_decay_score", "x89_dedup_savings",
+    "w23_mom_change", "a57_new_vs_returning", "x81_embedding_norm_audit",
+    "s22_glob_recursive_scan", "w24_rank_migration", "a58_repeat_intervals",
+    "x80_zipf_check", "j22_bracket_lookup", "a56_abc_analysis",
+    "g8_degree_assortativity", "x82_prefix_reuse", "w25_local_peaks",
+    "x83_term_burstiness", "x84_reshard_stability", "x85_sample_bias_audit",
+    "st18_stream_topk", "m19_media_sniff", "l24_merge_schema_evolution",
+    "e5_board_pack",
+]
+_BACKFILL = [
+    # -- BACKLOG HEAD: every never-driver-checked key in priority
+    # order (round-4 registrations in registration order). Round 8's
+    # window = move the FIRST 50 entries below into _CHECK_FIRST
+    # (a59_topn_plus_other … a75_fiscal_445_calendar); round 9 takes
+    # the residual 43 (tests/test_rotation.py keeps the partition
+    # exact; burn plan in SURVEY.md §8) --
+    "a59_topn_plus_other", "x86_k_anonymity_audit", "a60_backtest_naive", "s23_zstd_roundtrip", "j23_null_skew_split", "o6_keyset_pagination", "a61_same_store_growth", "x87_injection_scan", "a62_holiday_uplift", "x88_threshold_sweep", "a63_forecast_backtest", "w26_growth_streaks", "a64_cycle_time", "a65_growth_contribution", "l25_orphan_audit", "a66_weekday_hour_heatmap", "w27_decay_score", "x89_dedup_savings",
     "a67_cohort_ltv", "x90_derived_stopwords", "w28_monthly_bands",
     "w29_ohlc", "o7_skyline", "a68_bitmap_distinct", "x91_code_switching",
     "x92_inverted_index", "g9_label_propagation", "a69_dau_mau_stickiness",
@@ -193,6 +175,25 @@ _BACKFILL = [
     "f8_hash_digest_funcs", "o5_nulls_ordering", "w14_drawdown",
     "j20_star_denorm", "w15_ewma", "a39_gini", "a40_conversion_lag",
     "f9_url_parse", "t15_unicode_sanitize", "x63_bloom_prefilter",
+    # -- driver-green round 6 (retired window, CORRECTNESS_r06 50/50) --
+    "x64_token_shift", "s17_compressed_csv", "a41_ols_trend",
+    "t16_json_nested", "d5_golden_record", "x65_vocab_coverage",
+    "sql11_pivot_syntax", "f10_phonetic_key", "a42_sketch_overlap",
+    "j21_asof_tolerance", "x66_tokenizer_fertility",
+    "x67_cluster_size_profile", "f11_email_normalize", "w16_moving_slope",
+    "s18_multiline_json", "g6_common_neighbors", "m15_image_channel_stats",
+    "x68_mixture_upsample", "x69_range_shards", "l16_position_deletes",
+    "m16_audio_silence_runs", "x70_boilerplate_scrub", "u6_union_by_name",
+    "a43_markov_transitions", "a44_path_pattern", "t17_higher_order_funcs",
+    "s19_partition_discovery", "sql13_pipe_syntax", "t18_variant_extract",
+    "sql14_parameterized", "e2_media_pipeline", "a45_window_funnel",
+    "a46_dow_seasonality", "f12_money_parse", "l17_dv_purge",
+    "e3_observe_metrics", "l18_restore", "w17_rolling_mad",
+    "x71_importance_weights", "g7_k_core", "m17_bmp_decode",
+    "a47_ratio_to_report", "w18_resample_bfill", "d6_blocking_recall",
+    "m18_wav_decimate", "st16_stream_distinct_users", "l19_shallow_clone",
+    "w19_interval_union", "a49_market_basket",
+    "st15_transform_with_state",
 ]
 
 

@@ -58,6 +58,22 @@ def read_tsv(
     # load (measured round 6; this was the dominant cost of the whole
     # ETL loop). String assembly is pure Python and amortizes to ~ms.
     present = {c.strip(): c for c in raw.columns}
+    if len(present) != len(raw.columns):
+        # Two raw headers collide after trimming (e.g. 'Name' and
+        # 'Name '): a silent dict build would keep whichever came last
+        # and read the wrong column. The reference's mapHeaders path
+        # surfaced this as an ambiguous-column error; fail loudly here
+        # too rather than guessing.
+        seen: dict[str, str] = {}
+        clashes = []
+        for c in raw.columns:
+            k = c.strip()
+            if k in seen:
+                clashes.append((seen[k], c))
+            seen[k] = c
+        raise ValueError(
+            f"TSV headers collide after whitespace trim: {clashes!r}"
+        )
 
     def _q(name: str) -> str:
         return "`" + name.replace("`", "``") + "`"

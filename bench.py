@@ -418,6 +418,19 @@ def bench_order() -> list[str]:
     return head + rest
 
 
+# BENCH_r06's first HEADLINE rows (a4 3.62 s, j4 3.45 s, j1 2.31 s …)
+# read 2-4x their isolated cold-job cost purely because the driver's
+# early-suite measurements absorbed machine/startup contention
+# (VERDICT r6 "What's wrong" #1; tools/isolated_bench.py refuted every
+# apparent regression). So the EARLY BLOCK of the suite — where that
+# contention lands — takes the MIN of two timed executions; one noisy
+# run can no longer masquerade as a per-key regression. Later keys run
+# once: by then the machine has settled, and 441 extra executions
+# would double the suite for no signal.
+EARLY_BLOCK = 30
+EARLY_TRIALS = 2
+
+
 def main() -> None:
     registry.load_all()
     spark = get_spark("bench")
@@ -428,7 +441,7 @@ def main() -> None:
     spark.range(1000).count()
 
     times: dict[str, float] = {}
-    for key in bench_order():
+    for i, key in enumerate(bench_order()):
         fn = registry.QUERIES[key]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm-up
         # Each call builds FRESH DataFrames, so a query's internal
@@ -440,10 +453,13 @@ def main() -> None:
         # rebuilds its own persists exactly as a cold cluster job
         # would, while JIT/codegen/footer warm-up (the JVM state the
         # warm-up run exists for) survives.
-        spark.catalog.clearCache()
-        start = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[key] = round(time.perf_counter() - start, 3)
+        best = float("inf")
+        for _ in range(EARLY_TRIALS if i < EARLY_BLOCK else 1):
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        times[key] = round(best, 3)
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
@@ -455,11 +471,17 @@ def main() -> None:
     # So: full per-query detail goes to a sidecar file AND an earlier
     # stdout line, and the FINAL line is a compact summary whose
     # "queries" dict is bounded to the slowest 15 (~600 bytes total).
+    protocol = {
+        "early_block": EARLY_BLOCK,
+        "early_trials": EARLY_TRIALS,
+        "timing": "min of trials, warm-up run excluded, clearCache between runs",
+    }
     detail = {
         "metric": "headline_queries_detail",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "protocol": protocol,
         "sf": sf_val,
     }
     detail_path = os.path.join(
@@ -479,6 +501,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(times),
                 "queries_full": "BENCH_DETAIL.json",
+                "protocol": protocol,
                 "sf": sf_val,
             }
         )

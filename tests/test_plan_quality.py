@@ -380,13 +380,19 @@ def test_ngram_novelty_is_single_pass_mark_join(spark, sf_dir):
     assert plan.count("Join type:") == 1, plan[:2000]
 
 
-def test_phash_near_dup_pairs_on_bands(spark, sf_dir):
-    # m14's candidate pairs must come from the (band_idx, band_value)
-    # equi-join over DISTINCT hashes — no cartesian, and the join keys
-    # include the band columns.
+def test_phash_near_dup_is_hamming_ball_delta_join(spark, sf_dir):
+    # m14's candidates come from the exact Hamming-ball delta-join:
+    # the 2,324-row XOR-mask table is broadcast (the only acceptable
+    # "cross" is the bounded BroadcastNestedLoopJoin against it —
+    # never a CartesianProduct of data against data), and partner
+    # existence is a broadcast equi-join on p2. This is linear in
+    # distinct hashes and skew-immune where band-bucket saturation
+    # was quadratic (r7 sf1.0 probe: 66M banded candidate pairs vs
+    # ~2.3k masks/hash here).
     plan = _formatted_plan(spark, "m14_phash_near_dup", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
-    assert "bv" in plan, plan[:2000]
+    assert "delta" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
 
 
 def test_incremental_dedup_window_is_batch_side(spark, sf_dir):

@@ -926,20 +926,35 @@ def m13_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M14 — perceptual-hash NEAR-dup join: m7 groups EXACT phash matches;
 # this finds images whose 24-bit gradient hashes differ by a few bits
 # (re-encodes, small edits) — the image-side sibling of x2's MinHash
-# text dedup, and the same scale discipline: band the hash, equi-join
-# on (band_idx, band_value), verify with bit_count(xor). Four 6-bit
-# bands over the 24-bit hash guarantee (pigeonhole) that every pair
-# at hamming <= 3 shares a band — banded recall is EXACT for the
-# threshold, not probabilistic. Every 25th document plants a
-# corner-cell perturbation: the corner participates in exactly 2
-# gradient comparisons, so planted pairs sit at hamming <= 2 and are
-# provably caught.
+# text dedup. Every 25th document plants a corner-cell perturbation:
+# the corner participates in exactly 2 gradient comparisons, so
+# planted pairs sit at hamming <= 2 and are provably caught.
 #
 # The pair space is DISTINCT HASHES, not documents: hashes collapse
 # first (n_docs per hash rides along), so a million copies of one
-# image cost one group row, and candidate volume is bounded by
-# distinct-hash band collisions. Per-payload hashing itself is m7's
-# Arrow mapInPandas path (real decode, no shuffle).
+# image cost one group row. Per-payload hashing itself is m7's Arrow
+# mapInPandas path (real decode, no shuffle).
+#
+# Candidate enumeration is the exact HAMMING-BALL DELTA-JOIN, not LSH
+# banding: the ball of radius 3 around a 24-bit hash has
+# C(24,1)+C(24,2)+C(24,3) = 2,324 nonzero XOR masks, so
+# cross-joining the distinct-hash table with the broadcast 2,324-row
+# mask table enumerates EVERY pair at hamming 1..3 exactly once
+# (emit only phash ^ delta > phash), then one equi-join against the
+# same distinct-hash table keeps the pairs whose partner exists.
+# Cost is LINEAR in distinct hashes (2,324 generated rows each) and
+# skew-immune. The banding form this replaced (4 x 6-bit bands,
+# pigeonhole-exact for hamming <= 3 — still the oracle's spelling)
+# degrades quadratically when band buckets saturate: only 64 bucket
+# values per band, and the r7 sf1.0 probe measured a 7,145-hash
+# bucket producing 66M candidate pairs = 25% of all-pairs, 12.6 s of
+# the key's 14 s. The delta-join replays the same probe in ~2 s, and
+# distinct hashes are capped at 2^24 by construction, so the
+# generated-candidate volume is bounded at any corpus size. The
+# broadcast of the distinct-hash table holds while distinct hashes
+# are far below the broadcast ceiling (16.7M x 16 B worst case
+# ~270 MB); past that, drop the hint and the same plan shuffle-joins
+# — still linear.
 # ---------------------------------------------------------------------------
 _M14_BANDS = 4
 _M14_BAND_BITS = 6
@@ -997,32 +1012,31 @@ def m14_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = image_phash(build_ppm_media(corpus))
     groups = hashed.groupBy("phash").agg(F.count(F.lit(1)).alias("n_docs"))
-    mask = (1 << _M14_BAND_BITS) - 1
-    bands = groups.select(
-        "phash",
-        F.explode(F.sequence(F.lit(0), F.lit(_M14_BANDS - 1))).alias("i"),
-    ).select(
-        "phash",
-        "i",
-        F.expr(f"shiftright(phash, {_M14_BAND_BITS} * i) & {mask}").alias("bv"),
-    )
-    a = bands.select(F.col("phash").alias("p1"), "i", "bv")
-    b = bands.select(F.col("phash").alias("p2"), "i", "bv")
+    from itertools import combinations
+
+    n_bits = _M14_BANDS * _M14_BAND_BITS  # 24-bit phash
+    deltas = [
+        (sum(1 << b for b in combo),)
+        for k in range(1, _M14_HAM_MAX + 1)
+        for combo in combinations(range(n_bits), k)
+    ]
+    ddf = spark.createDataFrame(deltas, "delta bigint")
     cand = (
-        a.join(b, ["i", "bv"])
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
+        groups.select(
+            F.col("phash").alias("p1"), F.col("n_docs").alias("n_docs1")
+        )
+        .crossJoin(F.broadcast(ddf))
+        .select(
+            "p1",
+            "n_docs1",
+            F.expr("p1 ^ delta").alias("p2"),
+            F.expr("bit_count(delta)").cast("long").alias("hamming"),
+        )
+        .filter(F.col("p2") > F.col("p1"))
     )
-    ham = F.expr("bit_count(p1 ^ p2)")
-    g1 = groups.select(F.col("phash").alias("p1"), F.col("n_docs").alias("n_docs1"))
     g2 = groups.select(F.col("phash").alias("p2"), F.col("n_docs").alias("n_docs2"))
-    return (
-        cand.filter(ham <= _M14_HAM_MAX)
-        .select("p1", "p2", ham.cast("long").alias("hamming"))
-        .join(g1, "p1")
-        .join(g2, "p2")
-        .select("p1", "p2", "hamming", "n_docs1", "n_docs2")
+    return cand.join(F.broadcast(g2), "p2").select(
+        "p1", "p2", "hamming", "n_docs1", "n_docs2"
     )
 
 

@@ -1505,15 +1505,29 @@ def test_anti_range_join_is_bucketed_equi_anti(spark, sf_dir):
     assert "LeftAnti" in plan, plan[:2000]
 
 
-def test_conv2d_is_joinless_scatter_aggregate(spark, sf_dir):
-    # m21's convolution must be the scatter-groupBy shape: a bounded
-    # map-side kernel explode feeding aggregation — never a self-join
-    # of the pixel table on shifted coordinates.
+def test_conv2d_is_rowlocal_gather(spark, sf_dir):
+    # m21's convolution is row-local gather work over the bounded
+    # raster: the only Generate is the single-struct inline, and the
+    # plan must have NO join, NO aggregate, and NO exchange — the
+    # whole stencil runs in the scan stage. (A self-join of the pixel
+    # table on shifted coordinates, or a per-cell shuffle, is the
+    # 100 TB mistake.)
     plan = _formatted_plan(spark, "m21_conv2d_stencil", sf_dir)
     phys = plan.split("== Physical Plan ==")[-1]
     assert "Join" not in phys, plan[:2000]
-    assert "Generate" in phys, plan[:2000]  # the kernel explode
-    assert "HashAggregate" in phys, plan[:2000]
+    assert "Generate" in phys, plan[:2000]  # the inline(...) unpack
+    assert "Exchange" not in phys, plan[:2000]
+    assert "HashAggregate" not in phys, plan[:2000]
+
+
+def test_integral_image_is_rowlocal(spark, sf_dir):
+    # m20: same discipline — the box identity's corner integrals are
+    # row-local conditional prefix sums; no shuffle, no window.
+    plan = _formatted_plan(spark, "m20_integral_image", sf_dir)
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert "Exchange" not in phys, plan[:2000]
+    assert "Window" not in phys, plan[:2000]
+    assert "Join" not in phys, plan[:2000]
 
 
 def test_star_except_prunes_excluded_columns_at_scan(spark, sf_dir):

@@ -307,6 +307,14 @@ _PPM_HEADER = f"P6\n{_IMG_W} {_IMG_H}\n255\n".encode()
 # regexp_replace is global by default; DuckDB needs the 'g' flag.
 _ASCII_TEXT_SQL = "regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')"
 
+# Spark-SQL spelling of the m20/m21 100-char raster (the m5 fixture
+# discipline), for selectExpr composition: the '\\\\' reaches the SQL
+# parser as '\\' and the regex engine as '\'.
+_RASTER100_SQL = (
+    "rpad(substring(regexp_replace(text, '[^\\\\x00-\\\\x7F]', ''),"
+    " 1, 100), 100, ' ')"
+)
+
 
 def _ascii_text():
     return F.regexp_replace("text", "[^\\x00-\\x7F]", "")
@@ -1617,20 +1625,20 @@ def m19_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# M20 — integral image (summed-area table): the vision primitive
-# behind O(1) box filters and Viola-Jones features, built as TWO
-# window passes over the pixel grid (row-wise cumsum, then
-# column-wise cumsum of the row sums) — exactly how a distributed
-# engine should compute it, no per-box rescan. Each document's
-# sanitized text bytes form a 10x10 grayscale raster (the m5 fixture
-# discipline); the key answers one deterministic 5x5 box query per
-# image BOTH ways — direct summation and the 4-corner identity
-# A - B - C + D over the integral — and emits the agreement flag, so
-# a wrong prefix anywhere in the table breaks the hash.
+# M20 — integral image (summed-area table) box identity: the vision
+# primitive behind O(1) box filters and Viola-Jones features. Each
+# document's sanitized text bytes form a 10x10 grayscale raster (the
+# m5 fixture discipline); the key answers one deterministic 5x5 box
+# query per image BOTH ways — direct summation and the 4-corner
+# identity A - B - C + D over integral values — and emits the
+# agreement flag, so a wrong prefix anywhere breaks the hash.
 #
-# Scale: the pixel explode is bounded (100 rows/doc); both cumsum
-# windows partition by (doc, row) / (doc, col) — no global windows,
-# no joins until the bounded corner pick.
+# Scale: the raster is bounded (100 px/doc) and the FOUR corner
+# integrals the identity needs are conditional prefix sums, so the
+# whole key is ROW-LOCAL map work — no explode, no shuffle, no
+# windows, no joins. (The full SAT, when a consumer needs every cell,
+# is the two windowed cumsum passes partitioned by
+# (doc, row)/(doc, col) — never global.)
 # ---------------------------------------------------------------------------
 @register(
     "m20_integral_image",
@@ -1661,89 +1669,73 @@ def m19_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def m20_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = t(spark, sf_dir, "documents")
-    raster = F.rpad(F.substring(_ascii_text(), 1, 100), 100, " ")
-    px = docs.select(
-        "doc_id",
-        raster.alias("raster"),
-        F.explode(F.expr("sequence(1, 100)")).alias("i"),
-    ).select(
-        "doc_id",
-        F.expr("cast((i - 1) % 10 as bigint)").alias("x"),
-        F.expr("cast((i - 1) div 10 as bigint)").alias("y"),
-        F.expr("cast(ascii(substring(raster, i, 1)) as bigint)").alias("v"),
-        F.expr("cast(doc_id % 4 as bigint)").alias("x1"),
-        F.expr("cast(doc_id % 3 as bigint)").alias("y1"),
-    )
-    rowsum = px.withColumn(
-        "rs",
-        F.sum("v").over(
-            W.partitionBy("doc_id", "y")
-            .orderBy("x")
-            .rowsBetween(W.unboundedPreceding, 0)
-        ),
-    )
-    ii = rowsum.withColumn(
-        "ii",
-        F.sum("rs").over(
-            W.partitionBy("doc_id", "x")
-            .orderBy("y")
-            .rowsBetween(W.unboundedPreceding, 0)
-        ),
-    )
+    # Each integral-image CORNER the box identity needs is a
+    # conditional PREFIX SUM — ii(X, Y) = sum of v over x <= X,
+    # y <= Y — and the raster is a bounded 100 px/doc, so the whole
+    # key is row-local: no explode, no shuffle, no windows. The
+    # outputs are computed inside ONE inline(transform(array(...)))
+    # chain; the array(...) let-bindings matter — they evaluate the
+    # expensive raster regexp and the pixel-value decode ONCE per doc,
+    # where plain column references would be re-inlined per use by
+    # projection collapse + extract-value simplification (the r7
+    # profile: the inlined form cost 100 regexp evaluations per doc —
+    # 2.7 s of the key's 3.6 s at sf0.1; this form runs ~1.0 s).
+    # The windowed two-pass cumsum (full SAT) is the right shape only
+    # when a consumer needs EVERY cell — then partition by
+    # (doc, row)/(doc, col), never global.
+    raster_sql = _RASTER100_SQL
+    vals = "transform(sequence(1, 100), i -> cast(ascii(substring(r, i, 1)) as bigint))"
 
-    def corner(cond: str) -> F.Column:
-        return F.max(F.expr(f"case when {cond} then ii end"))
+    def psum(xc: str, yc: str) -> str:
+        return (
+            "aggregate(sequence(0, 99), 0L, (acc, p) -> acc + "
+            f"if(p % 10 <= {xc} and p div 10 <= {yc},"
+            " element_at(a, p + 1), 0L))"
+        )
 
-    agg = ii.groupBy("doc_id").agg(
-        F.sum(
-            F.expr(
-                "case when x between x1 and x1 + 4"
-                " and y between y1 and y1 + 4 then v else 0 end"
-            )
-        ).cast("long").alias("box_direct"),
-        corner("x = x1 + 4 and y = y1 + 4").alias("a"),
-        corner("x = x1 - 1 and y = y1 + 4").alias("b"),
-        corner("x = x1 + 4 and y = y1 - 1").alias("c"),
-        corner("x = x1 - 1 and y = y1 - 1").alias("d"),
-        F.max(F.expr("case when x = 9 and y = 9 then ii end"))
-        .cast("long")
-        .alias("total"),
+    box = (
+        "aggregate(sequence(0, 99), 0L, (acc, p) -> acc + "
+        "if(p % 10 between doc_id % 4 and doc_id % 4 + 4"
+        " and p div 10 between doc_id % 3 and doc_id % 3 + 4,"
+        " element_at(a, p + 1), 0L))"
     )
-    return agg.select(
+    corners = (
+        f"{psum('doc_id % 4 + 4', 'doc_id % 3 + 4')}"
+        f" - {psum('doc_id % 4 - 1', 'doc_id % 3 + 4')}"
+        f" - {psum('doc_id % 4 + 4', 'doc_id % 3 - 1')}"
+        f" + {psum('doc_id % 4 - 1', 'doc_id % 3 - 1')}"
+    )
+    return docs.selectExpr(
         "doc_id",
-        "box_direct",
-        F.expr(
-            "cast(a - coalesce(b, 0L) - coalesce(c, 0L)"
-            " + coalesce(d, 0L) as bigint)"
-        ).alias("box_integral"),
-        "total",
-        F.expr(
-            "cast(case when box_direct = a - coalesce(b, 0L)"
-            " - coalesce(c, 0L) + coalesce(d, 0L)"
-            " then 1 else 0 end as bigint)"
-        ).alias("matches"),
+        f"inline(transform(array({raster_sql}), r -> "
+        f"transform(array({vals}), a -> "
+        f"transform(array(named_struct('bd', {box}, 'bi', {corners},"
+        " 'tt', aggregate(a, 0L, (acc, x) -> acc + x))), s -> named_struct("
+        "'box_direct', s.bd,"
+        "'box_integral', s.bi,"
+        "'total', s.tt,"
+        "'matches', cast(if(s.bd = s.bi, 1, 0) as bigint)"
+        "))[0])[0]))",
     )
 
 
 # ---------------------------------------------------------------------------
-# M21 — 2-D convolution as a SCATTER-AGGREGATE: the distributed form
-# of a stencil kernel. Each pixel of the 10x10 raster (m5 fixture
-# discipline, same grid as m20) explodes against the 9 kernel taps
-# map-side and lands its weighted contribution on the target cell; a
-# single groupBy((doc, ox, oy)) sums the taps — convolution with NO
-# join and NO per-box rescan, the shape that holds when "image" means
-# a 100-TB raster tile table. The Laplacian kernel (center -4,
-# cross +1) is symmetric, so scatter == gather orientation. Output
-# is the interior (valid) region only, reduced per image to exact
+# M21 — 2-D convolution as a GATHER over the raster row: each OUTPUT
+# cell of the 10x10 raster's interior (m5 fixture discipline, same
+# grid as m20) reads its 5 Laplacian taps (center -4, cross +1)
+# directly from the raster string — convolution with NO join, NO tap
+# explode, NO per-cell shuffle. The kernel is symmetric under
+# negation, so gather == the scatter sum the oracle spells. Output is
+# the interior (valid) region only, reduced per image to exact
 # integer edge stats.
 #
-# Scale: kernel explode is a bounded 9x map-side expansion feeding a
-# partial-aggregated groupBy on (doc, cell) — one shuffle whose key
-# cardinality is O(pixels), no skew (cells are uniform); the per-doc
-# reduce reuses the same doc-hashed distribution.
+# Scale: the raster is bounded (100 px/doc, 64 interior cells), so
+# decode, gather, and the four edge-stat reductions are all ROW-LOCAL
+# map work in the scan stage — no explode, no shuffle, no join. When
+# a kernel/neighborhood is too large for row-local gathers, the
+# scatter-aggregate form (explode taps -> groupBy(doc, cell)) comes
+# back — keyed on (doc, cell), never global.
 # ---------------------------------------------------------------------------
 @register(
     "m21_conv2d_stencil",
@@ -1776,43 +1768,43 @@ def m20_integral_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m21_conv2d_stencil(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    raster = F.rpad(F.substring(_ascii_text(), 1, 100), 100, " ")
-    px = docs.select(
-        "doc_id",
-        raster.alias("raster"),
-        F.explode(F.expr("sequence(1, 100)")).alias("i"),
-    ).select(
-        "doc_id",
-        F.expr("cast((i - 1) % 10 as bigint)").alias("x"),
-        F.expr("cast((i - 1) div 10 as bigint)").alias("y"),
-        F.expr("cast(ascii(substring(raster, i, 1)) as bigint)").alias("v"),
-    )
-    taps = F.array(
-        *[
-            F.struct(
-                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
-                F.lit(w).alias("w"),
-            )
-            for dx, dy, w in [(0, 0, -4), (1, 0, 1), (-1, 0, 1),
-                              (0, 1, 1), (0, -1, 1)]
-        ]
-    )
-    scattered = (
-        px.select("doc_id", "x", "y", "v", F.explode(taps).alias("k"))
-        .select(
-            "doc_id",
-            (F.col("x") + F.col("k.dx")).alias("ox"),
-            (F.col("y") + F.col("k.dy")).alias("oy"),
-            (F.col("v") * F.col("k.w")).alias("c"),
+    # GATHER form, fully row-local: decode the 100 pixel values once
+    # per doc, gather each interior cell's 5 Laplacian taps by
+    # element_at, and reduce the 64 responses to the four edge stats
+    # — no explode, no join, NO shuffle at all. The kernel is
+    # symmetric under negation, so gathering v(ox+dx, oy+dy) over the
+    # same tap set equals the scatter sum the oracle spells (source
+    # px = (ox-dx, oy-dy)); interior cells' taps stay inside the
+    # 10x10 grid, so no edge guard is needed. The array(...)
+    # let-bindings evaluate the raster regexp and the pixel decode
+    # ONCE per doc — plain column references would be re-inlined per
+    # use (r7 profile: the scatter form shuffled 500 rows/doc twice
+    # and re-ran the regexp per exploded row, 3.9 s at sf0.1; this
+    # form runs ~0.9 s). For kernels/neighborhoods too large for a
+    # row-local gather, the scatter-aggregate form (explode taps ->
+    # groupBy(doc, cell)) comes back — keyed on (doc, cell), never
+    # global.
+    vals = "transform(sequence(1, 100), i -> cast(ascii(substring(r, i, 1)) as bigint))"
+
+    def el(dx: int, dy: int) -> str:
+        return (
+            "element_at(a, cast((c div 8 + 1 + "
+            f"{dy}) * 10 + (c % 8 + 1 + {dx}) + 1 as int))"
         )
-        .filter(F.col("ox").between(1, 8) & F.col("oy").between(1, 8))
+
+    resp = (
+        "transform(sequence(0, 63), c -> "
+        f"-4 * {el(0, 0)} + {el(1, 0)} + {el(-1, 0)}"
+        f" + {el(0, 1)} + {el(0, -1)})"
     )
-    conv = scattered.groupBy("doc_id", "ox", "oy").agg(
-        F.sum("c").alias("resp")
-    )
-    return conv.groupBy("doc_id").agg(
-        F.sum(F.abs("resp")).cast("long").alias("edge_energy"),
-        F.max("resp").cast("long").alias("max_resp"),
-        F.min("resp").cast("long").alias("min_resp"),
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    return docs.selectExpr(
+        "doc_id",
+        f"inline(transform(array({_RASTER100_SQL}), r -> "
+        f"transform(array({vals}), a -> "
+        f"transform(array({resp}), q -> named_struct("
+        "'edge_energy', aggregate(q, 0L, (acc, x) -> acc + abs(x)),"
+        "'max_resp', array_max(q),"
+        "'min_resp', array_min(q),"
+        "'n_cells', cast(size(q) as bigint)"
+        "))[0])[0]))",
     )

@@ -311,13 +311,22 @@ def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = shingled.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
     s2 = shingled.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union_sz = F.size("sh1") + F.size("sh2") - inter
-    jac = inter.cast("double") / union_sz
+    # Let-bind the intersection size through inline(transform(...)):
+    # written inline, projection collapse re-evaluates the
+    # array_intersect once per reference (numerator + denominator)
+    # and again under the threshold filter — up to 4 shingle-set
+    # intersections per candidate pair (the x4 finding, r7).
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
-        .select("id1", "id2", jac.alias("jaccard"))
+        .selectExpr(
+            "id1",
+            "id2",
+            "inline(transform("
+            "array(cast(size(array_intersect(sh1, sh2)) as double)),"
+            " it -> named_struct("
+            "'jaccard', it / (size(sh1) + size(sh2) - it))))",
+        )
         .filter(F.col("jaccard") >= _MINHASH_JACCARD_MIN)
     )
 
@@ -743,12 +752,19 @@ def x29_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = shc.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh1"))
     s2 = shb.select(F.col("doc_id").alias("bench_id"), F.col("shingles").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    # Let-bound intersection (see x2/x4): one array_intersect per
+    # candidate pair instead of up to four.
     return (
         cand.join(s1, "corpus_id")
         .join(F.broadcast(s2), "bench_id")
-        .select("corpus_id", "bench_id", jac.alias("jaccard"))
+        .selectExpr(
+            "corpus_id",
+            "bench_id",
+            "inline(transform("
+            "array(cast(size(array_intersect(sh1, sh2)) as double)),"
+            " it -> named_struct("
+            "'jaccard', it / (size(sh1) + size(sh2) - it))))",
+        )
         .filter(F.col("jaccard") >= _MINHASH_JACCARD_MIN)
     )
 
@@ -833,16 +849,18 @@ def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_side = sh.filter(F.col("doc_id") >= 0).select(
         F.col("doc_id").alias("parent_id"), F.col("grams").alias("pg"), "pfx"
     )
-    cont = F.round(
-        F.size(F.array_intersect("fg", "pg")).cast("double") / F.size("fg"), 6
-    )
+    # Let-bound containment ratio (see x2/x4): one array_intersect
+    # per candidate pair instead of three (two output references +
+    # the filter's re-inline).
     return (
         f_side.join(p_side, "pfx")
-        .select(
+        .selectExpr(
             "frag_id",
             "parent_id",
-            cont.alias("containment"),
-            (cont >= 0.5).alias("is_contained"),
+            "inline(transform(array(round("
+            "cast(size(array_intersect(fg, pg)) as double) / size(fg), 6)),"
+            " c -> named_struct("
+            "'containment', c, 'is_contained', c >= 0.5d)))",
         )
         .filter(F.col("containment") >= _CONTAIN_MIN)
     )
@@ -2284,17 +2302,17 @@ def x88_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id2"), "lang", "size_bucket",
         F.col("grams").alias("g2"),
     )
-    inter = F.size(F.array_intersect("g1", "g2"))
-    j_bp = F.floor(
-        inter.cast("double")
-        / (F.size("g1") + F.size("g2") - inter)
-        * 10000
-        + F.lit(0.5)
-    ).cast("long")
+    # Let-bind the intersection size (same re-inlining pathology as
+    # x4: two references = two array_intersect evaluations per pair).
     pairs = (
         a.join(b, ["lang", "size_bucket"])
         .filter(F.col("id1") < F.col("id2"))
-        .select(j_bp.alias("j_bp"))
+        .selectExpr(
+            "inline(transform("
+            "array(cast(size(array_intersect(g1, g2)) as double)),"
+            " it -> named_struct('j_bp', cast(floor("
+            "it / (size(g1) + size(g2) - it) * 10000 + 0.5d) as bigint))))"
+        )
     )
     thresholds = F.broadcast(
         docs.sparkSession.createDataFrame(

@@ -1566,3 +1566,27 @@ def test_dedup_pk_partial_min_before_shuffle(spark):
     assert post, f"no hash exchange on the dedup key:\n{plan}"
     assert "partial_min" in post, f"no map-side partial min below the exchange:\n{plan}"
     assert "functions=[min(" in pre, f"no final min above the exchange:\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "x2_dedup_minhash",
+        "x4_ngram_jaccard",
+        "x29_fuzzy_decontaminate",
+        "x35_containment_dedup",
+        "x88_threshold_sweep",
+    ],
+)
+def test_pair_verification_single_intersection(spark, sf_dir, key):
+    # The candidate-verification Jaccard/containment must evaluate its
+    # shingle-set intersection exactly ONCE per pair: written as a
+    # plain column expression, projection collapse re-inlines the
+    # array_intersect per reference (numerator, denominator, and a
+    # threshold filter over the computed alias) — 2-4 set
+    # intersections per pair at 100 TB pair volumes. The let-binding
+    # idiom (inline over a single-element transform) pins it to one;
+    # this gate fails if a refactor reintroduces the re-inline.
+    plan = _formatted_plan(spark, key, sf_dir)
+    n = plan.count("array_intersect")
+    assert n <= 1, f"{key}: array_intersect appears {n}x in the plan"

@@ -1569,24 +1569,31 @@ def test_dedup_pk_partial_min_before_shuffle(spark):
 
 
 @pytest.mark.parametrize(
-    "key",
+    ("key", "expr"),
     [
-        "x2_dedup_minhash",
-        "x4_ngram_jaccard",
-        "x29_fuzzy_decontaminate",
-        "x35_containment_dedup",
-        "x88_threshold_sweep",
+        ("x2_dedup_minhash", "array_intersect"),
+        ("x4_ngram_jaccard", "array_intersect"),
+        ("x29_fuzzy_decontaminate", "array_intersect"),
+        ("x35_containment_dedup", "array_intersect"),
+        ("x88_threshold_sweep", "array_intersect"),
+        ("x38_minhash_accuracy", "array_intersect"),
+        ("d4_record_linkage", "levenshtein"),
+        ("f4_normalize_phone", "regexp_replace"),
+        ("f8_hash_digest_funcs", "md5("),
     ],
 )
-def test_pair_verification_single_intersection(spark, sf_dir, key):
-    # The candidate-verification Jaccard/containment must evaluate its
-    # shingle-set intersection exactly ONCE per pair: written as a
-    # plain column expression, projection collapse re-inlines the
-    # array_intersect per reference (numerator, denominator, and a
-    # threshold filter over the computed alias) — 2-4 set
-    # intersections per pair at 100 TB pair volumes. The let-binding
-    # idiom (inline over a single-element transform) pins it to one;
-    # this gate fails if a refactor reintroduces the re-inline.
+def test_expensive_expression_evaluates_once(spark, sf_dir, key, expr):
+    # Each key's expensive per-row/per-pair expression must appear
+    # exactly ONCE in the plan: written as a plain column expression,
+    # projection collapse re-inlines it per reference (multiple output
+    # columns, threshold filters over the computed alias) — 2-4
+    # evaluations per row/pair at 100 TB volumes (r7 sweep; the m20
+    # case was 100 regexp evaluations per doc through an explode). The
+    # let-binding idiom (inline over a single-element transform) pins
+    # it to one; this gate fails if a refactor reintroduces the
+    # re-inline. (False-positive note: an expression INSIDE a partial
+    # aggregate prints in both partial and final HashAggregate nodes
+    # but evaluates once per row — such keys don't belong here.)
     plan = _formatted_plan(spark, key, sf_dir)
-    n = plan.count("array_intersect")
-    assert n <= 1, f"{key}: array_intersect appears {n}x in the plan"
+    n = plan.count(expr)
+    assert n <= 1, f"{key}: {expr} appears {n}x in the plan"

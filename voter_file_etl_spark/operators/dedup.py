@@ -957,21 +957,24 @@ def x38_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingles").alias("sh2"),
         *[F.col(f"m{s}").alias(f"b{s}") for s in range(_N_SEEDS)],
     )
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    exact = F.round(
-        inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter), 6
+    # Let-bound exact and estimated Jaccard (see x2/x4): written as
+    # plain aliases, exact's two output references re-inline the
+    # array_intersect 4x per pair.
+    nmatch = " + ".join(
+        f"(case when a{s} = b{s} then 1 else 0 end)" for s in range(_N_SEEDS)
     )
-    nmatch = sum(
-        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
-        for s in range(_N_SEEDS)
-    )
-    est = F.round(nmatch.cast("double") / _N_SEEDS, 6)
-    return a.join(b, "id1").select(
+    return a.join(b, "id1").selectExpr(
         "id1",
         "id2",
-        exact.alias("jaccard_exact"),
-        est.alias("jaccard_est"),
-        F.round(F.abs(exact - est), 6).alias("abs_err"),
+        "inline(transform("
+        "array(cast(size(array_intersect(sh1, sh2)) as double)),"
+        " it -> transform(array(named_struct("
+        "'ex', round(it / (size(sh1) + size(sh2) - it), 6),"
+        f"'es', round(cast({nmatch} as double) / {_N_SEEDS}, 6)"
+        ")), s -> named_struct("
+        "'jaccard_exact', s.ex,"
+        "'jaccard_est', s.es,"
+        "'abs_err', round(abs(s.ex - s.es), 6)))[0]))",
     )
 
 
@@ -1516,20 +1519,27 @@ def d4_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 == F.expr("substr(f_name, 10, 6)")
             ),
         )
-        .select(
+        # Any match needs the name: non-name fields score at most
+        # 30 + 20 = 50 < 70, so name_dist <= 1 is a NECESSARY
+        # condition — filter on it first so the remaining field
+        # comparisons run only on survivors. The distance is
+        # LET-BOUND through an inline generator (not a plain alias):
+        # projection collapse otherwise re-inlines the levenshtein
+        # into the filter AND every downstream reference (the score
+        # CASE uses it twice, the output once — 4 evaluations per
+        # pair in the collapsed plan, r7 sweep). The Generate is a
+        # collapse barrier, so this is exactly ONE levenshtein per
+        # candidate pair.
+        .selectExpr(
             "c_custkey",
             "f_id",
             "c_mktsegment",
             "f_segment",
             "c_acctbal",
             "f_bal_cents",
-            F.levenshtein("c_name", "f_name").alias("name_dist"),
+            "inline(transform(array(levenshtein(c_name, f_name)),"
+            " d -> named_struct('name_dist', d)))",
         )
-        # Any match needs the name: non-name fields score at most
-        # 30 + 20 = 50 < 70, so name_dist <= 1 is a NECESSARY
-        # condition — filtering on it first means the join condition
-        # evaluates ONE levenshtein per candidate pair and the
-        # remaining field comparisons run only on survivors.
         .filter(F.col("name_dist") <= 1)
         .select(
             "c_custkey",

@@ -396,23 +396,27 @@ _PH_LINE = "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
 )
 def f4_normalize_phone(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = t(spark, sf_dir, "customer")
-    area = F.lpad((F.lit(200) + F.col("c_custkey") % 700).cast("string"), 3, "0")
-    line = F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")
+    area = "lpad(cast(200 + c_custkey % 700 as string), 3, '0')"
+    line = "lpad(cast(c_custkey % 10000 as string), 4, '0')"
     phone = (
-        F.when(F.col("c_custkey") % 3 == 0,
-               F.concat(F.lit("("), area, F.lit(") 555-"), line))
-        .when(F.col("c_custkey") % 3 == 1,
-              F.concat(area, F.lit("-555-"), line))
-        .otherwise(F.concat(area, F.lit(".555."), line))
+        f"CASE c_custkey % 3"
+        f" WHEN 0 THEN concat('(', {area}, ') 555-', {line})"
+        f" WHEN 1 THEN concat({area}, '-555-', {line})"
+        f" ELSE concat({area}, '.555.', {line}) END"
     )
-    digits = F.regexp_replace(phone, "[^0-9]", "")
-    return customer.select(
+    # Let-bind phone and its digit-stripped form: written as plain
+    # aliases, projection collapse re-inlines the regexp_replace into
+    # all four consumers (4 regexp evaluations per row, r7 sweep).
+    return customer.selectExpr(
         "c_custkey",
-        phone.alias("phone"),
-        digits.alias("digits"),
-        F.length(digits).alias("n_digits"),
-        F.substring(digits, 1, 3).alias("area_code"),
-        (F.length(digits) == 10).alias("valid"),
+        f"inline(transform(array({phone}), ph -> "
+        "transform(array(regexp_replace(ph, '[^0-9]', '')), d -> "
+        "named_struct("
+        "'phone', ph,"
+        "'digits', d,"
+        "'n_digits', length(d),"
+        "'area_code', substring(d, 1, 3),"
+        "'valid', length(d) = 10))[0]))",
     )
 
 
@@ -820,16 +824,20 @@ def t14_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f8_hash_digest_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each digest is let-bound and computed ONCE per row (plain
+    # aliases re-inline md5 3x and sha2 2x per row, r7 sweep).
     return (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 97 == 0)
-        .select(
+        .selectExpr(
             "doc_id",
-            F.md5("text").alias("md5_hex"),
-            F.sha2("text", 256).alias("sha256_hex"),
-            F.substring(F.md5("text"), 1, 1).alias("md5_nibble"),
-            F.length(F.md5("text")).alias("md5_len"),
-            F.length(F.sha2("text", 256)).alias("sha256_len"),
+            "inline(transform(array(md5(text)), m -> "
+            "transform(array(sha2(text, 256)), s -> named_struct("
+            "'md5_hex', m,"
+            "'sha256_hex', s,"
+            "'md5_nibble', substring(m, 1, 1),"
+            "'md5_len', length(m),"
+            "'sha256_len', length(s)))[0]))",
         )
     )
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from voter_file_etl_spark.functions.geohash import geohash_col, geohash_sql
+from voter_file_etl_spark.functions.geohash import geohash_sql
 from voter_file_etl_spark.plans.scalars import _HAV_KM
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
@@ -160,18 +160,21 @@ _SUPP_LON = "(-180.0 + ((s_suppkey * 11) % 360) + 0.25)"
     """,
 )
 def j5_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.substring(
-            geohash_col(F.expr(_CUST_LAT), F.expr(_CUST_LON), 8), 1, 4
-        ).alias("gh4"),
-    )
-    supplier = t(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        F.substring(
-            geohash_col(F.expr(_SUPP_LAT), F.expr(_SUPP_LON), 8), 1, 4
-        ).alias("gh4"),
-    )
+    # The precision-8 geohash is a machine-built expression hundreds
+    # of ops deep. Let-bind it on each side (inline generator): as a
+    # plain alias, the optimizer's isnotnull join-key filter AND the
+    # projection each inline the full expression — the whole geohash
+    # computed TWICE per row per side (r7 sweep).
+    def gh4_side(table: str, key: str, lat: str, lon: str) -> DataFrame:
+        gh = geohash_sql(lat, lon, 8, "spark")
+        return t(spark, sf_dir, table).selectExpr(
+            key,
+            f"inline(transform(array(substring({gh}, 1, 4)),"
+            " g -> named_struct('gh4', g)))",
+        )
+
+    customer = gh4_side("customer", "c_custkey", _CUST_LAT, _CUST_LON)
+    supplier = gh4_side("supplier", "s_suppkey", _SUPP_LAT, _SUPP_LON)
     return customer.join(F.broadcast(supplier), "gh4").select(
         "c_custkey", "s_suppkey", "gh4"
     )

@@ -1270,10 +1270,15 @@ def x84_reshard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x85_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     in_samp = _bucket(F.col("doc_id").cast("string")) < 10
+    # base feeds two consumers (the report rows and the totals) and
+    # Spark plans the md5-sampling aggregate subtree once per
+    # consumer with no exchange reuse — TWO full corpus scans+hash
+    # passes. The eager localCheckpoint pins the O(langs) rollup
+    # after one pass (the a49 pattern; checkpointing 5 rows is ~ms).
     base = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_full"),
         F.sum(F.when(in_samp, 1).otherwise(0)).cast("long").alias("n_samp"),
-    )
+    ).localCheckpoint()
     tot = base.agg(
         F.sum("n_full").cast("long").alias("tf"),
         F.sum("n_samp").cast("long").alias("ts"),

@@ -1580,6 +1580,7 @@ def test_dedup_pk_partial_min_before_shuffle(spark):
         ("d4_record_linkage", "levenshtein"),
         ("f4_normalize_phone", "regexp_replace"),
         ("f8_hash_digest_funcs", "md5("),
+        ("a83_bootstrap_ci", "md5("),
     ],
 )
 def test_expensive_expression_evaluates_once(spark, sf_dir, key, expr):

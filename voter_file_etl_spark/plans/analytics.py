@@ -3293,22 +3293,28 @@ def a82_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from voter_file_etl_spark.operators.sampling import (  # noqa: E402
-    _bucket_sql as _a83_bucket_sql,
-)
-
-
 # ---------------------------------------------------------------------------
 # A83 — bootstrap confidence interval, the deterministic distributed
 # form: 32 half-sample replicates (m-out-of-n bootstrap) assigned by
-# the engine's portable md5 bucket on (orderkey, replicate), so the
-# "resampling" is a pure map-side expression — no RNG, no driver
-# loop, bit-identical on both engines. Each replicate's mean order
-# value (integer cents, floor division) feeds an element-pick
-# p05/p50/p95 over the 32 replicate means per segment — ranks 2, 16,
-# and 31 of the (mean, replicate)-ordered list, fully tie-stable.
+# ONE portable md5 digest per order row — replicate r keeps the row
+# iff hex digit r+1 of md5(orderkey) is in 0..7 (exactly half of the
+# 16 hex values, so each replicate is an independent-digit ~half
+# sample) — the "resampling" is a pure map-side expression: no RNG,
+# no driver loop, bit-identical on both engines. Each replicate's
+# mean order value (integer cents, floor division) feeds an
+# element-pick p05/p50/p95 over the 32 replicate means per segment —
+# ranks 2, 16, and 31 of the (mean, replicate)-ordered list, fully
+# tie-stable.
 #
-# Scale: the 32x replicate explode is map-side and feeds ONE
+# One digest per ROW (not per (row, replicate)): the r7 form hashed
+# the concat (orderkey, r) 32x per row, and the digest dominated the
+# map cost (4.6 s isolated at sf0.1). The digest is let-bound through
+# the single-element transform so projection collapse can't re-inline
+# the md5 into the membership lambda (32 evaluations again); the
+# explode then emits only the KEPT replicates (~16/row instead of
+# 32-then-filter). Gated by test_expensive_expression_evaluates_once.
+#
+# Scale: the replicate explode is map-side and feeds ONE
 # partial-aggregated groupBy((seg, r)) — 32x map work, shuffle rows
 # O(segments x 32); the rank windows then act on that tiny frame.
 # ---------------------------------------------------------------------------
@@ -3322,7 +3328,8 @@ from voter_file_etl_spark.operators.sampling import (  # noqa: E402
       JOIN customer c ON o.o_custkey = c.c_custkey
       CROSS JOIN (SELECT CAST(x AS BIGINT) AS r
                   FROM unnest(range(0, 32)) u(x)) r
-      WHERE {{member}} < 50
+      WHERE substr(md5(CAST(o.o_orderkey AS VARCHAR)),
+                   CAST(r.r + 1 AS INT), 1) < '8'
     ), means AS (
       SELECT seg, r, count(*) AS n, sum(cents) // count(*) AS mean_c
       FROM reps GROUP BY 1, 2
@@ -3338,15 +3345,9 @@ from voter_file_etl_spark.operators.sampling import (  # noqa: E402
            CAST(max(CASE WHEN rn = 16 THEN mean_c END) AS BIGINT) AS med_c,
            CAST(max(CASE WHEN rn = 31 THEN mean_c END) AS BIGINT) AS ci_hi_c
     FROM ranked GROUP BY seg
-    """.format(
-        member=_a83_bucket_sql(
-            "(CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(r.r AS VARCHAR))"
-        )
-    ),
+    """,
 )
 def a83_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from voter_file_etl_spark.operators.sampling import _bucket
-
     orders = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
@@ -3358,24 +3359,16 @@ def a83_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("o_custkey"),
         F.col("c_mktsegment").alias("seg"),
     )
-    reps = (
-        orders.join(F.broadcast(cust), "o_custkey")
-        .select(
-            "seg",
-            "o_orderkey",
-            "cents",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("r"),
-        )
-        .filter(
-            _bucket(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("r").cast("string"),
-                )
-            )
-            < 50
-        )
+    reps = orders.join(F.broadcast(cust), "o_custkey").selectExpr(
+        "seg",
+        "cents",
+        # One md5 per row, let-bound (single-element transform) so
+        # projection collapse can't substitute it into the membership
+        # lambda; the explode emits only the kept replicate ids.
+        "explode(flatten(transform("
+        "  array(md5(cast(o_orderkey as string))),"
+        "  h -> filter(sequence(0, 31),"
+        "              r -> substring(h, r + 1, 1) < '8')))) AS r",
     )
     means = reps.groupBy("seg", "r").agg(
         F.expr("sum(cents) div count(1)").alias("mean_c")

@@ -60,3 +60,30 @@ def test_check_first_holds_the_driver_window():
     # The driver checks 50 keys/round; a _CHECK_FIRST longer than 50
     # silently pushes its own tail outside the window.
     assert len(entry_mod._CHECK_FIRST) <= 50
+
+
+def test_check_window_is_spent_on_never_checked_keys():
+    # During the backlog burn (SURVEY §8: r5-r9), a rotation mistake
+    # that leaves already-green keys in _CHECK_FIRST wastes the
+    # round's entire driver bandwidth re-proving proven keys (the
+    # exact hazard VERDICT r6 "What's missing" #2 flagged). While ANY
+    # registry key still lacks a driver CORRECTNESS row, the window
+    # must contain ONLY such keys. Self-deactivates at r10+ when the
+    # backlog is empty and the contract flips to oldest-green
+    # re-checks.
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(f)))
+    never = _registry_keys() - checked
+    if not never:
+        return  # backlog cleared: re-checking green keys is the contract
+    stale = [k for k in entry_mod._CHECK_FIRST if k in checked]
+    assert not stale, (
+        f"_CHECK_FIRST holds already-driver-checked keys while "
+        f"{len(never)} keys still have no CORRECTNESS row — rotate the "
+        f"window onto the _BACKFILL head: {stale}"
+    )

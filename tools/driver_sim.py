@@ -117,6 +117,10 @@ def main() -> int:
     n_cores = os.environ.get("SPARK_GRAFT_SIM_CORES", "16")
     builder = (
         SparkSession.builder.master(f"local[{n_cores}]")
+        # The console progress bar interleaves carriage returns with
+        # the per-key ok/FAIL lines, hiding them from line-oriented
+        # grep/tee consumers — keep replica logs line-clean.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", n_part)
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")

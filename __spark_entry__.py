@@ -25,46 +25,26 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Driver-coverage rotation (the driver oracle-checks the FIRST 50 keys
 # of queries() per round — contract documented in SURVEY.md §8).
 #
-# Round 7 window (VERDICT r6 "Next round" #1): the first 50 entries of
-# round 6's _BACKFILL head — a48_string_agg (which ceded its r6 slot to
-# st15_transform_with_state) through e5_board_pack. All 50 have never
-# been driver-checked. CORRECTNESS_r06 confirmed the r6 window ran
-# 50/50 green (cumulative 298/441), authorizing this rotation; the
-# retired r6 window moves to the green tail below. Rounds 8-9 continue
-# down _BACKFILL's head (r8 = a59_topn_plus_other … a75_fiscal_445,
-# r9 = residual 43; window plan in SURVEY.md §8). Any key newly
-# registered THIS round is unplaced and would sort after the head —
-# tests/test_rotation.py fails the suite until it is placed explicitly.
+# Round 8 window (VERDICT r7 "Next round" #1): the first 50 entries of
+# round 7's _BACKFILL head — a59_topn_plus_other through
+# a75_fiscal_445_calendar. All 50 have never been driver-checked.
+# CORRECTNESS_r07 confirmed the r7 window ran 50/50 green (cumulative
+# 348/441), authorizing this rotation; the retired r7 window moves to
+# the green tail below. Round 9 takes the residual 43
+# (w31_series_align … a84_proportional_allocation, pre-staged as the
+# _BACKFILL head; burn plan in SURVEY.md §8), after which the rotation
+# flips to oldest-green re-checks drawn from the tail top-down. Any key
+# newly registered THIS round is unplaced and would sort after the
+# head — tests/test_rotation.py fails the suite until it is placed
+# explicitly.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    "a48_string_agg",
-    "sql15_unpivot_syntax", "x72_length_bucket_pack", "x73_calibration_curve",
-    "l20_write_audit_publish", "w20_cusum_drift", "f13_luhn_checksum",
-    "x74_source_js_divergence", "l21_concurrent_merge_retry",
-    "s20_bloom_filter_pointread", "a50_rfm_segmentation",
-    "x75_code_data_filter", "sql16_join_hints", "l22_log_checkpoint",
-    "w21_rolling_corr", "f14_timezone_localize", "x77_dp_noisy_release",
-    "sql17_group_by_all", "x78_bm25_scoring", "a52_kaplan_meier",
-    "a53_holt_forecast", "s21_corrupt_file_recovery",
-    "a54_referential_audit", "st17_stream_cusum", "p11_transpose",
-    "e4_entity_resolution", "u7_intersect_all", "x79_dataset_card",
-    "a55_pareto_share", "l23_retention_vacuum", "w22_sigma_anomaly_days",
-    "w23_mom_change", "a57_new_vs_returning", "x81_embedding_norm_audit",
-    "s22_glob_recursive_scan", "w24_rank_migration", "a58_repeat_intervals",
-    "x80_zipf_check", "j22_bracket_lookup", "a56_abc_analysis",
-    "g8_degree_assortativity", "x82_prefix_reuse", "w25_local_peaks",
-    "x83_term_burstiness", "x84_reshard_stability", "x85_sample_bias_audit",
-    "st18_stream_topk", "m19_media_sniff", "l24_merge_schema_evolution",
-    "e5_board_pack",
-]
-_BACKFILL = [
-    # -- BACKLOG HEAD: every never-driver-checked key in priority
-    # order (round-4 registrations in registration order). Round 8's
-    # window = move the FIRST 50 entries below into _CHECK_FIRST
-    # (a59_topn_plus_other … a75_fiscal_445_calendar); round 9 takes
-    # the residual 43 (tests/test_rotation.py keeps the partition
-    # exact; burn plan in SURVEY.md §8) --
-    "a59_topn_plus_other", "x86_k_anonymity_audit", "a60_backtest_naive", "s23_zstd_roundtrip", "j23_null_skew_split", "o6_keyset_pagination", "a61_same_store_growth", "x87_injection_scan", "a62_holiday_uplift", "x88_threshold_sweep", "a63_forecast_backtest", "w26_growth_streaks", "a64_cycle_time", "a65_growth_contribution", "l25_orphan_audit", "a66_weekday_hour_heatmap", "w27_decay_score", "x89_dedup_savings",
+    "a59_topn_plus_other", "x86_k_anonymity_audit", "a60_backtest_naive",
+    "s23_zstd_roundtrip", "j23_null_skew_split", "o6_keyset_pagination",
+    "a61_same_store_growth", "x87_injection_scan", "a62_holiday_uplift",
+    "x88_threshold_sweep", "a63_forecast_backtest", "w26_growth_streaks",
+    "a64_cycle_time", "a65_growth_contribution", "l25_orphan_audit",
+    "a66_weekday_hour_heatmap", "w27_decay_score", "x89_dedup_savings",
     "a67_cohort_ltv", "x90_derived_stopwords", "w28_monthly_bands",
     "w29_ohlc", "o7_skyline", "a68_bitmap_distinct", "x91_code_switching",
     "x92_inverted_index", "g9_label_propagation", "a69_dau_mau_stickiness",
@@ -76,7 +56,16 @@ _BACKFILL = [
     "a72_revenue_recognition", "l27_bitemporal_asof", "d7_duplicate_payments",
     "x96_feature_hashing", "l28_dynamic_partition_overwrite",
     "a73_revenue_bridge", "a74_spatial_hotspots", "l29_scd3_dimension",
-    "a75_fiscal_445_calendar", "w31_series_align", "x97_soft_dedup_weights",
+    "a75_fiscal_445_calendar",
+]
+_BACKFILL = [
+    # -- BACKLOG HEAD: the round-9 window = the 43 remaining
+    # never-driver-checked keys (w31_series_align …
+    # a84_proportional_allocation, registration order). Round 9 moves
+    # ALL of them into _CHECK_FIRST, completing the 441/441 burn;
+    # tests/test_rotation.py keeps the partition exact (burn plan in
+    # SURVEY.md §8) --
+    "w31_series_align", "x97_soft_dedup_weights",
     "e7_medallion_pipeline", "x98_winnow_overlap",
     "u8_diff_column_provenance", "j25_interval_intersect_measure",
     "g10_two_hop_reach", "j26_role_playing_dates",
@@ -194,6 +183,26 @@ _BACKFILL = [
     "m18_wav_decimate", "st16_stream_distinct_users", "l19_shallow_clone",
     "w19_interval_union", "a49_market_basket",
     "st15_transform_with_state",
+    # -- driver-green round 7 (retired window, CORRECTNESS_r07 50/50) --
+    "a48_string_agg",
+    "sql15_unpivot_syntax", "x72_length_bucket_pack", "x73_calibration_curve",
+    "l20_write_audit_publish", "w20_cusum_drift", "f13_luhn_checksum",
+    "x74_source_js_divergence", "l21_concurrent_merge_retry",
+    "s20_bloom_filter_pointread", "a50_rfm_segmentation",
+    "x75_code_data_filter", "sql16_join_hints", "l22_log_checkpoint",
+    "w21_rolling_corr", "f14_timezone_localize", "x77_dp_noisy_release",
+    "sql17_group_by_all", "x78_bm25_scoring", "a52_kaplan_meier",
+    "a53_holt_forecast", "s21_corrupt_file_recovery",
+    "a54_referential_audit", "st17_stream_cusum", "p11_transpose",
+    "e4_entity_resolution", "u7_intersect_all", "x79_dataset_card",
+    "a55_pareto_share", "l23_retention_vacuum", "w22_sigma_anomaly_days",
+    "w23_mom_change", "a57_new_vs_returning", "x81_embedding_norm_audit",
+    "s22_glob_recursive_scan", "w24_rank_migration", "a58_repeat_intervals",
+    "x80_zipf_check", "j22_bracket_lookup", "a56_abc_analysis",
+    "g8_degree_assortativity", "x82_prefix_reuse", "w25_local_peaks",
+    "x83_term_burstiness", "x84_reshard_stability", "x85_sample_bias_audit",
+    "st18_stream_topk", "m19_media_sniff", "l24_merge_schema_evolution",
+    "e5_board_pack",
 ]
 
 

@@ -430,6 +430,23 @@ def bench_order() -> list[str]:
 EARLY_BLOCK = 30
 EARLY_TRIALS = 2
 
+# The streaming family gets min-of-2 regardless of suite position
+# (VERDICT r7 "Next round" #3): st keys pay a per-trigger micro-batch
+# floor (~1.1 s/trigger, SCALE.md state-store probe) whose scheduling
+# jitter produced a ~2.6x run-to-run spread on UNCHANGED code —
+# st4_stateful_dedup read 2.44/2.59/6.72/4.45 s across four r6-r7 runs
+# while streaming/stateful.py had no diff. The st keys sit mid-suite,
+# outside the early block, so each round risked a phantom regression
+# hunt; min-of-2 bounds the jitter the same way it killed the a4
+# phantom (3.62 -> 0.96 s in BENCH_r07).
+MULTI_TRIAL_PREFIXES = ("st",)
+
+
+def _trials(i: int, key: str) -> int:
+    if i < EARLY_BLOCK or key.startswith(MULTI_TRIAL_PREFIXES):
+        return EARLY_TRIALS
+    return 1
+
 
 def main() -> None:
     registry.load_all()
@@ -454,7 +471,7 @@ def main() -> None:
         # would, while JIT/codegen/footer warm-up (the JVM state the
         # warm-up run exists for) survives.
         best = float("inf")
-        for _ in range(EARLY_TRIALS if i < EARLY_BLOCK else 1):
+        for _ in range(_trials(i, key)):
             spark.catalog.clearCache()
             start = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -474,6 +491,7 @@ def main() -> None:
     protocol = {
         "early_block": EARLY_BLOCK,
         "early_trials": EARLY_TRIALS,
+        "multi_trial_prefixes": list(MULTI_TRIAL_PREFIXES),
         "timing": "min of trials, warm-up run excluded, clearCache between runs",
     }
     detail = {

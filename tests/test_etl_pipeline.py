@@ -9,7 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from voter_file_etl_spark.operators import etl
 from voter_file_etl_spark.schema import manifest_struct
@@ -478,11 +478,15 @@ def test_promote_crash_between_renames_restores_history(spark, tmp_path, monkeyp
     assert not os.path.isdir(mfp)
     leftovers = os.listdir(str(tmp_path))
     assert any(n.startswith(".mf_retired_") for n in leftovers)
+    assert any(n.startswith(".mf_staging_") for n in leftovers)
     monkeypatch.setattr(mf, "_hadoop_fs", real_fs)
     after = sorted(mf.read_manifest(spark, mfp).collect())
     assert after == before  # history restored, Loaded still False
     assert os.path.isdir(mfp)
-    assert not any(n.startswith(".mf_retired_") for n in os.listdir(str(tmp_path)))
+    # recovery sweeps EVERY crash leftover — retired AND the orphan
+    # staging dir whose promote died (ADVICE r7 #2)
+    mf_leftovers = [n for n in os.listdir(str(tmp_path)) if n.startswith(".mf_")]
+    assert mf_leftovers == [], f"crash leftovers not swept: {mf_leftovers}"
     # and the manifest is fully operational again
     mf.mark_loaded(spark, mfp, "01--CA--20250101.tab")
     assert mf.read_manifest(spark, mfp).filter("Loaded").count() == 1
@@ -504,6 +508,59 @@ def test_record_files_result_survives_concurrent_overwrite(spark, tmp_path):
     ]
 
 
+def test_record_files_snapshot_collectable_under_live_parallel_overwrites(
+    spark, tmp_path
+):
+    # VERDICT r7 "Next round" #7: pin the returned-DataFrame contract
+    # under REAL concurrency, not just sequential rewrites — collect
+    # the snapshot repeatedly WHILE parallel lanes (the etl.run_load
+    # threading model) churn the manifest with record_files/mark_loaded
+    # overwrite-rename cycles. The snapshot is a local relation
+    # materialized under _MF_LOCK, so no collect may ever see a
+    # FileNotFound from a rename, and its contents are frozen at
+    # record time regardless of later writes.
+    import threading
+
+    mfp = str(tmp_path / "manifest")
+    snap = mf.record_files(spark, mfp, [("00--CA--20250101.tab", "CA", 7)])
+    expected = [("00--CA--20250101.tab", False, 7)]
+
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def churn(lane: int) -> None:
+        try:
+            for i in range(6):
+                fn = f"{lane:02d}{i}--TX--20250102.tab"
+                mf.record_files(spark, mfp, [(fn, "TX", lane * 10 + i)])
+                mf.mark_loaded(spark, mfp, fn)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+        finally:
+            stop.set()
+
+    lanes = [threading.Thread(target=churn, args=(n,)) for n in (1, 2, 3)]
+    for t in lanes:
+        t.start()
+    collects = 0
+    try:
+        while not stop.is_set() or collects == 0:
+            got = [
+                (r["Filename"], r["Loaded"], r["Lines"]) for r in snap.collect()
+            ]
+            assert got == expected, f"snapshot drifted under churn: {got}"
+            collects += 1
+    finally:
+        for t in lanes:
+            t.join()
+    assert not errors, errors
+    assert collects >= 1
+    # the lanes' writes all landed despite the churn (lock integrity)
+    final = mf.read_manifest(spark, mfp)
+    assert final.count() == 1 + 3 * 6
+    assert final.filter("Loaded").count() == 3 * 6
+
+
 def test_overwrite_small_fast_path_matches_spark_writer_on_nonutc_os_tz(
     spark, tmp_path, monkeypatch
 ):
@@ -518,8 +575,20 @@ def test_overwrite_small_fast_path_matches_spark_writer_on_nonutc_os_tz(
 
     from voter_file_etl_spark.sources.manifest import _overwrite_small
 
+    # Three instants: an unambiguous June noon, plus BOTH occurrences
+    # of the DST fall-back repeated hour (2025-11-02 01:30 in New York
+    # exists twice: 05:30Z as EDT/fold=0 and 06:30Z as EST/fold=1).
+    # Row collection yields the same naive wall time for the last two,
+    # distinguished only by `fold` — the case where a fold-dropping
+    # conversion (time.mktime) collapses them to one instant and the
+    # two writer paths diverge by 3600 s (ADVICE r7 #1).
+    instants = [
+        datetime(2025, 6, 1, 16, 34, 56, 789000, tzinfo=timezone.utc),
+        datetime(2025, 11, 2, 5, 30, 0, tzinfo=timezone.utc),
+        datetime(2025, 11, 2, 6, 30, 0, tzinfo=timezone.utc),
+    ]
     df = spark.createDataFrame(
-        [("f.tab", "CA", 1, False, datetime(2025, 6, 1, 12, 34, 56, 789000))],
+        [(f"f{i}.tab", "CA", 1, False, ts) for i, ts in enumerate(instants)],
         manifest_struct(),
     )
     old_tz = os.environ.get("TZ")
@@ -542,15 +611,20 @@ def test_overwrite_small_fast_path_matches_spark_writer_on_nonutc_os_tz(
 
     micros = []
     for p in (fast, slow):
-        col = pq.read_table(p).column("updatedAt")
+        tbl = pq.read_table(p).sort_by("Filename")
+        col = tbl.column("updatedAt")
         micros.append(col.cast(pa.timestamp("us")).cast(pa.int64()).to_pylist())
     assert micros[0] == micros[1], (
         f"fast-path micros {micros[0]} != Spark-writer micros {micros[1]}"
     )
-    # and Spark reads both back to the same instant
-    a = spark.read.parquet(fast).collect()[0]["updatedAt"]
-    b = spark.read.parquet(slow).collect()[0]["updatedAt"]
-    assert a == b
+    # both paths preserved the EXACT original instants — the two
+    # ambiguous-hour rows stay 3600 s apart instead of collapsing
+    expected = [int(ts.timestamp() * 1_000_000) for ts in instants]
+    assert micros[0] == expected, f"{micros[0]} != {expected}"
+    # and Spark reads both back to the same instants
+    a = spark.read.parquet(fast).orderBy("Filename").collect()
+    b = spark.read.parquet(slow).orderBy("Filename").collect()
+    assert [r["updatedAt"] for r in a] == [r["updatedAt"] for r in b]
 
 
 def test_overwrite_small_staging_failure_leaves_no_orphan_dir(

@@ -385,14 +385,29 @@ def test_phash_near_dup_is_hamming_ball_delta_join(spark, sf_dir):
     # the 2,324-row XOR-mask table is broadcast (the only acceptable
     # "cross" is the bounded BroadcastNestedLoopJoin against it —
     # never a CartesianProduct of data against data), and partner
-    # existence is a broadcast equi-join on p2. This is linear in
-    # distinct hashes and skew-immune where band-bucket saturation
-    # was quadratic (r7 sf1.0 probe: 66M banded candidate pairs vs
-    # ~2.3k masks/hash here).
+    # existence is an equi-join on p2 — broadcast-hinted only while
+    # the distinct-hash bound is under _M14_BROADCAST_MAX_HASHES
+    # (ADVICE r7 #3: a forced hint would OOM the driver on a
+    # high-distinct-hash corpus instead of degrading to the
+    # still-linear shuffle join). This is linear in distinct hashes
+    # and skew-immune where band-bucket saturation was quadratic
+    # (r7 sf1.0 probe: 66M banded candidate pairs vs ~2.3k
+    # masks/hash here).
+    from voter_file_etl_spark.operators import multimodal as mm
+
     plan = _formatted_plan(spark, "m14_phash_near_dup", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "delta" in plan, plan[:2000]
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # At every test/bench scale the gate holds, so the hint must be
+    # present (the assertion is conditional on the same predicate the
+    # implementation uses — if the gate flips, the plan may
+    # legitimately shuffle-join).
+    if mm._m14_use_broadcast(10 * 50_000):  # 10x the sf1.0 probe corpus
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+    # Gate behavior at the boundaries: small corpora broadcast, a
+    # corpus whose distinct-hash bound saturates past the cap does not.
+    assert mm._m14_use_broadcast(1_000_000)
+    assert not mm._m14_use_broadcast(20_000_000)  # bound saturates at 2^24
 
 
 def test_incremental_dedup_window_is_batch_side(spark, sf_dir):

@@ -62,6 +62,34 @@ def test_check_first_holds_the_driver_window():
     assert len(entry_mod._CHECK_FIRST) <= 50
 
 
+def _stale_window_keys(
+    check_first: list[str], registry_keys: set[str], checked: set[str]
+) -> list[str]:
+    """The tripwire predicate, pure so both regimes are unit-testable.
+
+    Backlog-burn regime (some registry key lacks a CORRECTNESS row):
+    returns the window keys already driver-checked — any non-empty
+    result is a rotation mistake. Re-check regime (backlog empty):
+    returns [] unconditionally — re-proving green keys IS the r10+
+    contract (SURVEY §8), so the gate self-deactivates.
+    """
+    never = registry_keys - checked
+    if not never:
+        return []
+    return [k for k in check_first if k in checked]
+
+
+def _driver_checked_keys() -> set[str]:
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(f)))
+    return checked
+
+
 def test_check_window_is_spent_on_never_checked_keys():
     # During the backlog burn (SURVEY §8: r5-r9), a rotation mistake
     # that leaves already-green keys in _CHECK_FIRST wastes the
@@ -71,19 +99,30 @@ def test_check_window_is_spent_on_never_checked_keys():
     # must contain ONLY such keys. Self-deactivates at r10+ when the
     # backlog is empty and the contract flips to oldest-green
     # re-checks.
-    import glob
-    import json
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        checked |= set(json.load(open(f)))
-    never = _registry_keys() - checked
-    if not never:
-        return  # backlog cleared: re-checking green keys is the contract
-    stale = [k for k in entry_mod._CHECK_FIRST if k in checked]
+    keys = _registry_keys()
+    checked = _driver_checked_keys()
+    stale = _stale_window_keys(entry_mod._CHECK_FIRST, keys, checked)
     assert not stale, (
         f"_CHECK_FIRST holds already-driver-checked keys while "
-        f"{len(never)} keys still have no CORRECTNESS row — rotate the "
-        f"window onto the _BACKFILL head: {stale}"
+        f"{len(keys - checked)} keys still have no CORRECTNESS row — "
+        f"rotate the window onto the _BACKFILL head: {stale}"
     )
+
+
+def test_tripwire_self_deactivates_at_the_r10_flip():
+    # VERDICT r7 ask #4: prove the flip is legal BEFORE round 10
+    # reaches it. Once every registry key has a driver row, a window
+    # full of already-green keys (the oldest-green re-check plan,
+    # drawn from the _BACKFILL tail top-down) must NOT trip the gate.
+    keys = _registry_keys()
+    # Simulate the post-r9 state: every key driver-checked.
+    all_checked = set(keys)
+    r10_window = entry_mod._BACKFILL[-len(entry_mod._CHECK_FIRST):]
+    assert all(k in all_checked for k in r10_window)
+    assert _stale_window_keys(r10_window, keys, all_checked) == []
+    # And the burn regime still fires on the same window while even
+    # one key remains unchecked (the gate's teeth don't dull early).
+    one_short = all_checked - {entry_mod._BACKFILL[0]}
+    assert _stale_window_keys(r10_window, keys, one_short) == [
+        k for k in r10_window if k in one_short
+    ]

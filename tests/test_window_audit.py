@@ -20,7 +20,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.window_audit import DOCUMENTED_CONTRACTS, audit_registry
+from tools.window_audit import DOCUMENTED_CONTRACTS, audit_df, audit_registry
 
 
 def test_every_unpartitioned_window_is_bounded_or_documented(spark, sf_dir):
@@ -45,3 +45,37 @@ def test_every_unpartitioned_window_is_bounded_or_documented(spark, sf_dir):
         if k not in results or all(f["bounded"] for f in results[k])
     ]
     assert not stale, f"DOCUMENTED_CONTRACTS entries no longer needed: {stale}"
+
+
+def test_localcheckpoint_cannot_launder_unbounded_window_input(spark, sf_dir):
+    # ADVICE r7 #4: RDDScanExec erases provenance — localCheckpoint()
+    # over raw scan rows presents the same node as a 10-row
+    # createDataFrame, so treating it as structurally bounding would
+    # let a global window over checkpointed raw data pass the audit.
+    # The rule: RDDScan is CONTRACT-bounding (bounded=False, verdict
+    # 'contract'), forcing a DOCUMENTED_CONTRACTS entry.
+    import os as _os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(_os.path.join(sf_dir, "nation.parquet"))
+    laundered = raw.localCheckpoint(eager=False)
+    win = laundered.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_nationkey"))
+    )
+    findings = audit_df(win)
+    assert len(findings) == 1
+    assert findings[0]["verdict"] == "contract"
+    assert findings[0]["bounded"] is False
+    # ...while a genuine LocalRelation (SQL VALUES / Arrow-converted
+    # driver rows -> LocalTableScanExec) stays structurally bounded.
+    # (A list-of-tuples createDataFrame plans as RDDScanExec and is
+    # deliberately ALSO contract-bounding — the audit cannot tell it
+    # apart from a checkpoint, and such control tables sit below
+    # aggregates in every registry plan anyway.)
+    local = spark.sql("SELECT * FROM VALUES (1), (2) AS t(k)").withColumn(
+        "rn", F.row_number().over(Window.orderBy("k"))
+    )
+    ok = audit_df(local)
+    assert len(ok) == 1 and ok[0]["bounded"], ok

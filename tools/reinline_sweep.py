@@ -16,11 +16,16 @@ This sweep walks every registry key's FORMATTED plan and reports
 expressions matching the expensive-pattern list that appear >= 3
 times. CAVEAT — known false positive class: an expression inside a
 partial aggregate prints in BOTH the partial and final HashAggregate
-nodes (and their function lists) but evaluates once per row; x25/
-x32/x85's sampling md5s are examples. Verify a hit is in distinct
-Filter/Project/Generate operators before "fixing" it. Confirmed
-sites are pinned one-by-one in
-tests/test_plan_quality.py::test_expensive_expression_evaluates_once.
+nodes (and their function lists) but evaluates once per row; the two
+such sites in the registry are pinned in DOCUMENTED_PARTIAL_AGG below
+(VERDICT r7 ask #5) and the sweep FAILS (exit 1) on any hit outside
+that allowlist, so a new re-inlining site cannot land silently.
+Verify a new hit is in distinct Filter/Project/Generate operators
+before "fixing" it. Confirmed single-evaluation shapes are pinned
+one-by-one in
+tests/test_plan_quality.py::test_expensive_expression_evaluates_once;
+the allowlist + a sampled sweep run in the suite via
+tests/test_reinline_sweep.py.
 
 Usage: python tools/reinline_sweep.py [sf_dir]
 """
@@ -41,19 +46,35 @@ PAT = re.compile(
     r"|transform\(sequence\([^)]{0,40})"
 )
 
+# Documented false positives (mirrors window_audit.DOCUMENTED_CONTRACTS):
+# key -> substring that must appear in every allowlisted hit. Both are
+# sampling md5s used as a HashAggregate grouping/aggregate input — the
+# expression prints in the partial AND final aggregate nodes (and
+# their function lists, 4 mentions total) but row data flows through
+# it exactly once, map-side. Verified by reading the executed plans at
+# r7 close; any OTHER expression (or these keys growing a NEW hot
+# expression) still fails the sweep.
+DOCUMENTED_PARTIAL_AGG: dict[str, str] = {
+    "x25_domain_mix": "md5(cast(concat(mix:",
+    "x32_temperature_mix": "md5(cast(concat(tmx:",
+}
 
-def main() -> None:
+
+def sweep(spark, keys, sf_dir: str) -> dict[str, dict[str, int]]:
+    """Return {key: {expr: mentions}} for NON-allowlisted hot sites.
+
+    A build error surfaces as {key: {"BUILD ERROR <type>": -1}} so
+    callers (and the suite gate) cannot mistake a broken plan build
+    for a clean sweep.
+    """
     from voter_file_etl_spark import registry
-    from voter_file_etl_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     registry.load_all()
-    spark = get_spark("reinline_sweep")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    flagged = 0
-    for key in sorted(registry.QUERIES):
+    out: dict[str, dict[str, int]] = {}
+    for key in keys:
         if key.startswith(("st", "e")):
             # stream/pipeline executors: building them runs the
             # pipeline and the returned frame is the materialized
@@ -63,14 +84,35 @@ def main() -> None:
             df = registry.QUERIES[key](spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(mode)
         except Exception as exc:  # noqa: BLE001
-            print(f"{key}: BUILD ERROR {type(exc).__name__}")
+            out[key] = {f"BUILD ERROR {type(exc).__name__}": -1}
             continue
         counts = collections.Counter(m.group(1) for m in PAT.finditer(plan))
-        hot = {e[:60]: n for e, n in counts.items() if n >= 3}
+        allowed = DOCUMENTED_PARTIAL_AGG.get(key)
+        hot = {
+            e[:60]: n
+            for e, n in counts.items()
+            if n >= 3 and not (allowed and allowed in e)
+        }
         if hot:
-            flagged += 1
-            print(f"{key}: {hot}")
-    print(f"\n{flagged} keys flagged (verify against the partial-agg FP class)")
+            out[key] = hot
+    return out
+
+
+def main() -> None:
+    from voter_file_etl_spark import registry
+    from voter_file_etl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    registry.load_all()
+    spark = get_spark("reinline_sweep")
+    hits = sweep(spark, sorted(registry.QUERIES), sf_dir)
+    for key, hot in hits.items():
+        print(f"{key}: {hot}")
+    print(
+        f"\n{len(hits)} keys flagged outside the DOCUMENTED_PARTIAL_AGG "
+        f"allowlist ({sorted(DOCUMENTED_PARTIAL_AGG)})"
+    )
+    sys.exit(1 if hits else 0)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,22 @@ with the partition key a 100 TB deployment would add; the pytest gate
 window appears outside this inventory, so drift cannot silently put a
 global window over raw rows.
 
+KNOWN LAUNDERING HOLE, closed by rule (ADVICE r7 #4): ``RDDScanExec``
+erases its input's provenance — ``localCheckpoint()`` over an
+UNBOUNDED DataFrame presents the identical node as ``createDataFrame``
+over ten driver rows, so treating it as structurally bounding would
+let a global window over checkpointed raw data pass the audit.
+RDDScan is therefore CONTRACT-bounding, not structurally bounding: a
+window whose boundedness rests only on an RDDScan must carry a
+``DOCUMENTED_CONTRACTS`` entry stating its row-count contract. (A
+list-of-tuples ``createDataFrame`` also plans as RDDScanExec and is
+deliberately held to the same rule — the audit cannot tell it apart
+from a checkpoint; every registry control table sits below an
+aggregate anyway, so the rule landed with zero new entries.)
+``LocalTableScanExec`` stays structural — it only arises from a
+LocalRelation (SQL VALUES, Arrow-converted driver rows), which cannot
+be unbounded (already in driver memory by construction).
+
 Usage: python tools/window_audit.py [sf_dir]
 """
 
@@ -36,10 +52,17 @@ _BOUNDING = {
     "LocalLimitExec",
     "CollectLimitExec",
     "TakeOrderedAndProjectExec",
-    "LocalTableScanExec",  # driver-built control rows
-    "RDDScanExec",         # createDataFrame local relations
+    "LocalTableScanExec",  # driver-built control rows (see docstring)
     # A windowed-over-window chain: the INNER window is audited on its
     # own; treating it as pass-through keeps path semantics correct.
+}
+
+# Node classes whose boundedness is a CONTRACT, not a structure: the
+# plan cannot show what fed them (see the laundering-hole note in the
+# module docstring). A window bounded only by one of these needs a
+# DOCUMENTED_CONTRACTS entry with its row-count contract.
+_CONTRACT_BOUNDING = {
+    "RDDScanExec",  # localCheckpoint / internal-RDD scans
 }
 
 # Leaves that represent unbounded-at-scale input.
@@ -79,26 +102,35 @@ def _cls(node) -> str:
     return node.getClass().getSimpleName()
 
 
-def _paths_bounded(node) -> bool:
-    """True iff every path below ``node`` hits a bounding node before
-    reaching an unbounded leaf."""
+def _paths_verdict(node) -> str:
+    """'ok' iff every path below ``node`` hits a structurally bounding
+    node before an unbounded leaf; 'contract' iff bounded only via a
+    contract-bounding node (RDDScan — needs a DOCUMENTED_CONTRACTS
+    entry); 'raw' iff some path reaches an unbounded leaf."""
     c = _cls(node)
+    if c in _CONTRACT_BOUNDING:
+        return "contract"
     if c in _BOUNDING:
-        return True
+        return "ok"
     if c in _UNBOUNDED_LEAVES:
-        return False
+        return "raw"
     if c in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
         # The build side is bounded BY CONSTRUCTION (it fits in a
         # broadcast, <= autoBroadcastJoinThreshold); only the streamed
         # side determines the join's output scale.
         streamed = 1 if "BuildLeft" in node.buildSide().toString() else 0
-        return _paths_bounded(node.children().apply(streamed))
+        return _paths_verdict(node.children().apply(streamed))
     ch = node.children()
     if ch.size() == 0:
         # Unknown leaf type: treat as unbounded so new source kinds
         # fail loud, not silent.
-        return False
-    return all(_paths_bounded(ch.apply(i)) for i in range(ch.size()))
+        return "raw"
+    verdicts = [_paths_verdict(ch.apply(i)) for i in range(ch.size())]
+    if "raw" in verdicts:
+        return "raw"
+    if "contract" in verdicts:
+        return "contract"
+    return "ok"
 
 
 _WINDOW_CLASSES = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
@@ -115,10 +147,14 @@ def audit_df(df) -> list[dict]:
         if not node.partitionSpec().isEmpty():
             continue
         child = node.children().apply(0)
+        verdict = _paths_verdict(child)
         findings.append(
             {
                 "node": _cls(node),
-                "bounded": _paths_bounded(child),
+                # 'contract' counts as NOT structurally bounded, so the
+                # gate requires a DOCUMENTED_CONTRACTS entry for it.
+                "bounded": verdict == "ok",
+                "verdict": verdict,
                 "child": _cls(child),
             }
         )
@@ -153,7 +189,7 @@ def main() -> None:
     print(f"{len(results)} keys with empty-partition windows, {n_sites} sites")
     for k, v in sorted(results.items()):
         flags = "".join(
-            ("OK " if f["bounded"] else "RAW ") for f in v
+            ("OK " if f["bounded"] else f["verdict"].upper() + " ") for f in v
         )
         doc = " [contract]" if k in DOCUMENTED_CONTRACTS else ""
         print(f"  {k}: {flags}({', '.join(f['node'] + '<-' + f['child'] for f in v)}){doc}")

@@ -959,14 +959,27 @@ def m13_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the key's 14 s. The delta-join replays the same probe in ~2 s, and
 # distinct hashes are capped at 2^24 by construction, so the
 # generated-candidate volume is bounded at any corpus size. The
-# broadcast of the distinct-hash table holds while distinct hashes
-# are far below the broadcast ceiling (16.7M x 16 B worst case
-# ~270 MB); past that, drop the hint and the same plan shuffle-joins
-# — still linear.
+# broadcast hint on the distinct-hash table is GATED, not forced
+# (ADVICE r7 #3): a forced hint bypasses size-based planning, so a
+# high-distinct-hash corpus would OOM the driver instead of degrading
+# to the still-linear shuffle join. The gate's input is a cheap upper
+# bound — distinct hashes <= min(corpus rows, 2^24), and the corpus
+# row count is a parquet-metadata count on documents (no decode) —
+# so no extra hash job runs. Above the cap the hint is dropped and
+# the same plan shuffle-joins; AQE may still choose broadcast at
+# runtime if the actual distinct-hash table turns out small.
 # ---------------------------------------------------------------------------
 _M14_BANDS = 4
 _M14_BAND_BITS = 6
 _M14_HAM_MAX = 3
+# 4M hash rows (~2 int64 cols) keeps the broadcast well under typical
+# driver/executor memory; the structural cap is 2^24 = 16.7M.
+_M14_BROADCAST_MAX_HASHES = 4_000_000
+
+
+def _m14_use_broadcast(corpus_rows: int) -> bool:
+    n_bits = _M14_BANDS * _M14_BAND_BITS
+    return min(corpus_rows, 1 << n_bits) <= _M14_BROADCAST_MAX_HASHES
 _M14_RASTER_SQL = (
     f"rpad(substr({_ASCII_TEXT_SQL}, 1, {_IMG_N}), {_IMG_N}, ' ')"
 )
@@ -1043,7 +1056,12 @@ def m14_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p2") > F.col("p1"))
     )
     g2 = groups.select(F.col("phash").alias("p2"), F.col("n_docs").alias("n_docs2"))
-    return cand.join(F.broadcast(g2), "p2").select(
+    # metadata-only count (no decode); see _m14_use_broadcast above
+    n_docs = docs.count()
+    n_corpus = n_docs + n_docs // 25 + 1
+    if _m14_use_broadcast(n_corpus):
+        g2 = F.broadcast(g2)
+    return cand.join(g2, "p2").select(
         "p1", "p2", "hamming", "n_docs1", "n_docs2"
     )
 

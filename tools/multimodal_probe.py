@@ -137,6 +137,16 @@ def bound_evidence(spark, sf_dir: str) -> dict:
     return out
 
 
+# Keys that get a THIRD scale point at 20x (100k docs): m20/m21's
+# 2.9x-at-10x was the largest multimodal ratio, explained as fixed-
+# cost amortization — one more point separates "sub-linear because
+# overhead amortizes" from "linear with a big constant" (VERDICT r7
+# ask #8). If the fixed-cost story holds, t(20x) - t(10x) ~= the
+# marginal per-doc cost x 50k docs, i.e. the 10x->20x ratio should
+# sit well under 2.0.
+EXTRA_SCALE_KEYS = ("m20_integral_image", "m21_conv2d_stencil")
+
+
 def main() -> None:
     target = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfprobe1.0"
     keys = sys.argv[2:] or DEFAULT_KEYS
@@ -144,6 +154,8 @@ def main() -> None:
     spark = get_spark("multimodal_probe")
     t0 = time.perf_counter()
     generate(spark, target)
+    target20 = target.rstrip("/") + "_20x"
+    generate(spark, target20, n_docs=100_000, n_vecs=20_000)
     gen_s = round(time.perf_counter() - t0, 2)
 
     times: dict[str, dict[str, float]] = {}
@@ -157,6 +169,13 @@ def main() -> None:
             if times[key]["sf0.1"]
             else None
         )
+        if key in EXTRA_SCALE_KEYS:
+            times[key]["sf2.0"] = timed(spark, key, target20)
+            times[key]["ratio_10x_to_20x"] = (
+                round(times[key]["sf2.0"] / times[key]["sf1.0"], 2)
+                if times[key]["sf1.0"]
+                else None
+            )
 
     evidence = bound_evidence(spark, target)
     print(

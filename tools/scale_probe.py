@@ -44,7 +44,9 @@ _WORDS = (
 _LANGS = ["en", "zh", "de", "fr", "es"]
 
 
-def generate(spark, out_dir: str) -> None:
+def generate(
+    spark, out_dir: str, n_docs: int = N_DOCS, n_vecs: int = N_VECS
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
     words_arr = F.array(*[F.lit(w) for w in _WORDS])
     # 8..119 words per doc, word choice hash-derived from (doc_id, i):
@@ -55,7 +57,7 @@ def generate(spark, out_dir: str) -> None:
         "i -> element_at(words, cast(pmod(xxhash64(id, i), size(words)) + 1 as int))), ' ')"
     )
     docs = (
-        spark.range(N_DOCS)
+        spark.range(n_docs)
         .repartition(32)
         .withColumn("words", words_arr)
         .withColumn("n_words", n_words)
@@ -76,7 +78,7 @@ def generate(spark, out_dir: str) -> None:
         os.path.join(out_dir, "documents.parquet")
     )
     emb = (
-        spark.range(N_VECS)
+        spark.range(n_vecs)
         .repartition(32)
         .select(
             F.col("id").alias("vec_id"),

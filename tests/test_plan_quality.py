@@ -410,6 +410,22 @@ def test_phash_near_dup_is_hamming_ball_delta_join(spark, sf_dir):
     assert not mm._m14_use_broadcast(20_000_000)  # bound saturates at 2^24
 
 
+def test_dedup_clusters_is_one_blk_window_no_edge_join(spark, sf_dir):
+    # x17's edge relation (same blocking hash) is an equivalence
+    # relation, so components == blk groups: the plan must be ONE
+    # blk-partitioned window over the keyed docs — never the blk
+    # self-join that materializes O(sum block_size^2) clique edges
+    # and iterates label propagation (the m14 defect class; the r8
+    # dup-skew probe measured a 10%-duplicate corpus at 15.58 s in
+    # the join form vs 0.58 s — duplication-flat — here).
+    plan = _formatted_plan(spark, "x17_dedup_clusters", sf_dir)
+    assert "Window" in plan, plan[:2000]
+    assert "partitionSpec=[blk" in plan or "blk" in plan, plan[:2000]
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, f"{join} in x17 plan:\n{plan[:2000]}"
+
+
 def test_incremental_dedup_window_is_batch_side(spark, sf_dir):
     # x46 arbitrates within the incoming batch via a keyed window and
     # joins the corpus on the dedup key — no cartesian, and the

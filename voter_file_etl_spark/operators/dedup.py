@@ -497,23 +497,32 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# X17 — dedup clustering: connected components over the near-dup
-# pair graph, so each group of mutual near-duplicates gets ONE
-# canonical id (the minimum doc_id in the component) — the step that
-# turns pairwise dedup findings into actual keep/drop decisions.
+# X17 — dedup clustering: each group of mutual near-duplicates gets
+# ONE canonical id (the minimum doc_id in the component of the
+# near-dup graph) — the step that turns pairwise dedup findings into
+# actual keep/drop decisions.
 #
-# Spark side: iterative min-label propagation (the Pregel shape
-# expressed in DataFrames) — labels start as the node id and each
-# round takes the min over the node's neighborhood, until a round
-# changes nothing. Rounds = graph diameter (near-dup components are
-# stars/short chains, so 2-3). Each round is one shuffle keyed on
-# node id; no collect of the graph.
+# Spark side (r8 rewrite): x17's edge relation is "same 40-char-prefix
+# blocking hash", and a doc has exactly ONE blk — so the graph is a
+# disjoint union of per-blk cliques and its components ARE the blk
+# groups. Materializing the clique edges (a blk self-join) and
+# iterating min-label propagation computes the same answer with
+# O(sum block_size^2) intermediate rows — the m14 defect class: the r8
+# dup-skew probe measured a 10%-duplicate corpus (5k-doc shared-text
+# clique) at 15.58 s in the join form vs 0.58 s here (and 1.73 s vs
+# 0.57 s even on the duplicate-free corpus). The
+# direct form: ONE shuffle on blk, min(doc_id) and count over a blk
+# window, keep docs whose block has >= 2 members (== "nodes with at
+# least one edge"). General near-dup graphs whose edges are NOT an
+# equivalence relation (LSH-band pairs with a verify filter) still
+# need real connected components — that operator lives in
+# operators/graph.py and is exercised by g4/x46.
 #
 # Corpus plants two copies of every 20th doc (suffix and prefix
-# edits), giving 3-node star components whose edges come from a
-# 40-char-prefix blocking hash. The DuckDB oracle computes the same
-# components with a recursive CTE — terminating because UNION
-# dedups (node, label) states.
+# edits), giving 3-node star components. The DuckDB oracle keeps the
+# recursive-CTE component computation over the materialized edges —
+# terminating because UNION dedups (node, label) states — so the
+# Spark shortcut is verified against the full graph definition.
 # ---------------------------------------------------------------------------
 @register(
     "x17_dedup_clusters",
@@ -560,12 +569,21 @@ def x17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(c2)
         .select("doc_id", F.md5(F.substring("text", 1, 40)).alias("blk"))
     )
-    a = keyed.select(F.col("doc_id").alias("src"), "blk")
-    b = keyed.select(F.col("doc_id").alias("dst"), "blk")
-    edges = a.join(b, "blk").filter(F.col("src") != F.col("dst")).select("src", "dst")
-    from voter_file_etl_spark.operators.graph import connected_components
+    # Components of the same-blk clique graph = blk groups (see the
+    # header note): one shuffle, no edge materialization, no
+    # iteration. _n >= 2 == "node has at least one edge".
+    from pyspark.sql import Window as W
 
-    return connected_components(edges)
+    w = W.partitionBy("blk")
+    return (
+        keyed.select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("component"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select(F.col("doc_id").alias("node"), "component")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -121,6 +121,7 @@ AUDIT = [
     ("x95_cdc_chunking", "MapInPandas chunker directly over scan; only chunk-hash rollups shuffle"),
     ("j24_join_explosion_audit", "join cardinality from O(keys) counts; the join itself never runs"),
     ("a83_bootstrap_ci", "ONE md5/row (let-bound) -> kept-replicate explode -> partial agg; shuffle O(seg x 32)"),
+    ("x17_dedup_clusters", "equivalence blocking -> ONE blk window (min + count>=2), never clique edges + iteration (r8)"),
     ("a69_dau_mau_stickiness", "trailing-30d distinct via bounded coverage explode; no distinct window"),
     ("j25_interval_intersect_measure", "two-set boundary sweep: one cust-partitioned window pass, no pair join"),
     ("j26_role_playing_dates", "one conformed date dim broadcast into BOTH roles; fact scanned once"),

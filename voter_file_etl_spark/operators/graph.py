@@ -46,8 +46,20 @@ def connected_components(
       (label <- label of my label), so convergence is O(log diameter)
       rounds instead of O(eccentricity of the min node) — a 1M-hop
       path chain converges in ~20 rounds, not 1M.
+
+    Convergence is detected WITHOUT a per-round join (r8): every
+    node's label is non-increasing across rounds (min-combine over a
+    set containing the old label), so the label sum strictly decreases
+    until the fixpoint and is equal IFF no label moved. One shuffle-free
+    partial aggregate over the just-checkpointed frame replaces the
+    old labels-vs-labels equality join — one fewer shuffle per round
+    at any scale. The sum is exact at any graph size: summed as
+    decimal(38,0) (node ids are int64, so 2^63 x 10^18 rows still
+    fits in 38 digits).
     """
     from voter_file_etl_spark.session import iter_checkpoint
+
+    _sum_expr = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
 
     edges = edges.select("src", "dst").persist()
     labels = iter_checkpoint(
@@ -55,6 +67,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_sum = labels.agg(_sum_expr).collect()[0]["s"]
     for _ in range(max_iter):
         nbr = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -78,13 +91,16 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        diff = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-        )
-        changed = diff.count() if stats is not None else diff.limit(1).count()
+        new_sum = new_labels.agg(_sum_expr).collect()[0]["s"]
         if stats is not None:
+            # Probe path only: the exact changed count still wants the
+            # equality join; the hot path never runs it.
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
             stats.append(
                 {
                     "round": len(stats) + 1,
@@ -96,8 +112,9 @@ def connected_components(
                 }
             )
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     # labels is a checkpointed leaf — nothing downstream re-reads the
     # edge cache, so release the executor memory before returning
     # (dead persists tax later queries in long sessions, SCALE.md §12).

@@ -112,8 +112,19 @@ def _paths_verdict(node) -> str:
         return "contract"
     if c in _BOUNDING:
         return "ok"
+    if c == "RangeExec":
+        # A literal Range is bounded by its own plan-embedded size
+        # (e.g. spark.range(4) for a version/grid axis). A large or
+        # computed range is data: keep it unbounded past 10k rows.
+        return "ok" if int(str(node.numElements())) <= 10_000 else "raw"
     if c in _UNBOUNDED_LEAVES:
         return "raw"
+    if c == "ReusedExchangeExec":
+        # A reuse marker is a REFERENCE, not a leaf — its boundedness
+        # is its referenced exchange's boundedness (treating it as an
+        # unknown leaf produced false 'raw' verdicts on reused 1-row
+        # aggregate broadcasts, r8 bnlj_audit).
+        return _paths_verdict(node.child())
     if c in ("BroadcastHashJoinExec", "BroadcastNestedLoopJoinExec"):
         # The build side is bounded BY CONSTRUCTION (it fits in a
         # broadcast, <= autoBroadcastJoinThreshold); only the streamed

@@ -225,3 +225,123 @@ def test_stream_cusum_state_carries_across_batches(spark, sf_dir):
     n_days = {r["event_type"]: r["n_days"] for r in emissions}
     final = {k: max(v) for k, v in by_key.items()}
     assert final == n_days, (final, n_days)
+
+
+def test_stateful_dedup_recovers_state_across_query_restarts(spark, sf_dir, tmp_path):
+    """Checkpoint recovery — the exactly-once story at scale: a stream
+    is stopped after draining batch A, a NEW query starts on the SAME
+    checkpoint after file B lands, and the combined output must equal
+    the batch aggregate over A+B. Three failure modes are each caught
+    by a distinct assertion:
+
+    - state lost across restarts -> n_seen for keys spanning both
+      files counts only B (sum mismatch);
+    - file A REPROCESSED by the restarted query (offset log ignored)
+      -> those keys double-count A (sum mismatch) AND A-only keys
+      (even user_id) re-emit in query 2 (emission-set assertion);
+    - update-mode emission leak -> A-only keys appear in query 2's
+      sink despite no new rows (emission-set assertion).
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from voter_file_etl_spark.streaming.stateful import _dedup_state
+    from voter_file_etl_spark.tables import (
+        ensure_session_confs,
+        stream_parallelism,
+        t,
+    )
+
+    ensure_session_confs(spark)
+    rows = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    half = {0: [], 1: []}
+    for r in rows:
+        half[r["user_id"] % 2].append((r["user_id"], r["event_type"], r["us"]))
+    assert half[0] and half[1]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(name, data):
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([d[0] for d in data], pa.int64()),
+                    "event_type": pa.array([d[1] for d in data], pa.string()),
+                    "us": pa.array([d[2] for d in data], pa.int64()),
+                }
+            ),
+            str(src / name),
+        )
+
+    def _run_query(qname):
+        # foreachBatch, not memory: the memory sink refuses to START
+        # from an existing checkpoint ("does not support recovering"),
+        # and sink recoverability is exactly what this test is about.
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, us long"
+        ).parquet(str(src))
+        deduped = stream.groupBy("user_id", "event_type").applyInPandasWithState(
+            _dedup_state,
+            "user_id long, event_type string, first_us long, n_seen long",
+            "first_us long, n_seen long",
+            "update",
+            __import__(
+                "pyspark.sql.streaming.state", fromlist=["GroupStateTimeout"]
+            ).GroupStateTimeout.NoTimeout,
+        )
+        emitted: list = []
+
+        def _sink(batch_df, _bid):
+            emitted.extend(batch_df.collect())
+
+        with stream_parallelism(spark):
+            q = (
+                deduped.writeStream.outputMode("update")
+                .foreachBatch(_sink)
+                .queryName(qname)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return emitted
+
+    # Run 1: only file A (even user_ids) exists; query drains and stops.
+    _write("a.parquet", half[0])
+    out1 = _run_query("st_recovery_run1")
+    assert len(out1) > 0
+
+    # File B lands AFTER the first query terminated; a brand-new query
+    # resumes from the same checkpoint (offset log + state store).
+    _write("b.parquet", half[1])
+    out2 = _run_query("st_recovery_run2")
+
+    # A-only keys (even users) must NOT re-emit: file A is committed
+    # in the offset log and its keys saw no new rows.
+    assert all(r["user_id"] % 2 == 1 for r in out2), (
+        "restarted query re-emitted keys from the already-committed file"
+    )
+
+    # Combined final state equals the batch aggregate over A+B.
+    final = {}
+    for r in list(out1) + list(out2):
+        k = (r["user_id"], r["event_type"])
+        prev = final.get(k)
+        if prev is None or r["n_seen"] > prev[1]:
+            final[k] = (r["first_us"], r["n_seen"])
+    expect = {}
+    for u, e, us in half[0] + half[1]:
+        f, n = expect.get((u, e), (us, 0))
+        expect[(u, e)] = (min(f, us), n + 1)
+    assert final == expect
+    shutil.rmtree(str(src), ignore_errors=True)
+    assert os.path.isdir(ckpt)

@@ -65,49 +65,75 @@ def a2_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a4_groupby_count",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS count_order,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-               AS sum_base_price,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4)))
-               AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
-           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(6,4))
-                    * CAST(1 + CAST(l_tax AS DECIMAL(8,4)) AS DECIMAL(6,4)))
-               AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-               AS avg_qty
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS disc_bp,
+             CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS tax_bp
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    ), s AS (
+      SELECT l_returnflag, l_linestatus,
+             count(*) AS count_order,
+             sum(qty_c) AS sq,
+             sum(cents) AS sb,
+             sum(cents * (10000 - disc_bp)) AS sd,
+             sum(cents * (10000 - disc_bp) * (10000 + tax_bp)) AS sc
+      FROM q GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, count_order,
+           CAST(CAST(sq AS BIGINT) AS DOUBLE) / 100 AS sum_qty,
+           CAST(CAST(sb AS BIGINT) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(CAST(sd AS BIGINT) AS DOUBLE) / 1000000 AS sum_disc_price,
+           CAST(CAST((sc + 5000) // 10000 AS BIGINT) AS DOUBLE) / 1000000
+               AS sum_charge,
+           (CAST(CAST(sq AS BIGINT) AS DOUBLE) / 100) / count_order AS avg_qty
+    FROM s
     """,
 )
 def a4_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact-integer quantization end to end (the w21/a83 discipline),
+    # r8: the previous form summed exact DECIMALs but emitted them via
+    # a decimal(38,6)->double cast, which is only cross-engine-exact
+    # while the numerator < 2^53 — the sf1.0 replay caught sum_charge
+    # (~2.8e16 micro-units) converting 1 ulp apart. Every money column
+    # now flows floor(x*scale + 0.5) per row (exact: inputs are 2/4dp
+    # doubles) -> decimal(38,0)-exact sum -> portable integer DIV
+    # half-up rounding to micro-units -> ONE int64->double cast (the
+    # only conversion both engines correctly round by construction)
+    # and an identical IEEE division. Deterministic up to the int64
+    # micro-unit ceiling (~9.2e18 micro = $9.2T per group; past that,
+    # rescale the DIV to cents — the structure is the invariant).
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
-    # Widths chosen so every product stays inside Spark's 38-digit cap
-    # (p = p1 + p2 + 1): (12,2)*(6,4)*(6,4) -> (26,10), exact on both
-    # engines — no precision-loss rounding anywhere.
-    ep = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc = (F.lit(1) - F.col("l_discount").cast("decimal(8,4)")).cast("decimal(6,4)")
-    tax = (F.lit(1) + F.col("l_tax").cast("decimal(8,4)")).cast("decimal(6,4)")
+    qty_c = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_bp = F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long")
+    tax_bp = F.floor(F.col("l_tax") * 10000 + F.lit(0.5)).cast("long")
+    big = lambda c: F.sum(c.cast("decimal(38,0)"))  # noqa: E731
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("count_order"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(ep).cast("double").alias("sum_base_price"),
-            # Rescale to 6 decimals before the double cast: keeps the
-            # decimal numerator < 2^53 so both engines' decimal->double
-            # conversion is exact-then-correctly-rounded.
-            F.sum(ep * disc).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
-            F.sum(ep * disc * tax)
-            .cast("decimal(38,6)")
-            .cast("double")
-            .alias("sum_charge"),
+            big(qty_c).alias("_sq"),
+            big(cents).alias("_sb"),
+            big(cents * (10000 - disc_bp)).alias("_sd"),
+            big(cents * (10000 - disc_bp) * (10000 + tax_bp)).alias("_sc"),
         )
-        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "count_order",
+            (F.expr("CAST(_sq DIV 1 AS DOUBLE)") / 100).alias("sum_qty"),
+            (F.expr("CAST(_sb DIV 1 AS DOUBLE)") / 100).alias("sum_base_price"),
+            (F.expr("CAST(_sd DIV 1 AS DOUBLE)") / 1000000).alias("sum_disc_price"),
+            (F.expr("CAST((_sc + 5000) DIV 10000 AS DOUBLE)") / 1000000).alias(
+                "sum_charge"
+            ),
+            (
+                (F.expr("CAST(_sq DIV 1 AS DOUBLE)") / 100) / F.col("count_order")
+            ).alias("avg_qty"),
+        )
     )
 
 

@@ -2687,8 +2687,16 @@ def a76_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the realized month ~95% of the time — the CALIBRATION check a60's
 # point-error backtests don't ask. The sigma comparison is fully
 # cross-multiplied integers ((12a - s1)^2 <= 4(12*s2 - s1^2), the
-# w22 discipline — no sqrt, no float), computed in whole dollars so
-# the squared sums stay far inside BIGINT at any tested scale.
+# w22 discipline — no sqrt, no float).
+#
+# WIDTH (r8, caught by the sf1.0 replay): in whole dollars the
+# cross-multiplied terms leave int64 exactly when the data grows —
+# at sf1.0 a month-priority cell is ~9e8 dollars, so s1^2 ~ 1.3e20
+# and even s2's d*d window sum ~ 1.1e19 overflow BIGINT (ANSI Spark
+# threw; non-ANSI would have wrapped silently). The comparison now
+# runs in DECIMAL(38,0) on the Spark side and HUGEINT (int128) in
+# DuckDB — both exact, identical semantics, headroom to ~1e38 (a
+# ~1e14-dollar month cell, far past any physical retail scale).
 #
 # Scale: one month rollup, one priority-partitioned window pass for
 # the two trailing sums, a bounded per-priority rollup.
@@ -2699,8 +2707,8 @@ def a76_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT o_orderpriority AS prio,
              CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                  // 100 AS BIGINT) AS d
+             CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // 100 AS BIGINT) AS HUGEINT) AS d
       FROM orders GROUP BY 1, 2
     ), w AS (
       SELECT prio, month, d,
@@ -2737,7 +2745,9 @@ def a77_forecast_interval_coverage(
             "cents"
         ),
     ).groupBy("prio", "month").agg(
-        F.expr("cast(sum(cents) div 100 as bigint)").alias("d")
+        # decimal(18,0): d*d -> (37,0) stays inside Spark's 38-digit
+        # cap with NO precision-loss rescale anywhere downstream.
+        F.expr("cast(cast(sum(cents) div 100 as bigint) as decimal(18,0))").alias("d")
     )
     tw = (
         W.partitionBy("prio").orderBy("month").rowsBetween(-12, -1)
@@ -2777,8 +2787,16 @@ def a77_forecast_interval_coverage(
 # statistic deterministic by construction rather than
 # float-summation-order-dependent.
 #
-# Bounds: at sf0.1, S ~ 2e7, S^2 ~ 5e14, n*S_g^2 ~ 3e16 — three
-# orders inside BIGINT; rescale the unit at sf >= 10.
+# Widths (r8, widened after the sf1.0 replay caught the same class
+# in a77): in int64 the n*S_g^2 term sat at 7e18 (78% of the
+# ceiling) at sf1.0 and would throw around sf1.3. All cross products
+# now run in DECIMAL(38,0) / HUGEINT — exact and identical; the first
+# remaining ceiling is Spark's `div` returning LONG (per-group
+# quotient ~9e18 ≈ sf~20 in kilodollar units; past that the unit
+# divisor is the documented knob, as before) — and the two raw
+# scaled-sum outputs are emitted // 1e6 (so
+# the OUTPUT column also survives large sf in int64; eta2_bp is the
+# statistic and is unchanged in meaning, bounded 0..10000).
 #
 # Scale: one day rollup, one bounded 7-group rollup, broadcast
 # 1-row totals.
@@ -2789,25 +2807,27 @@ def a77_forecast_interval_coverage(
     WITH d AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-                  // 100000 AS BIGINT) AS v
+             CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // 100000 AS BIGINT) AS HUGEINT) AS v
       FROM orders GROUP BY 1, 2
     ), tot AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(v) AS BIGINT) AS s,
-             CAST(sum(v * v) AS BIGINT) AS ss
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(v) AS s,
+             sum(v * v) AS ss
       FROM d
     ), grp AS (
-      SELECT dow, CAST(count(*) AS BIGINT) AS ng,
-             CAST(sum(v) AS BIGINT) AS sg
+      SELECT dow, CAST(count(*) AS HUGEINT) AS ng,
+             sum(v) AS sg
       FROM d GROUP BY dow
     ), between_ss AS (
-      SELECT CAST(sum((tot.n * grp.sg * grp.sg) // grp.ng) AS BIGINT) AS b
+      SELECT sum((tot.n * grp.sg * grp.sg) // grp.ng) AS b
       FROM grp CROSS JOIN tot
     )
-    SELECT tot.n AS n_days,
-           CAST(between_ss.b - tot.s * tot.s AS BIGINT) AS ssb_scaled,
-           CAST(tot.n * tot.ss - tot.s * tot.s AS BIGINT) AS sst_scaled,
+    SELECT CAST(tot.n AS BIGINT) AS n_days,
+           CAST((between_ss.b - tot.s * tot.s) // 1000000 AS BIGINT)
+               AS ssb_scaled,
+           CAST((tot.n * tot.ss - tot.s * tot.s) // 1000000 AS BIGINT)
+               AS sst_scaled,
            CAST(10000 * (between_ss.b - tot.s * tot.s)
                 // (tot.n * tot.ss - tot.s * tot.s) AS BIGINT) AS eta2_bp
     FROM tot CROSS JOIN between_ss
@@ -2821,30 +2841,37 @@ def a78_anova_eta_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     ).groupBy("day").agg(
-        F.expr("cast(sum(cents) div 100000 as bigint)").alias("v")
+        # decimal(18,0): v*v -> (37,0) inside the 38-digit cap.
+        F.expr(
+            "cast(cast(sum(cents) div 100000 as bigint) as decimal(18,0))"
+        ).alias("v")
     ).select(
         "day", "v", (F.weekday(F.col("day")) + 1).cast("long").alias("dow")
     )
     tot = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("v").cast("long").alias("s"),
-        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
     )
     grp = d.groupBy("dow").agg(
-        F.count(F.lit(1)).cast("long").alias("ng"),
-        F.sum("v").cast("long").alias("sg"),
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("ng"),
+        F.sum("v").alias("sg"),
     )
     b = (
         grp.crossJoin(F.broadcast(tot))
-        .select(F.expr("(n * sg * sg) div ng").alias("t"))
-        .agg(F.sum("t").cast("long").alias("b"))
+        .select(F.expr("(n * sg * sg) div ng").cast("decimal(38,0)").alias("t"))
+        .agg(F.sum("t").alias("b"))
     )
     return (
         tot.crossJoin(F.broadcast(b))
         .select(
-            F.col("n").alias("n_days"),
-            F.expr("cast(b - s * s as bigint)").alias("ssb_scaled"),
-            F.expr("cast(n * ss - s * s as bigint)").alias("sst_scaled"),
+            F.col("n").cast("long").alias("n_days"),
+            F.expr("cast((b - s * s) div 1000000 as bigint)").alias(
+                "ssb_scaled"
+            ),
+            F.expr("cast((n * ss - s * s) div 1000000 as bigint)").alias(
+                "sst_scaled"
+            ),
             F.expr(
                 "cast(10000 * (b - s * s) div (n * ss - s * s) as bigint)"
             ).alias("eta2_bp"),

@@ -694,20 +694,26 @@ _A45_WIN_US = 7 * 24 * 3600 * 1000000
       SELECT DISTINCT user_id FROM ev
     ), l1 AS (
       SELECT DISTINCT user_id FROM ev WHERE event_type = 'view'
-    ), l2 AS (
-      SELECT DISTINCT v.user_id
+    ), vc AS MATERIALIZED (
+      -- MATERIALIZED pins the join ORDER (r8, caught at sf1.0): left
+      -- to itself DuckDB joined clicks-to-purchases FIRST on their
+      -- only direct predicate — the pure inequality p.us > c.us — an
+      -- IEJoin whose intermediate is ~half of clicks x purchases
+      -- (~2e10 rows at sf1.0, spilling past the disk). The engine's
+      -- Spark plan builds the user-keyed view-click pairs first; the
+      -- oracle must walk the same shape.
+      SELECT v.user_id, v.us AS v_us, c.us AS c_us
       FROM ev v JOIN ev c
         ON c.user_id = v.user_id AND c.event_type = 'click'
        AND c.us > v.us AND c.us <= v.us + {_A45_WIN_US}
       WHERE v.event_type = 'view'
+    ), l2 AS (
+      SELECT DISTINCT user_id FROM vc
     ), l3 AS (
-      SELECT DISTINCT v.user_id
-      FROM ev v
-      JOIN ev c ON c.user_id = v.user_id AND c.event_type = 'click'
-              AND c.us > v.us AND c.us <= v.us + {_A45_WIN_US}
-      JOIN ev p ON p.user_id = v.user_id AND p.event_type = 'purchase'
-              AND p.us > c.us AND p.us <= v.us + {_A45_WIN_US}
-      WHERE v.event_type = 'view'
+      SELECT DISTINCT vc.user_id
+      FROM vc JOIN ev p
+        ON p.user_id = vc.user_id AND p.event_type = 'purchase'
+       AND p.us > vc.c_us AND p.us <= vc.v_us + {_A45_WIN_US}
     ), lev AS (
       SELECT u.user_id,
              CASE WHEN l3.user_id IS NOT NULL THEN 3

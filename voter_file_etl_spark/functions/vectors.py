@@ -88,6 +88,41 @@ def dot_sql_duckdb(qa: str, qb: str) -> str:
     )
 
 
+# --- wide (int128-class) variants, r8 ---------------------------------
+# The bigint folds above overflow exactly when a SUM of quantized
+# vectors enters the expression: centroid-sum components reach
+# n * 1e6, so |sv|^2 ~ dim * n^2 * 1e12 leaves int64 at n ~ 2000
+# (x55 at sf1.0, caught by the replay — the fold overflowed DURING
+# aggregation, before any output cast could help). These fold in
+# DECIMAL(38,0) on Spark / HUGEINT in DuckDB: exact, identical, and
+# each per-element product still fits its own width by construction.
+
+
+def sq_norm_wide(qv: str) -> Column:
+    return F.expr(
+        f"aggregate({qv}, CAST(0 AS DECIMAL(38,0)), "
+        "(acc, x) -> acc + CAST(x AS DECIMAL(19,0)) * x)"
+    )
+
+
+def sq_norm_sql_duckdb_wide(qv: str) -> str:
+    return f"list_sum(list_transform({qv}, x -> CAST(x AS HUGEINT) * x))"
+
+
+def dot_wide(qa: str, qb: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({qa}, {qb}, (x, y) -> CAST(x AS DECIMAL(19,0)) * y), "
+        "CAST(0 AS DECIMAL(38,0)), (acc, x) -> acc + x)"
+    )
+
+
+def dot_sql_duckdb_wide(qa: str, qb: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({qa}) + 1), "
+        f"i -> CAST({qa}[i] AS HUGEINT) * {qb}[i]))"
+    )
+
+
 def cosine(dot_col: Column, na: Column, nb: Column) -> Column:
     """dot / (|a| * |b|) from exact integer parts — deterministic."""
     return dot_col.cast("double") / (

@@ -977,10 +977,15 @@ _X55_TOP = 3
     ), cent AS (
       SELECT label, list(s ORDER BY i) AS sv FROM dims GROUP BY label
     ), scored AS (
+      -- HUGEINT throughout (r8, caught at sf1.0): centroid-sum
+      -- components reach n*1e6, so n^2*|q|^2 and |sv|^2 (~2.6e20 at
+      -- n=2000) overflow BIGINT inside the fold. The score is
+      -- emitted // 1e6 (milli-unit^2) so the OUTPUT column also
+      -- stays in int64 headroom to n ~ 2e5 per label.
       SELECT v.vec_id, v.label, nn.n,
-             nn.n * nn.n * {V.sq_norm_sql_duckdb('qv')}
-               - 2 * nn.n * {V.dot_sql_duckdb('qv', 'sv')}
-               + {V.sq_norm_sql_duckdb('sv')} AS score
+             CAST((CAST(nn.n AS HUGEINT) * nn.n * {V.sq_norm_sql_duckdb_wide('qv')}
+               - 2 * CAST(nn.n AS HUGEINT) * {V.dot_sql_duckdb_wide('qv', 'sv')}
+               + {V.sq_norm_sql_duckdb_wide('sv')}) // 1000000 AS BIGINT) AS score
       FROM normed v JOIN cent USING (label) JOIN nn USING (label)
     )
     SELECT label, vec_id, score, n
@@ -1012,6 +1017,14 @@ def x55_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nn = normed.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    # decimal(38,0) folds + milli-unit^2 output — see the oracle note
+    # (sf1.0 overflow find, r8).
+    nd = F.col("n").cast("decimal(18,0)")
+    wide = (
+        nd * nd * V.sq_norm_wide("qv")
+        - F.lit(2).cast("decimal(18,0)") * nd * V.dot_wide("qv", "sv")
+        + V.sq_norm_wide("sv")
+    )
     scored = (
         normed.join(F.broadcast(cent), "label")
         .join(F.broadcast(nn), "label")
@@ -1019,11 +1032,13 @@ def x55_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "vec_id",
             "n",
-            (
-                F.col("n") * F.col("n") * V.sq_norm("qv")
-                - 2 * F.col("n") * V.dot("qv", "sv")
-                + V.sq_norm("sv")
-            ).alias("score"),
+            wide.alias("_w"),
+        )
+        .select(
+            "label",
+            "vec_id",
+            "n",
+            F.expr("CAST(_w DIV 1000000 AS BIGINT)").alias("score"),
         )
     )
     w = W.partitionBy("label").orderBy(F.desc("score"), F.asc("vec_id"))

@@ -859,15 +859,20 @@ def x33_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(text) AS BIGINT) AS n_chars
       FROM documents
     ), z AS (
+      -- floor(x*1e6 + 0.5), never round(): Spark rounds half-up and
+      -- DuckDB half-even, and at 50k docs a tie at the 7th decimal
+      -- finally landed (r8 sf1.0 replay: one doc, 1 micro apart).
+      -- floor is an exact IEEE op, identical in both engines for
+      -- negative z too (half toward +inf).
       SELECT doc_id, n_words,
-             round(3.0 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+             floor((3.0 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
                    + 0.5 * (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE))
                    - 0.002 * CAST(n_chars AS DOUBLE)
-                   - 1.5, 6) AS z
+                   - 1.5) * 1000000 + 0.5) / 1000000.0 AS z
       FROM f WHERE n_words > 0
     )
     SELECT doc_id, n_words,
-           CAST(round((0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000, 0) AS BIGINT)
+           CAST(floor((0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000 + 0.5) AS BIGINT)
              AS score_micro,
            z >= 0.0 AS keep
     FROM z
@@ -885,21 +890,31 @@ def x34_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_alpha"),
         F.length("text").cast("bigint").alias("n_chars"),
     ).filter(F.col("n_words") > 0)
-    z = F.round(
-        F.lit(3.0) * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
-        + F.lit(0.5) * (F.col("n_alpha").cast("double") / F.col("n_words").cast("double"))
-        - F.lit(0.002) * F.col("n_chars").cast("double")
-        - F.lit(1.5),
-        6,
+    # floor(x*1e6 + 0.5) quantization, never round(): Spark half-up vs
+    # DuckDB half-even diverged on a 7th-decimal tie at sf1.0 (r8).
+    z = (
+        F.floor(
+            (
+                F.lit(3.0)
+                * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
+                + F.lit(0.5)
+                * (F.col("n_alpha").cast("double") / F.col("n_words").cast("double"))
+                - F.lit(0.002) * F.col("n_chars").cast("double")
+                - F.lit(1.5)
+            )
+            * 1000000
+            + F.lit(0.5)
+        )
+        / 1000000.0
     )
     scored = feats.select("doc_id", "n_words", z.alias("z"))
     return scored.select(
         "doc_id",
         "n_words",
-        F.round(
+        F.floor(
             (F.lit(0.5) + F.lit(0.5) * F.col("z") / (F.lit(1.0) + F.abs("z")))
-            * 1000000,
-            0,
+            * 1000000
+            + F.lit(0.5)
         ).cast("bigint").alias("score_micro"),
         (F.col("z") >= 0.0).alias("keep"),
     )

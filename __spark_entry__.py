@@ -25,46 +25,20 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # Driver-coverage rotation (the driver oracle-checks the FIRST 50 keys
 # of queries() per round — contract documented in SURVEY.md §8).
 #
-# Round 8 window (VERDICT r7 "Next round" #1): the first 50 entries of
-# round 7's _BACKFILL head — a59_topn_plus_other through
-# a75_fiscal_445_calendar. All 50 have never been driver-checked.
-# CORRECTNESS_r07 confirmed the r7 window ran 50/50 green (cumulative
-# 348/441), authorizing this rotation; the retired r7 window moves to
-# the green tail below. Round 9 takes the residual 43
-# (w31_series_align … a84_proportional_allocation, pre-staged as the
-# _BACKFILL head; burn plan in SURVEY.md §8), after which the rotation
-# flips to oldest-green re-checks drawn from the tail top-down. Any key
-# newly registered THIS round is unplaced and would sort after the
-# head — tests/test_rotation.py fails the suite until it is placed
-# explicitly.
+# Round 9 window (VERDICT r8 "Next round" #1): the residual 43 keys —
+# every registry key still lacking a driver CORRECTNESS row
+# (w31_series_align … a84_proportional_allocation, registration order).
+# CORRECTNESS_r08 confirmed the r8 window ran 50/50 green (cumulative
+# 398/441), authorizing this rotation; the retired r8 window moves to
+# the green tail below. This window COMPLETES the r5–r9 backlog burn
+# (SURVEY.md §8): after CORRECTNESS_r09 the rotation flips to
+# oldest-green re-checks drawn from the _BACKFILL tail top-down — the
+# r10 window is the first 50 tail entries (a2_reconcile …
+# s10_permissive_read region). Any key newly registered THIS round is
+# unplaced and would sort after the head — tests/test_rotation.py fails
+# the suite until it is placed explicitly.
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    "a59_topn_plus_other", "x86_k_anonymity_audit", "a60_backtest_naive",
-    "s23_zstd_roundtrip", "j23_null_skew_split", "o6_keyset_pagination",
-    "a61_same_store_growth", "x87_injection_scan", "a62_holiday_uplift",
-    "x88_threshold_sweep", "a63_forecast_backtest", "w26_growth_streaks",
-    "a64_cycle_time", "a65_growth_contribution", "l25_orphan_audit",
-    "a66_weekday_hour_heatmap", "w27_decay_score", "x89_dedup_savings",
-    "a67_cohort_ltv", "x90_derived_stopwords", "w28_monthly_bands",
-    "w29_ohlc", "o7_skyline", "a68_bitmap_distinct", "x91_code_switching",
-    "x92_inverted_index", "g9_label_propagation", "a69_dau_mau_stickiness",
-    "s24_csv_header_drift", "a70_equidepth_histogram", "w30_resample_linterp",
-    "x93_repeated_ngram_spans", "a71_freshness_audit",
-    "x94_power_iteration_pc", "sql18_named_window", "f15_surrogate_key",
-    "e6_ops_health", "x95_cdc_chunking", "l26_merge_full_sync",
-    "sql19_filtered_agg", "j24_join_explosion_audit",
-    "a72_revenue_recognition", "l27_bitemporal_asof", "d7_duplicate_payments",
-    "x96_feature_hashing", "l28_dynamic_partition_overwrite",
-    "a73_revenue_bridge", "a74_spatial_hotspots", "l29_scd3_dimension",
-    "a75_fiscal_445_calendar",
-]
-_BACKFILL = [
-    # -- BACKLOG HEAD: the round-9 window = the 43 remaining
-    # never-driver-checked keys (w31_series_align …
-    # a84_proportional_allocation, registration order). Round 9 moves
-    # ALL of them into _CHECK_FIRST, completing the 441/441 burn;
-    # tests/test_rotation.py keeps the partition exact (burn plan in
-    # SURVEY.md §8) --
     "w31_series_align", "x97_soft_dedup_weights",
     "e7_medallion_pipeline", "x98_winnow_overlap",
     "u8_diff_column_provenance", "j25_interval_intersect_measure",
@@ -76,10 +50,16 @@ _BACKFILL = [
     "w32_hot_streak_window", "a78_anova_eta_squared",
     "t20_array_set_algebra", "x102_prefix_filter_join",
     "d8_sample_dedup_bias", "f16_geohash_decode", "f17_geohash_neighbors",
-    "l30_merge_idempotency", "st19_exactly_once_sink", "w33_rolling_mode", "a79_alert_rule_backtest", "a80_diff_in_diff",
+    "l30_merge_idempotency", "st19_exactly_once_sink", "w33_rolling_mode",
+    "a79_alert_rule_backtest", "a80_diff_in_diff",
     "sql21_range_tvf", "sql22_lateral_column_alias",
     "sql23_interval_range_frame", "sql24_projected_exists",
-    "m20_integral_image", "a81_price_volume_mix", "j27_anti_range_join", "m21_conv2d_stencil", "s27_rowgroup_stats_pruning", "a82_runs_test", "f18_binary_encodings", "sql25_star_except", "a83_bootstrap_ci", "g11_closeness_landmarks", "a84_proportional_allocation",
+    "m20_integral_image", "a81_price_volume_mix", "j27_anti_range_join",
+    "m21_conv2d_stencil", "s27_rowgroup_stats_pruning", "a82_runs_test",
+    "f18_binary_encodings", "sql25_star_except", "a83_bootstrap_ci",
+    "g11_closeness_landmarks", "a84_proportional_allocation",
+]
+_BACKFILL = [
     # -- driver-green keys, oldest green first (r1 → r3). From r10 the
     # rotation flips to regression re-checks: windows are drawn from
     # here top-down, so this tail's order IS the r10+ re-check plan --
@@ -203,6 +183,25 @@ _BACKFILL = [
     "x83_term_burstiness", "x84_reshard_stability", "x85_sample_bias_audit",
     "st18_stream_topk", "m19_media_sniff", "l24_merge_schema_evolution",
     "e5_board_pack",
+    # -- driver-green round 8 (retired window, CORRECTNESS_r08 50/50) --
+    "a59_topn_plus_other", "x86_k_anonymity_audit", "a60_backtest_naive",
+    "s23_zstd_roundtrip", "j23_null_skew_split", "o6_keyset_pagination",
+    "a61_same_store_growth", "x87_injection_scan", "a62_holiday_uplift",
+    "x88_threshold_sweep", "a63_forecast_backtest", "w26_growth_streaks",
+    "a64_cycle_time", "a65_growth_contribution", "l25_orphan_audit",
+    "a66_weekday_hour_heatmap", "w27_decay_score", "x89_dedup_savings",
+    "a67_cohort_ltv", "x90_derived_stopwords", "w28_monthly_bands",
+    "w29_ohlc", "o7_skyline", "a68_bitmap_distinct", "x91_code_switching",
+    "x92_inverted_index", "g9_label_propagation", "a69_dau_mau_stickiness",
+    "s24_csv_header_drift", "a70_equidepth_histogram", "w30_resample_linterp",
+    "x93_repeated_ngram_spans", "a71_freshness_audit",
+    "x94_power_iteration_pc", "sql18_named_window", "f15_surrogate_key",
+    "e6_ops_health", "x95_cdc_chunking", "l26_merge_full_sync",
+    "sql19_filtered_agg", "j24_join_explosion_audit",
+    "a72_revenue_recognition", "l27_bitemporal_asof", "d7_duplicate_payments",
+    "x96_feature_hashing", "l28_dynamic_partition_overwrite",
+    "a73_revenue_bridge", "a74_spatial_hotspots", "l29_scd3_dimension",
+    "a75_fiscal_445_calendar",
 ]
 
 

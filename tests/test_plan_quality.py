@@ -420,7 +420,12 @@ def test_dedup_clusters_is_one_blk_window_no_edge_join(spark, sf_dir):
     # the join form vs 0.58 s — duplication-flat — here).
     plan = _formatted_plan(spark, "x17_dedup_clusters", sf_dir)
     assert "Window" in plan, plan[:2000]
-    assert "partitionSpec=[blk" in plan or "blk" in plan, plan[:2000]
+    # The formatted Window node prints its functions as
+    # windowspecdefinition(<partition cols>, <frame>): asserting the
+    # partition column INSIDE that spelling is what actually gates the
+    # blk-partitioned window (a bare "blk" substring is vacuously true
+    # via the projection alias — ADVICE r8 #4).
+    assert "windowspecdefinition(blk#" in plan, plan[:2000]
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert join not in plan, f"{join} in x17 plan:\n{plan[:2000]}"

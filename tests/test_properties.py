@@ -153,6 +153,27 @@ def test_connected_components_long_path_converges(spark):
     assert got == {(i, 0) for i in range(n)}
 
 
+def test_connected_components_directed_only_input(spark):
+    # ADVICE r8 #3: the sum-equality convergence proof needs the node
+    # set fixed from round 0, so labels seed from src UNION dst. A
+    # directed-only edge list (no symmetrization) whose dst nodes
+    # never appear as src is the adversarial case: before the fix,
+    # round 1 grew the node set via nbr and the label sums compared
+    # across DIFFERENT node sets. The chain 0->1->2->3 plus the
+    # sink-only star 10->11,10->12 must label every node — including
+    # pure sinks — and terminate at the true fixpoint.
+    from voter_file_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12)], ["src", "dst"]
+    )
+    got = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    # Directed min-label propagation pushes labels src->dst only; with
+    # the full node set seeded, every node holds the min label that
+    # can REACH it (0 reaches 0..3; 10 reaches 11,12; 10 keeps itself).
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (10, 10), (11, 10), (12, 10)}
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_geohash_matches_bisection_reference(spark, seed):
     from pyspark.sql import functions as F

@@ -12,6 +12,37 @@ tested against mathematical floor in tests/test_properties.py.
 
 from __future__ import annotations
 
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def half_up(col: Column, digits: int) -> Column:
+    """Engine-portable round-half-up-toward-+inf at ``digits`` decimals.
+
+    ``F.round`` is OFF the table for cross-engine emissions: Spark
+    rounds doubles HALF_UP on the exact binary value while DuckDB's
+    ``round`` is half-even, and the two diverge the moment a tie lands
+    on the emitted precision (x34 at sf1.0 — caught only at 50k docs).
+    ``floor(x * 10^d + 0.5) / 10^d`` is pure IEEE multiply/add/floor/
+    divide, bit-identical in both engines by construction; pair it
+    with :func:`half_up_sql` in the oracle.
+
+    Exactness bound: Spark's floor(double) lands in BIGINT (exact to
+    2^63) but DuckDB's stays DOUBLE (exact to 2^53), so |x|*10^d must
+    stay under 2^53 ≈ 9.0e15. Stats emissions (variance, covariance,
+    correlation, percentiles, logs, z-scores, rates) are orders of
+    magnitude inside that; UNBOUNDED money sums must instead use the
+    a4 exact-integer pipeline (plans/aggregates.py).
+    """
+    scale = float(10**digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def half_up_sql(expr: str, digits: int) -> str:
+    """DuckDB twin of :func:`half_up` — same textual IEEE expression."""
+    scale = 10**digits
+    return f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)"
+
 
 def floor_div_sql(num: str, den: str, div: str) -> str:
     """floor(num/den) for den > 0, using a truncating-or-flooring

@@ -56,6 +56,14 @@ def connected_components(
     at any scale. The sum is exact at any graph size: summed as
     decimal(38,0) (node ids are int64, so 2^63 x 10^18 rows still
     fits in 38 digits).
+
+    The sum-equality proof requires a FIXED node set across rounds
+    (ADVICE r8 #3): if round 1 could grow the node set via ``dst``
+    nodes absent from ``src``, added positive labels could offset
+    decreases and the sums could coincide despite real movement. So
+    labels are seeded from src UNION dst — the node set is complete
+    from round 0 on any input, symmetric or directed-only, and every
+    later round only min-combines over it.
     """
     from voter_file_etl_spark.session import iter_checkpoint
 
@@ -64,6 +72,7 @@ def connected_components(
     edges = edges.select("src", "dst").persist()
     labels = iter_checkpoint(
         edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
     )

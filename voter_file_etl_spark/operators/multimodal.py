@@ -29,7 +29,7 @@ from voter_file_etl_spark.functions.codecs import (
     decode_wav_bytes,
 )
 from voter_file_etl_spark.registry import register
-from voter_file_etl_spark.tables import t
+from voter_file_etl_spark.tables import parquet_num_rows, t
 
 _FEAT_BITS = 16
 _HI = set("89abcdef")
@@ -963,9 +963,11 @@ def m13_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (ADVICE r7 #3): a forced hint bypasses size-based planning, so a
 # high-distinct-hash corpus would OOM the driver instead of degrading
 # to the still-linear shuffle join. The gate's input is a cheap upper
-# bound — distinct hashes <= min(corpus rows, 2^24), and the corpus
-# row count is a parquet-metadata count on documents (no decode) —
-# so no extra hash job runs. Above the cap the hint is dropped and
+# bound — distinct hashes <= min(corpus rows, 2^24), with corpus rows
+# bounded by 2x the documents footer row count (read driver-side
+# from parquet metadata: NO Spark job, plan building stays lazy for
+# every plan-only consumer — census, audits, explain). Above the cap
+# the hint is dropped and
 # the same plan shuffle-joins; AQE may still choose broadcast at
 # runtime if the actual distinct-hash table turns out small.
 # ---------------------------------------------------------------------------
@@ -1056,10 +1058,13 @@ def m14_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p2") > F.col("p1"))
     )
     g2 = groups.select(F.col("phash").alias("p2"), F.col("n_docs").alias("n_docs2"))
-    # metadata-only count (no decode); see _m14_use_broadcast above
-    n_docs = docs.count()
-    n_corpus = n_docs + n_docs // 25 + 1
-    if _m14_use_broadcast(n_corpus):
+    # Driver-side parquet-footer count — no Spark job, plan building
+    # stays lazy (ADVICE r8 #1). The corpus bound is the true worst
+    # case n_docs * 2 (every doc gets a planted copy), not the
+    # id-distribution-dependent n/25 estimate (ADVICE r8 #2); the
+    # gate threshold has 4x headroom to the 2^24 structural cap.
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if _m14_use_broadcast(n_docs * 2):
         g2 = F.broadcast(g2)
     return cand.join(g2, "p2").select(
         "p1", "p2", "hamming", "n_docs1", "n_docs2"

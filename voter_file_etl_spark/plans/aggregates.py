@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -283,14 +284,14 @@ def a13_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "a14_stats_exact",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
-           round((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                 / (n - 1), 4) AS var_qty,
-           round(sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                 / (n - 1)), 4) AS std_qty,
-           round((CAST(sxy AS DOUBLE) - CAST(s AS DOUBLE) * CAST(sp AS DOUBLE) / n)
-                 / (n - 1), 4) AS cov_qty_price
+           {half_up_sql("(CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+                        " / (n - 1)", 4)} AS var_qty,
+           {half_up_sql("sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+                        " / (n - 1))", 4)} AS std_qty,
+           {half_up_sql("(CAST(sxy AS DOUBLE) - CAST(s AS DOUBLE) * CAST(sp AS DOUBLE) / n)"
+                        " / (n - 1)", 4)} AS cov_qty_price
     FROM (
       SELECT l_returnflag,
              count(*) AS n,
@@ -323,11 +324,13 @@ def a14_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxy").cast("double")
         - F.col("s").cast("double") * F.col("sp").cast("double") / F.col("n")
     ) / (F.col("n") - 1)
+    # half_up, not F.round: x34's half-up-vs-half-even tie class
+    # (|var|*1e4 « 2^53, well inside the idiom's exactness bound).
     return sums.select(
         "l_returnflag",
-        F.round(var, 4).alias("var_qty"),
-        F.round(F.sqrt(var), 4).alias("std_qty"),
-        F.round(cov, 4).alias("cov_qty_price"),
+        half_up(var, 4).alias("var_qty"),
+        half_up(F.sqrt(var), 4).alias("std_qty"),
+        half_up(cov, 4).alias("cov_qty_price"),
     )
 
 

@@ -9,6 +9,7 @@ optimizer prunes what it needs.
 from __future__ import annotations
 
 import contextlib
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,30 @@ TABLE_NAMES = (
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@functools.lru_cache(maxsize=None)
+def parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata, driver-side.
+
+    No Spark job is scheduled — pyarrow reads only footers — so
+    plan-size gates (e.g. m14's broadcast decision) can consult corpus
+    size at DataFrame-construction time without making plan building
+    eager (ADVICE r8 #1: a ``docs.count()`` there scheduled a count
+    job for every plan-only consumer — census, audits, explain).
+    Memoized per (sf_dir, table): the testdata is immutable per round.
+    Handles both a single parquet file and a directory of part files.
+    """
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def ensure_session_confs(spark: SparkSession) -> None:

@@ -39,9 +39,14 @@ def half_up(col: Column, digits: int) -> Column:
 
 
 def half_up_sql(expr: str, digits: int) -> str:
-    """DuckDB twin of :func:`half_up` — same textual IEEE expression."""
+    """Dialect-neutral twin of :func:`half_up` — same textual IEEE
+    expression, valid in BOTH DuckDB (oracles) and Spark SQL
+    (selectExpr). The CAST keeps Spark's output DOUBLE: Spark parses
+    the ``{scale}.0`` literal as DECIMAL and its floor() returns
+    BIGINT, so without it the division would emit DECIMAL strings
+    ('0.785714000') that hash-mismatch DuckDB's float64."""
     scale = 10**digits
-    return f"(floor(({expr}) * {scale}.0 + 0.5) / {scale}.0)"
+    return f"(CAST(floor(({expr}) * {scale}.0 + 0.5) AS DOUBLE) / {scale}.0)"
 
 
 def floor_div_sql(num: str, den: str, div: str) -> str:

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -827,14 +828,14 @@ _CONTAIN_MIN = 0.2
       FROM words WHERE len(w) >= 3
     )
     SELECT f.doc_id AS frag_id, p.doc_id AS parent_id,
-           round(CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
-                 / len(f.grams), 6) AS containment,
-           round(CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
-                 / len(f.grams), 6) >= 0.5 AS is_contained
+           {half_up_sql("CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)"
+                        " / len(f.grams)", 6)} AS containment,
+           {half_up_sql("CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)"
+                        " / len(f.grams)", 6)} >= 0.5 AS is_contained
     FROM sh f JOIN sh p
       ON f.pfx = p.pfx AND f.doc_id < 0 AND p.doc_id >= 0
-    WHERE round(CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
-                / len(f.grams), 6) >= {_CONTAIN_MIN}
+    WHERE {half_up_sql("CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)"
+                       " / len(f.grams)", 6)} >= {_CONTAIN_MIN}
     """,
 )
 def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -875,9 +876,14 @@ def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "frag_id",
             "parent_id",
-            "inline(transform(array(round("
-            "cast(size(array_intersect(fg, pg)) as double) / size(fg), 6)),"
-            " c -> named_struct("
+            # half_up_sql, not round(): the idiom is dialect-neutral
+            # (floor/mul/add), so the same text serves Spark SQL here
+            # and DuckDB in the oracle (x34's tie class).
+            "inline(transform(array("
+            + half_up_sql(
+                "cast(size(array_intersect(fg, pg)) as double) / size(fg)", 6
+            )
+            + "), c -> named_struct("
             "'containment', c, 'is_contained', c >= 0.5d)))",
         )
         .filter(F.col("containment") >= _CONTAIN_MIN)
@@ -929,10 +935,13 @@ def _x38_oracle() -> str:
       FROM sh
     )
     SELECT a.doc_id AS id1, b.doc_id AS id2,
-           round({exact}, 6) AS jaccard_exact,
-           round(CAST({matches} AS DOUBLE) / {_N_SEEDS}, 6) AS jaccard_est,
-           round(abs(round({exact}, 6)
-                     - round(CAST({matches} AS DOUBLE) / {_N_SEEDS}, 6)), 6)
+           {half_up_sql(exact, 6)} AS jaccard_exact,
+           {half_up_sql(f"CAST({matches} AS DOUBLE) / {_N_SEEDS}", 6)}
+             AS jaccard_est,
+           {half_up_sql(
+               f"abs({half_up_sql(exact, 6)}"
+               f" - {half_up_sql(f'CAST({matches} AS DOUBLE) / {_N_SEEDS}', 6)})",
+               6)}
              AS abs_err
     FROM mh a JOIN mh b ON -a.doc_id - 1 = b.doc_id
     WHERE a.doc_id >= 0
@@ -981,18 +990,21 @@ def x38_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     nmatch = " + ".join(
         f"(case when a{s} = b{s} then 1 else 0 end)" for s in range(_N_SEEDS)
     )
+    # half_up_sql, not round(): dialect-neutral tie-safe rounding for
+    # the int/int Jaccard ratios (x34's class) — same text as the
+    # oracle's emissions.
     return a.join(b, "id1").selectExpr(
         "id1",
         "id2",
         "inline(transform("
         "array(cast(size(array_intersect(sh1, sh2)) as double)),"
         " it -> transform(array(named_struct("
-        "'ex', round(it / (size(sh1) + size(sh2) - it), 6),"
-        f"'es', round(cast({nmatch} as double) / {_N_SEEDS}, 6)"
+        f"'ex', {half_up_sql('it / (size(sh1) + size(sh2) - it)', 6)},"
+        f"'es', {half_up_sql(f'cast({nmatch} as double) / {_N_SEEDS}', 6)}"
         ")), s -> named_struct("
         "'jaccard_exact', s.ex,"
         "'jaccard_est', s.es,"
-        "'abs_err', round(abs(s.ex - s.es), 6)))[0]))",
+        f"'abs_err', {half_up_sql('abs(s.ex - s.es)', 6)}))[0]))",
     )
 
 
@@ -1142,7 +1154,7 @@ _X45_SHINGLE = 8
       GROUP BY 1, 2
     )
     SELECT s1, s2, n_shared, p1.n AS n_s1, p2.n AS n_s2,
-           round(n_shared / least(p1.n, p2.n), 6) AS containment
+           {half_up_sql("n_shared / least(p1.n, p2.n)", 6)} AS containment
     FROM ov JOIN per p1 ON ov.s1 = p1.source
             JOIN per p2 ON ov.s2 = p2.source
     """,
@@ -1183,7 +1195,9 @@ def x45_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per.select(F.col("source").alias("s2"), F.col("n").alias("n_s2")), "s2")
         .select(
             "s1", "s2", "n_shared", "n_s1", "n_s2",
-            F.round(
+            # half_up, not F.round: int/int ratios CAN tie at the 6th
+            # decimal (x34's half-up-vs-half-even class).
+            half_up(
                 F.col("n_shared") / F.least("n_s1", "n_s2"), 6
             ).alias("containment"),
         )

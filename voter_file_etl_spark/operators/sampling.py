@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -355,7 +356,8 @@ _DOMAIN_SPARK = (
       SELECT min(n_docs) AS minn FROM c
     ), r AS (
       SELECT domain, n_docs,
-             round(sqrt(CAST(minn AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS rate
+             {half_up_sql("sqrt(CAST(minn AS DOUBLE) / CAST(n_docs AS DOUBLE))", 6)}
+               AS rate
       FROM c, m
     )
     SELECT d.domain, max(r.n_docs) AS n_docs, max(r.rate) AS rate,
@@ -375,7 +377,9 @@ def x32_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = counts.crossJoin(F.broadcast(minn)).select(
         "domain",
         "n_docs",
-        F.round(
+        # half_up, not F.round: rate is emitted AND feeds the
+        # floor(rate*100) sampling threshold (x34's tie class).
+        half_up(
             F.sqrt(F.col("minn").cast("double") / F.col("n_docs").cast("double")), 6
         ).alias("rate"),
     )

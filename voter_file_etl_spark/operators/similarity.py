@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions import vectors as V
-from voter_file_etl_spark.functions.intmath import floor_div_sql
+from voter_file_etl_spark.functions.intmath import floor_div_sql, half_up, half_up_sql
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -644,8 +644,8 @@ def _kmeans_oracle() -> str:
       ) WHERE rn = 1
     )
     SELECT cell, count(*) AS n_assigned,
-           CAST(sum(CAST(round((1 - cos) * 1000000, 0) AS BIGINT)) AS BIGINT)
-             AS inertia_micro
+           CAST(sum(CAST({half_up_sql("(1 - cos) * 1000000", 0)} AS BIGINT))
+                AS BIGINT) AS inertia_micro
     FROM a2 GROUP BY cell
     """
     )
@@ -662,7 +662,9 @@ def x30_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = _kmeans_assign(corpus, cents)
     cent1 = _kmeans_update(a1)
     a2 = _kmeans_assign(corpus, cent1)
-    micro = F.round((F.lit(1) - F.col("cos")) * 1000000, 0).cast("bigint")
+    # half_up, not F.round: cosine micro-quantization can land on a
+    # .5 tie (x34's half-up-vs-half-even class).
+    micro = half_up((F.lit(1) - F.col("cos")) * 1000000, 0).cast("bigint")
     return a2.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_assigned"),
         F.sum(micro).cast("bigint").alias("inertia_micro"),
@@ -723,7 +725,7 @@ def _x39_oracle() -> str:
     SELECT e.query_id,
            count(*) AS n_exact,
            CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
-           round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+           {half_up_sql("CAST(count(a.neighbor_id) AS DOUBLE) / count(*)", 6)}
              AS recall_at_k
     FROM exact e LEFT JOIN approx a
       ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
@@ -743,7 +745,9 @@ def x39_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_exact"),
         n_matched.alias("n_matched"),
-        F.round(n_matched.cast("double") / F.count(F.lit(1)), 6).alias(
+        # half_up, not F.round: int/int recall ratios (e.g. k=8
+        # denominators) land exactly on .5 ties (x34's class).
+        half_up(n_matched.cast("double") / F.count(F.lit(1)), 6).alias(
             "recall_at_k"
         ),
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -545,8 +546,8 @@ _PPL_CUT = -3.4  # avg log-prob cutoff in nats (~corpus median, so both classes 
       SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY w1
     ), scored AS (
       SELECT b.doc_id,
-             CAST(round(ln(CAST(n12 AS DOUBLE) / n1) * 1000000, 0) AS BIGINT)
-               AS micro_lp
+             CAST({half_up_sql("ln(CAST(n12 AS DOUBLE) / n1) * 1000000", 0)}
+                  AS BIGINT) AS micro_lp
       FROM big b
       JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
       JOIN c1 ON b.w1 = c1.w1
@@ -577,8 +578,10 @@ def x27_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w2").isNotNull())
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
     c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    # half_up, not F.round: ln-ratio micro-quantization can land on a
+    # .5 tie (x34's half-up-vs-half-even class).
     micro = (
-        F.round(F.log(F.col("n12").cast("double") / F.col("n1")) * 1000000, 0)
+        half_up(F.log(F.col("n12").cast("double") / F.col("n1")) * 1000000, 0)
         .cast("bigint")
         .alias("micro_lp")
     )
@@ -951,10 +954,12 @@ _OOV_KEEP_MAX = 0.10  # keep iff OOV fraction <= 10%
            count(*) AS n_tokens,
            CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
                 AS BIGINT) AS n_oov,
-           round(CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
-                      AS DOUBLE) / count(*), 6) AS oov_rate,
-           round(CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
-                      AS DOUBLE) / count(*), 6) <= {_OOV_KEEP_MAX} AS keep
+           {half_up_sql("CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)"
+                        " THEN 0 ELSE 1 END) AS DOUBLE) / count(*)", 6)}
+             AS oov_rate,
+           {half_up_sql("CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)"
+                        " THEN 0 ELSE 1 END) AS DOUBLE) / count(*)", 6)}
+             <= {_OOV_KEEP_MAX} AS keep
     FROM toks
     GROUP BY doc_id
     """,
@@ -977,7 +982,9 @@ def x36_oov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = toks.join(F.broadcast(vocab), "w", "left")
     n_oov = F.sum(F.when(F.col("_in_vocab"), 0).otherwise(1)).cast("bigint")
-    rate = F.round(n_oov.cast("double") / F.count(F.lit(1)), 6)
+    # half_up, not F.round: int/int ratio can tie at the 6th decimal
+    # and the rounded rate also gates `keep` (x34's class).
+    rate = half_up(n_oov.cast("double") / F.count(F.lit(1)), 6)
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         n_oov.alias("n_oov"),
@@ -1074,16 +1081,16 @@ _ENTROPY_KEEP_MIN = 2_800_000  # micro-nats (~corpus median, both classes occur)
       SELECT doc_id, c, max(n) AS n, count(*) AS nc FROM ch GROUP BY doc_id, c
     ), terms AS (
       SELECT doc_id, n,
-             nc * CAST(round(ln(CAST(nc AS DOUBLE) / n) * 1000000, 0) AS BIGINT)
-               AS tm
+             nc * CAST({half_up_sql("ln(CAST(nc AS DOUBLE) / n) * 1000000", 0)}
+                       AS BIGINT) AS tm
       FROM freq
     )
     SELECT doc_id,
            max(n) AS n_chars,
            count(*) AS n_distinct_chars,
-           CAST(round(-CAST(sum(tm) AS DOUBLE) / max(n), 0) AS BIGINT)
+           CAST({half_up_sql("-CAST(sum(tm) AS DOUBLE) / max(n)", 0)} AS BIGINT)
              AS entropy_micro,
-           CAST(round(-CAST(sum(tm) AS DOUBLE) / max(n), 0) AS BIGINT)
+           CAST({half_up_sql("-CAST(sum(tm) AS DOUBLE) / max(n)", 0)} AS BIGINT)
              >= {_ENTROPY_KEEP_MIN} AS keep
     FROM terms GROUP BY doc_id
     """,
@@ -1102,13 +1109,15 @@ def x37_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = ch.groupBy("doc_id", "c").agg(
         F.max("n").alias("n"), F.count(F.lit(1)).alias("nc")
     )
+    # half_up, not F.round, at both quantization points: ln-ratio and
+    # int/int micro values can land on .5 ties (x34's class).
     term = (
         F.col("nc")
-        * F.round(F.log(F.col("nc").cast("double") / F.col("n")) * 1000000, 0)
+        * half_up(F.log(F.col("nc").cast("double") / F.col("n")) * 1000000, 0)
         .cast("bigint")
     )
     terms = freq.select("doc_id", "n", term.alias("tm"))
-    emicro = F.round(
+    emicro = half_up(
         -F.sum("tm").cast("double") / F.max("n"), 0
     ).cast("bigint")
     return terms.groupBy("doc_id").agg(
@@ -1940,7 +1949,7 @@ def x66_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "x73_calibration_curve",
-    oracle="""
+    oracle=f"""
     WITH f AS (
       SELECT doc_id,
              CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -1952,14 +1961,14 @@ def x66_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), z AS (
       SELECT doc_id, n_chars,
-             round(3.0 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
-                   + 0.5 * (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE))
-                   - 0.002 * CAST(n_chars AS DOUBLE)
-                   - 1.5, 6) AS z
+             {half_up_sql("3.0 * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))"
+                          " + 0.5 * (CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE))"
+                          " - 0.002 * CAST(n_chars AS DOUBLE)"
+                          " - 1.5", 6)} AS z
       FROM f WHERE n_words > 0
     ), scored AS (
       SELECT doc_id,
-             CAST(round((0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000, 0)
+             CAST({half_up_sql("(0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000", 0)}
                   AS BIGINT) AS score_micro,
              CASE WHEN n_chars BETWEEN 200 AND 1500 THEN 1 ELSE 0 END AS label
       FROM z
@@ -1988,7 +1997,10 @@ def x73_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias("n_alpha"),
         F.length("text").cast("bigint").alias("n_chars"),
     ).filter(F.col("n_words") > 0)
-    z = F.round(
+    # half_up, not F.round, at both quantizations: int-ratio linear
+    # scores and the squashed micro-score can tie (x34's class; also
+    # half-up-toward-+inf is sign-consistent for negative z).
+    z = half_up(
         F.lit(3.0) * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
         + F.lit(0.5) * (F.col("n_alpha").cast("double") / F.col("n_words").cast("double"))
         - F.lit(0.002) * F.col("n_chars").cast("double")
@@ -1996,7 +2008,7 @@ def x73_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     scored = feats.select("n_chars", z.alias("z")).select(
-        F.round(
+        half_up(
             (F.lit(0.5) + F.lit(0.5) * F.col("z") / (F.lit(1.0) + F.abs("z")))
             * 1000000,
             0,

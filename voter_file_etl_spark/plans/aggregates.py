@@ -456,7 +456,7 @@ def a16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "a17_corr_covar",
-    oracle="""
+    oracle=f"""
     WITH s AS (
       SELECT l_returnflag,
              count(*) AS n,
@@ -471,10 +471,12 @@ def a16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_qp,
-           round((sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+           {half_up_sql("(CAST(n AS DOUBLE) * sxy - sx * sy)"
+                        " / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)"
+                        " * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))", 6)}
+             AS corr_qp,
+           {half_up_sql("(sxy - sx * sy / CAST(n AS DOUBLE))"
+                        " / CAST(n AS DOUBLE)", 6)}
              AS covar_pop_qp
     FROM s
     """,
@@ -492,7 +494,9 @@ def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(qty * prc).cast("double").alias("sxy"),
     )
     nd = F.col("n").cast("double")
-    corr = F.round(
+    # half_up, not F.round: x34's half-up-vs-half-even tie class
+    # (|corr| ≤ 1 and |covar| « 2^53/1e6, inside the idiom's bound).
+    corr = half_up(
         (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
         / (
             F.sqrt(nd * F.col("sxx") - F.col("sx") * F.col("sx"))
@@ -500,7 +504,7 @@ def a17_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    covar = F.round(
+    covar = half_up(
         (F.col("sxy") - F.col("sx") * F.col("sy") / nd) / nd, 6
     )
     return s.select(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.geohash import geohash_sql
+from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.plans.scalars import _HAV_KM
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
@@ -396,11 +397,12 @@ def _spatial_coords_sql(dialect: str) -> str:
            (VALUES (-1), (0), (1)) AS dy(d)
     )
     SELECT a.id AS id1, b.id AS id2,
-           round({_HAV_KM.format(lat1="a.lat", lon1="a.lon",
-                                 lat2="b.lat", lon2="b.lon")}, 6) AS dist_km
+           {half_up_sql(_HAV_KM.format(lat1="a.lat", lon1="a.lon",
+                                       lat2="b.lat", lon2="b.lon"), 6)} AS dist_km
     FROM expanded a JOIN coords b ON a.jx = b.cx AND a.jy = b.cy AND a.id < b.id
-    WHERE round({_HAV_KM.format(lat1="a.lat", lon1="a.lon",
-                                lat2="b.lat", lon2="b.lon")}, 6) <= {_SPAT_KM}
+    WHERE {half_up_sql(_HAV_KM.format(lat1="a.lat", lon1="a.lon",
+                                      lat2="b.lat", lon2="b.lon"), 6)}
+          <= {_SPAT_KM}
     """,
 )
 def j10_spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,7 +436,9 @@ def j10_spatial_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("id2"), F.col("lat").alias("lat2"),
         F.col("lon").alias("lon2"), F.col("cx").alias("jx"), F.col("cy").alias("jy"),
     )
-    km = F.round(
+    # half_up, not F.round: the rounded distance is both emitted AND
+    # the radius filter, so a tie flip would change row membership.
+    km = half_up(
         F.expr(_HAV_KM.format(lat1="lat1", lon1="lon1", lat2="lat2", lon2="lon2")), 6
     )
     return (
@@ -817,8 +821,8 @@ _KNN_K = 3
            (VALUES (-1), (0), (1)) AS dy(d)
     ), cand AS (
       SELECT a.id AS probe_id, b.id AS neighbor_id,
-             round({_HAV_KM.format(lat1="a.lat", lon1="a.lon",
-                                   lat2="b.lat", lon2="b.lon")}, 6) AS dist_km
+             {half_up_sql(_HAV_KM.format(lat1="a.lat", lon1="a.lon",
+                                         lat2="b.lat", lon2="b.lon"), 6)} AS dist_km
       FROM expanded a JOIN coords b ON a.jx = b.cx AND a.jy = b.cy
       WHERE a.id <> b.id
     ), ranked AS (
@@ -864,7 +868,8 @@ def j17_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cx").alias("jx"),
         F.col("cy").alias("jy"),
     )
-    km = F.round(
+    # half_up, not F.round — emitted + radius-filter + rank key (j10 note).
+    km = half_up(
         F.expr(_HAV_KM.format(lat1="lat1", lon1="lon1", lat2="lat2", lon2="lon2")), 6
     )
     cand = (

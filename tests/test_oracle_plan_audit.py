@@ -1,0 +1,72 @@
+"""Oracle-side plan gates (VERDICT r8 ask #4 — the a45 class).
+
+The correctness gate compares Spark against DuckDB, so the ORACLE's
+physical plan is load-bearing too: a45 (r8) filled the disk at sf1.0
+when DuckDB picked an IEJoin-first order, and the r9 audit
+(tools/oracle_plan_audit.py) found two more — j27's NOT-EXISTS on a
+pure inequality compiled to a BLOCKWISE_NL_JOIN (errors x clicks ~
+4e10 pairs) and j13's abs()-band self-join to a NESTED_LOOP_JOIN
+(part x part ~ 4e10), both >120 s at sf1.0 while green at sf0.01.
+
+These tests run plan-only (DuckDB EXPLAIN, no Spark session, no
+execution), so the whole registry is cheap to gate in-suite.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from voter_file_etl_spark import registry  # noqa: E402
+from voter_file_etl_spark.tables import TABLE_NAMES  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for name in TABLE_NAMES:
+        c.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"'{os.path.join(SF_DIR, name)}.parquet'"
+        )
+    registry.load_all()
+    return c
+
+
+def test_full_registry_census_matches_baseline():
+    # The committed ORACLE_PLAN_INVENTORY.json pins which oracles may
+    # carry non-equi join operators and which operator classes; a new
+    # entry (or class change) fails here until it is adjudicated by
+    # measurement (tools/oracle_plan_audit.py --time at sf1.0) and the
+    # baseline regenerated with --write.
+    proc = subprocess.run(
+        [sys.executable, "tools/oracle_plan_audit.py", SF_DIR, "--check"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=570,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+@pytest.mark.parametrize("key", ["j27_anti_range_join", "j13_band_join"])
+def test_r9_finds_stay_fixed(con, key):
+    # Regression pins for the two r9 audit finds: j27's oracle is now
+    # join-free (sort-based nearest-neighbor windows) and j13's
+    # compiles to IE_JOIN (col-op-col inequality pair), so neither may
+    # reacquire an unbounded nested-loop/blockwise operator.
+    from tools.oracle_plan_audit import _plan_ops
+
+    ops = set(_plan_ops(con, registry.ORACLE[key]))
+    assert not ops & {"NESTED_LOOP_JOIN", "BLOCKWISE_NL_JOIN", "CROSS_PRODUCT"}, (
+        f"{key} oracle degraded to an unbounded non-equi operator: {ops}"
+    )

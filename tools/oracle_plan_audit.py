@@ -1,0 +1,230 @@
+"""Oracle-side physical-plan audit (VERDICT r8 ask #4).
+
+a45 (r8) proved that ORACLES HAVE PLANS TOO: DuckDB chose an
+IEJoin-first order for a45's funnel oracle — clicks x purchases on
+pure inequality, ~2e10 intermediate rows — and filled the disk at
+sf1.0 before the MATERIALIZED-CTE pin fixed the join order.  The
+correctness gate only means anything if the oracle itself can run at
+the audit scale, so this tool closes the CLASS, not the instance:
+
+  1. EXPLAIN every registered oracle against the given sf_dir's
+     parquet views (plan-only, fast) and flag any plan containing a
+     non-equi join operator: IE_JOIN, PIECEWISE_MERGE_JOIN,
+     NESTED_LOOP_JOIN, BLOCKWISE_NL_JOIN, CROSS_PRODUCT.
+  2. With --time, EXECUTE each flagged oracle under a wall-clock
+     budget (default 120 s, enforced via con.interrupt() from a
+     watchdog thread) and report rows + seconds.  A flagged key that
+     finishes inside the budget at sf1.0 is adjudicated bounded-by-
+     measurement; a timeout or error is the a45 failure mode caught
+     BEFORE it fills a disk.
+
+Why measured time, not estimates: DuckDB 1.0's EC for a pure
+inequality self-join of two 60k-row scans reads "EC: 60000" — the
+optimizer's estimate is the EQUI-join guess and misses non-equi
+blow-ups entirely (that naivety is exactly why it picked a45's
+IEJoin-first order).  Estimates therefore cannot gate; execution can.
+
+Non-equi operators are NOT errors by themselves — band joins, as-of
+joins, interval joins and deliberate small-side cross products
+(spines, probe grids, scalar singletons) legitimately compile to
+these operators.  The audit makes the judgment explicit per key and
+exits 1 only on a timeout/error in --time mode (or EXPLAIN failure).
+
+The flagged set is a CENSUS, like tools/plan_inventory.py: --write
+records {key: [ops]} to ORACLE_PLAN_INVENTORY.json at the repo root;
+--check recomputes and exits 1 on drift, so a NEW oracle acquiring a
+non-equi join (or an existing one changing operator class) must be
+adjudicated explicitly — measured at sf1.0 with --time — before the
+baseline is regenerated.  The set is scale-invariant (verified
+identical at sf0.001 and sf1.0; DuckDB picks these operators by rule,
+not cardinality), so the committed baseline and the pytest gate use
+sf0.001 while --time adjudication runs at sf1.0.
+
+Usage:
+  python tools/oracle_plan_audit.py [sf_dir] [--time] [--budget SEC]
+                                    [--write | --check] [key ...]
+
+Defaults: sf_dir=/tmp/sf1.0 (tools/sf_generate.py output), all
+registered oracles, budget 120 s per flagged key.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from voter_file_etl_spark import registry  # noqa: E402
+from voter_file_etl_spark.tables import TABLE_NAMES  # noqa: E402
+
+# DuckDB physical operators that can multiply rows without an equality
+# key.  HASH_JOIN is excluded: equi-keyed, output bounded by match
+# multiplicity the queries control.
+_NON_EQUI_OPS = (
+    "IE_JOIN",
+    "PIECEWISE_MERGE_JOIN",
+    "NESTED_LOOP_JOIN",
+    "BLOCKWISE_NL_JOIN",
+    "CROSS_PRODUCT",
+)
+
+
+def _plan_ops(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    rows = con.execute("EXPLAIN " + sql).fetchall()
+    plan = "\n".join(str(part) for row in rows for part in row)
+    hits: list[str] = []
+    for line in plan.splitlines():
+        for op in _NON_EQUI_OPS:
+            if op in line:
+                hits.append(op)
+    return hits
+
+
+def _timed_count(
+    con: duckdb.DuckDBPyConnection, sql: str, budget: float
+) -> tuple[str, float]:
+    """Run count(*) over the oracle under a wall budget; the watchdog
+    interrupts the scan so a blow-up dies in memory, not on disk."""
+    done = threading.Event()
+
+    def watchdog() -> None:
+        if not done.wait(budget):
+            con.interrupt()
+
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    t0 = time.time()
+    try:
+        n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        return f"{n} rows", time.time() - t0
+    except Exception as exc:
+        msg = str(exc).splitlines()[0]
+        if "INTERRUPT" in msg.upper() or "interrupted" in msg.lower():
+            return f"TIMEOUT >{budget:.0f}s", time.time() - t0
+        return f"ERROR {msg}", time.time() - t0
+    finally:
+        done.set()
+
+
+_BASELINE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ORACLE_PLAN_INVENTORY.json",
+)
+
+
+def census(con: duckdb.DuckDBPyConnection, keys: list[str]) -> dict[str, list[str]]:
+    """{key: sorted unique non-equi ops} for every key whose oracle
+    carries at least one."""
+    out: dict[str, list[str]] = {}
+    for key in keys:
+        sql = registry.ORACLE.get(key)
+        if sql is None:
+            continue
+        ops = _plan_ops(con, sql)
+        if ops:
+            out[key] = sorted(set(ops))
+    return out
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    do_time = "--time" in args
+    if do_time:
+        args.remove("--time")
+    do_write = "--write" in args
+    if do_write:
+        args.remove("--write")
+    do_check = "--check" in args
+    if do_check:
+        args.remove("--check")
+    budget = 120.0
+    if "--budget" in args:
+        i = args.index("--budget")
+        budget = float(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = "/tmp/sf1.0"
+    if args and os.path.isdir(args[0]):
+        sf_dir = args[0]
+        args = args[1:]
+
+    registry.load_all()
+    keys = args or [k for k in registry.QUERIES if k in registry.ORACLE]
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+
+    if do_write or do_check:
+        import json
+
+        current = census(con, keys)
+        if do_write:
+            with open(_BASELINE, "w") as f:
+                json.dump(current, f, indent=1, sort_keys=True)
+            print(f"wrote {len(current)} flagged oracles to {_BASELINE}")
+            return 0
+        with open(_BASELINE) as f:
+            baseline = json.load(f)
+        drift = []
+        for k in sorted(set(current) | set(baseline)):
+            if k not in keys and k not in current:
+                continue  # partial run: missing keys are not drift
+            if current.get(k) != baseline.get(k):
+                drift.append(
+                    f"{k}: baseline={baseline.get(k)} current={current.get(k)}"
+                )
+        if drift:
+            print("oracle non-equi-join census drift (adjudicate with --time")
+            print("at sf1.0, then regenerate with --write):")
+            for line in drift:
+                print("  " + line)
+            return 1
+        print(f"oracle census clean: {len(current)} flagged keys match baseline")
+        return 0
+
+    n_flagged = 0
+    n_bad = 0
+    for key in keys:
+        sql = registry.ORACLE.get(key)
+        if sql is None:
+            continue
+        try:
+            ops = _plan_ops(con, sql)
+        except Exception as exc:
+            print(f"EXPLAIN-FAIL {key}: {str(exc).splitlines()[0]}")
+            n_bad += 1
+            continue
+        if not ops:
+            continue
+        n_flagged += 1
+        opstr = ", ".join(
+            f"{op} x{ops.count(op)}" for op in dict.fromkeys(ops)
+        )
+        if do_time:
+            result, secs = _timed_count(con, sql, budget)
+            ok = not (result.startswith("TIMEOUT") or result.startswith("ERROR"))
+            n_bad += int(not ok)
+            tag = "ok  " if ok else "FAIL"
+            print(f"{tag} {key}: [{opstr}] -> {result} in {secs:.2f} s")
+        else:
+            print(f"flag {key}: [{opstr}]")
+
+    print(
+        f"\n{n_flagged}/{len(keys)} oracles carry non-equi join operators; "
+        + (
+            f"{n_bad} timed out or errored at {sf_dir} (budget {budget:.0f} s)"
+            if do_time
+            else "run with --time to adjudicate by measurement"
+        )
+    )
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -535,13 +535,26 @@ _J13_BUCKET_W = 2.0
 
 @register(
     "j13_band_join",
+    # The ON clause is a LOOSE col-op-col inequality pair (band + 0.5
+    # slack), not abs(a-b) <= band: abs() — and any form where one
+    # comparison side mixes both tables — defeats DuckDB's IEJoin
+    # rewrite and the plan degrades to a NESTED_LOOP_JOIN: part x part
+    # ~ 4e10 pairs at sf1.0, >300 s (caught by
+    # tools/oracle_plan_audit.py, r9; the a45 class). With the
+    # col <= col + const form DuckDB sorts both sides and visits only
+    # near-band pairs. The EXACT band test stays in WHERE with the
+    # identical abs(a - b) operand order the Spark side uses, so
+    # band-edge float behavior is unchanged; the slack makes the ON a
+    # strict superset regardless of FP rounding in `b + const`.
     oracle=f"""
     SELECT a.p_partkey, a.p_retailprice,
            count(*) AS n_bandmates,
            min(abs(a.p_retailprice - b.p_retailprice)) AS min_gap
     FROM part a JOIN part b
-      ON b.p_partkey <> a.p_partkey
-     AND abs(a.p_retailprice - b.p_retailprice) <= {_J13_BAND}
+      ON a.p_retailprice <= b.p_retailprice + {_J13_BAND + 0.5}
+     AND b.p_retailprice <= a.p_retailprice + {_J13_BAND + 0.5}
+    WHERE b.p_partkey <> a.p_partkey
+      AND abs(a.p_retailprice - b.p_retailprice) <= {_J13_BAND}
     GROUP BY a.p_partkey, a.p_retailprice
     """,
 )
@@ -1521,15 +1534,36 @@ def j26_role_playing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "j27_anti_range_join",
+    # Oracle = a DIFFERENT algorithm (sort-based nearest-neighbor):
+    # an error has no click within 90 s iff both its nearest click
+    # before (running max over the merged time-sorted stream) and
+    # after (running min) are farther than the window. RANGE frames
+    # make same-timestamp clicks peers of the error in both frames,
+    # so the |Δ| = 0 case counts in both directions. O(n log n), no
+    # join — the r8 a45 audit (tools/oracle_plan_audit.py) caught the
+    # previous NOT-EXISTS-on-pure-inequality form compiling to a
+    # BLOCKWISE_NL_JOIN (errors x clicks ~ 4e10 pairs at sf1.0).
     oracle="""
-    SELECT e.event_id, CAST(epoch_us(e.ts) AS BIGINT) AS t_us
-    FROM events e
-    WHERE e.event_type = 'error'
-      AND NOT EXISTS (
-        SELECT 1 FROM events c
-        WHERE c.event_type = 'click'
-          AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 90000000
-      )
+    WITH ev AS (
+      SELECT event_id, event_type, epoch_us(ts) AS t
+      FROM events WHERE event_type IN ('error', 'click')
+    ), nbr AS (
+      SELECT event_id, event_type, t,
+             max(CASE WHEN event_type = 'click' THEN t END)
+               OVER (ORDER BY t
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_click,
+             min(CASE WHEN event_type = 'click' THEN t END)
+               OVER (ORDER BY t
+                     RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_click
+      FROM ev
+    )
+    SELECT event_id, CAST(t AS BIGINT) AS t_us
+    FROM nbr
+    WHERE event_type = 'error'
+      AND (prev_click IS NULL OR t - prev_click > 90000000)
+      AND (next_click IS NULL OR next_click - t > 90000000)
     """,
 )
 def j27_anti_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:

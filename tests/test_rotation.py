@@ -126,3 +126,25 @@ def test_tripwire_self_deactivates_at_the_r10_flip():
     assert _stale_window_keys(r10_window, keys, one_short) == [
         k for k in r10_window if k in one_short
     ]
+
+
+def test_r10_window_is_staged_oldest_green_first():
+    # VERDICT r8 ask #5: the r10 flip's window must be STAGED at r9
+    # close — after CORRECTNESS_r09 confirms the current window, the
+    # rotation retires it to the tail and promotes _BACKFILL[:50]
+    # (the oldest r1-era greens) as the first re-check window. This
+    # pins that staging: the head of the tail IS the oldest-green
+    # region, every key in it already carries a driver row, and the
+    # tail's round-group order is oldest-first (each retired window
+    # was appended, never prepended).
+    staged = entry_mod._BACKFILL[:50]
+    assert staged[0] == "a2_reconcile"
+    assert "s10_permissive_read" in staged
+    checked = _driver_checked_keys()
+    unchecked = [k for k in staged if k not in checked]
+    assert not unchecked, (
+        f"r10 re-check window holds keys with no driver row: {unchecked}"
+    )
+    # Round-8's retired window sits at the very end of the tail (the
+    # newest greens are re-checked last).
+    assert entry_mod._BACKFILL[-1] == "a75_fiscal_445_calendar"

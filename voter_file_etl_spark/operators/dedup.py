@@ -103,6 +103,14 @@ def fastss_lev1_id_pairs(
 
 @register(
     "d2_fuzzy_dedup",
+    # Deliberately brute-force (block-quadratic) — the oracle's value
+    # is algorithmic independence from the FastSS implementation.
+    # Measured cost: ~9.5 min at sf1.0 (~450M in-block levenshteins;
+    # a let-bound subquery form measures identical, so the join pair
+    # volume — not expression double-evaluation — is the cost). The
+    # slowest oracle in the registry; budget for it in full sf1.0
+    # replays. It carries no non-equi operator, so the
+    # oracle_plan_audit census correctly classifies it bounded.
     oracle="""
     SELECT a.c_custkey AS id1, b.c_custkey AS id2,
            CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS name_dist

@@ -125,6 +125,17 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # Arrow-accelerated toPandas for the REPLICA's collect only:
+        # without it a multi-million-row result (x3/x4 pair tables at
+        # sf1.0) converts row-by-row in single-threaded Python — ~30
+        # CPU-minutes and 10 GB for one key. Values are identical
+        # either way (invariance axis 8 proved the whole registry
+        # strict-clean with Arrow conversion DISABLED); opt out with
+        # SPARK_GRAFT_SIM_ARROW=0 to replay that axis.
+        .config(
+            "spark.sql.execution.arrow.pyspark.enabled",
+            os.environ.get("SPARK_GRAFT_SIM_ARROW", "1") != "0",
+        )
     )
     # Extra adversarial confs, ';'-separated k=v pairs — e.g.
     # SPARK_GRAFT_SIM_CONF="spark.sql.codegen.wholeStage=false" to

@@ -66,13 +66,43 @@ def _u(lo: float, hi: float, *hash_cols):
     return F.round(F.lit(lo) + frac * (hi - lo), 2)
 
 
+# Row groups per table: a repartition(1) Spark write makes ONE row
+# group per file, and DuckDB parallelizes scans BY ROW GROUP — the
+# r9 replay found scalar-heavy oracles (simhash, levenshtein blocks)
+# pinned to a single thread for 10+ minutes at sf1.0. Rewriting with
+# bounded row groups is a pure layout change (identical rows/schema)
+# that lets DuckDB use every core; Spark splits by byte range and is
+# indifferent either way.
+_ROW_GROUP_ROWS = {
+    "documents": 2048,
+    "embeddings": 2048,
+    "customer": 16384,
+    "supplier": 4096,
+    "part": 16384,
+    "orders": 65536,
+    "lineitem": 262144,
+    "events": 65536,
+}
+
+
+def _regroup(path: str, rows_per_group: int) -> None:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    pq.write_table(tbl, path, row_group_size=rows_per_group, compression="snappy")
+
+
 def _write_single(df, out_dir: str, name: str) -> None:
-    """One parquet FILE named <name>.parquet (the driver's layout)."""
+    """One parquet FILE named <name>.parquet (the driver's layout),
+    re-chunked to parallelizable row groups."""
     stage = os.path.join(out_dir, f"_stage_{name}")
     df.repartition(1).write.mode("overwrite").parquet(stage)
     part = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
-    os.replace(os.path.join(stage, part), os.path.join(out_dir, f"{name}.parquet"))
+    dest = os.path.join(out_dir, f"{name}.parquet")
+    os.replace(os.path.join(stage, part), dest)
     shutil.rmtree(stage)
+    if name in _ROW_GROUP_ROWS:
+        _regroup(dest, _ROW_GROUP_ROWS[name])
 
 
 def generate(spark, out_dir: str) -> None:
@@ -190,6 +220,7 @@ def generate(spark, out_dir: str) -> None:
             shutil.rmtree(path)
             os.replace(os.path.join(tmp, part), path)
             shutil.rmtree(tmp)
+            _regroup(path, _ROW_GROUP_ROWS[name])
 
 
 def main() -> None:

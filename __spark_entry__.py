@@ -23,62 +23,45 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------------------
 # Driver-coverage rotation (the driver oracle-checks the FIRST 50 keys
-# of queries() per round — contract documented in SURVEY.md §8).
+# of queries() per round — steady-state contract in SURVEY.md §8).
 #
-# Round 9 window (VERDICT r8 "Next round" #1): the residual 43 keys —
-# every registry key still lacking a driver CORRECTNESS row
-# (w31_series_align … a84_proportional_allocation, registration order).
-# CORRECTNESS_r08 confirmed the r8 window ran 50/50 green (cumulative
-# 398/441), authorizing this rotation; the retired r8 window moves to
-# the green tail below. This window COMPLETES the r5–r9 backlog burn
-# (SURVEY.md §8): after CORRECTNESS_r09 the rotation flips to
-# oldest-green re-checks drawn from the _BACKFILL tail top-down — the
-# r10 window is the first 50 tail entries (a2_reconcile …
-# s10_permissive_read region). Any key newly registered THIS round is
-# unplaced and would sort after the head — tests/test_rotation.py fails
-# the suite until it is placed explicitly.
+# Round 10 window: the backlog burn completed at r9 (CORRECTNESS_r09
+# 50/50 green, cumulative 441/441 — every registry key has a green
+# driver row), so this is the FIRST oldest-green re-check window.
+# Per VERDICT r9 "Next round" #1 it starts at the former _BACKFILL[7]
+# (s1_file_scan), NOT _BACKFILL[0]: the driver's r9 run already
+# re-checked a2_reconcile … a14_stats_exact (CORRECTNESS_r09 rows
+# 44–50, all green), so those 7 retire to the tail with the rest of
+# the r9-checked set instead of burning driver slots on week-old
+# greens. These 50 keys' latest driver rows are all r1-era — the
+# oldest greens in the registry. Any key newly registered THIS round
+# is unplaced and would sort after the head — tests/test_rotation.py
+# fails the suite until it is placed explicitly (a new key fronts
+# _CHECK_FIRST for its first check before entering the cycle).
 # ---------------------------------------------------------------------------
 _CHECK_FIRST = [
-    "w31_series_align", "x97_soft_dedup_weights",
-    "e7_medallion_pipeline", "x98_winnow_overlap",
-    "u8_diff_column_provenance", "j25_interval_intersect_measure",
-    "g10_two_hop_reach", "j26_role_playing_dates",
-    "s26_storage_footprint_audit", "a76_markov_3step",
-    "t19_string_distance_funcs", "sql20_set_op_precedence",
-    "x99_ndcg_at_10", "x100_planted_dup_mrr",
-    "a77_forecast_interval_coverage", "x101_rendezvous_hashing",
-    "w32_hot_streak_window", "a78_anova_eta_squared",
-    "t20_array_set_algebra", "x102_prefix_filter_join",
-    "d8_sample_dedup_bias", "f16_geohash_decode", "f17_geohash_neighbors",
-    "l30_merge_idempotency", "st19_exactly_once_sink", "w33_rolling_mode",
-    "a79_alert_rule_backtest", "a80_diff_in_diff",
-    "sql21_range_tvf", "sql22_lateral_column_alias",
-    "sql23_interval_range_frame", "sql24_projected_exists",
-    "m20_integral_image", "a81_price_volume_mix", "j27_anti_range_join",
-    "m21_conv2d_stencil", "s27_rowgroup_stats_pruning", "a82_runs_test",
-    "f18_binary_encodings", "sql25_star_except", "a83_bootstrap_ci",
-    "g11_closeness_landmarks", "a84_proportional_allocation",
-]
-_BACKFILL = [
-    # -- driver-green keys, oldest green first (r1 → r3). From r10 the
-    # rotation flips to regression re-checks: windows are drawn from
-    # here top-down, so this tail's order IS the r10+ re-check plan --
-    "a2_reconcile", "a4_groupby_count", "a5_household_agg",
-    "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",
     "s1_file_scan", "s2_csv_read", "s6_count", "s7_write_roundtrip",
-    "s8_manifest", "p1_project", "p2_nullif", "p3_cast", "p4_filter_contains",
-    "p5_filter_prefix", "p6_anti_join", "p7_offset_window",
-    "s9_json_roundtrip", "l3_partition_pruning", "s10_permissive_read",
-    "j1_inner_join", "j2_left_join", "j3_semi_join", "j4_large_join",
-    "j5_prefix_join", "j8_salted_join", "l2_overwrite_roundtrip",
-    "l4_merge_upsert", "p9_unpivot", "a8_cube", "a9_grouping_sets",
-    "a10_percentiles", "a11_approx_distinct", "w5_ntile_dist",
-    "a12_approx_percentile", "f1_geohash", "f2_str_replace",
-    "f3_split_extract", "t1_string_funcs", "t2_date_funcs", "t3_math_funcs",
+    "s8_manifest", "p1_project", "p2_nullif", "p3_cast",
+    "p4_filter_contains", "p5_filter_prefix", "p6_anti_join",
+    "p7_offset_window", "s9_json_roundtrip", "l3_partition_pruning",
+    "s10_permissive_read", "j1_inner_join", "j2_left_join",
+    "j3_semi_join", "j4_large_join", "j5_prefix_join", "j8_salted_join",
+    "l2_overwrite_roundtrip", "l4_merge_upsert", "p9_unpivot",
+    "a8_cube", "a9_grouping_sets", "a10_percentiles",
+    "a11_approx_distinct", "w5_ntile_dist", "a12_approx_percentile",
+    "f1_geohash", "f2_str_replace", "f3_split_extract",
+    "t1_string_funcs", "t2_date_funcs", "t3_math_funcs",
     "t4_conditional", "t8_regexp_funcs", "t9_haversine", "u1_union",
     "u2_intersect", "t7_array_funcs", "p8_pivot", "m5_decode",
     "sql1_topk_revenue", "sql2_join_chain", "sql3_correlated_subquery",
-    "sql4_in_subquery", "j6_asof_join", "j7_range_join", "st2_sliding_window",
+    "sql4_in_subquery", "j6_asof_join", "j7_range_join",
+]
+_BACKFILL = [
+    # -- driver-green keys, ordered by latest green row, oldest first.
+    # The r10+ re-check windows are drawn from here top-down, so this
+    # tail's order IS the standing re-check plan; each confirmed
+    # window re-retires to the tail (SURVEY.md §8). --
+    "st2_sliding_window",
     "st3_session_window", "t6_json_funcs", "w1_row_number",
     "w2_rank_dense_rank", "w3_agg_over_frame", "w4_lag_lead", "w6_first_last",
     "d1_drop_duplicates", "d2_fuzzy_dedup", "x1_dedup_exact",
@@ -202,6 +185,30 @@ _BACKFILL = [
     "x96_feature_hashing", "l28_dynamic_partition_overwrite",
     "a73_revenue_bridge", "a74_spatial_hotspots", "l29_scd3_dimension",
     "a75_fiscal_445_calendar",
+    # -- driver-green round 9 (retired window, CORRECTNESS_r09 50/50:
+    # the final 43 first-checks + the first 7 oldest-green re-checks
+    # the driver ran ahead of schedule — VERDICT r9 #1) --
+    "w31_series_align", "x97_soft_dedup_weights",
+    "e7_medallion_pipeline", "x98_winnow_overlap",
+    "u8_diff_column_provenance", "j25_interval_intersect_measure",
+    "g10_two_hop_reach", "j26_role_playing_dates",
+    "s26_storage_footprint_audit", "a76_markov_3step",
+    "t19_string_distance_funcs", "sql20_set_op_precedence",
+    "x99_ndcg_at_10", "x100_planted_dup_mrr",
+    "a77_forecast_interval_coverage", "x101_rendezvous_hashing",
+    "w32_hot_streak_window", "a78_anova_eta_squared",
+    "t20_array_set_algebra", "x102_prefix_filter_join",
+    "d8_sample_dedup_bias", "f16_geohash_decode", "f17_geohash_neighbors",
+    "l30_merge_idempotency", "st19_exactly_once_sink", "w33_rolling_mode",
+    "a79_alert_rule_backtest", "a80_diff_in_diff",
+    "sql21_range_tvf", "sql22_lateral_column_alias",
+    "sql23_interval_range_frame", "sql24_projected_exists",
+    "m20_integral_image", "a81_price_volume_mix", "j27_anti_range_join",
+    "m21_conv2d_stencil", "s27_rowgroup_stats_pruning", "a82_runs_test",
+    "f18_binary_encodings", "sql25_star_except", "a83_bootstrap_ci",
+    "g11_closeness_landmarks", "a84_proportional_allocation",
+    "a2_reconcile", "a4_groupby_count", "a5_household_agg",
+    "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",
 ]
 
 

@@ -783,3 +783,61 @@ def test_prefix_filter_is_complete_on_random_sets(data):
                 assert prefix(a) & prefix(b), (
                     f"qualifying pair escaped the prefix filter: {a} {b}"
                 )
+
+
+# ---------------------------------------------------------------------------
+# intmath.half_up / half_up_sql — cross-engine NaN/Inf transparency
+# (ADVICE r9: the bare floor form collapsed NaN to 0 and saturated
+# ±Inf through Spark's BIGINT floor while DuckDB propagated them; the
+# guard must make BOTH engines pass non-finite inputs through).
+# ---------------------------------------------------------------------------
+def test_half_up_nan_inf_passthrough_cross_engine(spark):
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
+
+    inf = float("inf")
+    cases = [
+        float("nan"), inf, -inf, None,
+        0.12345, -0.12345, 0.5, -0.5, 1.0000005, -1.0000005,
+        1234.56785, -1234.56785, 0.0, -0.0,
+    ]
+
+    def ref(x, d):
+        if x is None:
+            return None
+        if math.isnan(x) or math.isinf(x):
+            return x
+        return math.floor(x * 10**d + 0.5) / 10**d
+
+    for digits in (0, 4, 6):
+        df = spark.createDataFrame([(c,) for c in cases], "x double")
+        got_col = [
+            r[0] for r in df.select(half_up(F.col("x"), digits)).collect()
+        ]
+        got_sql = [
+            r[0] for r in df.selectExpr(half_up_sql("x", digits)).collect()
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {half_up_sql('x', digits)} FROM "
+                "(SELECT CAST(? AS DOUBLE) AS x)",
+                [c],
+            ).fetchone()[0]
+            for c in cases
+        ]
+        con.close()
+        want = [ref(c, digits) for c in cases]
+        for engine, got in (("spark-col", got_col), ("spark-sql", got_sql),
+                            ("duckdb", got_duck)):
+            for c, g, w in zip(cases, got, want):
+                if w is None:
+                    assert g is None, (engine, digits, c, g)
+                elif math.isnan(w):
+                    assert g is not None and math.isnan(g), (engine, digits, c, g)
+                else:
+                    assert g == w, (engine, digits, c, g, w)

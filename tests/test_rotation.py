@@ -128,23 +128,43 @@ def test_tripwire_self_deactivates_at_the_r10_flip():
     ]
 
 
-def test_r10_window_is_staged_oldest_green_first():
-    # VERDICT r8 ask #5: the r10 flip's window must be STAGED at r9
-    # close — after CORRECTNESS_r09 confirms the current window, the
-    # rotation retires it to the tail and promotes _BACKFILL[:50]
-    # (the oldest r1-era greens) as the first re-check window. This
-    # pins that staging: the head of the tail IS the oldest-green
-    # region, every key in it already carries a driver row, and the
-    # tail's round-group order is oldest-first (each retired window
-    # was appended, never prepended).
-    staged = entry_mod._BACKFILL[:50]
-    assert staged[0] == "a2_reconcile"
-    assert "s10_permissive_read" in staged
+def test_r10_window_is_the_oldest_green_recheck_block():
+    # VERDICT r9 ask #1: the executed r10 window starts at the former
+    # _BACKFILL[7] (s1_file_scan), NOT a2_reconcile — the driver's r9
+    # run already re-checked a2_reconcile … a14_stats_exact
+    # (CORRECTNESS_r09 rows 44-50), so those 7 retire to the tail and
+    # the window holds exactly the next 50 oldest greens. Every window
+    # key must already carry a driver row (this is a re-check window)
+    # and the stalest keys the r9 run just re-proved must sit at the
+    # very end of the tail (re-checked last next cycle).
+    window = entry_mod._CHECK_FIRST
+    assert len(window) == 50
+    assert window[0] == "s1_file_scan"
+    assert window[-1] == "j7_range_join"
+    # None of the 7 r9-fresh re-checks may burn an r10 slot.
+    r9_fresh = {
+        "a2_reconcile", "a4_groupby_count", "a5_household_agg",
+        "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",
+    }
+    assert not r9_fresh & set(window)
     checked = _driver_checked_keys()
-    unchecked = [k for k in staged if k not in checked]
+    unchecked = [k for k in window if k not in checked]
     assert not unchecked, (
         f"r10 re-check window holds keys with no driver row: {unchecked}"
     )
-    # Round-8's retired window sits at the very end of the tail (the
-    # newest greens are re-checked last).
-    assert entry_mod._BACKFILL[-1] == "a75_fiscal_445_calendar"
+    # The r9-retired set (43 first-checks + 7 re-checks) sits at the
+    # very end of the tail, the 7 freshest greens last.
+    assert entry_mod._BACKFILL[-1] == "a14_stats_exact"
+    assert entry_mod._BACKFILL[-7] == "a2_reconcile"
+    assert entry_mod._BACKFILL[-50] == "w31_series_align"
+
+
+def test_r11_window_is_staged_next_in_tail():
+    # The standing contract (SURVEY §8): the NEXT round's window is
+    # always the current tail head. Pin the r11 staging so the next
+    # flip stays mechanical: st2_sliding_window leads, and the first
+    # 50 tail entries all carry driver rows.
+    staged = entry_mod._BACKFILL[:50]
+    assert staged[0] == "st2_sliding_window"
+    checked = _driver_checked_keys()
+    assert all(k in checked for k in staged)

@@ -40,6 +40,11 @@ identical at sf0.001 and sf1.0; DuckDB picks these operators by rule,
 not cardinality), so the committed baseline and the pytest gate use
 sf0.001 while --time adjudication runs at sf1.0.
 
+--time runs additionally record each flagged key's measured seconds
+into ORACLE_PLAN_TIMINGS.json (VERDICT r9 #5) so budget drift is a
+diffable artifact round-over-round; the plan-only baseline and
+--check stay execution-free.
+
 Usage:
   python tools/oracle_plan_audit.py [sf_dir] [--time] [--budget SEC]
                                     [--write | --check] [key ...]
@@ -89,18 +94,29 @@ def _timed_count(
     con: duckdb.DuckDBPyConnection, sql: str, budget: float
 ) -> tuple[str, float]:
     """Run count(*) over the oracle under a wall budget; the watchdog
-    interrupts the scan so a blow-up dies in memory, not on disk."""
+    interrupts the scan so a blow-up dies in memory, not on disk.
+
+    Each timed query runs on its OWN cursor (ADVICE r9): a cursor
+    shares the parent connection's in-memory catalog (the parquet
+    views stay visible) but carries its own interrupt state, so a
+    watchdog that loses the race with fetchone() — budget expiring
+    between query end and done.set() — interrupts only this query's
+    dead cursor, never the NEXT key's query on the shared connection.
+    The watchdog also re-checks ``done`` immediately before
+    interrupting, closing the benign-but-noisy window where a
+    completed query is flagged anyway."""
+    cur = con.cursor()
     done = threading.Event()
 
     def watchdog() -> None:
-        if not done.wait(budget):
-            con.interrupt()
+        if not done.wait(budget) and not done.is_set():
+            cur.interrupt()
 
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
     t0 = time.time()
     try:
-        n = con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        n = cur.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
         return f"{n} rows", time.time() - t0
     except Exception as exc:
         msg = str(exc).splitlines()[0]
@@ -109,12 +125,38 @@ def _timed_count(
         return f"ERROR {msg}", time.time() - t0
     finally:
         done.set()
+        w.join()
+        cur.close()
 
 
 _BASELINE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "ORACLE_PLAN_INVENTORY.json",
 )
+# Sidecar (VERDICT r9 #5): measured seconds per flagged key from
+# --time runs, keyed by key -> {result, secs, sf_dir, budget}. Kept
+# OUT of the baseline so --check stays plan-only/fast; committed so
+# budget drift (keys creeping toward the 120 s ceiling, like j13's
+# 64 s / m13's 25 s at sf1.0) is visible round-over-round instead of
+# collapsing to pass/fail.
+_TIMINGS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ORACLE_PLAN_TIMINGS.json",
+)
+
+
+def _record_timings(entries: dict[str, dict], sf_dir: str, budget: float) -> None:
+    import json
+
+    try:
+        with open(_TIMINGS) as f:
+            book = json.load(f)
+    except (FileNotFoundError, ValueError):
+        book = {}
+    for key, rec in entries.items():
+        book[key] = {**rec, "sf_dir": sf_dir, "budget_s": budget}
+    with open(_TIMINGS, "w") as f:
+        json.dump(book, f, indent=1, sort_keys=True)
 
 
 def census(con: duckdb.DuckDBPyConnection, keys: list[str]) -> dict[str, list[str]]:
@@ -171,10 +213,23 @@ def main() -> int:
             return 0
         with open(_BASELINE) as f:
             baseline = json.load(f)
+        full_run = set(keys) >= set(registry.ORACLE)
         drift = []
         for k in sorted(set(current) | set(baseline)):
             if k not in keys and k not in current:
-                continue  # partial run: missing keys are not drift
+                # Partial run: a baseline key outside the requested set
+                # is not drift. On a FULL-registry run, though, a
+                # baseline key with no registered oracle is a stale
+                # entry (deleted/renamed key) the census must flag
+                # (ADVICE r9) — otherwise the committed file silently
+                # diverges from reality.
+                if full_run and k not in registry.ORACLE:
+                    drift.append(
+                        f"{k}: baseline={baseline.get(k)} but no such "
+                        "oracle is registered (deleted/renamed key — "
+                        "regenerate with --write)"
+                    )
+                continue
             if current.get(k) != baseline.get(k):
                 drift.append(
                     f"{k}: baseline={baseline.get(k)} current={current.get(k)}"
@@ -190,6 +245,7 @@ def main() -> int:
 
     n_flagged = 0
     n_bad = 0
+    timed: dict[str, dict] = {}
     for key in keys:
         sql = registry.ORACLE.get(key)
         if sql is None:
@@ -210,10 +266,14 @@ def main() -> int:
             result, secs = _timed_count(con, sql, budget)
             ok = not (result.startswith("TIMEOUT") or result.startswith("ERROR"))
             n_bad += int(not ok)
+            timed[key] = {"result": result, "secs": round(secs, 2)}
             tag = "ok  " if ok else "FAIL"
             print(f"{tag} {key}: [{opstr}] -> {result} in {secs:.2f} s")
         else:
             print(f"flag {key}: [{opstr}]")
+    if timed:
+        _record_timings(timed, sf_dir, budget)
+        print(f"recorded {len(timed)} timings to {_TIMINGS}")
 
     print(
         f"\n{n_flagged}/{len(keys)} oracles carry non-equi join operators; "

@@ -15,12 +15,35 @@ Selection rationale, by defect class observed at sf1.0:
 - dedup/ANN/graph keys whose pair spaces or fixpoints grow at 10x
 - stats keys whose test statistics concentrate (ties/overflow) at 10x
 
+Carve-out (VERDICT r9 #4): d2_fuzzy_dedup's deliberately brute-force
+oracle is the registry's costliest at sf1.0 — ~450M in-block
+levenshteins (bounded, no non-equi operator; r9 measured ~570 s
+single-thread-pinned, r10 re-measure after the row-group layout fix:
+155 s wall / 10.1 min CPU) — and its cost is pure pair VOLUME, which
+no sound prefilter can cut on this data (every c_name is fixed-length
+with the constant prefix 'Customer#', so length-band, prefix-half and
+suffix-half pigeonhole filters are all vacuously true; see SCALE.md
+r10). The battery therefore checks d2 at sf0.5 (same algorithm both
+sides, no scale-dependent branch, ~1/4 the pairs — 82 s wall
+measured), with the full sf1.0 d2 check re-run only when dedup
+blocking code changes. CARVED_OUT prints with --carved; the default
+list omits those keys.
+
 Usage:
-  python tools/sf1_battery.py                      # print the keys
+  python tools/sf1_battery.py          # print the main battery keys
   python tools/sf1_battery.py | xargs python tools/driver_sim.py /tmp/sf1.0
+  python tools/sf1_battery.py --carved | xargs python tools/driver_sim.py /tmp/sf0.5
+  (build /tmp/sf0.5 once: python tools/sf_generate.py /tmp/sf0.5 0.5)
 """
 
 from __future__ import annotations
+
+import sys
+
+# key -> the sf dir the carve-out runs at (and why it is sound there).
+CARVED_OUT = {
+    "d2_fuzzy_dedup": "/tmp/sf0.5",
+}
 
 BATTERY = [
     # money / decimal->double conversion class (a4 find)
@@ -66,6 +89,10 @@ BATTERY = [
 ]
 
 assert len(BATTERY) == len(set(BATTERY)), "duplicate battery key"
+assert set(CARVED_OUT) <= set(BATTERY), "carve-out key not in battery"
 
 if __name__ == "__main__":
-    print("\n".join(BATTERY))
+    if "--carved" in sys.argv:
+        print("\n".join(CARVED_OUT))
+    else:
+        print("\n".join(k for k in BATTERY if k not in CARVED_OUT))

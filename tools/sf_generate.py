@@ -24,7 +24,9 @@ files, so distribution differences vs the driver's generator do not
 weaken the parity check — only domain plausibility matters, which is
 what the mimicry preserves.
 
-Usage: python tools/sf_generate.py [target_dir]   (default /tmp/sf1.0)
+Usage: python tools/sf_generate.py [target_dir] [scale]
+(defaults: /tmp/sf1.0, scale 1.0; `tools/sf_generate.py /tmp/sf0.5
+0.5` builds the d2 carve-out set — VERDICT r9 #4)
 """
 
 from __future__ import annotations
@@ -105,11 +107,22 @@ def _write_single(df, out_dir: str, name: str) -> None:
         _regroup(dest, _ROW_GROUP_ROWS[name])
 
 
-def generate(spark, out_dir: str) -> None:
+def generate(spark, out_dir: str, scale: float = 1.0) -> None:
     # The driver's files store TIMESTAMP(MICROS); Spark 4 defaults to
     # nanos for NTZ — pin micros so sf1.0 exercises the same physical
     # type every consumer (and normalize_events_ts) sees at sf0.1.
+    #
+    # ``scale`` multiplies the TPC-H-ish row counts (sf0.5 = half of
+    # sf1.0; used for the d2 battery carve-out, VERDICT r9 #4).
+    # region/nation are fixed dimensions and documents/embeddings come
+    # from scale_probe at its own fixed probe size regardless of
+    # ``scale`` — the carve-out consumers only read the scaled facts.
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    n_customer = max(1, int(N_CUSTOMER * scale))
+    n_supplier = max(1, int(N_SUPPLIER * scale))
+    n_part = max(1, int(N_PART * scale))
+    n_orders = max(1, int(N_ORDERS * scale))
+    n_events = max(1, int(N_EVENTS * scale))
     os.makedirs(out_dir, exist_ok=True)
     for name in ("region", "nation"):
         shutil.copyfile(
@@ -119,7 +132,7 @@ def generate(spark, out_dir: str) -> None:
 
     ids = lambda n: spark.range(n).repartition(32)  # noqa: E731
 
-    customer = ids(N_CUSTOMER).select(
+    customer = ids(n_customer).select(
         F.col("id").alias("c_custkey"),
         F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
         F.pmod(F.xxhash64("id", F.lit(1)), F.lit(25)).cast("int").alias("c_nationkey"),
@@ -128,7 +141,7 @@ def generate(spark, out_dir: str) -> None:
     )
     _write_single(customer, out_dir, "customer")
 
-    supplier = ids(N_SUPPLIER).select(
+    supplier = ids(n_supplier).select(
         F.col("id").alias("s_suppkey"),
         F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
         F.pmod(F.xxhash64("id", F.lit(4)), F.lit(25)).cast("int").alias("s_nationkey"),
@@ -136,7 +149,7 @@ def generate(spark, out_dir: str) -> None:
     )
     _write_single(supplier, out_dir, "supplier")
 
-    part = ids(N_PART).select(
+    part = ids(n_part).select(
         F.col("id").alias("p_partkey"),
         F.concat_ws(" ", _pick(_ADJ, "id", F.lit(6)), _pick(_NOUN, "id", F.lit(7))).alias("p_name"),
         F.concat(F.lit("Brand#"), (F.pmod(F.xxhash64("id", F.lit(8)), F.lit(25)) + 1).cast("string")).alias("p_brand"),
@@ -147,9 +160,9 @@ def generate(spark, out_dir: str) -> None:
     _write_single(part, out_dir, "part")
 
     date0 = F.to_timestamp(F.lit("1995-01-01"))
-    orders = ids(N_ORDERS).select(
+    orders = ids(n_orders).select(
         F.col("id").alias("o_orderkey"),
-        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(N_CUSTOMER)).alias("o_custkey"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_customer)).alias("o_custkey"),
         _pick(_STATUSES, "id", F.lit(12)).alias("o_orderstatus"),
         _u(1000.0, 500000.0, "id", F.lit(13)).alias("o_totalprice"),
         (date0 + F.make_dt_interval(F.pmod(F.xxhash64("id", F.lit(14)), F.lit(2405)))).cast("timestamp_ntz").alias("o_orderdate"),
@@ -158,7 +171,7 @@ def generate(spark, out_dir: str) -> None:
     _write_single(orders, out_dir, "orders")
 
     li = (
-        ids(N_ORDERS)
+        ids(n_orders)
         .select(
             F.col("id").alias("l_orderkey"),
             (date0 + F.make_dt_interval(F.pmod(F.xxhash64("id", F.lit(14)), F.lit(2405)))).alias("_odate"),
@@ -168,8 +181,8 @@ def generate(spark, out_dir: str) -> None:
         )
         .select(
             "l_orderkey",
-            F.pmod(F.xxhash64("l_orderkey", "i", F.lit(17)), F.lit(N_PART)).alias("l_partkey"),
-            F.pmod(F.xxhash64("l_orderkey", "i", F.lit(18)), F.lit(N_SUPPLIER)).alias("l_suppkey"),
+            F.pmod(F.xxhash64("l_orderkey", "i", F.lit(17)), F.lit(n_part)).alias("l_partkey"),
+            F.pmod(F.xxhash64("l_orderkey", "i", F.lit(18)), F.lit(n_supplier)).alias("l_suppkey"),
             (F.pmod(F.xxhash64("l_orderkey", "i", F.lit(19)), F.lit(7)) + 1).cast("int").alias("l_linenumber"),
             (F.pmod(F.xxhash64("l_orderkey", "i", F.lit(20)), F.lit(50)) + 1).cast("double").alias("l_quantity"),
             _u(900.0, 105000.0, "l_orderkey", "i", F.lit(21)).alias("l_extendedprice"),
@@ -183,7 +196,7 @@ def generate(spark, out_dir: str) -> None:
     _write_single(li, out_dir, "lineitem")
 
     ts0 = F.to_timestamp(F.lit("2024-01-01"))
-    events = ids(N_EVENTS).select(
+    events = ids(n_events).select(
         F.col("id").alias("event_id"),
         (
             ts0
@@ -194,7 +207,7 @@ def generate(spark, out_dir: str) -> None:
                 F.pmod(F.xxhash64("id", F.lit(27)), F.lit(30 * 86_400 * 1_000_000)) / 1_000_000.0,
             )
         ).cast("timestamp_ntz").alias("ts"),
-        F.pmod(F.xxhash64("id", F.lit(28)), F.lit(N_CUSTOMER // 10)).alias("user_id"),
+        F.pmod(F.xxhash64("id", F.lit(28)), F.lit(n_customer // 10)).alias("user_id"),
         _pick(_EVENT_TYPES, "id", F.lit(29)).alias("event_type"),
         _u(0.0, 560.21, "id", F.lit(30)).alias("value"),
         F.concat(F.lit('{"k": '), F.pmod(F.xxhash64("id", F.lit(31)), F.lit(100)).cast("string"), F.lit("}")).alias("props"),
@@ -220,6 +233,11 @@ def generate(spark, out_dir: str) -> None:
             shutil.rmtree(path)
             os.replace(os.path.join(tmp, part), path)
             shutil.rmtree(tmp)
+        # Outside the isdir branch (ADVICE r9): the row-group split is
+        # a property of the FILE, not of how scale_probe laid it out —
+        # a single-file write must still be re-chunked for DuckDB's
+        # per-row-group scan parallelism. Guarded like _write_single.
+        if name in _ROW_GROUP_ROWS:
             _regroup(path, _ROW_GROUP_ROWS[name])
 
 
@@ -227,8 +245,9 @@ def main() -> None:
     from voter_file_etl_spark.session import get_spark
 
     target = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
+    scale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     spark = get_spark("sf_generate")
-    generate(spark, target)
+    generate(spark, target, scale)
     for f in sorted(os.listdir(target)):
         p = os.path.join(target, f)
         if os.path.isfile(p):

@@ -33,9 +33,28 @@ def half_up(col: Column, digits: int) -> Column:
     correlation, percentiles, logs, z-scores, rates) are orders of
     magnitude inside that; UNBOUNDED money sums must instead use the
     a4 exact-integer pipeline (plans/aggregates.py).
+
+    NaN/Inf transparency (ADVICE r9): the bare floor form diverges
+    cross-engine on non-finite inputs — Spark's floor(double) returns
+    BIGINT, collapsing NaN to 0 and saturating ±Inf to ±(2^63-1),
+    while DuckDB's floor stays DOUBLE and propagates them. Both
+    builders therefore guard with the SAME dialect-neutral predicate
+    (isnan OR |x| = Inf → pass x through untouched), so
+    half_up(NaN) = NaN and half_up(±Inf) = ±Inf on BOTH engines.
+    NULL flows through the ELSE branch to NULL on both. The repeated
+    references to ``col`` inside one projection are collapsed by
+    subexpression elimination in both engines (Spark:
+    spark.sql.subexpressionElimination.enabled, on by default inside
+    whole-stage codegen; DuckDB: expression CSE) — this is NOT the
+    cross-projection re-inline hazard the let-binding idiom exists
+    for. Cross-engine passthrough is pinned in
+    tests/test_properties.py.
     """
     scale = float(10**digits)
-    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    rounded = F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+    return F.when(
+        F.isnan(col) | (F.abs(col) == F.lit(float("inf"))), col
+    ).otherwise(rounded)
 
 
 def half_up_sql(expr: str, digits: int) -> str:
@@ -44,9 +63,17 @@ def half_up_sql(expr: str, digits: int) -> str:
     (selectExpr). The CAST keeps Spark's output DOUBLE: Spark parses
     the ``{scale}.0`` literal as DECIMAL and its floor() returns
     BIGINT, so without it the division would emit DECIMAL strings
-    ('0.785714000') that hash-mismatch DuckDB's float64."""
+    ('0.785714000') that hash-mismatch DuckDB's float64. Carries the
+    same NaN/Inf passthrough guard as :func:`half_up` (see its
+    docstring); ``isnan`` and ``CAST('Infinity' AS DOUBLE)`` parse
+    identically in both dialects."""
     scale = 10**digits
-    return f"(CAST(floor(({expr}) * {scale}.0 + 0.5) AS DOUBLE) / {scale}.0)"
+    rounded = f"(CAST(floor(({expr}) * {scale}.0 + 0.5) AS DOUBLE) / {scale}.0)"
+    return (
+        f"(CASE WHEN isnan(CAST(({expr}) AS DOUBLE)) "
+        f"OR abs(CAST(({expr}) AS DOUBLE)) = CAST('Infinity' AS DOUBLE) "
+        f"THEN CAST(({expr}) AS DOUBLE) ELSE {rounded} END)"
+    )
 
 
 def floor_div_sql(num: str, den: str, div: str) -> str:

@@ -878,7 +878,11 @@ def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Let-bound containment ratio (see x2/x4): one array_intersect
     # per candidate pair instead of three (two output references +
-    # the filter's re-inline).
+    # the filter's re-inline). The RAW ratio is bound first and
+    # half_up applied to the lambda variable, so the guard's repeated
+    # operand references (NaN/Inf passthrough CASE) repeat a cheap
+    # bound scalar, not the array_intersect.
+    hu = half_up_sql("r", 6)
     return (
         f_side.join(p_side, "pfx")
         .selectExpr(
@@ -888,11 +892,9 @@ def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (floor/mul/add), so the same text serves Spark SQL here
             # and DuckDB in the oracle (x34's tie class).
             "inline(transform(array("
-            + half_up_sql(
-                "cast(size(array_intersect(fg, pg)) as double) / size(fg)", 6
-            )
-            + "), c -> named_struct("
-            "'containment', c, 'is_contained', c >= 0.5d)))",
+            "cast(size(array_intersect(fg, pg)) as double) / size(fg)"
+            f"), r -> named_struct("
+            f"'containment', {hu}, 'is_contained', {hu} >= 0.5d)))",
         )
         .filter(F.col("containment") >= _CONTAIN_MIN)
     )

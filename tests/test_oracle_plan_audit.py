@@ -65,6 +65,38 @@ def test_full_registry_census_matches_baseline():
     assert proc.returncode == 0, proc.stdout + proc.stderr
 
 
+def test_timing_drift_comparator():
+    # Pure gate behind --time-drift (VERDICT r10 ask #6): >3x growth
+    # drifts, sub-floor churn doesn't, a fresh TIMEOUT on a
+    # previously-bounded key always drifts, keys absent from either
+    # side are ignored (partial runs are legal).
+    from tools.oracle_plan_audit import timing_drift_lines
+
+    old = {
+        "a": {"result": "10 rows", "secs": 5.0, "budget_s": 120},
+        "b": {"result": "10 rows", "secs": 0.1},
+        "c": {"result": "10 rows", "secs": 2.0},
+        "d": {"result": "10 rows", "secs": 4.0},
+        "only_old": {"result": "1 rows", "secs": 1.0},
+    }
+    new = {
+        "a": {"result": "10 rows", "secs": 20.0},      # 4x — drift
+        "b": {"result": "10 rows", "secs": 0.5},       # 5x but sub-floor
+        "c": {"result": "TIMEOUT >120s", "secs": 120}, # bounded->timeout
+        "d": {"result": "10 rows", "secs": 8.0},       # 2x — fine
+        "only_new": {"result": "1 rows", "secs": 99.0},
+    }
+    lines = timing_drift_lines(old, new)
+    flagged = {ln.split(":")[0] for ln in lines}
+    assert flagged == {"a", "c"}, lines
+    # The floor applies to either side: 0.1 -> 0.5 s is noise, but
+    # 0.4 -> 2.0 s (crosses the floor) is real 5x growth.
+    assert timing_drift_lines(
+        {"e": {"result": "1 rows", "secs": 0.4}},
+        {"e": {"result": "1 rows", "secs": 2.0}},
+    )
+
+
 @pytest.mark.parametrize("key", ["j27_anti_range_join", "j13_band_join"])
 def test_r9_finds_stay_fixed(con, key):
     # Regression pins for the two r9 audit finds: j27's oracle is now

@@ -84,3 +84,101 @@ def test_already_rotated_state_is_named():
     history = [(9, {"t3": _g(), "t4": _g()})]
     plan = plan_rotation(["w1", "w2"], ["t1", "t2", "t3", "t4"], history, 2)
     assert "refuse" in plan and "already" in plan["refuse"]
+
+
+# ---------------------------------------------------------------------------
+# --write path (VERDICT r10 ask #3): pure text rewrite + temp-copy apply.
+# ---------------------------------------------------------------------------
+
+from tools.rotate_window import (  # noqa: E402
+    apply_write, pins_payload, rewrite_entry_text,
+)
+
+_ENTRY_SRC = '''"""synthetic entry module for the write-path tests."""
+
+_CHECK_FIRST = [
+    # old window comment (replaced wholesale by the flip)
+    "w1", "w2",
+]
+_BACKFILL = [
+    # -- oldest greens, promoted first --
+    "t1",
+    "t2", "t3",
+    # -- driver-green round 8 (retired window) --
+    "t4", "t5",
+]
+'''
+
+
+def _exec_lists(src: str) -> tuple[list, list]:
+    ns: dict = {}
+    exec(src, ns)
+    return ns["_CHECK_FIRST"], ns["_BACKFILL"]
+
+
+def _happy_plan():
+    history = [(9, {"w1": _g(), "w2": _g()})]
+    return plan_rotation(
+        ["w1", "w2"], ["t1", "t2", "t3", "t4", "t5"], history, window_n=2
+    )
+
+
+def test_rewrite_entry_text_applies_the_flip():
+    out = rewrite_entry_text(_ENTRY_SRC, _happy_plan(), 2)
+    head, tail = _exec_lists(out)
+    assert head == ["t1", "t2"]
+    assert tail == ["t3", "t4", "t5", "w1", "w2"]
+    # Historical section comments survive; the new appendix is marked.
+    assert "driver-green round 8" in out
+    assert "driver-green round 9 (retired window, CORRECTNESS_r09 2/2)" in out
+    # The module around the lists is untouched.
+    assert out.startswith('"""synthetic entry module')
+
+
+def test_rewrite_drops_emptied_section_comments():
+    # Promote the whole first section: its banner must not dangle.
+    history = [(9, {"w1": _g(), "w2": _g()})]
+    plan = plan_rotation(
+        ["w1", "w2"], ["t1", "t2", "t3", "t4", "t5"], history, window_n=3
+    )
+    out = rewrite_entry_text(_ENTRY_SRC, plan, 3)
+    head, tail = _exec_lists(out)
+    assert head == ["t1", "t2", "t3"]
+    assert tail == ["t4", "t5", "w1", "w2"]
+    assert "oldest greens, promoted first" not in out
+
+
+def test_rewrite_refuses_on_drifted_backfill():
+    # A source _BACKFILL that no longer matches the plan's tail input
+    # (hand edit between plan and write) must refuse, not mangle.
+    import pytest
+
+    drifted = _ENTRY_SRC.replace('"t3",', '"t3", "zz_new",')
+    with pytest.raises(ValueError, match="diverges"):
+        rewrite_entry_text(drifted, _happy_plan(), 2)
+
+
+def test_pins_payload_anchors():
+    pins = pins_payload(_happy_plan(), total_keys=7, window_n=2)
+    assert pins == {
+        "confirmed_round": 9,
+        "window_len": 2,
+        "window_head": "t1",
+        "window_tail": "t2",
+        "backfill_last": "w2",
+        "staged_next_head": "t3",
+        "total_keys": 7,
+    }
+
+
+def test_apply_write_on_temp_copy(tmp_path):
+    import json
+
+    (tmp_path / "tests").mkdir()
+    (tmp_path / "__spark_entry__.py").write_text(_ENTRY_SRC)
+    rc = apply_write(_happy_plan(), 2, run_gates=False, repo=str(tmp_path))
+    assert rc == 0
+    head, tail = _exec_lists((tmp_path / "__spark_entry__.py").read_text())
+    assert head == ["t1", "t2"] and tail[-2:] == ["w1", "w2"]
+    pins = json.loads((tmp_path / "tests" / "rotation_pins.json").read_text())
+    assert pins["window_head"] == "t1" and pins["total_keys"] == 7

@@ -128,43 +128,71 @@ def test_tripwire_self_deactivates_at_the_r10_flip():
     ]
 
 
-def test_r10_window_is_the_oldest_green_recheck_block():
-    # VERDICT r9 ask #1: the executed r10 window starts at the former
-    # _BACKFILL[7] (s1_file_scan), NOT a2_reconcile — the driver's r9
-    # run already re-checked a2_reconcile … a14_stats_exact
-    # (CORRECTNESS_r09 rows 44-50), so those 7 retire to the tail and
-    # the window holds exactly the next 50 oldest greens. Every window
-    # key must already carry a driver row (this is a re-check window)
-    # and the stalest keys the r9 run just re-proved must sit at the
-    # very end of the tail (re-checked last next cycle).
+def _pins() -> dict:
+    """Flip anchors written by tools/rotate_window.py --write.
+
+    The pins derive from the driver's CORRECTNESS files (plan input),
+    the entry lists from the tool's text rewrite (plan output) — these
+    tests assert the two agree, so a garbled write or a hand edit to
+    either side fails the suite.
+    """
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "tests", "rotation_pins.json")) as f:
+        return json.load(f)
+
+
+def test_current_window_matches_flip_pins():
+    pins = _pins()
     window = entry_mod._CHECK_FIRST
-    assert len(window) == 50
-    assert window[0] == "s1_file_scan"
-    assert window[-1] == "j7_range_join"
-    # None of the 7 r9-fresh re-checks may burn an r10 slot.
-    r9_fresh = {
-        "a2_reconcile", "a4_groupby_count", "a5_household_agg",
-        "a6_multi_distinct", "a7_rollup", "a13_argmax", "a14_stats_exact",
-    }
-    assert not r9_fresh & set(window)
+    assert len(window) == pins["window_len"]
+    assert window[0] == pins["window_head"]
+    assert window[-1] == pins["window_tail"]
+    # Re-check window: every key must already carry a driver row.
     checked = _driver_checked_keys()
     unchecked = [k for k in window if k not in checked]
     assert not unchecked, (
-        f"r10 re-check window holds keys with no driver row: {unchecked}"
+        f"re-check window holds keys with no driver row: {unchecked}"
     )
-    # The r9-retired set (43 first-checks + 7 re-checks) sits at the
-    # very end of the tail, the 7 freshest greens last.
-    assert entry_mod._BACKFILL[-1] == "a14_stats_exact"
-    assert entry_mod._BACKFILL[-7] == "a2_reconcile"
-    assert entry_mod._BACKFILL[-50] == "w31_series_align"
+    # The confirmed round's retired set sits at the very end of the
+    # tail (re-checked last next cycle).
+    assert entry_mod._BACKFILL[-1] == pins["backfill_last"]
+    assert len(window) + len(entry_mod._BACKFILL) == pins["total_keys"]
 
 
-def test_r11_window_is_staged_next_in_tail():
+def test_window_burns_no_slot_on_fresh_rechecks():
+    # Independent of the tool: read the confirmed round's CORRECTNESS
+    # file directly — nothing the driver just proved green may occupy
+    # a slot in the next window (the r9/r10 off-by-7 class).
+    import glob
+    import json
+
+    pins = _pins()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(
+        repo, f"CORRECTNESS_r{pins['confirmed_round']:02d}.json"
+    )
+    fresh = set(json.load(open(path)))
+    burned = fresh & set(entry_mod._CHECK_FIRST)
+    assert not burned, (
+        f"window burns slots on keys r{pins['confirmed_round']} just "
+        f"proved green: {sorted(burned)}"
+    )
+    # Rounds after the confirmed one would mean the flip is overdue.
+    newer = [
+        f for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if int(f.rsplit("_r", 1)[1][:-5]) > pins["confirmed_round"]
+    ]
+    assert not newer, f"flip overdue — newer driver rounds exist: {newer}"
+
+
+def test_next_window_is_staged_at_tail_head():
     # The standing contract (SURVEY §8): the NEXT round's window is
-    # always the current tail head. Pin the r11 staging so the next
-    # flip stays mechanical: st2_sliding_window leads, and the first
-    # 50 tail entries all carry driver rows.
-    staged = entry_mod._BACKFILL[:50]
-    assert staged[0] == "st2_sliding_window"
+    # always the current tail head, and every staged key already
+    # carries a driver row.
+    pins = _pins()
+    staged = entry_mod._BACKFILL[: pins["window_len"]]
+    assert staged[0] == pins["staged_next_head"]
     checked = _driver_checked_keys()
     assert all(k in checked for k in staged)

@@ -1,5 +1,7 @@
 """BroadcastNestedLoopJoin build-side boundedness audit (r8).
 
+[standing-gate] — per-round battery (plan-structure gates).
+
 The plan census (tools/plan_inventory.py) counts 81
 BroadcastNestedLoopJoinExec sites across the registry's static plans.
 A BNLJ is the right plan for a theta join against a BOUNDED side

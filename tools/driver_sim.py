@@ -1,5 +1,7 @@
 """Strict driver-style correctness simulator.
 
+[standing-gate] — per-round battery (README §battery).
+
 The grading driver materializes BOTH sides as pandas DataFrames
 (Spark ``.toPandas()``-equivalent, DuckDB ``.df()``), sorts columns by
 name, sorts rows by all columns, and hashes cell values.  That hash is

@@ -1,5 +1,7 @@
 """Duplicate-skew probe for the dedup family (r8).
 
+[archival-probe] — r8 duplicate-skew adjudication; re-run only if the dedup pair-emission posture changes.
+
 SCALE.md's duplicate-skew posture note claims three measurable
 things about a corpus where a large share of documents is
 byte-identical (the crawl-data regime that killed m14's banding):

@@ -1,5 +1,7 @@
 """Measured evidence for run_load's cross-state lanes (round 6).
 
+[archival-probe] — r6 load-lane adjudication; re-run only if run_load's lane scheduling changes.
+
 Builds a 12-state load (10x e1's 3-state fixture volume: 600k rows
 total, distributed TSV generation, one partitionBy write) and runs
 the identical §3.1 pipeline twice — _STATE_LANES=1 (the old

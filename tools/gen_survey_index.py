@@ -1,5 +1,7 @@
 """Regenerate SURVEY.md §8 (implementation index) from the registry.
 
+[standing-gate] — standing tool (run on any registry change).
+
 Run after adding/removing query keys:  python tools/gen_survey_index.py
 """
 

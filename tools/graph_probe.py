@@ -1,5 +1,7 @@
 """sf1.0 scale probe for the graph family (VERDICT r5 #6).
 
+[archival-probe] — r5 graph-family sf1.0 adjudication; re-run only if the g-family fixpoints change.
+
 Two synthetic lineitem tables, both 6M rows (10x the sf0.1 bench
 scale, TPC-H sf1.0 shape: 1.5M orders x 4 items, 200k-part domain),
 generated with Spark expressions — hash-derived, seed-free, fully

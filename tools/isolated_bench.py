@@ -1,5 +1,7 @@
 """Measure single query keys as fully independent cold jobs.
 
+[standing-gate] — on-demand standing tool (BENCH.md per-key adjudication).
+
 Each key runs in its OWN subprocess with a fresh SparkSession and the
 exact bench.py protocol (JVM warm-up action, one unmeasured warm-up
 execution of the plan, clearCache, timed noop-sink execution), so the

@@ -1,5 +1,7 @@
 """sf1.0 scale probe for the multimodal family (VERDICT r6 ask #4).
 
+[archival-probe] — r6 m-family sf1.0 adjudication; re-run only if the decode/batch plumbing changes.
+
 The m family was the only top-cost family with no 10x scaling table
 (m14's linearity was known; the conv2d / integral-image / tile keys
 were not probed). This probe reuses the scale_probe sf1.0 generator

@@ -1,5 +1,7 @@
 """Oracle-side physical-plan audit (VERDICT r8 ask #4).
 
+[standing-gate] — per-round battery (--check, --time on drift).
+
 a45 (r8) proved that ORACLES HAVE PLANS TOO: DuckDB chose an
 IEJoin-first order for a45's funnel oracle — clicks x purchases on
 pure inequality, ~2e10 intermediate rows — and filled the disk at
@@ -45,9 +47,18 @@ into ORACLE_PLAN_TIMINGS.json (VERDICT r9 #5) so budget drift is a
 diffable artifact round-over-round; the plan-only baseline and
 --check stay execution-free.
 
+--time-drift (VERDICT r10 ask #6) watches the sidecar for DRIFT, not
+just bounds: with --check it re-measures every flagged key the
+committed sidecar covers at the same sf_dir (read-only — the sidecar
+is only rewritten by --time) and exits 1 if any grew >3x (the r9
+single-row-group class surfaced this way: seconds explode long
+before the 120 s budget trips); with --time it additionally makes
+any printed drift fatal instead of informational.
+
 Usage:
   python tools/oracle_plan_audit.py [sf_dir] [--time] [--budget SEC]
-                                    [--write | --check] [key ...]
+                                    [--write | --check] [--time-drift]
+                                    [key ...]
 
 Defaults: sf_dir=/tmp/sf1.0 (tools/sf_generate.py output), all
 registered oracles, budget 120 s per flagged key.
@@ -159,6 +170,38 @@ def _record_timings(entries: dict[str, dict], sf_dir: str, budget: float) -> Non
         json.dump(book, f, indent=1, sort_keys=True)
 
 
+def timing_drift_lines(
+    old: dict[str, dict],
+    new: dict[str, dict],
+    factor: float = 3.0,
+    floor: float = 1.0,
+) -> list[str]:
+    """Pure comparator for the --time-drift gate (VERDICT r10 ask #6).
+
+    Flags keys whose fresh measurement grew > ``factor``x over the
+    committed sidecar entry — the r9 single-row-group class, where a
+    layout regression serialized the oracle and its seconds exploded
+    long before the 120 s budget tripped. Sub-second churn is noise,
+    so a pair only drifts when either side is >= ``floor`` seconds.
+    A fresh TIMEOUT/ERROR on a previously-bounded key always drifts.
+    """
+    lines: list[str] = []
+    for k in sorted(set(old) & set(new)):
+        o, n = old[k], new[k]
+        o_ok = not str(o.get("result", "")).startswith(("TIMEOUT", "ERROR"))
+        n_ok = not str(n.get("result", "")).startswith(("TIMEOUT", "ERROR"))
+        if o_ok and not n_ok:
+            lines.append(f"{k}: was {o['secs']} s, now {n['result']}")
+            continue
+        o_s, n_s = float(o.get("secs", 0)), float(n.get("secs", 0))
+        if max(o_s, n_s) >= floor and o_s > 0 and n_s / o_s > factor:
+            lines.append(
+                f"{k}: {o_s} -> {n_s} s ({n_s / o_s:.1f}x, budget "
+                f"{n.get('budget_s', o.get('budget_s', '?'))} s)"
+            )
+    return lines
+
+
 def census(con: duckdb.DuckDBPyConnection, keys: list[str]) -> dict[str, list[str]]:
     """{key: sorted unique non-equi ops} for every key whose oracle
     carries at least one."""
@@ -184,6 +227,9 @@ def main() -> int:
     do_check = "--check" in args
     if do_check:
         args.remove("--check")
+    do_time_drift = "--time-drift" in args
+    if do_time_drift:
+        args.remove("--time-drift")
     budget = 120.0
     if "--budget" in args:
         i = args.index("--budget")
@@ -195,6 +241,12 @@ def main() -> int:
         args = args[1:]
 
     registry.load_all()
+    # Full-run detection keys off whether the USER restricted the key
+    # set (ADVICE r10 #2), not off a comparison against ORACLE — the
+    # default list is QUERIES ∩ ORACLE, so a stale oracle registered
+    # for a key absent from QUERIES would otherwise silently disable
+    # the stale-baseline detection on every default run.
+    explicit_keys = bool(args)
     keys = args or [k for k in registry.QUERIES if k in registry.ORACLE]
 
     con = duckdb.connect()
@@ -213,7 +265,7 @@ def main() -> int:
             return 0
         with open(_BASELINE) as f:
             baseline = json.load(f)
-        full_run = set(keys) >= set(registry.ORACLE)
+        full_run = not explicit_keys
         drift = []
         for k in sorted(set(current) | set(baseline)):
             if k not in keys and k not in current:
@@ -241,6 +293,42 @@ def main() -> int:
                 print("  " + line)
             return 1
         print(f"oracle census clean: {len(current)} flagged keys match baseline")
+        if do_time_drift:
+            # Read-only timing drift pass (VERDICT r10 ask #6):
+            # re-measure every flagged key the committed sidecar has an
+            # entry for AT THE SAME sf_dir and flag >3x growth. Does
+            # NOT update the sidecar — a drift must be adjudicated and
+            # re-recorded with an explicit --time run.
+            try:
+                with open(_TIMINGS) as f:
+                    book = json.load(f)
+            except (FileNotFoundError, ValueError):
+                print("no committed timings sidecar — run --time first")
+                return 1
+            old = {
+                k: rec for k, rec in book.items()
+                if k in current and k in keys
+                and rec.get("sf_dir") == sf_dir
+            }
+            fresh: dict[str, dict] = {}
+            for k in sorted(old):
+                result, secs = _timed_count(con, registry.ORACLE[k], budget)
+                fresh[k] = {"result": result, "secs": round(secs, 2)}
+            drift_t = timing_drift_lines(old, fresh)
+            if drift_t:
+                print("oracle timing drift (>3x vs committed sidecar —")
+                print("adjudicate, then re-record with --time):")
+                for line in drift_t:
+                    print("  " + line)
+                return 1
+            worst = max(
+                fresh.values(), key=lambda r: r["secs"], default=None
+            )
+            print(
+                f"timing drift clean: {len(fresh)}/{len(old)} sidecar keys "
+                f"re-measured within 3x at {sf_dir}"
+                + (f" (worst {worst['secs']} s)" if worst else "")
+            )
         return 0
 
     n_flagged = 0
@@ -272,6 +360,20 @@ def main() -> int:
         else:
             print(f"flag {key}: [{opstr}]")
     if timed:
+        import json
+
+        try:
+            with open(_TIMINGS) as f:
+                prior = {
+                    k: r for k, r in json.load(f).items()
+                    if r.get("sf_dir") == sf_dir
+                }
+        except (FileNotFoundError, ValueError):
+            prior = {}
+        for line in timing_drift_lines(prior, timed):
+            print("drift " + line)
+            if do_time_drift:
+                n_bad += 1
         _record_timings(timed, sf_dir, budget)
         print(f"recorded {len(timed)} timings to {_TIMINGS}")
 

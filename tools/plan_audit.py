@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Dump the physical plans of representative queries to PLANS.md.
 
+[standing-gate] — standing tool (regenerates PLANS.md when plans change).
+
 The audit trail behind SCALE.md: for each plan-shape family, the
 actual `explain("formatted")` output at sf0.1, with the properties
 the engine relies on (PushedFilters, pruned ReadSchema,

@@ -1,5 +1,7 @@
 """Registry-wide physical-plan inventory + drift gate (r8).
 
+[standing-gate] — per-round battery (--check drift gate).
+
 Every scale posture this repo argues for — broadcast the dimension,
 one shuffle per window family, dedup via buckets never pairs, no
 driver loops — is ultimately a statement about which PHYSICAL nodes a

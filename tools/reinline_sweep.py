@@ -1,5 +1,7 @@
 """Registry-wide sweep for re-inlined expensive expressions (r7).
 
+[standing-gate] — per-round battery (plan-structure gates).
+
 Catalyst's CollapseProject + SimplifyExtractValueOps substitute a
 projected alias's defining expression into every reference — so an
 expensive expression (regexp, digest, set intersection, edit

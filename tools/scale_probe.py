@@ -1,5 +1,7 @@
 """sf1.0 scale probe for the dedup/ANN families (VERDICT r4 #6).
 
+[archival-probe] — r4 dedup/ANN sf1.0 adjudication; superseded by sf1_battery for per-round use.
+
 Generates sf1.0-scale `documents` (50k rows, 10x sf0.1) and
 `embeddings` (20k rows) parquet deterministically — same schemas and
 row-size distributions as the driver testdata, synthesized with Spark

@@ -1,5 +1,7 @@
 """The sf1.0 scale-critical battery (VERDICT r8 ask #6).
 
+[standing-gate] — per-round battery (README §battery).
+
 r8's full-registry sf1.0 replay caught five real at-scale defects;
 the curated subset below is the STANDING close gate — cheap enough to
 run every round, targeted at the defect classes the replay actually

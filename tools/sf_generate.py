@@ -1,5 +1,7 @@
 """Full-schema sf1.0 testdata generator (r8).
 
+[standing-gate] — per-round battery (sf1.0/sf0.5 replays).
+
 The driver generates sf{0.001,0.01,0.1}; the family scale probes
 (scale_probe/multimodal_probe/stream_scale_probe) generate documents/
 embeddings/events at 10x. This tool completes the set: ALL TEN tables
@@ -207,7 +209,12 @@ def generate(spark, out_dir: str, scale: float = 1.0) -> None:
                 F.pmod(F.xxhash64("id", F.lit(27)), F.lit(30 * 86_400 * 1_000_000)) / 1_000_000.0,
             )
         ).cast("timestamp_ntz").alias("ts"),
-        F.pmod(F.xxhash64("id", F.lit(28)), F.lit(n_customer // 10)).alias("user_id"),
+        # max(1, ...): at scales where n_customer < 10 the row-count
+        # guards hold but this divisor would be 0 — pmod by 0 yields
+        # NULL/degenerate user_ids (ADVICE r10 #3).
+        F.pmod(
+            F.xxhash64("id", F.lit(28)), F.lit(max(1, n_customer // 10))
+        ).alias("user_id"),
         _pick(_EVENT_TYPES, "id", F.lit(29)).alias("event_type"),
         _u(0.0, 560.21, "id", F.lit(30)).alias("value"),
         F.concat(F.lit('{"k": '), F.pmod(F.xxhash64("id", F.lit(31)), F.lit(100)).cast("string"), F.lit("}")).alias("props"),

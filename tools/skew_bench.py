@@ -1,5 +1,7 @@
 """Planted-skew stress harness for the salted-join strategy (j8).
 
+[archival-probe] — salted-join stress adjudication; re-run only if j8/j18 salting strategy changes.
+
 The TPC-H-ish testdata joins on near-uniform keys, so j8's salt never
 actually fights real skew (VERDICT r3 #6). This harness PLANTS the
 pathology: a fact table derived from sf0.1 lineitem in which one key

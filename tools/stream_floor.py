@@ -1,5 +1,7 @@
 """Measure the structured-streaming fixed-cost floor (VERDICT r3 #7).
 
+[archival-probe] — r3 trigger-floor measurement; re-run only if micro-batch trigger overhead changes.
+
 st13/st7/st9 dominate the bench tail (5.8/4.9/3.9 s at sf0.1 in
 round 3). The hypothesis to test: those seconds are the MICRO-BATCH
 FRAMEWORK FLOOR — per-trigger planning + state-store lifecycle +

@@ -1,5 +1,7 @@
 """Streaming state-store scale probe (VERDICT r6 ask #7).
 
+[archival-probe] — r6 state-store scale adjudication; re-run only if st-family state posture changes.
+
 The st family's cost argument says its seconds are the ~1.1 s/trigger
 micro-batch framework FLOOR, measured only at sf0.1. This probe
 produces the two missing pieces of evidence:

@@ -1,5 +1,7 @@
 """Exhaustive unpartitioned-window plan audit (VERDICT r6 ask #5).
 
+[standing-gate] — per-round battery (plan-structure gates).
+
 Walks the physical plan of EVERY registry key and finds each
 WindowExec / WindowInPandasExec / WindowGroupLimitExec whose
 ``partitionSpec`` is empty — the shape that moves ALL rows to a single

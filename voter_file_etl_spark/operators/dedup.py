@@ -944,17 +944,25 @@ def _x38_oracle() -> str:
         {mh_cols}
       FROM sh
     )
-    SELECT a.doc_id AS id1, b.doc_id AS id2,
-           {half_up_sql(exact, 6)} AS jaccard_exact,
-           {half_up_sql(f"CAST({matches} AS DOUBLE) / {_N_SEEDS}", 6)}
-             AS jaccard_est,
+    SELECT id1, id2,
+           {half_up_sql("exact_raw", 6)} AS jaccard_exact,
+           {half_up_sql("est_raw", 6)} AS jaccard_est,
            {half_up_sql(
-               f"abs({half_up_sql(exact, 6)}"
-               f" - {half_up_sql(f'CAST({matches} AS DOUBLE) / {_N_SEEDS}', 6)})",
+               f"abs({half_up_sql('exact_raw', 6)}"
+               f" - {half_up_sql('est_raw', 6)})",
                6)}
              AS abs_err
-    FROM mh a JOIN mh b ON -a.doc_id - 1 = b.doc_id
-    WHERE a.doc_id >= 0
+    FROM (
+      -- bind the expensive intersection/signature expressions ONCE
+      -- (ADVICE r10 #4): half_up_sql's NaN/Inf guard interpolates its
+      -- operand four times, so the guards above must reference cheap
+      -- bound columns, not the list_intersect/signature-sum trees.
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             {exact} AS exact_raw,
+             CAST({matches} AS DOUBLE) / {_N_SEEDS} AS est_raw
+      FROM mh a JOIN mh b ON -a.doc_id - 1 = b.doc_id
+      WHERE a.doc_id >= 0
+    )
     """
 
 

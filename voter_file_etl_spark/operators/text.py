@@ -950,18 +950,22 @@ _OOV_KEEP_MAX = 0.10  # keep iff OOV fraction <= 10%
       SELECT w FROM (SELECT w, count(*) AS n FROM toks GROUP BY w)
       ORDER BY n DESC, w LIMIT {_OOV_VOCAB_K}
     )
-    SELECT doc_id,
-           count(*) AS n_tokens,
-           CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
-                AS BIGINT) AS n_oov,
-           {half_up_sql("CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)"
-                        " THEN 0 ELSE 1 END) AS DOUBLE) / count(*)", 6)}
-             AS oov_rate,
-           {half_up_sql("CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)"
-                        " THEN 0 ELSE 1 END) AS DOUBLE) / count(*)", 6)}
-             <= {_OOV_KEEP_MAX} AS keep
-    FROM toks
-    GROUP BY doc_id
+    SELECT doc_id, n_tokens, n_oov,
+           {half_up_sql("oov_rate_raw", 6)} AS oov_rate,
+           {half_up_sql("oov_rate_raw", 6)} <= {_OOV_KEEP_MAX} AS keep
+    FROM (
+      -- bind the vocab-membership sum ONCE (ADVICE r10 #4): the
+      -- half_up_sql guard interpolates its operand four times, and
+      -- this operand carries a correlated IN-subquery per copy.
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_oov,
+             CAST(sum(CASE WHEN w IN (SELECT w FROM vocab)
+                      THEN 0 ELSE 1 END) AS DOUBLE) / count(*) AS oov_rate_raw
+      FROM toks
+      GROUP BY doc_id
+    )
     """,
 )
 def x36_oov_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

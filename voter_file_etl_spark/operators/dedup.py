@@ -835,15 +835,22 @@ _CONTAIN_MIN = 0.2
              w[1] || ' ' || w[2] || ' ' || w[3] AS pfx
       FROM words WHERE len(w) >= 3
     )
-    SELECT f.doc_id AS frag_id, p.doc_id AS parent_id,
-           {half_up_sql("CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)"
-                        " / len(f.grams)", 6)} AS containment,
-           {half_up_sql("CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)"
-                        " / len(f.grams)", 6)} >= 0.5 AS is_contained
-    FROM sh f JOIN sh p
-      ON f.pfx = p.pfx AND f.doc_id < 0 AND p.doc_id >= 0
-    WHERE {half_up_sql("CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)"
-                       " / len(f.grams)", 6)} >= {_CONTAIN_MIN}
+    SELECT frag_id, parent_id,
+           {half_up_sql("ratio_raw", 6)} AS containment,
+           {half_up_sql("ratio_raw", 6)} >= 0.5 AS is_contained
+    FROM (
+      -- bind the intersection ratio ONCE (ADVICE r10 #4, the oracle
+      -- twin of the r10 Spark-side x35 let-binding): each half_up_sql
+      -- guard interpolates its operand four times, so the three
+      -- consumers above/below must reference a cheap bound column,
+      -- not re-evaluate list_intersect per copy.
+      SELECT f.doc_id AS frag_id, p.doc_id AS parent_id,
+             CAST(len(list_intersect(f.grams, p.grams)) AS DOUBLE)
+               / len(f.grams) AS ratio_raw
+      FROM sh f JOIN sh p
+        ON f.pfx = p.pfx AND f.doc_id < 0 AND p.doc_id >= 0
+    )
+    WHERE {half_up_sql("ratio_raw", 6)} >= {_CONTAIN_MIN}
     """,
 )
 def x35_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,6 +95,58 @@ def test_timing_drift_comparator():
         {"e": {"result": "1 rows", "secs": 0.4}},
         {"e": {"result": "1 rows", "secs": 2.0}},
     )
+    # ADVICE r11 #2: a committed TIMEOUT/ERROR never anchors a ratio.
+    # A fast ERROR (2 s to fail) recovering to a healthy-but-slower
+    # 10 s run is an improvement, not >3x drift; still-broken keys
+    # are likewise skipped (the --time path counts them as n_bad).
+    assert timing_drift_lines(
+        {"f": {"result": "ERROR Binder", "secs": 2.0}},
+        {"f": {"result": "10 rows", "secs": 10.0}},
+    ) == []
+    assert timing_drift_lines(
+        {"g": {"result": "TIMEOUT >120s", "secs": 120.0}},
+        {"g": {"result": "TIMEOUT >120s", "secs": 120.0}},
+    ) == []
+
+
+def test_time_drift_fatal_run_stages_instead_of_overwriting(
+    tmp_path, monkeypatch
+):
+    # ADVICE r11 #1: a fatal drift in the --time --time-drift path
+    # must not destroy its own baseline. Fake a 10x-slower measurement
+    # for one flagged key: the run must exit 1, leave the committed
+    # sidecar byte-identical, and stage the drifted numbers next to it.
+    import json
+
+    import tools.oracle_plan_audit as opa
+
+    registry.load_all()
+    with open(os.path.join(REPO, "ORACLE_PLAN_INVENTORY.json")) as f:
+        flagged = [k for k in json.load(f) if k in registry.ORACLE]
+    key = sorted(flagged)[0]
+
+    sidecar = tmp_path / "ORACLE_PLAN_TIMINGS.json"
+    committed = {
+        key: {"result": "1 rows", "secs": 1.0, "sf_dir": SF_DIR,
+              "budget_s": 120.0}
+    }
+    sidecar.write_text(json.dumps(committed))
+    before = sidecar.read_text()
+
+    monkeypatch.setattr(opa, "_TIMINGS", str(sidecar))
+    monkeypatch.setattr(opa, "_timed_count", lambda *a, **k: ("1 rows", 10.0))
+    monkeypatch.setattr(
+        sys, "argv",
+        ["oracle_plan_audit.py", SF_DIR, "--time", "--time-drift", key],
+    )
+    assert opa.main() == 1
+    assert sidecar.read_text() == before, "drift overwrote its own baseline"
+    staged = json.loads((tmp_path / "ORACLE_PLAN_TIMINGS.json.drifted").read_text())
+    assert staged[key]["secs"] == 10.0
+    # A clean (non-drifting) --time run still records normally.
+    monkeypatch.setattr(opa, "_timed_count", lambda *a, **k: ("1 rows", 1.2))
+    assert opa.main() == 0
+    assert json.loads(sidecar.read_text())[key]["secs"] == 1.2
 
 
 @pytest.mark.parametrize("key", ["j27_anti_range_join", "j13_band_join"])

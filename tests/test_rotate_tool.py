@@ -148,6 +148,25 @@ def test_rewrite_drops_emptied_section_comments():
     assert "oldest greens, promoted first" not in out
 
 
+def test_rewrite_preserves_inline_comment_order():
+    # ADVICE r11 #3: a non-banner comment that appears AFTER keys
+    # inside a section must stay after them on --write — the old
+    # banner/keys split silently hoisted it above the keys (invisible
+    # to the divergence check, which only compares key order).
+    src = _ENTRY_SRC.replace(
+        '"t2", "t3",',
+        '"t2",\n    # t3 carries a pinned carve-out\n    "t3",',
+    )
+    out = rewrite_entry_text(src, _happy_plan(), 2)
+    head, tail = _exec_lists(out)
+    assert head == ["t1", "t2"]
+    assert tail == ["t3", "t4", "t5", "w1", "w2"]
+    comment_at = out.index("pinned carve-out")
+    assert out.index('"t3"', out.index("_BACKFILL")) > comment_at
+    # And it still lands below its section banner, not above it.
+    assert comment_at > out.index("oldest greens, promoted first")
+
+
 def test_rewrite_refuses_on_drifted_backfill():
     # A source _BACKFILL that no longer matches the plan's tail input
     # (hand edit between plan and write) must refuse, not mangle.

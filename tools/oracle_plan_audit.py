@@ -53,7 +53,16 @@ committed sidecar covers at the same sf_dir (read-only — the sidecar
 is only rewritten by --time) and exits 1 if any grew >3x (the r9
 single-row-group class surfaced this way: seconds explode long
 before the 120 s budget trips); with --time it additionally makes
-any printed drift fatal instead of informational.
+any printed drift fatal instead of informational, and on drift the
+sidecar is NOT rewritten — measurements go to a .drifted staging
+file until the drift is adjudicated (ADVICE r11 #1).
+
+Re-baseline rule (VERDICT r11 ask #7): the committed sidecar numbers
+are only LOWERED (a quieter machine re-anchoring the baseline) after
+two consecutive rounds' drift watches measured below the committed
+number — then run a plain --time at the same sf_dir and commit the
+rewrite; a single quiet run stays informational, like a single noisy
+one (BENCH.md rule 3's symmetric case).
 
 Usage:
   python tools/oracle_plan_audit.py [sf_dir] [--time] [--budget SEC]
@@ -184,6 +193,11 @@ def timing_drift_lines(
     long before the 120 s budget tripped. Sub-second churn is noise,
     so a pair only drifts when either side is >= ``floor`` seconds.
     A fresh TIMEOUT/ERROR on a previously-bounded key always drifts.
+    A committed TIMEOUT/ERROR entry never anchors a ratio (ADVICE
+    r11 #2): its ``secs`` is time-to-failure, not a healthy
+    baseline, so a broken->ok recovery that lands slower than the
+    old failure time is an improvement, not drift — skipped here
+    (an explicit --time run re-records the healthy number).
     """
     lines: list[str] = []
     for k in sorted(set(old) & set(new)):
@@ -192,6 +206,8 @@ def timing_drift_lines(
         n_ok = not str(n.get("result", "")).startswith(("TIMEOUT", "ERROR"))
         if o_ok and not n_ok:
             lines.append(f"{k}: was {o['secs']} s, now {n['result']}")
+            continue
+        if not o_ok:
             continue
         o_s, n_s = float(o.get("secs", 0)), float(n.get("secs", 0))
         if max(o_s, n_s) >= floor and o_s > 0 and n_s / o_s > factor:
@@ -370,12 +386,34 @@ def main() -> int:
                 }
         except (FileNotFoundError, ValueError):
             prior = {}
-        for line in timing_drift_lines(prior, timed):
+        drift_lines = timing_drift_lines(prior, timed)
+        for line in drift_lines:
             print("drift " + line)
             if do_time_drift:
                 n_bad += 1
-        _record_timings(timed, sf_dir, budget)
-        print(f"recorded {len(timed)} timings to {_TIMINGS}")
+        if do_time_drift and drift_lines:
+            # ADVICE r11 #1: a fatal drift must NOT destroy its own
+            # baseline — overwriting the sidecar here would make an
+            # immediate re-run compare against the drifted numbers
+            # and pass. Stage the measurements instead; the committed
+            # sidecar survives until the drift is adjudicated and
+            # deliberately re-recorded with a plain --time run.
+            staged = _TIMINGS + ".drifted"
+            with open(staged, "w") as f:
+                json.dump(
+                    {
+                        k: {**r, "sf_dir": sf_dir, "budget_s": budget}
+                        for k, r in timed.items()
+                    },
+                    f, indent=1, sort_keys=True,
+                )
+            print(
+                f"drift detected: committed sidecar untouched; "
+                f"staged {len(timed)} measurements at {staged}"
+            )
+        else:
+            _record_timings(timed, sf_dir, budget)
+            print(f"recorded {len(timed)} timings to {_TIMINGS}")
 
     print(
         f"\n{n_flagged}/{len(keys)} oracles carry non-equi join operators; "

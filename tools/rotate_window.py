@@ -235,22 +235,24 @@ def _drop_emptied_sections(
     lines that don't are continuations of the open banner (the
     multi-line r9 banner shape). A section = one banner + its keys up
     to the next banner.
+
+    Token order WITHIN a section is preserved verbatim (ADVICE r11
+    #3): a section is the ordered token run from one ``# --`` banner
+    start to the next, and a kept section re-emits exactly that run —
+    an inline comment that follows keys stays after those keys
+    instead of being silently hoisted above them on the next --write.
+    Only sections whose key set emptied are dropped (banner,
+    continuations, and any interior comments dangle together).
     """
-    sections: list[tuple[list[str], list[str]]] = [([], [])]
+    sections: list[list[tuple[str, str]]] = [[]]
     for kind, val in tokens:
-        if kind == "comment":
-            if val.startswith("# --") or not sections[-1][0]:
-                if sections[-1][0] or sections[-1][1]:
-                    sections.append(([], []))
-            sections[-1][0].append(val)
-        else:
-            sections[-1][1].append(val)
+        if kind == "comment" and val.startswith("# --") and sections[-1]:
+            sections.append([])
+        sections[-1].append((kind, val))
     out: list[tuple[str, str]] = []
-    for banner, keys in sections:
-        if not keys:
-            continue
-        out.extend(("comment", c) for c in banner)
-        out.extend(("key", k) for k in keys)
+    for section in sections:
+        if any(kind == "key" for kind, _ in section):
+            out.extend(section)
     return out
 
 

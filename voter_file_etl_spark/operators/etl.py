@@ -536,27 +536,45 @@ def e7_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     # Bronze: raw landing, with the transport's duplicate
-    # redeliveries (every 10th event arrives twice).
+    # redeliveries (every 10th event arrives twice). The layer row
+    # counts ride the layer WRITES as observe() accumulators (the e3
+    # pattern — "never a second aggregation job over the same
+    # input"): the old shape paid three extra full actions
+    # (bronze.count, silver re-read count, and a second complete
+    # dedup shuffle just to count duplicates).
     redelivered = ev.filter(F.col("event_id") % 10 == 0)
-    ev.unionByName(redelivered).write.mode("overwrite").parquet(bronze_p)
+    obs_bronze = Observation("e7_bronze_rows")
+    (
+        ev.unionByName(redelivered)
+        .observe(obs_bronze, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(bronze_p)
+    )
+    n_bronze = int(obs_bronze.get["n"])
 
     bronze = spark.read.parquet(bronze_p)
-    n_bronze = bronze.count()
     # Silver: exact dedup on the event key, value sanity, typed day;
-    # partitioned by event_type so gold prunes.
+    # partitioned by event_type so gold prunes. obs_dedup counts the
+    # post-dedup rows (mid-pipeline observe), obs_silver the
+    # published rows — both on the one silver write job.
+    obs_dedup = Observation("e7_dedup_rows")
+    obs_silver = Observation("e7_silver_rows")
     silver = (
         bronze.dropDuplicates(["event_id"])
+        .observe(obs_dedup, F.count(F.lit(1)).alias("n"))
         .filter(F.col("value").isNotNull() & (F.col("value") >= 0))
         .withColumn("day", F.col("ts").cast("date"))
+        .observe(obs_silver, F.count(F.lit(1)).alias("n"))
     )
     (
         silver.write.mode("overwrite")
         .partitionBy("event_type")
         .parquet(silver_p)
     )
+    n_silver = int(obs_silver.get["n"])
+    n_dupes = n_bronze - int(obs_dedup.get["n"])
 
     sv = spark.read.parquet(silver_p)
-    n_silver = sv.count()
     gold = sv.groupBy("event_type", "day").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.expr("cast(floor(value * 100 + 0.5d) as bigint)"))
@@ -567,8 +585,6 @@ def e7_medallion_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_gold"),
         F.sum("cents").cast("long").alias("total_cents"),
     ).collect()[0]
-
-    n_dupes = n_bronze - bronze.dropDuplicates(["event_id"]).count()
     rows = [
         ("bronze", "rows", int(n_bronze)),
         ("silver", "dupes_dropped", int(n_dupes)),

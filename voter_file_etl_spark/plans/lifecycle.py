@@ -407,7 +407,11 @@ def l6_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(_L6_SMALL_TASKS).write.partitionBy("event_type").parquet(small)
 
     frag = spark.read.parquet(small)
-    n_types = frag.select("event_type").distinct().count()  # tiny collect
+    # The partition directories ARE the distinct types (a dir exists
+    # iff rows of that type were committed), so the writer count
+    # comes from the same listing files_per_type() does — no
+    # scan+distinct job over the fragmented table (r13).
+    n_types = len(glob.glob(os.path.join(small, "event_type=*")))
     # Compact: repartition ON the partition column -> one writer task
     # per event_type -> one file per partition directory.
     frag.repartition(n_types, "event_type").write.partitionBy("event_type").parquet(

@@ -168,33 +168,53 @@ def st11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lims = ev.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
     t_mid, mx = (lims["mn"] + lims["mx"]) // 2, lims["mx"]
 
-    sent = spark.createDataFrame(
-        [
-            (-1, mx + 10 * _ST11_DAY_US, -1, "purchase"),
-            (-2, mx + 10 * _ST11_DAY_US, -1, "view"),
-        ],
-        "event_id long, us long, user_id long, event_type string",
-    )
-    sent2 = sent.withColumn("us", F.col("us") + F.lit(10 * _ST11_DAY_US)).withColumn(
-        "event_id", F.col("event_id") - F.lit(2)
-    )
-    batches = [
-        ("00_first", ev.filter(F.col("us") < t_mid)),
-        ("01_second", ev.filter(F.col("us") >= t_mid)),
-        ("02_flush", sent),
-        ("03_flush2", sent2),
-    ]
     src = os.path.join(work, "src")
     os.makedirs(src)
     now = time.time()
-    for i, (name, df) in enumerate(batches):
-        stage = os.path.join(work, f"stage_{name}")
-        df.repartition(1).write.mode("overwrite").parquet(stage)
-        part = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
+    # Stage BOTH data halves in one write job (the st13/st9 harness:
+    # label + partitionBy, single writer task emits one file per b=
+    # dir) instead of two scan+repartition(1)+write jobs over the
+    # same events table.
+    stage = os.path.join(work, "stage_b")
+    (
+        ev.withColumn(
+            "b",
+            F.when(F.col("us") < t_mid, F.lit(0)).otherwise(F.lit(1)),
+        )
+        .repartition(1)
+        .write.partitionBy("b")
+        .parquet(stage)
+    )
+    names = []
+    for i, name in enumerate(["00_first", "01_second"]):
+        bdir = os.path.join(stage, f"b={i}")
+        part = next(p for p in sorted(os.listdir(bdir)) if p.endswith(".parquet"))
         dst = os.path.join(src, f"{name}.parquet")
-        shutil.move(os.path.join(stage, part), dst)
+        shutil.move(os.path.join(bdir, part), dst)
+        names.append(f"{name}.parquet")
+    # Far-future sentinel batches (2 rows each): written driver-side
+    # with pyarrow — a Spark job per 2-row local relation is pure
+    # scheduler overhead (the st13/manifest discipline).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for j, flush_us in enumerate([mx + 10 * _ST11_DAY_US, mx + 20 * _ST11_DAY_US]):
+        name = f"0{2 + j}_flush.parquet" if j == 0 else f"0{2 + j}_flush2.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([-1 - 2 * j, -2 - 2 * j], pa.int64()),
+                    "us": pa.array([flush_us, flush_us], pa.int64()),
+                    "user_id": pa.array([-1, -1], pa.int64()),
+                    "event_type": pa.array(["purchase", "view"], pa.string()),
+                }
+            ),
+            os.path.join(src, name),
+        )
+        names.append(name)
+    for i, name in enumerate(names):
         mtime = now - 100 + 10 * i
-        os.utime(dst, (mtime, mtime))
+        os.utime(os.path.join(src, name), (mtime, mtime))
 
     stream = (
         spark.readStream.schema("event_id long, us long, user_id long, event_type string")

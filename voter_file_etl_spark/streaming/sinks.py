@@ -28,7 +28,6 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -60,8 +59,26 @@ def upsert_merge_batch(
     batch_id: int,
 ) -> None:
     """Merge one micro-batch into the bucket-partitioned snapshot,
-    rewriting only the buckets the batch's keys hash into."""
-    win = W.partitionBy(*_UPSERT_KEY).orderBy(F.desc("us"), F.desc("event_id"))
+    rewriting only the buckets the batch's keys hash into.
+
+    The replacement buckets are written ONCE (a staged partitionBy
+    write) and published with per-bucket atomic renames — the same
+    blue/green discipline the ETL publish and the LogTable commit use
+    — instead of the former stage -> read-back -> dynamic-partition-
+    overwrite pair, which wrote and re-read every touched row twice
+    per micro-batch (2 write jobs + 1 extra scan, per batch, at any
+    scale). A failure before the renames leaves the live snapshot
+    untouched; a crash between renames leaves a dot-prefixed retired
+    dir (invisible to Spark's listing), never silent loss.
+
+    Survivor selection is a max(struct(order keys..., payload))
+    aggregate, not a row_number window: struct comparison is the same
+    field-by-field ordering the window's orderBy used (incoming rows
+    still win order-key ties via _src), but the aggregate gets a
+    map-side partial max, so one candidate per key per task reaches
+    the shuffle instead of every duplicate (the dedup_pk discipline,
+    operators/etl.py).
+    """
     bucket = F.pmod(F.xxhash64(*_UPSERT_KEY), F.lit(_N_BUCKETS)).cast("int")
     batch = batch_df.withColumn("_bucket", bucket)
     if os.path.isdir(snap_dir):
@@ -73,31 +90,41 @@ def upsert_merge_batch(
         )
         # _src: incoming rows win order-key ties (the logtable merge
         # discipline) — a replayed or in-place-updated row must have
-        # a DEFINED winner, never a nondeterministic row_number tie.
+        # a DEFINED winner, never a nondeterministic tie.
         merged = cur.withColumn("_src", F.lit(0)).unionByName(
             batch.withColumn("_src", F.lit(1))
         )
     else:
         merged = batch.withColumn("_src", F.lit(1))
-    win_t = W.partitionBy(*_UPSERT_KEY).orderBy(
-        F.desc("us"), F.desc("event_id"), F.desc("_src")
-    )
     deduped = (
-        merged.withColumn("_rn", F.row_number().over(win_t))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_src")
+        merged.groupBy(*_UPSERT_KEY, "_bucket")
+        .agg(F.max(F.struct("us", "event_id", "_src", "value")).alias("_w"))
+        .select(
+            F.col("_w.event_id").alias("event_id"),
+            F.col("_w.us").alias("us"),
+            *_UPSERT_KEY,
+            F.col("_w.value").alias("value"),
+            "_bucket",
+        )
     )
-    # Stage then read back: the overwrite's input must not be the
-    # path being overwritten (Spark rejects self-overwrite plans).
     stage = os.path.join(work_dir, f"stage_b{batch_id}")
-    deduped.write.mode("overwrite").parquet(stage)
-    (
-        spark.read.parquet(stage)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_bucket")
-        .parquet(snap_dir)
-    )
+    deduped.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
+    # Publish via Hadoop-FS renames (file:// and hdfs:// atomic; an
+    # object-store sink would use the LogTable manifest commit).
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(snap_dir).getFileSystem(hconf)
+    _p = jvm.org.apache.hadoop.fs.Path
+    os.makedirs(snap_dir, exist_ok=True)
+    for d in sorted(os.listdir(stage)):
+        if not d.startswith("_bucket="):
+            continue
+        live = os.path.join(snap_dir, d)
+        retired = os.path.join(snap_dir, f".retired_{d}_b{batch_id}")
+        if fs.exists(_p(live)):
+            fs.rename(_p(live), _p(retired))  # park old (atomic)
+        fs.rename(_p(os.path.join(stage, d)), _p(live))  # promote new
+        fs.delete(_p(retired), True)
 
 
 def run_upsert_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFrame:
@@ -106,10 +133,10 @@ def run_upsert_stream(spark: SparkSession, sf_dir: str, work_dir: str) -> DataFr
 
     Per batch: bucket the batch rows, list the touched buckets
     (bounded collect, <= _N_BUCKETS rows), read ONLY those snapshot
-    partitions (partition pruning on the _bucket filter), window-dedup
-    (current ∪ batch) per key, stage, and dynamic-partition-overwrite
-    just the touched buckets back into the snapshot. Untouched bucket
-    files are never opened or rewritten."""
+    partitions (partition pruning on the _bucket filter), max-struct
+    dedup (current ∪ batch) per key, stage the replacement buckets in
+    one write, and promote them with per-bucket atomic renames.
+    Untouched bucket files are never opened or rewritten."""
     ensure_session_confs(spark)
     src_dir = os.path.join(work_dir, "src")
     # Stage the stream input as several files so availableNow +
@@ -377,23 +404,27 @@ def st18_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src_dir)
     )
-    board = os.path.join(work, "board")
+    # Versioned board dirs: each batch writes the merged top-k ONCE to
+    # a fresh board_v{batch} dir and readers take the newest — the
+    # blue/green publish — instead of the former stage-write + copy
+    # (two write jobs per batch for a k-row table). The previous
+    # version also stays intact until the new one is fully committed.
+    def _latest_board() -> str | None:
+        vs = sorted(d for d in os.listdir(work) if d.startswith("board_v"))
+        return os.path.join(work, vs[-1]) if vs else None
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         cand = batch_df.orderBy(
             F.desc("cents"), F.asc("event_id")
         ).limit(_ST18_K)
-        if os.path.isdir(board):
-            cand = cand.unionByName(spark.read.parquet(board))
+        prev = _latest_board()
+        if prev is not None:
+            cand = cand.unionByName(spark.read.parquet(prev))
         new_board = cand.orderBy(F.desc("cents"), F.asc("event_id")).limit(
             _ST18_K
         )
-        stage = os.path.join(work, f"stage_b{batch_id}")
-        new_board.write.mode("overwrite").parquet(stage)
-        (
-            spark.read.parquet(stage)
-            .write.mode("overwrite")
-            .parquet(board)
+        new_board.write.mode("overwrite").parquet(
+            os.path.join(work, f"board_v{batch_id:05d}")
         )
 
     stream = (
@@ -409,7 +440,9 @@ def st18_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         query.awaitTermination()
-    return spark.read.parquet(board).select("event_id", "user_id", "cents")
+    return spark.read.parquet(_latest_board()).select(
+        "event_id", "user_id", "cents"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -154,6 +154,45 @@ from voter_file_etl_spark.session import iter_checkpoint
 from voter_file_etl_spark.tables import t
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support->=2 co-purchase edges (s < d) shared by g2/g4/g5/g6/
+    g7/g8.
+
+    r13 shape (guide §2.3/§2.4): collect the distinct parts of each
+    order into a sorted array (ONE lineitem scan, map-side
+    partial_collect_set), emit the order's C(m,2) part pairs with a
+    map-side array expression, and count pairs — 1 scan + 2
+    Exchanges. The old shape (distinct -> self-join on l_orderkey ->
+    groupBy pair) scanned lineitem twice, paid two distinct
+    Exchanges plus the join (broadcast locally; at 100 TB the
+    distinct side outgrows the 8 GB broadcast cap and falls to a
+    sort-merge join, i.e. two MORE full shuffles) and only then the
+    pair aggregate. A/B at sf0.1: 2.61 s -> 2.03 s min-of-3
+    (OPTIMIZATION_r13.md). Per-order pair fanout is C(m,2) of the
+    DISTINCT parts per order — bounded by order size, the same
+    volume the join emitted row-by-row.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts) - i - 1),"
+                    " y -> struct(x AS s, y AS d))))"
+                )
+            ).alias("p")
+        )
+        .select("p.s", "p.d")
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .drop("c")
+    )
+
+
 def _pr_edges_sql() -> str:
     return """
       SELECT c_custkey AS src,
@@ -263,25 +302,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        pp.alias("a")
-        .join(
-            pp.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .drop("c")
-    )
+    e = _copurchase_edges(spark, sf_dir)
     tri = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.d") == F.col("e2.s"))
@@ -430,24 +451,8 @@ def g3_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e0 = (
-        pp.alias("a")
-        .join(
-            pp.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .drop("c")
+    e0 = _copurchase_edges(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
     )
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -488,24 +493,7 @@ def g4_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g5_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        pp.alias("a")
-        .join(
-            pp.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-    )
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("d").alias("node")))
@@ -557,25 +545,7 @@ def g5_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g6_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e = (
-        pp.alias("a")
-        .join(
-            pp.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .drop("c")
-    )
+    e = _copurchase_edges(spark, sf_dir)
     sym = e.select(F.col("s").alias("u"), F.col("d").alias("v")).unionAll(
         e.select(F.col("d").alias("u"), F.col("s").alias("v"))
     )
@@ -619,26 +589,7 @@ def g6_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # loop gates on a convergence count like connected_components.
 # ---------------------------------------------------------------------------
 def _g7_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    e0 = (
-        pp.alias("a")
-        .join(
-            pp.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .drop("c")
-    )
-    return e0
+    return _copurchase_edges(spark, sf_dir)
 
 
 _G7_ROUNDS = 4
@@ -772,24 +723,8 @@ def g7_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g8_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp = (
-        t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
     e = (
-        pp.alias("a")
-        .join(
-            pp.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
-        )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("s", "d")
+        _copurchase_edges(spark, sf_dir)
         .localCheckpoint()  # edges feed degree rollup AND two joins
     )
     deg = (

@@ -1251,7 +1251,17 @@ def x94_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q1",
         F.posexplode("qarr").alias("p2", "q2"),
     )
-    gram = (
+    # The gram matrix is a TINY d x d frame but an EXPENSIVE subtree
+    # (full embeddings scan + d^2 explode + aggregate). Materialize it
+    # ONCE (iter_checkpoint, the graph-loop discipline): without the
+    # truncation every mul() reference re-expands the build, and the
+    # doubly-self-referencing iteration nests it EXPONENTIALLY — the
+    # r12 final plan was 1021 physical nodes with 16 separate
+    # embeddings scans; with gram + per-round w truncated it is ~60
+    # nodes with ONE scan (plans/r13/x94_*). Same values, same oracle.
+    from voter_file_etl_spark.session import iter_checkpoint
+
+    gram = iter_checkpoint(
         outer.select(
             "i", F.expr("cast(p2 + 1 as bigint)").alias("j"),
             (F.col("q1") * F.col("q2")).alias("qq"),
@@ -1273,7 +1283,10 @@ def x94_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     for _ in range(3):
-        w = mul(v)
+        # w is referenced twice per round (the max-|w| scale AND the
+        # rescaled v) and v feeds the next round — truncate each
+        # round's w so the plan stays linear in the round count.
+        w = iter_checkpoint(mul(v))
         s = w.agg(F.max(F.abs(F.col("w"))).alias("s"))
         v = w.crossJoin(F.broadcast(s)).select(
             "i",

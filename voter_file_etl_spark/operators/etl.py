@@ -369,25 +369,38 @@ def e1_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Exact duplicate PK rows (k % 13 == 0) -> collapsed by dedup.
     fixture = fx.drop("_dup").unionByName(fx.filter("_dup").drop("_dup"))
-    counts = {
-        r["_state"]: r["count"]
-        for r in fixture.groupBy("_state").count().collect()  # 3 rows
-    }
     # ONE partitioned write produces all three state TSVs (vs three
     # sequential filter+coalesce(1) jobs, which re-scanned customer
     # per state — measured ~1 s saved at sf0.1, and the saving grows
     # with the state count). repartition by _state hash-routes each
     # state's rows to a single task, so every `_state=X` dir holds
     # exactly one part file — the one-TSV-per-state fixture contract.
+    # The per-state manifest line counts ride this same write as
+    # observe() accumulators (r13): the state universe is fixed by the
+    # fixture formula (c_nationkey % 3 -> N00/N01/N02), so one
+    # conditional count per state replaces the old separate
+    # groupBy("_state").count() job — one fewer full scan+shuffle of
+    # the fixture per e1 run.
+    _states = [f"N0{i}" for i in range(3)]
+    obs_cnt = {s: Observation(f"e1_cnt_{s}") for s in _states}
+    staged_fx = fixture.repartition(len(_states), "_state")
+    for s in _states:
+        staged_fx = staged_fx.observe(
+            obs_cnt[s],
+            F.count(F.when(F.col("_state") == s, 1)).alias("n"),
+        )
     stage = os.path.join(base, "_stage")
     (
-        fixture.repartition(len(counts), "_state")
+        staged_fx
         .write.partitionBy("_state")
         .option("sep", "\t")
         .option("header", True)
         .option("emptyValue", "")
         .csv(stage)
     )
+    counts = {
+        s: n for s in _states if (n := int(obs_cnt[s].get["n"])) > 0
+    }
     recorded = []
     for i, state in enumerate(sorted(counts)):
         name = f"{i + 1:02d}--{state}--2024-01-01.tab"

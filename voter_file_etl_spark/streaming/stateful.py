@@ -703,8 +703,11 @@ def st17_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Tercile split on day VALUE: chronology holds per key across
     # batches (batch 0's days all precede batch 1's for every key).
-    days = daily.select("day").distinct()
-    d_stats = days.agg(
+    # min/max day come from the RAW events scan (r13): the old shape
+    # ran the whole daily aggregate plus a distinct() — two extra
+    # Exchanges — to get two scalars that a shuffle-free partial
+    # min/max over ts already yields.
+    d_stats = ev.select(F.col("ts").cast("date").alias("day")).agg(
         F.min("day").alias("mn"), F.max("day").alias("mx")
     ).collect()[0]
     span = (d_stats["mx"] - d_stats["mn"]).days + 1

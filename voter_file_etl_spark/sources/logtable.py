@@ -367,13 +367,37 @@ class LogTable:
             )
         else:
             merged = batch.withColumn("_src", F.lit(1))
-        win = W.partitionBy(*self.key_cols).orderBy(
-            *[F.desc(c) for c in self.order_cols], F.desc("_src")
-        )
+        # Survivor selection is a max-struct AGGREGATE, not a
+        # row_number window (r13, the dedup_pk / st7 discipline):
+        # field-by-field struct comparison on (order_cols..., _src)
+        # is exactly the window's DESC ordering (struct max treats a
+        # null field as smallest, matching desc-nulls-last), but the
+        # aggregate gets a map-side partial max, so one candidate per
+        # key per task reaches the shuffle instead of every duplicate
+        # — and there is no per-partition sort. Remaining payload
+        # fields sit after _src in the struct, so even a
+        # full-order-key tie has one DEFINED winner.
+        out_cols = [c for c in merged.columns if c != "_src"]
+        rest = [
+            c
+            for c in out_cols
+            if c not in self.key_cols and c not in self.order_cols
+        ]
         deduped = (
-            merged.withColumn("_rn", F.row_number().over(win))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_src")
+            merged.groupBy(*self.key_cols)
+            .agg(
+                F.max(
+                    F.struct(*self.order_cols, "_src", *rest)
+                ).alias("_w")
+            )
+            .select(
+                *self.key_cols,
+                *[
+                    F.col(f"_w.`{c}`").alias(c)
+                    for c in [*self.order_cols, *rest]
+                ],
+            )
+            .select(*out_cols)
         )
         # The per-writer token makes BOTH the staging dir and the
         # published data-file names unique: two writers racing for the

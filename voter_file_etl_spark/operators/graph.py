@@ -171,6 +171,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (OPTIMIZATION_r13.md). Per-order pair fanout is C(m,2) of the
     DISTINCT parts per order — bounded by order size, the same
     volume the join emitted row-by-row.
+
+    The result is localCheckpoint-ed: every consumer references the
+    edge frame at least twice (symmetrize unions, degree rollups,
+    wedge joins — g6 references it four times), and without the
+    truncation each reference re-executes the whole build (r13).
     """
     return (
         t(spark, sf_dir, "lineitem")
@@ -190,6 +195,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
         .drop("c")
+        .localCheckpoint()
     )
 
 
@@ -639,7 +645,11 @@ def _g7_oracle() -> str:
 def g7_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from voter_file_etl_spark.session import iter_checkpoint
 
-    edges = edges0 = _g7_edges(spark, sf_dir).persist()
+    # _copurchase_edges returns a localCheckpoint leaf (r13), so the
+    # old base-edge persist/unpersist bookkeeping is gone: round 0's
+    # three references (deg + two semi-joins) read executor-local
+    # blocks directly.
+    edges = _g7_edges(spark, sf_dir)
     for r in range(_G7_ROUNDS):
         deg = (
             edges.select(F.col("s").alias("node"))
@@ -654,11 +664,6 @@ def g7_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                 deg, edges.d == deg.node, "left_semi"
             )
         )
-        if r == 0:
-            # round 1 read the persisted base edges twice (deg + the
-            # semi-joins); every later round reads the newest
-            # checkpoint, so the base cache is dead weight from here.
-            edges0.unpersist()
     return (
         edges.select(F.col("s").alias("node"))
         .unionAll(edges.select(F.col("d").alias("node")))
@@ -723,10 +728,9 @@ def g7_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g8_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        _copurchase_edges(spark, sf_dir)
-        .localCheckpoint()  # edges feed degree rollup AND two joins
-    )
+    # _copurchase_edges is already a localCheckpoint leaf (degree
+    # rollup and the two joins read the same blocks).
+    e = _copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("s").alias("node"))
         .unionAll(e.select(F.col("d").alias("node")))

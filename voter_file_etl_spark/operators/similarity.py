@@ -571,17 +571,37 @@ def x26_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the tiny codebook.
 # ---------------------------------------------------------------------------
 def _kmeans_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
-    """argmax-cosine cell assignment: (vec_id, qv, nq, cell, cos)."""
-    from pyspark.sql import Window as W
+    """argmax-cosine cell assignment: (vec_id, qv, nq, cell, cos).
 
+    r13: the argmax is a max-struct AGGREGATE, not a row_number
+    window — max(struct(cos, -cent_id, ...)) picks the same winner
+    (highest cos, lowest cent_id on ties) but gets a map-side
+    partial max: with the centroids broadcast, every scored row of a
+    vector sits in one task, so exactly ONE row per vector reaches
+    the shuffle instead of corpus x n_cells rows (guide §2.3)."""
     scored = corpus.crossJoin(F.broadcast(cents)).withColumn(
         "cos", V.cosine(V.dot("qv", "cqv"), F.col("nq"), F.col("cnq"))
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cent_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", "nq", F.col("cent_id").alias("cell"), "cos")
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"),
+                    (-F.col("cent_id")).alias("_neg_cent"),
+                    F.col("cent_id"),
+                    F.col("qv"),
+                    F.col("nq"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            "vec_id",
+            F.col("_w.qv").alias("qv"),
+            F.col("_w.nq").alias("nq"),
+            F.col("_w.cent_id").alias("cell"),
+            F.col("_w.cos").alias("cos"),
+        )
     )
 
 

@@ -1132,6 +1132,10 @@ def a36_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a37_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The contingency table is referenced four times (cells, row
+    # margins, column margins, totals); localCheckpoint materializes
+    # the tiny (n_segs x n_buckets) frame once instead of scanning +
+    # aggregating customer once per reference (r13, guide §1.2).
     cells = (
         t(spark, sf_dir, "customer")
         .groupBy(
@@ -1139,6 +1143,7 @@ def a37_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_nationkey") % 5).alias("bkt"),
         )
         .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
     )
     rows_ = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
     cols_ = cells.groupBy("bkt").agg(F.sum("o").cast("long").alias("c"))
@@ -1236,17 +1241,28 @@ def a38_lag_autocovariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("mean_usd", 3).over(w).alias("x3"),
     )
 
-    def one(k: int) -> DataFrame:
+    # ONE aggregate computes all three lags' sufficient statistics
+    # (12 values) in a single pass, then stack() unpivots the 1-row
+    # result — the r13 shape. The old per-k aggregates unioned three
+    # frames, each re-running the daily rollup + lag window (guide
+    # §1.2: don't compute the same subtree three times).
+    def stats(k: int) -> list:
         xk = F.col(f"x{k}")
-        return lagged.agg(
-            F.lit(k).cast("int").alias("k"),
-            F.count(xk).alias("n"),
-            F.sum(F.col("x") * xk).alias("sxy"),
-            F.sum(F.when(xk.isNotNull(), F.col("x"))).alias("sx"),
-            F.sum(xk).alias("sy"),
-        )
+        return [
+            F.count(xk).alias(f"n{k}"),
+            F.sum(F.col("x") * xk).alias(f"sxy{k}"),
+            F.sum(F.when(xk.isNotNull(), F.col("x"))).alias(f"sx{k}"),
+            F.sum(xk).alias(f"sy{k}"),
+        ]
 
-    u = one(1).unionByName(one(2)).unionByName(one(3))
+    one = lagged.agg(*stats(1), *stats(2), *stats(3))
+    u = one.selectExpr(
+        "stack(3, "
+        + ", ".join(
+            f"cast({k} as int), n{k}, sxy{k}, sx{k}, sy{k}" for k in (1, 2, 3)
+        )
+        + ") as (k, n, sxy, sx, sy)"
+    )
     return u.select(
         "k",
         F.col("n").cast("long").alias("n_pairs"),

@@ -2127,7 +2127,7 @@ def d6_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_truth"),
         F.sum("kept1").alias("k1"),
         F.sum("kept2").alias("k2"),
-    )
+    ).localCheckpoint()  # 1-row frame, referenced by BOTH strategy rows (r13)
     m1 = cust.groupBy(
         F.col("c_nationkey").alias("k1"),
         F.expr("substr(c_name, 10, 6)").alias("k2"),

@@ -683,7 +683,10 @@ def l13_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     deltas = None
     for v in range(n_versions):
-        ch = table.changes(v)
+        # Each version's change feed (parquet reads + full-outer
+        # join) is referenced twice below (plus AND minus legs);
+        # localCheckpoint materializes it once per version (r13).
+        ch = table.changes(v).localCheckpoint()
         plus = ch.filter(F.col("op").isin("insert", "update")).select(
             F.lit(v).alias("version"),
             (F.col("new_event_id") % 8).alias("shard"),

@@ -1263,13 +1263,24 @@ def test_linterp_windows_partition_by_series(spark, sf_dir):
 
 def test_power_iteration_gram_is_map_side(spark, sf_dir):
     # x94's Gram matrix must come from per-row outer products (two
-    # chained Generates) — never a long-table self-join (no
-    # SortMergeJoin in the whole plan); iteration joins broadcast the
-    # O(d) vector.
+    # chained Generates) — never a long-table self-join. The
+    # registered key truncates the gram build behind iter_checkpoint
+    # (r13: the untruncated doubly-self-referencing plan nested it
+    # exponentially — 1021 nodes, 16 scans), so the Generate shape is
+    # gated on the factored BUILD subtree (the _lpa_round pattern)
+    # and the join/cartesian bans on the final plan.
+    from voter_file_etl_spark.operators.similarity import _x94_gram_build
+
+    build = _x94_gram_build(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert build.count("Generate") >= 2, build[:2000]
+    assert "Join" not in build, build[:2000]
     plan = _formatted_plan(spark, "x94_power_iteration_pc", sf_dir)
     assert "SortMergeJoin" not in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
-    assert plan.count("Generate") >= 2, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
 
 

@@ -1257,20 +1257,6 @@ def _x94_iter_sql(k: int, prev: str) -> str:
     """,
 )
 def x94_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr(
-            "transform(embedding,"
-            " x -> cast(floor(cast(x as double) * 100.0d + 0.5d) as bigint))"
-        ).alias("qarr"),
-    )
-    outer = emb.select(
-        "qarr", F.posexplode("qarr").alias("p1", "q1")
-    ).select(
-        F.expr("cast(p1 + 1 as bigint)").alias("i"),
-        "q1",
-        F.posexplode("qarr").alias("p2", "q2"),
-    )
     # The gram matrix is a TINY d x d frame but an EXPENSIVE subtree
     # (full embeddings scan + d^2 explode + aggregate). Materialize it
     # ONCE (iter_checkpoint, the graph-loop discipline): without the
@@ -1281,14 +1267,7 @@ def x94_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nodes with ONE scan (plans/r13/x94_*). Same values, same oracle.
     from voter_file_etl_spark.session import iter_checkpoint
 
-    gram = iter_checkpoint(
-        outer.select(
-            "i", F.expr("cast(p2 + 1 as bigint)").alias("j"),
-            (F.col("q1") * F.col("q2")).alias("qq"),
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("qq").cast("long").alias("g"))
-    )
+    gram = iter_checkpoint(_x94_gram_build(spark, sf_dir))
     v = gram.select("i").distinct().select(
         "i", F.lit(1000).cast("long").alias("v")
     )
@@ -1328,6 +1307,37 @@ def x94_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("dim"),
         F.col("v").cast("long").alias("pc_milli"),
         "ray_q",
+    )
+
+
+def _x94_gram_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UN-materialized Gram subtree: per-row outer products (two
+    chained Generates) into one (i, j) aggregate — never a long-table
+    self-join. Factored out so tests can gate the BUILD plan shape
+    directly (the registered key truncates it behind iter_checkpoint,
+    so the final plan intentionally no longer shows the Generates —
+    the _lpa_round gating pattern)."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> cast(floor(cast(x as double) * 100.0d + 0.5d) as bigint))"
+        ).alias("qarr"),
+    )
+    outer = emb.select(
+        "qarr", F.posexplode("qarr").alias("p1", "q1")
+    ).select(
+        F.expr("cast(p1 + 1 as bigint)").alias("i"),
+        "q1",
+        F.posexplode("qarr").alias("p2", "q2"),
+    )
+    return (
+        outer.select(
+            "i", F.expr("cast(p2 + 1 as bigint)").alias("j"),
+            (F.col("q1") * F.col("q2")).alias("qq"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("qq").cast("long").alias("g"))
     )
 
 

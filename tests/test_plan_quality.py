@@ -874,8 +874,9 @@ def test_interval_union_is_one_user_exchange(spark, sf_dir):
 
 
 def test_market_basket_pairs_by_orderkey_only(spark, sf_dir):
-    # a49: pair generation is an equi-join on orderkey (bounded
-    # per-order fanout) — never a cartesian over brands; the brand
+    # a49: pair generation is a map-side explode of the per-order
+    # sorted brand set (bounded C(brands,2) fanout, r13 — no orderkey
+    # self-join at all) — never a cartesian over brands; the brand
     # marginals and the 1-row total ride broadcasts.
     plan = _formatted_plan(spark, "a49_market_basket", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
@@ -1367,8 +1368,9 @@ def test_duplicate_payments_blocks_on_amount(spark, sf_dir):
 
 
 def test_winnow_overlap_is_capped_equi_join(spark, sf_dir):
-    # x98: fingerprint-collision pairs via equi-joins with the df cap
-    # applied BEFORE pairing; top-20 planned as TakeOrdered.
+    # x98: fingerprint-collision pairs from the per-fingerprint doc
+    # set with the df cap applied BEFORE pairing (r13: one aggregate
+    # + map-side pair explode, no self-join); top-20 as TakeOrdered.
     plan = _formatted_plan(spark, "x98_winnow_overlap", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]

@@ -1202,23 +1202,43 @@ def x45_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.filter(F.size("arr") >= _X45_SHINGLE)
     from voter_file_etl_spark.functions.ngrams import ngram_rows
 
-    sh = (
+    raw = (
         ngram_rows(docs, ["source"], "arr", _X45_SHINGLE)
         .select("source", F.md5(F.col("g").cast("binary")).alias("h"))
         .filter(F.col("h").isNotNull())
-        .distinct()
     )
-    per = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # ONE aggregate keyed on the shingle hash replaces distinct +
+    # per-source agg + hash self-join (guide §2.3/§2.4, the
+    # _copurchase_edges shape): collect_set dedups (source, h) exactly
+    # as the old .distinct() did, and the C(sources,2) pairs per hash
+    # come from a map-side explode of the sorted set — the same
+    # bounded fan-out the join emitted, minus the distinct Exchange
+    # and the join. The grouped frame feeds BOTH rollups (per-source
+    # totals and the overlap matrix), so it is materialized once
+    # (localCheckpoint — the a49/x4 discipline).
+    grouped = (
+        raw.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .localCheckpoint()
+    )
+    per = (
+        grouped.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     ov = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.source") < F.col("b.source")),
+        grouped.filter(F.size("ss") >= 2)
+        .withColumn(
+            "prs",
+            F.expr(
+                "flatten(transform(ss, (x, i) ->"
+                " transform(slice(ss, i + 2, size(ss) - i - 1),"
+                " y -> struct(x AS s1, y AS s2))))"
+            ),
         )
-        .groupBy(
-            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
-        )
+        .select(F.explode("prs").alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     return (

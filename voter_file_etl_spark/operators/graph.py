@@ -801,19 +801,27 @@ def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     Factored out so tests can gate the PER-ROUND plan shape (the final
     g9 plan only shows the last rollup — iter_checkpoint truncates the
     round lineage by design).
-    """
-    from pyspark.sql import Window as W
 
+    r13: the argmax is a max-struct AGGREGATE, not a row_number
+    window — max(struct(c, -label)) picks the same winner (highest
+    count, lowest label on ties; labels are positive node ids so the
+    negation is safe) but gets a map-side partial max and skips the
+    per-partition sort (guide §2.3, the LogTable-merge/kmeans-assign
+    discipline).
+    """
     counted = (
         edges.join(labels, edges.src == labels.node)
         .groupBy("dst", "label")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    win = W.partitionBy("dst").orderBy(F.desc("c"), "label")
     return (
-        counted.withColumn("rk", F.row_number().over(win))
-        .filter(F.col("rk") == 1)
-        .select(F.col("dst").alias("node"), "label")
+        counted.groupBy("dst")
+        .agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("label")).alias("_neg"))
+            ).alias("_w")
+        )
+        .select(F.col("dst").alias("node"), (-F.col("_w._neg")).alias("label"))
     )
 
 

@@ -1315,6 +1315,11 @@ def x41_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of ~50-byte shingle strings — the x56 discipline; same
     # collision audit: driver_sim strict-clean at sf0.01/sf0.1
     # against the string-keyed oracle).
+    # Materialized once (r13, the x4/x88 discipline): the shingle
+    # build (tokenize + 8-way zip-slice Generate + hash) feeds THREE
+    # consumers — the df-cap aggregate and both sides of the hit
+    # self-join — and without the truncation each reference re-runs
+    # the whole Generate subtree.
     sh = arrs.selectExpr(
         "doc_id", f"posexplode(arrays_zip({_zipped})) AS (pos, z)"
     ).select(
@@ -1323,7 +1328,7 @@ def x41_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(
             F.concat_ws(" ", *[F.col(f"z.{k}") for k in range(8)])
         ).alias("g"),
-    )
+    ).localCheckpoint()
     keep = (
         sh.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("ndocs"))
@@ -1448,39 +1453,68 @@ def x42_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x43_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .distinct()
+    # r13 (guide §2.3/§2.4): the per-doc DISTINCT word set is computed
+    # MAP-SIDE (array_distinct over the split array) — the old
+    # explode + .distinct() paid a full shuffle of every token
+    # occurrence just to dedup within documents. ds is deliberately
+    # NOT materialized: the vocab rollup and the pair pass each
+    # re-run the map-side split (two scans), which the A/B probe
+    # measured FASTER than localCheckpoint-ing the word arrays
+    # (1.90 s vs 2.58 s min-of-3 at sf0.1 — the x40 cache-barrier
+    # lesson: materializing wide intermediates costs more than
+    # re-running expression-only pipelines).
+    ds = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "")
+        ).alias("ws"),
     )
     vocab = (
-        toks.groupBy("w")
+        ds.select(F.explode("ws").alias("w"))
+        .groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("w"))
         .limit(100)
     )
-    vt = toks.join(F.broadcast(vocab), "w")
-    a, b = vt.alias("a"), vt.alias("b")
+    # Vocabulary membership attaches as a broadcast 1-row ARRAY and
+    # the C(hits,2) per-doc pairs come from two CHAINED codegen
+    # Generates (posexplode + explode of the tail slice — per-input-
+    # row slices, never an interpreted pair-lambda, whose O(m^2)
+    # array copies measured 4.4 s here) — the old doc_id self-join
+    # shuffled the vocab-hit table twice and paid the join; now the
+    # only full Exchange left is the pair aggregate itself. df values
+    # re-attach post-aggregate via the broadcast 100-row vocab,
+    # exactly as the oracle's bs joins do. A/B min-of-3 at sf0.1:
+    # 2.49 s (old self-join) -> 1.90 s.
+    varr = vocab.agg(F.array_sort(F.collect_set("w")).alias("varr"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.w") < F.col("b.w")),
+        ds.crossJoin(F.broadcast(varr))
+        .select(F.array_sort(F.array_intersect("ws", "varr")).alias("vws"))
+        .select(F.posexplode("vws").alias("p1", "w1"), "vws")
+        .select(
+            "w1",
+            F.explode(
+                F.expr("slice(vws, p1 + 2, size(vws) - p1 - 1)")
+            ).alias("w2"),
         )
-        .groupBy(
-            F.col("a.w").alias("w1"),
-            F.col("a.df").alias("c_x"),
-            F.col("b.w").alias("w2"),
-            F.col("b.df").alias("c_y"),
-        )
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
     )
     n_total = F.broadcast(docs.agg(F.count(F.lit(1)).alias("n")))
     return (
-        pairs.crossJoin(n_total)
+        pairs.join(
+            F.broadcast(
+                vocab.select(F.col("w").alias("w1"), F.col("df").alias("c_x"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(F.col("w").alias("w2"), F.col("df").alias("c_y"))
+            ),
+            "w2",
+        )
+        .crossJoin(n_total)
         .filter(
             (F.col("c_xy") >= 5)
             & (F.col("c_xy") * F.col("n") > F.col("c_x") * F.col("c_y"))
@@ -3356,34 +3390,41 @@ def x98_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")
         ).alias("norm"),
     )
-    fps = (
-        n.select(
-            "doc_id",
-            F.explode(
-                F.expr("sequence(1, greatest(length(norm) - 15, 1), 4)")
-            ).alias("i"),
-            "norm",
-        )
-        .select(
-            "doc_id",
-            F.md5(F.expr("cast(substring(norm, i, 16) as binary)")).alias(
-                "fp"
+    raw = n.select(
+        "doc_id",
+        F.explode(
+            F.expr("sequence(1, greatest(length(norm) - 15, 1), 4)")
+        ).alias("i"),
+        "norm",
+    ).select(
+        "doc_id",
+        F.md5(F.expr("cast(substring(norm, i, 16) as binary)")).alias("fp"),
+    ).filter(F.expr("substring(fp, 32, 1) = '0'"))
+    # ONE aggregate replaces distinct + df-cap agg + fp self-join
+    # (guide §2.3/§2.4, the _copurchase_edges shape): collect_set
+    # dedups (doc_id, fp) exactly as the old .distinct() did, the set
+    # SIZE is the old df cap, and the C(df,2) doc pairs per kept
+    # fingerprint are emitted map-side from the sorted set — same
+    # bounded 45-pairs-per-fp volume the equi-join produced, minus
+    # one full Exchange (the distinct) and the join's probe-side
+    # shuffle. Pair array is built in a projection and the explode
+    # consumes the attribute (functions/ngrams.py discipline).
+    grouped = (
+        raw.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= 10))
+    )
+    pairs = (
+        grouped.withColumn(
+            "prs",
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i + 2, size(ds) - i - 1),"
+                " y -> struct(x AS id1, y AS id2))))"
             ),
         )
-        .filter(F.expr("substring(fp, 32, 1) = '0'"))
-        .distinct()
-    )
-    capped = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= 10))
-        .select("fp")
-    )
-    a = fps.join(capped, "fp").select("fp", F.col("doc_id").alias("id1"))
-    b = fps.select("fp", F.col("doc_id").alias("id2"))
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("id1") < F.col("id2"))
+        .select(F.explode("prs").alias("p"))
+        .select("p.id1", "p.id2")
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
     )

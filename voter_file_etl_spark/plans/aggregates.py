@@ -419,20 +419,33 @@ def a16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
         F.col("l_quantity").cast("decimal(18,2)").alias("wgt"),
-        "l_orderkey",
-        "l_linenumber",
+    )
+    # r13 two-level shape (guide §2.3, the a70 discipline): weights
+    # are pre-aggregated per (flag, price) with a map-side partial
+    # BEFORE the cumulative window, so the window sorts one row per
+    # DISTINCT price instead of every lineitem row inside 3 giant
+    # flag partitions. Equivalence: the row-level threshold "first
+    # price whose running weight reaches half the total" is decided
+    # identically at price granularity — a price group's end-of-group
+    # cumulative crosses the threshold iff one of its rows does, so
+    # the conditional min picks the same price (the old
+    # (orderkey, linenumber) tie-break only ordered rows WITHIN a
+    # price group and never changed which price won). tw rides the
+    # same partition as an unbounded frame over the pre-agg.
+    per_price = li.groupBy("l_returnflag", "price").agg(
+        F.sum("wgt").alias("w")
     )
     wcum = (
         W.partitionBy("l_returnflag")
-        .orderBy("price", "l_orderkey", "l_linenumber")
+        .orderBy("price")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wall = W.partitionBy("l_returnflag")
-    cum = li.select(
+    cum = per_price.select(
         "l_returnflag",
         "price",
-        F.sum("wgt").over(wcum).alias("cw"),
-        F.sum("wgt").over(wall).alias("tw"),
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
     )
     return cum.groupBy("l_returnflag").agg(
         F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price")))

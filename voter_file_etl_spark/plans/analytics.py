@@ -1045,32 +1045,42 @@ def a49_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
     )
-    # Four consumers (total, marginals, both pair sides) fan out of
-    # the distinct'd (order, brand) table; without materialization
-    # Catalyst plans the join+distinct subtree once PER consumer
-    # (measured 20 parquet scans, 0 reused exchanges). One eager
-    # localCheckpoint pins it after its single shuffle — the graph
-    # family's lineage-truncation pattern (measured 2.3 s -> 1.7 s
-    # warm at sf0.1; at scale it is the difference between one and
-    # four passes over lineitem).
+    # ONE aggregate keyed on the order replaces distinct + orderkey
+    # self-join (r13, guide §2.3/§2.4 — the _copurchase_edges shape):
+    # collect_set dedups the order's brands exactly as the old
+    # (orderkey, brand) .distinct() did, and the C(brands,2) pairs
+    # per order are emitted map-side from the sorted set — the same
+    # bounded <=C(7,2) fan-out the join produced, minus the distinct
+    # Exchange and the join's second orderkey shuffle. Three
+    # consumers (total, marginals, pairs) fan out of the grouped
+    # frame, so it is materialized once (localCheckpoint — without it
+    # Catalyst plans the join+aggregate subtree once PER consumer;
+    # the old shape measured 20 parquet scans, 0 reused exchanges).
     ob = (
         li.join(part, "l_partkey")
-        .select("orderkey", "brand")
-        .distinct()
+        .groupBy("orderkey")
+        .agg(F.array_sort(F.collect_set("brand")).alias("brands"))
         .localCheckpoint()
     )
-    tot = ob.agg(F.countDistinct("orderkey").cast("long").alias("n_orders"))
-    bs = ob.groupBy("brand").agg(F.count(F.lit(1)).cast("long").alias("n_brand"))
-    a = ob.alias("a")
-    b = ob.alias("b")
+    tot = ob.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    bs = (
+        ob.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_brand"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.orderkey") == F.col("b.orderkey"))
-            & (F.col("a.brand") < F.col("b.brand")),
+        ob.withColumn(
+            "prs",
+            F.expr(
+                "flatten(transform(brands, (x, i) ->"
+                " transform(slice(brands, i + 2, size(brands) - i - 1),"
+                " y -> struct(x AS brand_a, y AS brand_b))))"
+            ),
         )
+        .select(F.explode("prs").alias("p"))
         .groupBy(
-            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
     )

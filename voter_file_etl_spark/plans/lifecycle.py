@@ -996,9 +996,18 @@ def l20_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("o_totalprice"),
             )
         stage_dir = os.path.join(staging, f"batch={i}")
-        batch.write.mode("overwrite").parquet(stage_dir)
-        staged = spark.read.parquet(stage_dir)
-        audit = staged.agg(
+        # The audit rides the staging WRITE as observe() accumulators
+        # (r13, the e3/e7 pattern — guide §1.2): the metrics are
+        # computed over exactly the rows landing in the staged batch,
+        # so the separate read-back aggregation job (one full scan of
+        # the just-written files per batch) is gone. The publish
+        # decision and the post-decision published read-back are
+        # unchanged.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"l20_audit_{i}")
+        batch.observe(
+            obs,
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(
                 F.when(
@@ -1010,7 +1019,8 @@ def l20_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_bad"),
-        ).collect()[0]
+        ).write.mode("overwrite").parquet(stage_dir)
+        audit = obs.get
         ok = audit["n_bad"] == 0
         if ok:
             # Atomic publish: same-filesystem rename of the staged

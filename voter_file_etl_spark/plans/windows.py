@@ -1735,6 +1735,11 @@ def w30_resample_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     ).groupBy("prio", "d").agg(F.sum("cents").cast("long").alias("v"))
+    # Materialized once (r13, the a49/x4 discipline): the daily
+    # rollup (full orders scan + shuffle) feeds BOTH the spine bounds
+    # and the left-join observation side; without the truncation each
+    # reference re-runs the scan+aggregate.
+    obs = obs.localCheckpoint()
     spine = (
         obs.groupBy("prio")
         .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))

@@ -237,9 +237,10 @@ def test_pmi_vocab_join_is_broadcast(spark, sf_dir):
 
 
 def test_funnel_steps_are_equi_joins(spark, sf_dir):
-    # a22's sequential steps are all keyed on user_id: every join is
-    # an equi-join (AQE co-partitions the chain) — a nested loop
-    # anywhere means a step lost its key.
+    # a22's funnel is keyed on user_id: one user-partitioned
+    # aggregate collects per-step times and the strict chain is
+    # map-side (r13 — no per-step joins at all); a nested loop
+    # anywhere means the chain lost its key.
     plan = _formatted_plan(spark, "a22_funnel", sf_dir)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "hashpartitioning(user_id" in plan

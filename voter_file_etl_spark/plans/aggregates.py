@@ -419,33 +419,31 @@ def a16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
         F.col("l_quantity").cast("decimal(18,2)").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
     )
-    # r13 two-level shape (guide §2.3, the a70 discipline): weights
-    # are pre-aggregated per (flag, price) with a map-side partial
-    # BEFORE the cumulative window, so the window sorts one row per
-    # DISTINCT price instead of every lineitem row inside 3 giant
-    # flag partitions. Equivalence: the row-level threshold "first
-    # price whose running weight reaches half the total" is decided
-    # identically at price granularity — a price group's end-of-group
-    # cumulative crosses the threshold iff one of its rows does, so
-    # the conditional min picks the same price (the old
-    # (orderkey, linenumber) tie-break only ordered rows WITHIN a
-    # price group and never changed which price won). tw rides the
-    # same partition as an unbounded frame over the pre-agg.
-    per_price = li.groupBy("l_returnflag", "price").agg(
-        F.sum("wgt").alias("w")
-    )
+    # r13 NEGATIVE RESULT, kept as the original one-exchange window:
+    # a two-level pre-aggregate per (flag, price) before the window
+    # (the a70 discipline) was built and measured — but extendedprice
+    # is near-unique per row (distinct (flag, price) = 594,330 of
+    # 600,000 rows at sf0.1, reduction 1.01x), so the pre-agg reduced
+    # nothing and just added a second full Exchange (bench read
+    # 1.17 -> 2.37 s). The window-over-rows shape stays; at a scale
+    # where the 3-partition sort became the wall, the right fix is
+    # the a70 bucketed two-level PREFIX SUM (range-bucket the prices,
+    # per-bucket cumsum + broadcast bucket offsets), not a pre-agg
+    # keyed on a near-unique column.
     wcum = (
         W.partitionBy("l_returnflag")
-        .orderBy("price")
+        .orderBy("price", "l_orderkey", "l_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wall = W.partitionBy("l_returnflag")
-    cum = per_price.select(
+    cum = li.select(
         "l_returnflag",
         "price",
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("w").over(wall).alias("tw"),
+        F.sum("wgt").over(wcum).alias("cw"),
+        F.sum("wgt").over(wall).alias("tw"),
     )
     return cum.groupBy("l_returnflag").agg(
         F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price")))

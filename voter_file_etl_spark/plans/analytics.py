@@ -70,27 +70,47 @@ _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
     """,
 )
 def a22_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    # r13 single-scan shape (guide §1.2/§2.3): ONE groupBy(user_id)
+    # collects each step's sorted event times (map-side partial
+    # collect_list; nulls from the per-step when() never enter the
+    # list), and the strictly-increasing chain is decided MAP-SIDE
+    # per user: t_{k+1} = array_min(filter(times_{k+1}, x -> x > t_k))
+    # — a null t_k nulls the filter predicate, so a broken chain stays
+    # broken, exactly the join semantics. One final 1-row aggregate
+    # counts all four steps and stack() unpivots (the a38/x40 shape).
+    # The old per-step join chain re-executed every prefix per count
+    # row — s1 ran 4x, s2 3x, ... (6 scans / 8 shuffles in the plan);
+    # this is 1 scan + 1 user shuffle. A/B alternating min-of-3 at
+    # sf0.1, equality asserted: 1.01 -> 0.60 s.
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .filter(F.col("event_type").isin(list(_FUNNEL_STEPS)))
     )
-    reached: list[DataFrame] = []
-    prev: DataFrame | None = None
-    for step in _FUNNEL_STEPS:
-        stage = ev.filter(F.col("event_type") == step)
-        if prev is not None:
-            stage = stage.join(prev, "user_id").filter(F.col("us") > F.col("t")).drop("t")
-        cur = stage.groupBy("user_id").agg(F.min("us").alias("t"))
-        reached.append(cur)
-        prev = cur
-    out = None
-    for i, (step, df) in enumerate(zip(_FUNNEL_STEPS, reached), start=1):
-        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i).cast("long").alias("step_no"),
-            F.lit(step).alias("step"),
-            "n_users",
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    per = ev.groupBy("user_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("us")))
+            ).alias(f"a_{s}")
+            for s in _FUNNEL_STEPS
+        ]
+    )
+    chained = (
+        per.select(F.array_min("a_signup").alias("t1"), "a_view", "a_click", "a_purchase")
+        .select("t1", F.expr("array_min(filter(a_view, x -> x > t1))").alias("t2"), "a_click", "a_purchase")
+        .select("t1", "t2", F.expr("array_min(filter(a_click, x -> x > t2))").alias("t3"), "a_purchase")
+        .select("t1", "t2", "t3", F.expr("array_min(filter(a_purchase, x -> x > t3))").alias("t4"))
+    )
+    summary = chained.agg(
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+        F.count("t3").alias("n3"),
+        F.count("t4").alias("n4"),
+    )
+    return summary.selectExpr(
+        "stack(4, 1L, 'signup', n1, 2L, 'view', n2, 3L, 'click', n3,"
+        " 4L, 'purchase', n4) as (step_no, step, n_users)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -730,47 +750,39 @@ _A45_WIN_US = 7 * 24 * 3600 * 1000000
     """,
 )
 def a45_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 single-scan shape (the a22 rewrite applied to the windowed
+    # variant): ONE groupBy(user_id) collects each step's sorted times
+    # (map-side partial collect_list), and the deepest in-window level
+    # is decided MAP-SIDE per user with short-circuiting exists()
+    # chains — the EXISTS-triple semantics is literally the level
+    # rule, and per-user work stays bounded by per-user event counts,
+    # the same bound the old user-keyed pair joins had. Replaces 2
+    # pair joins + 3 distincts + 3 left joins (one events scan per
+    # step) with 1 scan + 1 user shuffle. A/B alternating min-of-3 at
+    # sf0.1, equality asserted: 0.72 -> 0.43 s.
     ev = t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    users = ev.select("user_id").distinct()
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("us").alias("v_us")
+    per = ev.groupBy("user_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col("event_type") == s, F.col("us")))
+            ).alias(f"a_{s}")
+            for s in ("view", "click", "purchase")
+        ]
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("us").alias("c_us")
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("us").alias("p_us")
-    )
-    l1 = views.select("user_id").distinct().withColumn("has1", F.lit(1))
-    vc = views.join(clicks, "user_id").filter(
-        (F.col("c_us") > F.col("v_us"))
-        & (F.col("c_us") <= F.col("v_us") + F.lit(_A45_WIN_US))
-    )
-    l2 = vc.select("user_id").distinct().withColumn("has2", F.lit(1))
-    l3 = (
-        vc.join(purchases, "user_id")
-        .filter(
-            (F.col("p_us") > F.col("c_us"))
-            & (F.col("p_us") <= F.col("v_us") + F.lit(_A45_WIN_US))
-        )
-        .select("user_id")
-        .distinct()
-        .withColumn("has3", F.lit(1))
-    )
-    lev = (
-        users.join(l1, "user_id", "left")
-        .join(l2, "user_id", "left")
-        .join(l3, "user_id", "left")
-        .select(
-            "user_id",
-            F.when(F.col("has3").isNotNull(), 3)
-            .when(F.col("has2").isNotNull(), 2)
-            .when(F.col("has1").isNotNull(), 1)
-            .otherwise(0)
-            .alias("level"),
-        )
+    lev = per.select(
+        F.expr(
+            f"""cast(case
+              when exists(a_view, v -> exists(a_click, c ->
+                     c > v and c <= v + {_A45_WIN_US}
+                     and exists(a_purchase, p ->
+                       p > c and p <= v + {_A45_WIN_US}))) then 3
+              when exists(a_view, v -> exists(a_click, c ->
+                     c > v and c <= v + {_A45_WIN_US})) then 2
+              when size(a_view) > 0 then 1
+              else 0 end as int)"""
+        ).alias("level")
     )
     return lev.groupBy("level").agg(
         F.count(F.lit(1)).cast("long").alias("n_users")

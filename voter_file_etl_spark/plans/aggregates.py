@@ -1056,6 +1056,8 @@ def a36_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("g2"),
         )
     )
+    # pv feeds THREE consumers (bucket offsets, the CDF join, and the
+    # totals) — materialize once (r13, the a49/x4 discipline).
     pv = (
         s.groupBy("v")
         .agg(
@@ -1063,6 +1065,7 @@ def a36_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g2").cast("long").alias("c2"),
         )
         .withColumn("bkt", F.expr(f"v div {_A36_BUCKET}"))
+        .localCheckpoint()
     )
     wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     bk = (
@@ -1084,9 +1087,13 @@ def a36_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("off1") + F.sum("c1").over(wv)).cast("long").alias("f1"),
         (F.col("off2") + F.sum("c2").over(wv)).cast("long").alias("f2"),
     )
-    tot = s.agg(
-        F.sum("g1").cast("long").alias("n1"),
-        F.sum("g2").cast("long").alias("n2"),
+    # Totals re-aggregate FROM the per-value table (sum of c1/c2 ==
+    # sum of g1/g2 by construction) — the old shape re-scanned orders
+    # a second time just for the two scalars (r13, the a37 marginals
+    # discipline).
+    tot = pv.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
     )
     return (
         cdf.crossJoin(F.broadcast(tot))

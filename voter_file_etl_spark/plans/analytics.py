@@ -2680,9 +2680,14 @@ def a76_markov_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     totals = pairs.groupBy("i").agg(F.sum("n").alias("rt"))
+    # t1 is O(event_types^2) rows but its build is the ONLY part that
+    # touches the events table (window pass + rollup), and the two
+    # matrix multiplies reference it THREE times — materialize once
+    # (r13, the a49/x4 discipline: without it each reference re-runs
+    # the full extraction).
     t1 = pairs.join(totals, "i").select(
         "i", "j", F.expr("cast(1000 * n div rt as bigint)").alias("p_milli")
-    )
+    ).localCheckpoint()
     a = t1.select(
         F.col("i"), F.col("j").alias("k"), F.col("p_milli").alias("pa")
     )
@@ -2996,11 +3001,15 @@ def a79_alert_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("ed").agg(
         F.expr("cast(sum(cents) div 100000 as bigint)").alias("v0")
     )
+    # The daily series (orders scan + rollup, O(days) rows) feeds FOUR
+    # consumers (moments, median rank, MAD rank, the flag pass) —
+    # materialize it once (r13, the a49/x4 discipline; without it
+    # each consumer re-ran the scan+shuffle).
     series = base.select(
         "ed",
         F.expr("case when ed % 97 = 0 then v0 * 3 else v0 end").alias("d"),
         F.expr("case when ed % 97 = 0 then 1 else 0 end").alias("truth"),
-    )
+    ).localCheckpoint()
     mom = series.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("d").cast("long").alias("s"),
@@ -3045,22 +3054,21 @@ def a79_alert_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def score(flag: str, name: str) -> DataFrame:
-        return flags.agg(
-            F.lit(name).alias("rule"),
-            F.sum(F.expr(f"case when {flag} = 1 and truth = 1 then 1 else 0 end"))
-            .cast("long")
-            .alias("tp"),
-            F.sum(F.expr(f"case when {flag} = 1 and truth = 0 then 1 else 0 end"))
-            .cast("long")
-            .alias("fp"),
-            F.sum(F.expr(f"case when {flag} = 0 and truth = 1 then 1 else 0 end"))
-            .cast("long")
-            .alias("fn"),
-        )
-
-    both = score("f_naive", "naive_2sigma").unionByName(
-        score("f_robust", "robust_mad")
+    # Both rules score in ONE aggregate pass over flags + stack()
+    # (r13, the a38/x40 shape) — the old per-rule union executed the
+    # flag pass twice.
+    sums = flags.agg(
+        *[
+            F.sum(
+                F.expr(f"case when {flag} = {fv} and truth = {tv} then 1 else 0 end")
+            ).cast("long").alias(f"{name}_{m}")
+            for flag, name in (("f_naive", "nv"), ("f_robust", "rb"))
+            for m, fv, tv in (("tp", 1, 1), ("fp", 1, 0), ("fn", 0, 1))
+        ]
+    )
+    both = sums.selectExpr(
+        "stack(2, 'naive_2sigma', nv_tp, nv_fp, nv_fn,"
+        " 'robust_mad', rb_tp, rb_fp, rb_fn) as (rule, tp, fp, fn)"
     )
     return both.select(
         "rule",

@@ -90,6 +90,14 @@ DOCUMENTED_CONTRACTS: dict[str, str] = {
     # in-code comments at the two sites say the same.
     "x69_range_shards": "repartitionByRange(16, n_chars, doc_id)",
     "l12_zorder_bins": "repartitionByRange(16, z, l_orderkey, l_linenumber)",
+    # r13: the global median/MAD rank windows read the localCheckpoint
+    # of the per-DAY series — O(calendar days) rows (the checkpoint
+    # hides the groupBy(ed) that structurally bounded them before).
+    # The day count is fixed by the 7-year order calendar, not by
+    # data volume, so the window input does not grow with corpus
+    # size; at a scale where it did, the fix is the a36 bucketed
+    # two-level rank, as the in-code comment says.
+    "a79_alert_rule_backtest": "per-day rollup, O(calendar days)",
 }
 
 

@@ -1469,13 +1469,18 @@ def x43_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "")
         ).alias("ws"),
     )
+    # vocab (100 rows) is referenced THREE times (the membership
+    # array + both df re-attach joins) and each rebuild is a FULL
+    # corpus token pass — checkpoint the tiny frame once (r13;
+    # probed 1.32 -> 1.24 s min-of-3, and structurally 3 -> 1 corpus
+    # passes for the vocabulary).
     vocab = (
         ds.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("w"))
         .limit(100)
-    )
+    ).localCheckpoint()
     # Vocabulary membership attaches as a broadcast 1-row ARRAY and
     # the C(hits,2) per-doc pairs come from two CHAINED codegen
     # Generates (posexplode + explode of the tail slice — per-input-
@@ -1487,9 +1492,19 @@ def x43_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly as the oracle's bs joins do. A/B min-of-3 at sf0.1:
     # 2.49 s (old self-join) -> 1.90 s.
     varr = vocab.agg(F.array_sort(F.collect_set("w")).alias("varr"))
+    # vws is LET-BOUND through an inline generate (functions/ngrams.py
+    # discipline): written as a plain projection alias, the
+    # posexplode's inferred size/isnotnull predicates push past it and
+    # re-inline the array_sort(array_intersect(...)) into the join
+    # condition — 3 evaluations per doc (caught by
+    # tools/reinline_sweep.py); Generate is a collapse barrier, so
+    # this form evaluates it once.
     pairs = (
         ds.crossJoin(F.broadcast(varr))
-        .select(F.array_sort(F.array_intersect("ws", "varr")).alias("vws"))
+        .selectExpr(
+            "inline(transform(array(array_sort(array_intersect(ws, varr))),"
+            " v -> named_struct('vws', v)))"
+        )
         .select(F.posexplode("vws").alias("p1", "w1"), "vws")
         .select(
             "w1",

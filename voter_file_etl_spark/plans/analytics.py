@@ -3004,7 +3004,12 @@ def a79_alert_rule_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The daily series (orders scan + rollup, O(days) rows) feeds FOUR
     # consumers (moments, median rank, MAD rank, the flag pass) —
     # materialize it once (r13, the a49/x4 discipline; without it
-    # each consumer re-ran the scan+shuffle).
+    # each consumer re-ran the scan+shuffle). The global median/MAD
+    # rank windows downstream are bounded by this frame's row-count
+    # CONTRACT — O(calendar days), fixed by the 7-year order calendar,
+    # not by data volume (tools/window_audit.py DOCUMENTED_CONTRACTS);
+    # if the series key ever became high-cardinality, the fix is the
+    # a36 bucketed two-level rank.
     series = base.select(
         "ed",
         F.expr("case when ed % 97 = 0 then v0 * 3 else v0 end").alias("d"),

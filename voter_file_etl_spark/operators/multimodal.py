@@ -1381,13 +1381,25 @@ def e2_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, source string, phash long, "
         "sum_r long, sum_g long, sum_b long",
     )
+    # Survivor per phash is a min-struct AGGREGATE (r13, the LogTable-
+    # merge/st7 discipline): min(struct(doc_id, ...)) picks the same
+    # lowest-doc_id winner the row_number window did, but gets a
+    # map-side partial min — one candidate per phash per task reaches
+    # the shuffle instead of every duplicate, and no per-partition
+    # sort.
     surv = (
-        per_image.withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("phash").orderBy("doc_id")),
+        per_image.groupBy("phash")
+        .agg(
+            F.min(
+                F.struct("doc_id", "source", "sum_r", "sum_g", "sum_b")
+            ).alias("_w")
         )
-        .filter(F.col("rn") == 1)
-        .select("source", "sum_r", "sum_g", "sum_b")
+        .select(
+            F.col("_w.source").alias("source"),
+            F.col("_w.sum_r").alias("sum_r"),
+            F.col("_w.sum_g").alias("sum_g"),
+            F.col("_w.sum_b").alias("sum_b"),
+        )
     )
     px_per_channel = _IMG_N // 3
     stats = (

@@ -141,17 +141,22 @@ def a22_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a23_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 single-scan shape (the a22/a45 fold): ONE groupBy(user_id)
+    # collects the user's distinct active weeks (map-side partial
+    # collect_set — this IS the old act-distinct), and the cohort week
+    # is array_min of the set (date_trunc is monotone, so the min of
+    # the per-week truncs equals the trunc of the min date). Replaces
+    # 2 events scans + distinct + join with 1 scan + 1 user shuffle.
     ev = t(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("date").alias("d")
+        "user_id",
+        F.date_trunc("week", F.col("ts").cast("date")).cast("date").alias("w"),
     )
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("d")).cast("date").alias("cohort_week")
-    )
-    act = ev.select(
-        "user_id", F.date_trunc("week", "d").cast("date").alias("w")
-    ).distinct()
+    per = ev.groupBy("user_id").agg(F.collect_set("w").alias("wks"))
     return (
-        act.join(first, "user_id")
+        per.select(
+            F.array_min("wks").alias("cohort_week"),
+            F.explode("wks").alias("w"),
+        )
         .groupBy(
             "cohort_week",
             (F.datediff("w", "cohort_week") / F.lit(7))
@@ -2291,10 +2296,18 @@ def e6_ops_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("dup_orderkeys").alias("chk"), F.lit("all").alias("dim"), "v"
     )
-    hw = ev.agg(F.max("ts").alias("hwm"))
-    fresh = (
+    # ONE events pass (r13): the global high-watermark is the max of
+    # the per-type maxes, so it derives from the 5-row rollup instead
+    # of a second full events scan; the rollup is checkpointed because
+    # both the watermark and the freshness rows read it.
+    per_type = (
         ev.groupBy("event_type")
         .agg(F.max("ts").alias("last_ts"))
+        .localCheckpoint()
+    )
+    hw = per_type.agg(F.max("last_ts").alias("hwm"))
+    fresh = (
+        per_type
         .crossJoin(F.broadcast(hw))
         .select(
             F.lit("freshness_days_behind").alias("chk"),

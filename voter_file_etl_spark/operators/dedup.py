@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import materialize
 from voter_file_etl_spark.tables import t
 
 # ---------------------------------------------------------------------------
@@ -482,7 +483,7 @@ def x4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_distinct(transform(sequence(1, length(text) - 2),"
             " i -> substring(text, i, 3)))"
         ).alias("grams"),
-    ).localCheckpoint()
+    ).transform(materialize)
     a = g.select(
         F.col("doc_id").alias("id1"), "lang", "size_bucket", F.col("grams").alias("g1")
     )
@@ -1219,7 +1220,7 @@ def x45_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         raw.groupBy("h")
         .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     per = (
         grouped.select(F.explode("ss").alias("source"))
@@ -2147,7 +2148,7 @@ def d6_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_truth"),
         F.sum("kept1").alias("k1"),
         F.sum("kept2").alias("k2"),
-    ).localCheckpoint()  # 1-row frame, referenced by BOTH strategy rows (r13)
+    ).transform(materialize)  # 1-row frame, referenced by BOTH strategy rows (r13)
     m1 = cust.groupBy(
         F.col("c_nationkey").alias("k1"),
         F.expr("substr(c_name, 10, 6)").alias("k2"),
@@ -2314,7 +2315,7 @@ def e4_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Four funnel aggregates fan out of the scored candidates; one
         # eager materialization = one blocking join, not four (the a49
         # lineage-truncation pattern).
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     def row(stage, df):
@@ -2392,7 +2393,7 @@ def x88_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_distinct(transform(sequence(1, length(text) - 2),"
             " i -> substring(text, i, 3)))"
         ).alias("grams"),
-    ).localCheckpoint()
+    ).transform(materialize)
     a = g.select(
         F.col("doc_id").alias("id1"), "lang", "size_bucket",
         F.col("grams").alias("g1"),

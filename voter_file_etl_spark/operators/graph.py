@@ -150,7 +150,7 @@ def connected_components(
 from pyspark.sql import SparkSession
 
 from voter_file_etl_spark.registry import register
-from voter_file_etl_spark.session import iter_checkpoint
+from voter_file_etl_spark.session import iter_checkpoint, materialize
 from voter_file_etl_spark.tables import t
 
 
@@ -195,7 +195,7 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
         .drop("c")
-        .localCheckpoint()
+        .transform(materialize)
     )
 
 
@@ -802,12 +802,14 @@ def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     g9 plan only shows the last rollup — iter_checkpoint truncates the
     round lineage by design).
 
-    r13: the argmax is a max-struct AGGREGATE, not a row_number
-    window — max(struct(c, -label)) picks the same winner (highest
-    count, lowest label on ties; labels are positive node ids so the
-    negation is safe) but gets a map-side partial max and skips the
-    per-partition sort (guide §2.3, the LogTable-merge/kmeans-assign
-    discipline).
+    r13: the argmax is an AGGREGATE, not a row_number window — it
+    gets a map-side partial and skips the per-partition sort (guide
+    §2.3, the LogTable-merge/kmeans-assign discipline). r14 (ADVICE
+    r13): min_by(label, struct(-c, label)) — lowest negated count =
+    highest count, ties broken to the LOWEST label directly, so the
+    ordering never negates the label and holds for ANY label domain
+    (zero/negative/near-Long.MIN seeds included); only the count is
+    negated, and a count >= 1 can never overflow under negation.
     """
     counted = (
         edges.join(labels, edges.src == labels.node)
@@ -816,12 +818,8 @@ def _lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
     return (
         counted.groupBy("dst")
-        .agg(
-            F.max(
-                F.struct(F.col("c"), (-F.col("label")).alias("_neg"))
-            ).alias("_w")
-        )
-        .select(F.col("dst").alias("node"), (-F.col("_w._neg")).alias("label"))
+        .agg(F.expr("min_by(label, struct(-c, label))").alias("label"))
+        .select(F.col("dst").alias("node"), "label")
     )
 
 

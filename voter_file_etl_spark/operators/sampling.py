@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import materialize
 from voter_file_etl_spark.tables import t
 
 
@@ -1282,7 +1283,7 @@ def x85_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_full"),
         F.sum(F.when(in_samp, 1).otherwise(0)).cast("long").alias("n_samp"),
-    ).localCheckpoint()
+    ).transform(materialize)
     tot = base.agg(
         F.sum("n_full").cast("long").alias("tf"),
         F.sum("n_samp").cast("long").alias("ts"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from voter_file_etl_spark.functions import vectors as V
 from voter_file_etl_spark.functions.intmath import floor_div_sql, half_up, half_up_sql
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import materialize
 from voter_file_etl_spark.tables import t
 
 _DIM = 64
@@ -239,9 +240,18 @@ def x5_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x6_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _x6_topk(_corpus_spark(spark, sf_dir))
+
+
+def _x6_topk(corpus: DataFrame) -> DataFrame:
+    """Brute-force top-k over an injected (vec_id, qv, nq, ...) corpus.
+
+    Factored out (r14, VERDICT r13 #4) so composite graders (x39
+    recall, x99 nDCG) can materialize the corpus ONCE and feed both
+    the exact and the approximate pipeline — the registered x6 body
+    is this function over a fresh corpus build, byte-identical."""
     from pyspark.sql import Window as W
 
-    corpus = _corpus_spark(spark, sf_dir)
     q = corpus.filter((F.col("vec_id") >= 0) & (F.col("vec_id") < _N_QUERIES)).select(
         F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("nq").alias("na")
     )
@@ -392,10 +402,15 @@ def x12_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute-in-BLAS shape as x5. Every float op (int dot -> float64,
     sqrt, divide) matches the SQL expression tree, so results stay
     bit-identical to the oracle."""
+    return _x12_ivf(_corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq"))
+
+
+def _x12_ivf(corpus: DataFrame) -> DataFrame:
+    """IVF search over an injected (vec_id, qv, nq) corpus — the x6
+    factoring, same motivation (one corpus build for x39/x99)."""
     import numpy as np
     import pandas as pd
 
-    corpus = _corpus_spark(spark, sf_dir).select("vec_id", "qv", "nq")
     wb = ivf_assign_cells(corpus)
 
     def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -456,7 +471,7 @@ def lsh_bucketed(corpus: DataFrame) -> DataFrame:
         corpus.withColumn("_planes", planes_lit)
         .withColumn("bucket", F.expr(bucket_sql))
         .select("vec_id", "qv", "nq", "bucket")
-        .localCheckpoint()
+        .transform(materialize)
     )
 
 
@@ -762,8 +777,18 @@ def _x39_oracle() -> str:
 
 @register("x39_ann_recall", oracle=_x39_oracle())
 def x39_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = x6_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    approx = x12_ann_ivf(spark, sf_dir).select(
+    # The quantized corpus is built ONCE and materialized (r14,
+    # VERDICT r13 #4): the exact brute-force list and the IVF list
+    # both consume the same corpus leaf, so the embeddings scan +
+    # planted-copy union + quantization run once instead of once per
+    # sub-pipeline (and per self-join side inside each).
+    corpus = (
+        _corpus_spark(spark, sf_dir)
+        .select("vec_id", "qv", "nq")
+        .transform(materialize)
+    )
+    exact = _x6_topk(corpus).select("query_id", "neighbor_id")
+    approx = _x12_ivf(corpus).select(
         "query_id", "neighbor_id", F.lit(True).alias("_hit")
     )
     joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
@@ -1440,14 +1465,20 @@ def x99_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain = F.greatest(
         F.expr("cast(floor(cos_sim * 1000000 + 0.5d) as bigint)"), F.lit(0)
     )
+    # One materialized corpus for both ranked lists (the x39 fold).
+    corpus = (
+        _corpus_spark(spark, sf_dir)
+        .select("vec_id", "qv", "nq")
+        .transform(materialize)
+    )
     ideal = (
-        x6_ann_topk(spark, sf_dir)
+        _x6_topk(corpus)
         .select("query_id", (disc * gain).alias("t"))
         .groupBy("query_id")
         .agg(F.sum("t").cast("long").alias("idcg"))
     )
     got = (
-        x12_ann_ivf(spark, sf_dir)
+        _x12_ivf(corpus)
         .select("query_id", "rank", "cos_sim")
         .filter((F.col("query_id") >= 0) & (F.col("query_id") < _N_QUERIES))
         .select("query_id", (disc * gain).alias("t"))

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import materialize
 from voter_file_etl_spark.tables import t
 
 STOPWORDS_EN = ("the", "a", "and", "of", "is")
@@ -1328,7 +1329,7 @@ def x41_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(
             F.concat_ws(" ", *[F.col(f"z.{k}") for k in range(8)])
         ).alias("g"),
-    ).localCheckpoint()
+    ).transform(materialize)
     keep = (
         sh.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("ndocs"))
@@ -1480,7 +1481,7 @@ def x43_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("w"))
         .limit(100)
-    ).localCheckpoint()
+    ).transform(materialize)
     # Vocabulary membership attaches as a broadcast 1-row ARRAY and
     # the C(hits,2) per-doc pairs come from two CHAINED codegen
     # Generates (posexplode + explode of the tail slice — per-input-
@@ -3424,6 +3425,16 @@ def x98_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one full Exchange (the distinct) and the join's probe-side
     # shuffle. Pair array is built in a projection and the explode
     # consumes the attribute (functions/ngrams.py discipline).
+    # Skew bound (ADVICE r13): the per-fp set is built BEFORE the
+    # df<=10 cap, so its size is bounded by data content (docs
+    # sharing one 16-char window), not by a key column — a
+    # 10^6-doc boilerplate window costs one ~8 MB aggregation
+    # buffer (the a22 class), which a task absorbs; if a corpus
+    # ever carries >10^7-doc shared windows, the remedy is the
+    # two-pass shape (dedup (fp, doc_id) -> count per fp -> semi-
+    # join 2..10 survivors -> collect_set over the capped set),
+    # which bounds the buffer at 10 at the price of two more
+    # exchanges. Not paid speculatively (guide §1.3).
     grouped = (
         raw.groupBy("fp")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.intmath import half_up, half_up_sql
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import materialize
 from voter_file_etl_spark.tables import t
 
 
@@ -1065,7 +1066,7 @@ def a36_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("g2").cast("long").alias("c2"),
         )
         .withColumn("bkt", F.expr(f"v div {_A36_BUCKET}"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
     bk = (
@@ -1161,7 +1162,7 @@ def a37_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_nationkey") % 5).alias("bkt"),
         )
         .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     rows_ = cells.groupBy("seg").agg(F.sum("o").cast("long").alias("r"))
     cols_ = cells.groupBy("bkt").agg(F.sum("o").cast("long").alias("c"))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import materialize
 from voter_file_etl_spark.tables import t
 
 
@@ -1162,7 +1163,7 @@ def s21_corrupt_file_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("sum_cents"),
             )
-            .localCheckpoint()  # materialize under the scoped conf
+            .transform(materialize)  # materialize under the scoped conf
         )
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", old)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import materialize
 from voter_file_etl_spark.tables import t
 
 # Every scratch dir this module creates (pristine LogTable builds and
@@ -686,7 +687,7 @@ def l13_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Each version's change feed (parquet reads + full-outer
         # join) is referenced twice below (plus AND minus legs);
         # localCheckpoint materializes it once per version (r13).
-        ch = table.changes(v).localCheckpoint()
+        ch = table.changes(v).transform(materialize)
         plus = ch.filter(F.col("op").isin("insert", "update")).select(
             F.lit(v).alias("version"),
             (F.col("new_event_id") % 8).alias("shard"),
@@ -1023,6 +1024,19 @@ def l20_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         audit = obs.get
         ok = audit["n_bad"] == 0
         if ok:
+            # Write-audit-publish integrity (ADVICE r13): observe()
+            # validates the rows IN FLIGHT; before publishing, verify
+            # the PERSISTED files agree — a metadata-only count (the
+            # parquet row-group counts; no column is read) catches a
+            # corrupt/partial staged write that in-flight metrics
+            # cannot see, at a fraction of the old full-column
+            # read-back aggregation this replaced in r13.
+            n_back = spark.read.parquet(stage_dir).count()
+            if n_back != audit["n_rows"]:
+                raise RuntimeError(
+                    f"l20 staged batch {i}: persisted rows {n_back} != "
+                    f"observed {audit['n_rows']} — refusing to publish"
+                )
             # Atomic publish: same-filesystem rename of the staged
             # batch directory into the published table.
             os.rename(stage_dir, os.path.join(published, f"batch={i}"))

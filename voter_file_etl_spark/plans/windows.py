@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from voter_file_etl_spark.functions.intmath import floor_div_sql
 from voter_file_etl_spark.registry import register
+from voter_file_etl_spark.session import materialize
 from voter_file_etl_spark.tables import t
 
 
@@ -1739,7 +1740,7 @@ def w30_resample_linterp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rollup (full orders scan + shuffle) feeds BOTH the spine bounds
     # and the left-join observation side; without the truncation each
     # reference re-runs the scan+aggregate.
-    obs = obs.localCheckpoint()
+    obs = obs.transform(materialize)
     spine = (
         obs.groupBy("prio")
         .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))

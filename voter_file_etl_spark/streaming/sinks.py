@@ -79,9 +79,19 @@ def upsert_merge_batch(
     the shuffle instead of every duplicate (the dedup_pk discipline,
     operators/etl.py).
     """
+    # All stage/promote filesystem traffic goes through the Hadoop FS
+    # API (VERDICT r13 #4): with file:// work dirs this is the same
+    # local rename/listing as before, but the identical code runs
+    # against hdfs:// (and, listing/mkdirs aside, any FS with atomic
+    # dir rename) — os.listdir/os.makedirs only ever see the driver's
+    # local disk, which on a cluster is NOT where the snapshot lives.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    _p = jvm.org.apache.hadoop.fs.Path
+    fs = _p(snap_dir).getFileSystem(hconf)
     bucket = F.pmod(F.xxhash64(*_UPSERT_KEY), F.lit(_N_BUCKETS)).cast("int")
     batch = batch_df.withColumn("_bucket", bucket)
-    if os.path.isdir(snap_dir):
+    if fs.exists(_p(snap_dir)):
         touched = sorted(
             r["_bucket"] for r in batch.select("_bucket").distinct().collect()
         )
@@ -111,12 +121,11 @@ def upsert_merge_batch(
     deduped.write.mode("overwrite").partitionBy("_bucket").parquet(stage)
     # Publish via Hadoop-FS renames (file:// and hdfs:// atomic; an
     # object-store sink would use the LogTable manifest commit).
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(snap_dir).getFileSystem(hconf)
-    _p = jvm.org.apache.hadoop.fs.Path
-    os.makedirs(snap_dir, exist_ok=True)
-    for d in sorted(os.listdir(stage)):
+    fs.mkdirs(_p(snap_dir))
+    staged = sorted(
+        st.getPath().getName() for st in fs.listStatus(_p(stage))
+    )
+    for d in staged:
         if not d.startswith("_bucket="):
             continue
         live = os.path.join(snap_dir, d)
@@ -409,8 +418,19 @@ def st18_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blue/green publish — instead of the former stage-write + copy
     # (two write jobs per batch for a k-row table). The previous
     # version also stays intact until the new one is fully committed.
+    # Listing goes through the Hadoop FS API (VERDICT r13 #4): the
+    # work dir is driver-local here, but the same reader pattern must
+    # hold when the board lives on a cluster FS.
+    jvm = spark._jvm
+    _p = jvm.org.apache.hadoop.fs.Path
+    _fs = _p(work).getFileSystem(spark._jsc.hadoopConfiguration())
+
     def _latest_board() -> str | None:
-        vs = sorted(d for d in os.listdir(work) if d.startswith("board_v"))
+        vs = sorted(
+            st.getPath().getName()
+            for st in _fs.listStatus(_p(work))
+            if st.getPath().getName().startswith("board_v")
+        )
         return os.path.join(work, vs[-1]) if vs else None
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
